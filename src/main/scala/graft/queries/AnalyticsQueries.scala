@@ -1,0 +1,346 @@
+package graft.queries
+
+import graft.{Portable => P, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational analytics surface: scans, filters, equi/semi joins,
+  * aggregations, windows, rollup, sort/limit, JSON extraction —
+  * the batch operator families from SURVEY.md §2.1 expressed
+  * DataFrame-first so Catalyst handles pushdown/pruning/broadcast.
+  *
+  * Every aggregate over money/quantity doubles goes through
+  * [[graft.Portable]] exact-decimal arithmetic so results are
+  * bit-identical to the DuckDB oracle regardless of partitioning.
+  */
+object AnalyticsQueries {
+
+  private def ts(d: String) = lit(d).cast(TimestampType)
+
+  /** TPC-H Q1-style pricing summary: scan → filter → hash agg → sort. */
+  private def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        P.dsum2(col("l_quantity")).as("sum_qty"),
+        P.dsum2(col("l_extendedprice")).as("sum_base_price"),
+        P.sumd(P.discPrice(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        P.sumd(P.charge(col("l_extendedprice"), col("l_discount"), col("l_tax"))).as("sum_charge"),
+        P.davg2(col("l_quantity")).as("avg_qty"),
+        P.davg2(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style: 3-way join, agg, top-k. Filters applied before the
+    * join so pushdown shrinks the shuffle inputs. */
+  private def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < ts("1997-06-30"))
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > ts("1997-06-30"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(P.sumd(P.discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: 6-way join through region/nation dims (broadcast),
+    * revenue per nation where supplier and customer share a nation. */
+  private def regionalRevenue(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+    val l = Tables.lineitem(s, dir)
+    val su = Tables.supplier(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
+               col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(P.sumd(P.discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6-style: tight scan+filter+scalar agg — pure pushdown test. */
+  private def forecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(P.sumd((col("l_extendedprice").cast(DecimalType(12, 2)) *
+        col("l_discount").cast(DecimalType(6, 4))).cast(DecimalType(24, 6))).as("revenue"))
+  }
+
+  /** Customer revenue ranking: fact→dim join + top-k. */
+  private def topCustomers(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"), P.dsum2(col("o_totalprice")).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q4-style: EXISTS via left-semi join with a non-equi conjunct. */
+  private def lateOrdersPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+    val l = Tables.lineitem(s, dir)
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Window functions: per-customer order sequence + day gaps (lag). */
+  private def customerOrderSeq(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("gap_days",
+        coalesce(datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)), lit(-1))
+          .cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("rn"), col("gap_days"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** ROLLUP aggregation over order status × priority. */
+  private def orderRollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), P.dsum2(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  /** JSON property extraction from the events stream payload (the
+    * reference's dynamic field-map, SURVEY.md §1.2). */
+  private def eventsJson(s: SparkSession, dir: String): DataFrame = {
+    val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast(IntegerType)
+    Tables.events(s, dir)
+      .withColumn("k", k)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).cast(LongType).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        (sum(col("k")).cast(DoubleType) / count(lit(1))).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Gap-based sessionization (30-min inactivity) via window lag +
+    * running flag — the classic streaming-session shape in batch. */
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(w)
+    Tables.events(s, dir)
+      .withColumn("ns",
+        when(prev.isNull || P.epochMs(col("ts")) - P.epochMs(prev) > 1800000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("ns")).as("sessions"),
+        count(lit(1)).as("n_events"),
+        (count(lit(1)).cast(DoubleType) / sum(col("ns"))).as("events_per_session"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Tumbling-window (hourly) event aggregation — batch twin of a
+    * Structured Streaming windowed aggregation. */
+  private def hourlyEvents(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        P.sumd(col("value").cast(DecimalType(25, 6))).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Fact ⋈ dimension join with brand-level revenue rollup. */
+  private def brandRevenue(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        P.dsum2(col("l_quantity")).as("sum_qty"),
+        P.sumd(P.discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Snowflake dim chain: customer → nation → region (both broadcast). */
+  private def nationBalance(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        P.dsum2(col("c_acctbal")).as("sum_acctbal"),
+        P.davg2(col("c_acctbal")).as("avg_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Exact per-day distinct users (expensive shuffle-distinct — the
+    * exact twin of the HLL version below). */
+  private def dailyDistinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n_events"))
+      .orderBy(col("day"))
+  }
+
+  /** HLL approximate distinct — the 100 TB-scale path (no shuffle of
+    * raw ids, constant-size sketch). Rows-only check: sketch values are
+    * engine-specific. */
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+  }
+
+  private val discPriceSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4)) AS DECIMAL(24,6))"
+  private val chargeSql =
+    s"CAST($discPriceSql * CAST(1.0 + l_tax AS DECIMAL(6,4)) AS DECIMAL(30,10))"
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "a01_pricing_summary" -> QueryDef(pricingSummary, Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(ROUND(SUM($discPriceSql), 2) AS DOUBLE) AS sum_disc_price,
+        CAST(ROUND(SUM($chargeSql), 2) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
+      "TPC-H Q1 pricing summary"),
+
+    "a02_shipping_priority" -> QueryDef(shippingPriority, Some(s"""
+      SELECT o_orderkey, o_orderdate, CAST(ROUND(SUM($discPriceSql), 2) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1997-06-30' AND l_shipdate > TIMESTAMP '1997-06-30'
+      GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10"""),
+      "TPC-H Q3 top unshipped orders"),
+
+    "a03_regional_revenue" -> QueryDef(regionalRevenue, Some(s"""
+      SELECT n_name, CAST(ROUND(SUM($discPriceSql), 2) AS DOUBLE) AS revenue
+      FROM lineitem, orders, supplier, customer, nation, region
+      WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND o_custkey = c_custkey
+        AND c_nationkey = s_nationkey AND c_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+      "TPC-H Q5 local supplier volume"),
+
+    "a04_forecast_revenue" -> QueryDef(forecastRevenue, Some("""
+      SELECT CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4)) AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24"""),
+      "TPC-H Q6 forecast revenue change"),
+
+    "a05_top_customers" -> QueryDef(topCustomers, Some("""
+      SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders, customer WHERE o_custkey = c_custkey
+      GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+      "customer revenue top-k"),
+
+    "a06_late_orders_priority" -> QueryDef(lateOrdersPriority, Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      "TPC-H Q4 semi-join order priority"),
+
+    "a07_customer_order_seq" -> QueryDef(customerOrderSeq, Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate, rn, gap_days FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+          CAST(COALESCE(DATE_DIFF('day',
+            LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            o_orderdate), -1) AS BIGINT) AS gap_days
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, rn"""),
+      "window: per-customer order sequence with gaps"),
+
+    "a08_order_rollup" -> QueryDef(orderRollup, Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+             COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY 1, 2"""),
+      "rollup over status x priority"),
+
+    "a09_events_json" -> QueryDef(eventsJson, Some("""
+      SELECT event_type, COUNT(*) AS n_events,
+        CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+        CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+      FROM (SELECT event_type, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
+            FROM events) t
+      GROUP BY event_type ORDER BY event_type"""),
+      "JSON payload field extraction + agg"),
+
+    "a10_sessionize" -> QueryDef(sessionize, Some("""
+      SELECT user_id, CAST(SUM(ns) AS BIGINT) AS sessions, COUNT(*) AS n_events,
+        CAST(COUNT(*) AS DOUBLE) / CAST(SUM(ns) AS BIGINT) AS events_per_session
+      FROM (SELECT user_id,
+              CASE WHEN LAG(ts) OVER w IS NULL
+                     OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS ns
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+      GROUP BY user_id ORDER BY user_id"""),
+      "gap-based sessionization"),
+
+    "a11_hourly_events" -> QueryDef(hourlyEvents, Some("""
+      SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,
+        CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "tumbling hourly window agg"),
+
+    "a12_brand_revenue" -> QueryDef(brandRevenue, Some(s"""
+      SELECT p_brand, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(ROUND(SUM($discPriceSql), 2) AS DOUBLE) AS revenue
+      FROM lineitem, part WHERE l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand"""),
+      "fact-dim join brand revenue"),
+
+    "a13_nation_balance" -> QueryDef(nationBalance, Some("""
+      SELECT r_name, n_name, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+      FROM customer, nation, region
+      WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
+      "snowflake dim-chain agg"),
+
+    "a14_daily_distinct" -> QueryDef(dailyDistinct, Some("""
+      SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n_events
+      FROM events GROUP BY 1 ORDER BY 1"""),
+      "exact daily distinct users"),
+
+    "a15_approx_distinct" -> QueryDef(approxDistinct, None,
+      "HLL approx distinct (sketch values engine-specific; rows-only)"))
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis for training-data curation over `documents`:
+  * quality scoring, token counting (whitespace + BPE-ish regex),
+  * language-ID heuristic, and rolling-hash document fingerprints.
+  *
+  * Per-document metrics are pure row-local expressions (no cross-row
+  * float aggregation), so they parallelize embarrassingly at 100 TB and
+  * hash-match the DuckDB oracle exactly. Per-group ratios are computed
+  * from exact integer sums, then one deterministic double division.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+  private val stopArraySpark = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+  private val stopArrayDuck  = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Row-local doc metrics shared by several queries. */
+  private def withStats(df: DataFrame): DataFrame =
+    df.withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")).cast(LongType))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")).cast(LongType))
+      .withColumn("n_punct",
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast(LongType))
+      .withColumn("stop_hits",
+        expr(s"size(filter(words, w -> array_contains($stopArraySpark, w)))").cast(LongType))
+
+  private val statsDuckCte = s"""
+    WITH stats AS (
+      SELECT doc_id, lang, source, text,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+        CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        CAST(len(list_filter(string_split(text, ' '), w -> list_contains($stopArrayDuck, w))) AS BIGINT) AS stop_hits
+      FROM documents)"""
+
+  /** Per-document quality metrics + composite score. */
+  private def docQuality(s: SparkSession, dir: String): DataFrame =
+    withStats(docs(s, dir))
+      .withColumn("avg_token_len",
+        (length(col("text")) - (col("n_tokens") - 1)).cast(DoubleType) / col("n_tokens"))
+      .withColumn("stop_ratio", col("stop_hits").cast(DoubleType) / col("n_tokens"))
+      .withColumn("quality_score",
+        least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) * 0.5 +
+          least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3 +
+          (lit(1.0) - col("n_punct").cast(DoubleType) / greatest(col("n_tokens"), lit(1L))) * 0.2)
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"), col("n_punct"),
+        col("stop_hits"), col("stop_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** Per-language aggregate stats from exact integer sums. */
+  private def langStats(s: SparkSession, dir: String): DataFrame =
+    withStats(docs(s, dir))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("stop_hits")).as("sum_stop_hits"),
+        sum(length(col("text")).cast(LongType)).as("sum_chars"))
+      .withColumn("tokens_per_doc", col("sum_tokens").cast(DoubleType) / col("n_docs"))
+      .withColumn("stop_ratio", col("sum_stop_hits").cast(DoubleType) / col("sum_tokens"))
+      .orderBy(col("lang"))
+
+  /** Language-ID heuristic (English stopword density) vs. the label —
+    * emits the confusion matrix. */
+  private def langId(s: SparkSession, dir: String): DataFrame =
+    withStats(docs(s, dir))
+      .withColumn("predicted",
+        when(col("stop_hits").cast(DoubleType) / col("n_tokens") >= 0.08, "en")
+          .otherwise("unknown"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+
+  /** Token counting per source: whitespace tokens + BPE-ish regex tokens
+    * (letter runs / digit runs / single punctuation). */
+  private def tokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("ws_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("bpe_tokens",
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast(LongType))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("sum_ws_tokens"),
+        sum(col("bpe_tokens")).as("sum_bpe_tokens"))
+      .orderBy(col("source"))
+
+  /** Rolling polynomial fingerprint: fold (acc*131 + tokenHash) mod 1e9+7
+    * over the token stream; tokenHash = first 8 md5 nibbles. */
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        expr("transform(split(text, ' '), t -> md5(t))").as("hs"))
+      .select(col("doc_id"), expr("""
+        aggregate(
+          transform(hs, h ->
+            aggregate(transform(sequence(1, 8),
+                i -> CAST(instr('0123456789abcdef', substring(h, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+              CAST(0 AS BIGINT), (a, x) -> a * 16 + x)),
+          CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x) % 1000000007)""").as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "t01_doc_quality" -> QueryDef(docQuality, Some(s"""$statsDuckCte
+      SELECT doc_id, n_tokens,
+        CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+        n_punct, stop_hits,
+        CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+        LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
+              LEAST(CAST(stop_hits AS DOUBLE) / n_tokens * 5.0, 1.0) * 0.3 +
+              (1.0 - CAST(n_punct AS DOUBLE) / GREATEST(n_tokens, 1)) * 0.2 AS quality_score
+      FROM stats ORDER BY doc_id"""),
+      "per-doc text quality metrics + score"),
+
+    "t02_lang_stats" -> QueryDef(langStats, Some(s"""$statsDuckCte
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(stop_hits) AS BIGINT) AS sum_stop_hits,
+        CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS tokens_per_doc,
+        CAST(SUM(stop_hits) AS DOUBLE) / CAST(SUM(n_tokens) AS BIGINT) AS stop_ratio
+      FROM stats GROUP BY lang ORDER BY lang"""),
+      "per-language aggregate text stats"),
+
+    "t03_lang_id" -> QueryDef(langId, Some(s"""$statsDuckCte
+      SELECT lang,
+        CASE WHEN CAST(stop_hits AS DOUBLE) / n_tokens >= 0.08 THEN 'en' ELSE 'unknown' END AS predicted,
+        COUNT(*) AS n_docs
+      FROM stats GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "language-ID heuristic confusion matrix"),
+
+    "t04_token_count" -> QueryDef(tokenCount, Some("""
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS sum_ws_tokens,
+        CAST(SUM(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)) AS BIGINT) AS sum_bpe_tokens
+      FROM documents GROUP BY source ORDER BY source"""),
+      "whitespace + BPE-ish token counting per source"),
+
+    "t05_fingerprint" -> QueryDef(fingerprint, Some("""
+      WITH h AS (SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+                 FROM documents)
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(hs, h ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, 8),
+            i -> CAST(instr('0123456789abcdef', h[i]) - 1 AS BIGINT))), (a, x) -> a * 16 + x))),
+          (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+      FROM h ORDER BY doc_id"""),
+      "rolling-hash document fingerprint"))
+}
