@@ -18,56 +18,101 @@ import org.apache.spark.sql.types._
   *                         (the classic prune-then-verify pipeline)
   *  - SimHash            — 32-bit near-dup fingerprint per document
   *
-  * All hashing is md5-based so the DuckDB oracle computes bit-identical
-  * values. MinHash permutation i is simulated as md5(i || ':' || shingle)
-  * and the per-seed minimum is taken over the fixed-width hex strings
-  * (lexicographic = numeric order for fixed-length hex).
+  * The MinHash shingle unit is the word trigram — the same unit the
+  * Jaccard verifier measures, so the LSH s-curve (4 bands × 4 rows ⇒
+  * ~0.71 similarity threshold) prunes to exactly the near-dup pairs.
+  * (5-char shingles were tried first and saturate on word-salad text:
+  * every doc shares the globally-minimal shingle, everything collides.)
   */
 object DedupQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
   // ---- shared expression fragments (Spark SQL + DuckDB twins) ----
+  //
+  // MinHash at scale: explode distinct 5-char shingles to rows, hash each
+  // shingle ONCE with a cheap polynomial char fold, then compute the 16
+  // signature entries as MIN aggregates over linear permutations
+  // h_i(v) = ((2i+1)·v + 40503·i) mod 1e9+7. Aggregates are map-side
+  // combinable (partial min), the permutation arithmetic is codegen'd,
+  // and nothing is recomputed — unlike a nested higher-order-function
+  // formulation, which Catalyst's project collapse would inline 16×.
 
-  private val shinglesSpark =
-    "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
-  private val shinglesDuck =
-    "list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)), i -> substr(text, i, 5)))"
+  private val NumPerms = 16
+  private val NumBands = 4   // 4 rows per band
 
-  private val sigSpark =
-    "transform(sequence(0, 15), s -> array_min(transform(sh, x -> md5(concat(cast(s AS string), ':', x)))))"
-  private val sigDuck =
-    "list_transform(generate_series(0, 15), s -> list_min(list_transform(sh, x -> md5(s::VARCHAR || ':' || x))))"
+  /** Word-trigram sets (shared by MinHash shingling and the Jaccard
+    * verifier; `words` must be bound to split(text, ' ')). */
+  private[queries] val gramsSpark = """array_distinct(CASE WHEN size(words) >= 3
+    THEN transform(sequence(1, size(words) - 2),
+         i -> concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2)))
+    ELSE array(text) END)"""
+  private[queries] val gramsDuck = """CASE WHEN len(words) >= 3
+    THEN list_distinct(list_transform(generate_series(1, len(words) - 2),
+         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+    ELSE [text] END"""
 
-  /** DuckDB CTE producing (doc_id, b, bkey) band rows — twin of [[bands]]. */
-  private val bandsDuckCte = s"""
-    WITH shc AS (SELECT doc_id, $shinglesDuck AS sh FROM documents),
-    sigc AS (SELECT doc_id, $sigDuck AS sig FROM shc),
-    bands AS (
-      SELECT doc_id, b,
-             md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS bkey
-      FROM sigc, (SELECT UNNEST(generate_series(0, 3)) AS b) bs)"""
+  /** Polynomial char-code hash of a short shingle string `x`. */
+  private val shingleHashSpark =
+    """aggregate(transform(sequence(1, length(x)),
+       i -> CAST(ascii(substring(x, CAST(i AS INT), 1)) AS BIGINT)),
+       CAST(0 AS BIGINT), (a, c) -> (a * 131 + c) % 1000000007)"""
+  private val shingleHashDuck =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(x)),
+       i -> CAST(ascii(substr(x, i, 1)) AS BIGINT))), (a, c) -> (a * 131 + c) % 1000000007)"""
 
-  /** (doc_id, b, bkey): each doc emits 4 LSH band keys. */
-  private def bands(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), expr(shinglesSpark).as("sh"))
-      .select(col("doc_id"), expr(sigSpark).as("sig"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("b"), col("sig"))
-      .select(col("doc_id"), col("b"),
-        md5(concat_ws("|",
-          expr("element_at(sig, b*4+1)"), expr("element_at(sig, b*4+2)"),
-          expr("element_at(sig, b*4+3)"), expr("element_at(sig, b*4+4)"))).as("bkey"))
+  private def permSql(i: Int) = s"MIN((v * ${2 * i + 1} + ${40503L * i}) % 1000000007)"
 
-  /** Candidate near-dup pairs: docs sharing any LSH band bucket. */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val b = bands(s, dir)
-    val l = b.select(col("b").as("lb"), col("bkey").as("lkey"), col("doc_id").as("doc_a"))
-    val r = b.select(col("b").as("rb"), col("bkey").as("rkey"), col("doc_id").as("doc_b"))
-    l.join(r, col("lb") === col("rb") && col("lkey") === col("rkey") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+  /** DuckDB CTE producing (doc_id, b, bkey) band rows — twin of the Spark
+    * band computation inside [[minhashPairs]]. */
+  private val bandsDuckCte = {
+    val mins = (0 until NumPerms).map(i => s"${permSql(i)} AS m$i").mkString(", ")
+    val bandRows = (0 until NumBands).map { b =>
+      val key = (0 until 4).map(r => s"m${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS b, $key AS bkey FROM sigc"
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH wsrc AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+    sx AS (SELECT doc_id, UNNEST($gramsDuck) AS x FROM wsrc),
+    vx AS (SELECT doc_id, $shingleHashDuck AS v FROM sx),
+    sigc AS (SELECT doc_id, $mins FROM vx GROUP BY doc_id),
+    bands AS ($bandRows)"""
   }
+
+  /** (doc_id, b, bkey): each doc emits `NumBands` LSH band keys. */
+  private def bands(s: SparkSession, dir: String): DataFrame = {
+    val sig = docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(gramsSpark)).as("x"))
+      .select(col("doc_id"), expr(shingleHashSpark).as("v"))
+      .groupBy(col("doc_id"))
+      .agg((0 until NumPerms).map(i => expr(permSql(i)).as(s"m$i")).head,
+           (1 until NumPerms).map(i => expr(permSql(i)).as(s"m$i")): _*)
+    val bandStructs = (0 until NumBands).map { b =>
+      val key = concat_ws("|", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)
+      struct(lit(b).as("b"), key.as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.b").as("b"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket.
+    *
+    * Pairs are generated by aggregating each bucket and expanding the
+    * in-bucket combinations — a single shuffle on the band key, never a
+    * self-join (which would recompute the signature plan on both sides
+    * and, at scale, shuffle the corpus twice). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    bands(s, dir)
+      .groupBy(col("b"), col("bkey"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+           transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"""))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Exact dedup summary: documents collapsed by full-text hash. */
   private def exactDedup(s: SparkSession, dir: String): DataFrame =
@@ -87,16 +132,6 @@ object DedupQueries {
       .select(col("doc_id"), col("keep_doc"), col("fp"))
       .orderBy(col("doc_id"))
   }
-
-  /** Word-trigram sets for Jaccard verification. */
-  private val gramsSpark = """array_distinct(CASE WHEN size(words) >= 3
-    THEN transform(sequence(1, size(words) - 2),
-         i -> concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2)))
-    ELSE array(text) END)"""
-  private val gramsDuck = """CASE WHEN len(words) >= 3
-    THEN list_distinct(list_transform(generate_series(1, len(words) - 2),
-         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
-    ELSE [text] END"""
 
   /** Verify LSH candidates with exact n-gram Jaccard (prune-then-verify). */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
