@@ -121,13 +121,15 @@ object ProtocolQueries {
         sum(when(col("ts") > col("now") - expr("INTERVAL 7 DAYS"), 1L).otherwise(0L)).as("backlog"),
         sum(when(isPending, 1L).otherwise(0L)).as("pending"),
         countDistinct(consumer).as("n_consumers"))
+    // S2 quirk preserved: rate stays 0 unless BOTH backlog and pending
+    // are nonzero (reference scaler.py:74-83 `all([...])` guard).
     val rawRate = col("backlog").cast(DoubleType) / col("pending") * 100.0
     g.withColumn("rate",
-        when(col("pending") === 0, 0.0)
+        when(col("pending") === 0 || col("backlog") === 0, 0.0)
           .otherwise(round(least(greatest(rawRate, lit(1.0)), lit(100.0)), 4)))
       .withColumn("decision",
-        when(col("pending") === 0 && col("backlog") === 0, "NO_SCALE")
-          .when(col("pending") === 0 && col("backlog") >= 1, "OUT")
+        when(col("rate") === 0.0 && col("backlog") === 0, "NO_SCALE")
+          .when(col("rate") === 0.0 && col("backlog") >= 1, "OUT")
           .when(col("rate") < 10.0 && col("n_consumers") > 1, "IN")
           .when(col("rate") >= 50.0, "OUT")
           .otherwise("NO_SCALE"))
@@ -247,13 +249,13 @@ object ProtocolQueries {
           COUNT(DISTINCT user_id % $NumConsumers) AS n_consumers
         FROM events, (SELECT MAX(ts) AS now FROM events) t GROUP BY event_type),
       r AS (
-        SELECT *, CASE WHEN pending = 0 THEN 0.0
+        SELECT *, CASE WHEN pending = 0 OR backlog = 0 THEN 0.0
                        ELSE ROUND(LEAST(GREATEST(CAST(backlog AS DOUBLE) / pending * 100.0, 1.0), 100.0), 4)
                   END AS rate
         FROM g)
       SELECT event_type, backlog, pending, n_consumers, rate,
-        CASE WHEN pending = 0 AND backlog = 0 THEN 'NO_SCALE'
-             WHEN pending = 0 AND backlog >= 1 THEN 'OUT'
+        CASE WHEN rate = 0.0 AND backlog = 0 THEN 'NO_SCALE'
+             WHEN rate = 0.0 AND backlog >= 1 THEN 'OUT'
              WHEN rate < 10.0 AND n_consumers > 1 THEN 'IN'
              WHEN rate >= 50.0 THEN 'OUT'
              ELSE 'NO_SCALE' END AS decision

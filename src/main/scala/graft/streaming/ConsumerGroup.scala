@@ -1,0 +1,114 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+/** Consumer-group state: a named cursor (`last-delivered-id`) over a
+  * [[StreamLog]] plus the group PEL — the at-least-once core of the
+  * reference (SURVEY.md §1.1).
+  *
+  * Operators: G1 idempotent create (reference `common.py:20-41`),
+  * C2/C4 XREADGROUP `>`/`0` (`consumer.py:121-162,26-33`), C5/G2
+  * XPENDING (`common.py:48-73`), C7 XACK (`consumer.py:180-191`),
+  * M6 XCLAIM min-idle (`monitor.py:129-138`), G3 XGROUP DELCONSUMER
+  * (`common.py:75-85`), G4 DESTROY (`base.py:22-23`), M1/M2 XINFO.
+  */
+final class ConsumerGroup private (
+    val log: StreamLog,
+    val name: String,
+    val clock: Clock) {
+
+  private var lastDeliveredId: String = MsgId.Zero
+  private val pel = mutable.LinkedHashMap.empty[String, PelEntry]          // msgid → entry
+  private val lastSeenMs = mutable.LinkedHashMap.empty[String, Long]       // consumer → last fetch
+
+  /** C2: XREADGROUP `>` — deliver up to `count` never-delivered messages
+    * to `consumer`; each enters the PEL (at-least-once, noack=false). */
+  def readNew(consumer: String, count: Int): Seq[StreamMessage] = synchronized {
+    touch(consumer)
+    if (count <= 0) return Seq.empty
+    val msgs = log.after(lastDeliveredId, count)
+    val now = clock.nowMs
+    msgs.foreach { m =>
+      lastDeliveredId = m.msgid
+      pel(m.msgid) = PelEntry(m.msgid, consumer, now, 1)
+    }
+    msgs
+  }
+
+  /** C4: XREADGROUP `0` — re-read everything currently owned by
+    * `consumer` (crash-retry redelivery), in id order. */
+  def readOwn(consumer: String): Seq[StreamMessage] = synchronized {
+    touch(consumer)
+    val owned = pel.valuesIterator.filter(_.consumer == consumer).map(_.msgid).toSet
+    log.all.filter(m => owned.contains(m.msgid))
+  }
+
+  /** G2/C5: XPENDING_RANGE — up to `count` PEL entries of one consumer
+    * over the full id range, in id order. */
+  def pendingOf(consumer: String, count: Int = Int.MaxValue): Seq[PelEntry] = synchronized {
+    pel.valuesIterator.filter(_.consumer == consumer).toSeq
+      .sortBy(e => MsgId.parse(e.msgid)).take(count)
+  }
+
+  /** C7: XACK — remove from the group PEL; does NOT delete from the
+    * stream (the v0.3.0 doc fix, reference `consumer.py:182-190`).
+    * Returns 1 if the id was pending, else 0. */
+  def ack(msgid: String): Int = synchronized {
+    if (pel.remove(msgid).isDefined) 1 else 0
+  }
+
+  /** M6: XCLAIM — reassign `ids` to `newConsumer` iff idle ≥ `minIdleMs`
+    * (guard against stealing in-flight work, `monitor.py:65-68`); resets
+    * the delivery clock and bumps `times_delivered`. Returns claimed ids. */
+  def claim(ids: Seq[String], newConsumer: String, minIdleMs: Long): Seq[String] = synchronized {
+    val now = clock.nowMs
+    ids.flatMap { id =>
+      pel.get(id) match {
+        case Some(e) if e.timeSinceDelivered(now) >= minIdleMs =>
+          pel(id) = PelEntry(id, newConsumer, now, e.timesDelivered + 1)
+          Some(id)
+        case _ => None
+      }
+    }
+  }
+
+  /** G3: XGROUP DELCONSUMER — destroy a consumer; unclaimed PEL entries
+    * are lost. Returns the number of lost (pending) messages. */
+  def delConsumer(consumer: String): Int = synchronized {
+    val owned = pel.valuesIterator.filter(_.consumer == consumer).map(_.msgid).toList
+    owned.foreach(pel.remove)
+    lastSeenMs.remove(consumer)
+    owned.size
+  }
+
+  /** G4: XGROUP DESTROY. */
+  def destroy(): Unit = synchronized { pel.clear(); lastSeenMs.clear(); lastDeliveredId = MsgId.Zero }
+
+  // ---- introspection (M1 XINFO GROUPS / M2 XINFO CONSUMERS) ----
+
+  def lastDelivered: String = synchronized(lastDeliveredId)
+  def pendingCount: Int = synchronized(pel.size)
+  def consumers: Seq[String] = synchronized(lastSeenMs.keys.toSeq)
+
+  /** M2: per-consumer (name, pending, idle-ms-since-last-fetch). */
+  def consumerInfo: Seq[(String, Int, Long)] = synchronized {
+    val now = clock.nowMs
+    lastSeenMs.toSeq.map { case (c, seen) =>
+      (c, pel.valuesIterator.count(_.consumer == c), now - seen)
+    }
+  }
+
+  private def touch(consumer: String): Unit = lastSeenMs(consumer) = clock.nowMs
+}
+
+object ConsumerGroup {
+  private val registry = mutable.Map.empty[(StreamLog, String), ConsumerGroup]
+
+  /** G1: idempotent group creation from stream start (`0-0`), MKSTREAM
+    * implied, BUSYGROUP swallowed (reference `common.py:20-41`) —
+    * repeated creation returns the existing group unchanged. */
+  def create(log: StreamLog, name: String, clock: Clock = SystemClock): ConsumerGroup =
+    registry.synchronized {
+      registry.getOrElseUpdate((log, name), new ConsumerGroup(log, name, clock))
+    }
+}

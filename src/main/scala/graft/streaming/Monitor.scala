@@ -1,0 +1,85 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+/** Consumer-group health monitor: classification, sweep, failure
+  * rebalance, report rendering — reference `monitor.py` (M1-M7, R1).
+  */
+final class Monitor(
+    log: StreamLog,
+    groups: Seq[ConsumerGroup],
+    batchSize: Int = 2,               // pending-warn threshold, monitor.py:53-54
+    idleTimeThresholdMs: Long = 30000L, // idle-warn threshold, monitor.py:55
+    minWaitTimeMs: Long = 0L) {       // XCLAIM min-idle guard, monitor.py:65-68
+
+  private val metrics = mutable.ArrayBuffer.empty[ConsumerMetrics]
+  private val unhealthy = mutable.Map.empty[ConsumerGroup, List[String]]
+  private var target: Option[(ConsumerGroup, String, Int)] = None
+
+  /** M3: pure health classification — pending-warning wins over
+    * idle-warning (reference `monitor.py:85-91`). */
+  def statusByMetrics(pending: Int, idleMs: Long): String =
+    if (pending > batchSize) ConsumerStatus.PendingWarn
+    else if (idleMs > idleTimeThresholdMs) ConsumerStatus.IdleWarn
+    else ConsumerStatus.Ok
+
+  /** M4: the monitoring sweep — classify every consumer of every group
+    * with consumers > 0, remember unhealthy ones, and pick the healthy
+    * consumer with minimum pending as reassignment target (the clean
+    * argmin; the reference's first-healthy seeding quirk at
+    * `monitor.py:163-164` is documented in SURVEY §7.3 as a deviation).
+    * With `autoCleanup`, rebalances failures before returning. */
+  def collectMonitoringData(autoCleanup: Boolean = true): Seq[ConsumerMetrics] = {
+    metrics.clear(); unhealthy.clear(); target = None
+    groups.filter(_.consumers.nonEmpty).foreach { g =>
+      g.consumerInfo.foreach { case (cid, pending, idleMs) =>
+        val status = statusByMetrics(pending, idleMs)
+        metrics += ConsumerMetrics(cid, pending, idleMs, status)
+        if (status == ConsumerStatus.Ok) {
+          if (target.forall { case (_, _, p) => pending < p }) target = Some((g, cid, pending))
+        } else {
+          unhealthy(g) = cid :: unhealthy.getOrElse(g, Nil)
+        }
+      }
+    }
+    if (autoCleanup) cleanup()
+    metrics.toSeq
+  }
+
+  /** M5 driver loop (reference `monitor.py:186-193`). */
+  def cleanup(): Unit =
+    for {
+      (g, consumers) <- unhealthy.toSeq
+      (tg, tc, _) <- target if tg == g
+      dead <- consumers.reverse
+    } cleanupUnhealthyConsumer(g, dead, tc)
+
+  /** M5: failure rebalance — list the dead consumer's PEL (G2), claim
+    * for the target (M6), then delete the consumer (G3); lost>0 is the
+    * reference's logged-error condition (`monitor.py:93-127`). Returns
+    * (claimed, lost). */
+  def cleanupUnhealthyConsumer(
+      g: ConsumerGroup, dead: String, targetConsumer: String): (Int, Int) = {
+    val ids = g.pendingOf(dead).map(_.msgid)
+    val claimed = g.claim(ids, targetConsumer, minWaitTimeMs)        // M6
+    val lost = g.delConsumer(dead)                                   // G3
+    (claimed.size, lost)
+  }
+
+  /** R1: grid-style report (reference `monitor.py:195-209`). */
+  def renderTable(): String = {
+    val header = Seq("Consumer id", "Idle time", "Pending items", "Status")
+    val rows = metrics.toSeq.map(m =>
+      Seq(m.consumerId, m.idleTimeMs.toString, m.pendingItems.toString, m.status))
+    val widths = (header +: rows).transpose.map(_.map(_.length).max)
+    def line(cells: Seq[String]) =
+      cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }.mkString("| ", " | ", " |")
+    val sep = widths.map("-" * _).mkString("+-", "-+-", "-+")
+    (Seq(sep, line(header), sep) ++ rows.map(line) :+ sep).mkString("\n")
+  }
+
+  def printMonitoringData(out: Appendable = System.out): Unit = {
+    out.append(renderTable()).append("\n")
+    ()
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+/** Append-only message log with Redis-stream semantics: monotonic
+  * `ms-seq` ids, XLEN/XRANGE, approximate MAXLEN trimming, XDEL.
+  *
+  * Plays the role Redis itself plays for the reference library (the
+  * reference owns no storage; SURVEY.md §1.3). In this engine the log
+  * backs the protocol state machine in tests and feeds the Structured
+  * Streaming source; the 100 TB batch path reads the same shape from
+  * parquet (`events` table).
+  *
+  * Operators: P1 XADD (reference `producer.py:37-51`), P2 MAXLEN~ trim
+  * (`producer.py:26-35,47-48`), P3 XTRIM (`base.py:15,21`), P4 XDEL
+  * (documented escape hatch, `consumer.py:185-187`).
+  */
+final class StreamLog(clock: Clock = SystemClock) {
+
+  private val buf = mutable.ArrayBuffer.empty[StreamMessage]
+  private var lastMs  = -1L
+  private var lastSeq = -1L
+
+  /** XADD: append one field-map message; values are stringified on write
+    * (`producer.py:37`); returns the assigned monotonic id. With
+    * `maxlen`, trims approximately (only once `macroNode` excess rows
+    * accumulate — Redis's `~` macro-node behavior: length may exceed
+    * maxlen, `test_producer.py:50-56`). */
+  def add(
+      content: Map[String, Any],
+      maxlen: Option[Int] = None,
+      approximate: Boolean = true,
+      macroNode: Int = 16): String = synchronized {
+    val ms = math.max(clock.nowMs, lastMs)
+    val seq = if (ms == lastMs) lastSeq + 1 else 0L
+    lastMs = ms; lastSeq = seq
+    val id = MsgId.format(ms, seq)
+    buf += StreamMessage(id, content.map { case (k, v) => k -> String.valueOf(v) })
+    maxlen.foreach { m =>
+      if (!approximate) trim(m)
+      else if (buf.length >= m + macroNode) trim(m)
+    }
+    id
+  }
+
+  /** XLEN. */
+  def len: Int = synchronized(buf.length)
+
+  /** XTRIM maxlen: keep only the newest `maxlen` messages. */
+  def trim(maxlen: Int): Int = synchronized {
+    val removed = math.max(buf.length - maxlen, 0)
+    if (removed > 0) buf.dropInPlace(removed)
+    removed
+  }
+
+  /** XDEL: physically delete acked message ids. */
+  def delete(ids: String*): Int = synchronized {
+    val set = ids.toSet
+    val before = buf.length
+    buf.filterInPlace(m => !set.contains(m.msgid))
+    before - buf.length
+  }
+
+  /** XRANGE [min, max] inclusive by id order; `-`/`+` = open ends. */
+  def range(min: String = "-", max: String = "+"): Seq[StreamMessage] = synchronized {
+    buf.iterator
+      .filter(m => (min == "-" || MsgId.lte(min, m.msgid)) &&
+                   (max == "+" || MsgId.lte(m.msgid, max)))
+      .toSeq
+  }
+
+  /** Messages with id strictly greater than `after` (delivery order). */
+  def after(after: String, count: Int): Seq[StreamMessage] = synchronized {
+    buf.iterator.filter(m => MsgId.lt(after, m.msgid)).take(count).toSeq
+  }
+
+  /** XINFO STREAM last-generated-id (`scaler.py:47-48`). */
+  def lastGeneratedId: String = synchronized {
+    if (buf.isEmpty && lastMs < 0) MsgId.Zero
+    else if (lastMs < 0) MsgId.Zero
+    else MsgId.format(lastMs, lastSeq)
+  }
+
+  def all: Seq[StreamMessage] = synchronized(buf.toSeq)
+}

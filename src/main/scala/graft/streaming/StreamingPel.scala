@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Delivery/ack command into the streaming group state machine. */
+final case class PelCommand(consumer: String, msgid: String, action: String, atMs: Long)
+
+/** Keyed state: one consumer's slice of the group PEL. */
+final case class ConsumerPelState(
+    pending: Map[String, PelEntry],
+    lastActivityMs: Long)
+
+/** Emitted on every update: the consumer-state snapshot the Monitor
+  * consumes (pending count + idle basis). */
+final case class PelSnapshot(
+    consumer: String,
+    pendingCount: Int,
+    timesDeliveredMax: Int,
+    lastActivityMs: Long)
+
+/** Structured Streaming PEL: the reference's consumer-group state
+  * (SURVEY.md §1.1 rows "Consumer group"/"PEL entry") as keyed state in
+  * `flatMapGroupsWithState` — delivery inserts a PEL entry, ack removes
+  * it, redelivery bumps `times_delivered`. The checkpointed offset log
+  * plays `last-delivered-id`; this operator plays the per-consumer PEL.
+  *
+  * At scale the state is partitioned by consumer across executors and
+  * incrementally checkpointed by the state store — no global state, no
+  * driver bottleneck.
+  */
+object StreamingPel {
+
+  def updateState(
+      consumer: String,
+      commands: Iterator[PelCommand],
+      state: GroupState[ConsumerPelState]): Iterator[PelSnapshot] = {
+    var st = state.getOption.getOrElse(ConsumerPelState(Map.empty, 0L))
+    commands.toSeq.sortBy(c => (c.atMs, c.msgid)).foreach { c =>
+      c.action match {
+        case "deliver" =>
+          val times = st.pending.get(c.msgid).map(_.timesDelivered + 1).getOrElse(1)
+          st = ConsumerPelState(
+            st.pending + (c.msgid -> PelEntry(c.msgid, consumer, c.atMs, times)),
+            math.max(st.lastActivityMs, c.atMs))
+        case "ack" =>
+          st = ConsumerPelState(st.pending - c.msgid, math.max(st.lastActivityMs, c.atMs))
+        case other =>
+          throw new IllegalArgumentException(s"unknown PEL action: $other")
+      }
+    }
+    state.update(st)
+    val timesMax = if (st.pending.isEmpty) 0 else st.pending.valuesIterator.map(_.timesDelivered).max
+    Iterator.single(PelSnapshot(consumer, st.pending.size, timesMax, st.lastActivityMs))
+  }
+
+  /** Attach the state machine to a (streaming or batch) command Dataset;
+    * emits one [[PelSnapshot]] per touched consumer per micro-batch. */
+  def attach(spark: SparkSession, commands: Dataset[PelCommand]): Dataset[PelSnapshot] = {
+    import spark.implicits._
+    commands
+      .groupByKey(_.consumer)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateState)
+  }
+
+  /** Batch-mode M1-style rollup over the latest snapshots. */
+  def groupSummary(spark: SparkSession, snapshots: Dataset[PelSnapshot]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    snapshots.groupBy()
+      .agg(count(lit(1)).as("consumers"),
+        sum(col("pendingCount")).as("pending"),
+        max(col("lastActivityMs")).as("last_activity_ms"))
+  }
+}

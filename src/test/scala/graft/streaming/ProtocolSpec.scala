@@ -1,0 +1,162 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports of the reference's producer/consumer/group integration tests
+  * (redis_streams_test/{test_producer,test_consumer,common}.py) against
+  * the protocol state machine, with a manual clock instead of sleeps. */
+class ProtocolSpec extends AnyFunSuite {
+
+  private val TestDataset = Seq(Map("test" -> "data1"), Map("test" -> "data2"))
+
+  private def fixture(): (ManualClock, StreamLog) = {
+    val clock = new ManualClock(1700000000000L)
+    (clock, new StreamLog(clock))
+  }
+
+  // --- MsgId (test_producer.py:9-14) ---
+
+  test("message ids have ms-seq format and total order") {
+    val (clock, log) = fixture()
+    val id1 = log.add(Map("k" -> "v"))
+    val id2 = log.add(Map("k" -> "v"))
+    clock.advance(5)
+    val id3 = log.add(Map("k" -> "v"))
+    assert(id1.contains("-"))
+    assert(MsgId.lt(id1, id2) && MsgId.lt(id2, id3))
+    assert(MsgId.parse(id2) == (MsgId.parse(id1)._1, MsgId.parse(id1)._2 + 1))
+  }
+
+  test("ids keep monotonic even if clock stalls") {
+    val (_, log) = fixture()
+    val ids = (1 to 5).map(_ => log.add(Map("i" -> "x")))
+    assert(ids == ids.sorted(MsgId.ordering))
+  }
+
+  // --- Producer (test_producer.py:16-56) ---
+
+  test("XADD grows XLEN; values are stringified") {
+    val (_, log) = fixture()
+    TestDataset.foreach(log.add(_))
+    assert(log.len == 2)
+    log.add(Map("value" -> 42))
+    assert(log.range().last.content == Map("value" -> "42"))
+  }
+
+  test("approximate MAXLEN trim: length may exceed maxlen, bounded by macro node") {
+    val (_, log) = fixture()
+    (1 to 50).foreach(i => log.add(Map("i" -> i), maxlen = Some(10), macroNode = 16))
+    assert(log.len >= 10, "must keep at least maxlen")
+    assert(log.len <= 10 + 16, "approximate trim bound")
+    val (_, log2) = fixture()
+    (1 to 50).foreach(i => log2.add(Map("i" -> i), maxlen = Some(10), approximate = false))
+    assert(log2.len == 10)
+  }
+
+  test("XTRIM 0 empties; XDEL removes by id") {
+    val (_, log) = fixture()
+    val ids = (1 to 4).map(i => log.add(Map("i" -> i)))
+    assert(log.delete(ids.head) == 1)
+    assert(log.len == 3)
+    log.trim(0)
+    assert(log.len == 0)
+  }
+
+  // --- Consumer round-trip (test_consumer.py:11-26) ---
+
+  test("get_items returns the produced batch with content equality") {
+    val (clock, log) = fixture()
+    TestDataset.foreach(log.add(_))
+    val c = new Consumer(log, "grp", "c1", batchSize = 2,
+      maxWaitTimeMs = 1000, pollTimeMs = 100, clock = clock)
+    val items = c.getItems()
+    assert(items.map(_.content) == TestDataset)
+    items.foreach(m => c.removeItemFromConsumerGroup(m.msgid))
+    assert(c.group.pendingCount == 0)
+  }
+
+  // --- Timeout semantics (test_consumer.py:28-43) ---
+
+  test("batch_size N+1 returns after >= max_wait with all N items") {
+    val (clock, log) = fixture()
+    TestDataset.foreach(log.add(_))
+    val c = new Consumer(log, "grp-timeout", "c1", batchSize = TestDataset.size + 1,
+      maxWaitTimeMs = 2000, pollTimeMs = 250, clock = clock)
+    val t0 = clock.nowMs
+    val items = c.getItems()
+    assert(clock.nowMs - t0 >= 2000, "must block until the deadline")
+    assert(items.size == TestDataset.size)
+  }
+
+  // --- Retry-inclusive batches (C4/C5: consumer.py:92-103) ---
+
+  test("unacked items are re-included and count toward the quota") {
+    val (clock, log) = fixture()
+    (1 to 4).foreach(i => log.add(Map("i" -> i)))
+    val c = new Consumer(log, "grp-retry", "c1", batchSize = 2,
+      maxWaitTimeMs = 1000, pollTimeMs = 100, clock = clock)
+    val first = c.getItems()
+    assert(first.size == 2)
+    // crash without ack: next call must return the SAME two items
+    // (pending seeds the quota; no over-fetch: C3 consumer.py:96)
+    val second = c.getItems()
+    assert(second.map(_.msgid) == first.map(_.msgid))
+    second.foreach(m => c.removeItemFromConsumerGroup(m.msgid))
+    val third = c.getItems()
+    assert(third.map(_.content.apply("i")) == Seq("3", "4"))
+  }
+
+  // --- Deprecated alias (test_consumer.py:45-61) ---
+
+  test("remove_item_from_stream alias acks but does not delete from the stream") {
+    val (clock, log) = fixture()
+    TestDataset.foreach(log.add(_))
+    val c = new Consumer(log, "grp-dep", "c1", batchSize = 2,
+      maxWaitTimeMs = 1000, pollTimeMs = 100, clock = clock)
+    val items = c.getItems()
+    @annotation.nowarn("cat=deprecation")
+    def legacyAck(id: String): Unit = c.removeItemFromStream(id)
+    items.foreach(m => legacyAck(m.msgid))
+    assert(c.group.pendingCount == 0)
+    assert(log.len == 2, "XACK must not delete from the stream")
+  }
+
+  // --- Group state (redis_streams_test/common.py:15-41) ---
+
+  test("pending count after fetch; DELCONSUMER loses exactly the pending count") {
+    val (clock, log) = fixture()
+    (1 to 3).foreach(i => log.add(Map("i" -> i)))
+    val g = ConsumerGroup.create(log, "grp-state", clock)
+    g.readNew("c1", 3)
+    assert(g.pendingOf("c1").size == 3)
+    assert(g.pendingOf("c1", 2).size == 2)
+    val lost = g.delConsumer("c1")
+    assert(lost == 3)
+    assert(g.pendingCount == 0)
+  }
+
+  test("XCLAIM honors the min-idle guard and bumps times_delivered") {
+    val (clock, log) = fixture()
+    (1 to 2).foreach(i => log.add(Map("i" -> i)))
+    val g = ConsumerGroup.create(log, "grp-claim", clock)
+    g.readNew("dead", 2)
+    val ids = g.pendingOf("dead").map(_.msgid)
+    assert(g.claim(ids, "alive", minIdleMs = 1000).isEmpty, "too fresh to steal")
+    clock.advance(1500)
+    val claimed = g.claim(ids, "alive", minIdleMs = 1000)
+    assert(claimed == ids)
+    val entries = g.pendingOf("alive")
+    assert(entries.map(_.timesDelivered) == Seq(2, 2))
+    assert(g.pendingOf("dead").isEmpty)
+  }
+
+  test("group creation is idempotent (BUSYGROUP swallowed)") {
+    val (clock, log) = fixture()
+    log.add(Map("i" -> 1))
+    val g1 = ConsumerGroup.create(log, "grp-idem", clock)
+    g1.readNew("c1", 1)
+    val g2 = ConsumerGroup.create(log, "grp-idem", clock)
+    assert(g2 eq g1)
+    assert(g2.pendingCount == 1, "re-create must not reset state")
+  }
+}
