@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `graft_dot(ARRAY<FLOAT|DOUBLE>, ARRAY<FLOAT|DOUBLE>) → DOUBLE`
+  *
+  * Native codegen'd dot product for embedding similarity. The
+  * higher-order-function formulation (`aggregate(zip_with(...))`)
+  * allocates a lambda frame per element and is interpreted; this
+  * expression compiles to a tight scalar loop inside whole-stage
+  * codegen — the hot inner op of brute-force ANN over 100 TB of
+  * vectors, so it must not be the interpreter's problem.
+  *
+  * Accumulation is a sequential left-to-right double sum (elements
+  * widened float→double first), bit-identical to the DuckDB oracle's
+  * `list_reduce(list_prepend(0.0, list_transform(...)))` formulation.
+  */
+case class FloatDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => elemType(e) == FloatType || elemType(e) == DoubleType)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects ARRAY<FLOAT|DOUBLE> inputs, got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val aF = elemType(left) == FloatType
+    val bF = elemType(right) == FloatType
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val bGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += (double) $a.$aGet($i) * (double) $b.$bGet($i);
+        }
+        ${ev.value} = $s;
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session-scoped registration of graft native functions (idempotent). */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
+}

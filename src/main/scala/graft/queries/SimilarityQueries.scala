@@ -23,15 +23,17 @@ import org.apache.spark.sql.types._
   */
 object SimilarityQueries {
 
-  private def dotSpark(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+  /** Native codegen'd dot product (graft.functions.FloatDotProduct) —
+    * same sequential-double accumulation as the DuckDB oracle. */
+  private def dotSpark(a: String, b: String): String = s"graft_dot($a, $b)"
 
-  /** (vec_id, label, v DOUBLE[], nrm) — normalized working set. */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  /** (vec_id, label, v FLOAT[], nrm) — normalized working set. */
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm", expr(s"sqrt(${dotSpark("v", "v")})"))
+  }
 
   private val vecsDuckCte = """
     WITH v AS (
