@@ -16,7 +16,7 @@ object SparkEntry {
 
   private lazy val all: Seq[(String, QueryDef)] =
     ProtocolQueries.defs ++ AnalyticsQueries.defs ++ DedupQueries.defs ++
-      TextQueries.defs ++ SimilarityQueries.defs
+      TextQueries.defs ++ SimilarityQueries.defs ++ MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

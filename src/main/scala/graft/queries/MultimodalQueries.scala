@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.multimodal.MediaPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-facing queries over the multimodal pipeline. The decode step
+  * is the deterministic [[graft.multimodal.MediaPipeline.StubCodec]]
+  * (container ships no codecs), so the full plumbing — typed schema,
+  * per-partition batched decode, resize arithmetic, frame-sampling
+  * flatMap — is oracle-verified end-to-end in DuckDB.
+  */
+object MultimodalQueries {
+
+  private val kindDuck = "['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)]"
+
+  private def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    MediaPipeline.extractFeatures(MediaPipeline.load(s, dir))
+      .toDF()
+      .orderBy(col("media_id"))
+
+  private def frameSample(s: SparkSession, dir: String): DataFrame =
+    MediaPipeline.sampleFrames(MediaPipeline.load(s, dir))
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "m01_media_features" -> QueryDef(mediaFeatures, Some(s"""
+      WITH m AS (
+        SELECT doc_id AS media_id, $kindDuck AS kind, text,
+               CAST(16 + doc_id % 113 AS INT) AS w, CAST(16 + doc_id % 71 AS INT) AS h
+        FROM documents)
+      SELECT media_id, kind, CAST(length(text) AS BIGINT) AS n_bytes,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(1, length(text)),
+                      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (a, c) -> a + c) AS DOUBLE)
+                  / length(text) END AS luma_mean,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, length(text)),
+            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (a, c) -> (a * 131 + c) % 1000000007)
+          AS fingerprint,
+        CAST(CASE WHEN greatest(w, h) <= 64 THEN w ELSE w * 64 // greatest(w, h) END AS INT) AS out_width,
+        CAST(CASE WHEN greatest(w, h) <= 64 THEN h ELSE h * 64 // greatest(w, h) END AS INT) AS out_height
+      FROM m ORDER BY media_id"""),
+      "per-partition batched decode + feature extraction (stub codec)"),
+
+    "m02_frame_sample" -> QueryDef(frameSample, Some("""
+      WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+      f AS (SELECT doc_id AS media_id,
+              UNNEST(generate_series(0, CAST((length(text) + 31) // 32 AS INT) - 1, 4)) AS frame_idx,
+              text
+            FROM v)
+      SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+             md5(substr(text, CAST(frame_idx AS INT) * 32 + 1, 32)) AS frame_md5
+      FROM f ORDER BY media_id, frame_idx"""),
+      "video frame sampling (every 4th 32-byte frame, fingerprinted)"),
+
+    "m03_media_meta" -> QueryDef(MediaPipeline.metadataSummary, Some(s"""
+      WITH m AS (
+        SELECT $kindDuck AS kind, CAST(16 + doc_id % 113 AS BIGINT) AS w,
+               n_chars * 10 AS dur
+        FROM documents)
+      SELECT kind, COUNT(*) AS n_media, CAST(SUM(w) AS BIGINT) AS sum_width,
+             CAST(SUM(dur) AS BIGINT) AS sum_duration_ms
+      FROM m GROUP BY kind ORDER BY kind"""),
+      "metadata-only scan (payload column never read)"))
+}
