@@ -48,5 +48,28 @@ object ProtocolDemo {
     // S4 guard: invalid thresholds must be rejected
     try { scaler.getScaleDecision(scaleOutRate = 10, scaleInRate = 50); println("BUG: no error") }
     catch { case e: IllegalArgumentException => println(s"rejected bad thresholds: ${e.getMessage}") }
+
+    // DataSource V2 micro-batch source: batch_size admission control
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val key = StreamLogRegistry.register(log)
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .format("graft.streaming.StreamLogSourceProvider")
+      .option("log", key).option("batchSize", "16")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        sizes.synchronized { sizes += df.count() }
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    println(s"streaming source micro-batch sizes (quota 16): ${sizes.mkString(",")}")
+    spark.stop()
   }
 }

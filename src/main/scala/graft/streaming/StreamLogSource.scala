@@ -1,0 +1,157 @@
+package graft.streaming
+
+import java.util
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 micro-batch source with the reference consumer's
+  * delivery semantics (SURVEY.md §3.1 "Spark shape"):
+  *
+  *  - offset = position in the stream log (the `last-delivered-id`
+  *    cursor, reference `common.py` group state);
+  *  - admission control = `ReadLimit.maxRows(batchSize)` — the C1/C3
+  *    count-quota: each micro-batch delivers at most `batchSize`
+  *    messages (`consumer.py:96,146-153`);
+  *  - epoch commit = the ack boundary: `commit(end)` acknowledges
+  *    everything up to the committed offset (C7).
+  *
+  * Usage:
+  * {{{
+  *   val key = StreamLogRegistry.register(log)
+  *   spark.readStream
+  *     .format("graft.streaming.StreamLogSourceProvider")
+  *     .option("log", key).option("batchSize", "3")
+  *     .load()
+  * }}}
+  *
+  * The driver-side registry stands in for a connection string — in a
+  * production source the per-partition readers would each open their
+  * own connection; here partitions carry their message slice, like
+  * Spark's own MemoryStream.
+  */
+object StreamLogRegistry {
+  private val logs = mutable.Map.empty[String, StreamLog]
+  private val committed = mutable.Map.empty[String, Long]
+  private var nextId = 0
+
+  def register(log: StreamLog): String = synchronized {
+    nextId += 1
+    val key = s"log-$nextId"
+    logs(key) = log
+    committed(key) = 0L
+    key
+  }
+  def get(key: String): StreamLog = synchronized(logs(key))
+  def markCommitted(key: String, upTo: Long): Unit = synchronized { committed(key) = upTo }
+  def committedOffset(key: String): Long = synchronized(committed.getOrElse(key, 0L))
+}
+
+class StreamLogSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StreamLogTable.Schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new StreamLogTable(opts.get("log"), opts.getInt("batchSize", 2))
+  }
+}
+
+object StreamLogTable {
+  /** STRUCT<msgid STRING, content MAP<STRING,STRING>> — SURVEY §1.1. */
+  val Schema: StructType = StructType(Seq(
+    StructField("msgid", StringType, nullable = false),
+    StructField("content", MapType(StringType, StringType), nullable = false)))
+}
+
+class StreamLogTable(logKey: String, batchSize: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft-stream($logKey)"
+  override def schema(): StructType = StreamLogTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = StreamLogTable.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new StreamLogMicroBatchStream(logKey, batchSize)
+      }
+    }
+}
+
+/** Offset = count of messages delivered from the log head. */
+case class LogOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+class StreamLogMicroBatchStream(logKey: String, batchSize: Int)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def log = StreamLogRegistry.get(logKey)
+
+  override def initialOffset(): Offset = LogOffset(0L)
+
+  /** C1/C3 admission: deliver at most `batchSize` per trigger. */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[LogOffset].pos
+    val available = log.len.toLong
+    limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        LogOffset(math.min(available, from + r.maxRows()))
+      case _ => LogOffset(available)
+    }
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  override def deserializeOffset(json: String): Offset = LogOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[LogOffset].pos.toInt
+    val until = end.asInstanceOf[LogOffset].pos.toInt
+    val slice = log.all.slice(from, until)
+    if (slice.isEmpty) Array.empty
+    else Array(StreamLogInputPartition(slice.toArray))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = StreamLogReaderFactory
+
+  /** C7: epoch commit = ack boundary. */
+  override def commit(end: Offset): Unit =
+    StreamLogRegistry.markCommitted(logKey, end.asInstanceOf[LogOffset].pos)
+
+  override def stop(): Unit = ()
+}
+
+case class StreamLogInputPartition(messages: Array[StreamMessage]) extends InputPartition
+
+object StreamLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val msgs = partition.asInstanceOf[StreamLogInputPartition].messages
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < msgs.length }
+      override def get(): InternalRow = {
+        val m = msgs(i)
+        val keys = m.content.keys.toArray.map(k => UTF8String.fromString(k): Any)
+        val vals = m.content.values.toArray.map(v => UTF8String.fromString(v): Any)
+        InternalRow(
+          UTF8String.fromString(m.msgid),
+          ArrayBasedMapData(keys, vals))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+/** E2E of the DataSource V2 micro-batch source: the C1/C3 count-quota
+  * admission control must cap every micro-batch at batchSize, deliver
+  * everything exactly once to the sink, and commit offsets (ack). */
+class StreamLogSourceSpec extends SparkTestBase {
+
+  test("micro-batches respect the batch_size admission quota and deliver all messages") {
+    val s = spark
+    val clock = new ManualClock(1700000000000L)
+    val log = new StreamLog(clock)
+    (1 to 10).foreach { i => log.add(Map("i" -> i)); clock.advance(1) }
+    val key = StreamLogRegistry.register(log)
+
+    val batchSizes = mutable.ArrayBuffer.empty[Long]
+    val seen = mutable.ArrayBuffer.empty[String]
+    val q = s.readStream
+      .format("graft.streaming.StreamLogSourceProvider")
+      .option("log", key).option("batchSize", "3")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect()
+        batchSizes.synchronized {
+          batchSizes += rows.length.toLong
+          seen ++= rows.map(_.getString(0))
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batchSizes.forall(_ <= 3), s"admission quota violated: $batchSizes")
+      assert(batchSizes.sum == 10, s"lost or duplicated messages: $batchSizes")
+      assert(batchSizes.count(_ == 3) >= 3, "expected three full batches of 3")
+      assert(seen.distinct.size == 10, "exactly-once per epoch")
+      assert(seen.toSeq == seen.toSeq.sorted(MsgId.ordering), "delivery in id order")
+      assert(StreamLogRegistry.committedOffset(key) >= 9,
+        "epoch commit (ack boundary) must advance")
+
+      // late arrivals are picked up by subsequent triggers
+      (11 to 12).foreach { i => log.add(Map("i" -> i)); clock.advance(1) }
+      q.processAllAvailable()
+      assert(batchSizes.sum == 12)
+    } finally q.stop()
+  }
+}
