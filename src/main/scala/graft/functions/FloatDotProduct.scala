@@ -77,7 +77,10 @@ case class FloatDotProduct(left: Expression, right: Expression) extends BinaryEx
 
 /** Session-scoped registration of graft native functions (idempotent). */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_strhash", exprs => StringPolyHash(exprs.head), "built-in")
+  }
 }

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft_strhash(STRING) → BIGINT`
+  *
+  * Polynomial char-code hash `fold((a, c) -> (a*131 + c) mod 1e9+7)` —
+  * the shingle hash of the MinHash pipeline. The higher-order-function
+  * formulation folds an interpreted lambda per character; at 100 TB the
+  * shingle hashing IS the dedup pipeline's CPU bill, so it compiles to
+  * a static loop inside whole-stage codegen instead.
+  *
+  * Arithmetic is identical to the DuckDB oracle twin
+  * (`list_reduce(list_prepend(0, list_transform(...ascii(substr(x,i,1))...)))`):
+  * per-character code points, 131 multiplier, mod 1_000_000_007.
+  */
+case class StringPolyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_strhash expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    StringPolyHash.hash(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StringPolyHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StringPolyHash {
+  /** Static hot loop, callable from generated code. */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var a = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      a = (a * 131 + str.charAt(i).toLong) % 1000000007L
+      i += 1
+    }
+    a
+  }
+}
