@@ -214,6 +214,47 @@ object AnalyticsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Exact percentiles over the JSON-extracted int field. */
+  private def valuePercentiles(s: SparkSession, dir: String): DataFrame = {
+    val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast(IntegerType)
+    Tables.events(s, dir)
+      .withColumn("k", k)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("percentile(k, 0.5)").as("median_k"),
+        expr("percentile(k, 0.9)").as("p90_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Set operations: INTERSECT / EXCEPT over per-type user-id sets. */
+  private def setOps(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def users(t: String) = e.filter(col("event_type") === t).select(col("user_id")).distinct()
+    val both = users("purchase").intersect(users("click"))
+      .withColumn("set_name", lit("purchase_and_click"))
+    val noErr = users("purchase").except(users("error"))
+      .withColumn("set_name", lit("purchase_not_error"))
+    both.unionByName(noErr)
+      .select(col("set_name"), col("user_id"))
+      .orderBy(col("set_name"), col("user_id"))
+  }
+
+  /** Scalar subquery: customers spending more than 2× the mean spend. */
+  private def bigSpenders(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(P.dsum2(col("o_totalprice")).as("spend"))
+    val threshold = spend.agg(
+      (sum(col("spend").cast(DecimalType(18, 2))).cast(DoubleType) / count(lit(1)))
+        .as("mean_spend"))
+    spend.crossJoin(broadcast(threshold))
+      .filter(col("spend") > col("mean_spend") * 2.0)
+      .select(col("c_custkey"), col("c_name"), col("spend"))
+      .orderBy(col("spend").desc, col("c_custkey"))
+  }
+
   private val discPriceSql =
     "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4)) AS DECIMAL(24,6))"
   private val chargeSql =
@@ -342,5 +383,40 @@ object AnalyticsQueries {
       "exact daily distinct users"),
 
     "a15_approx_distinct" -> QueryDef(approxDistinct, None,
-      "HLL approx distinct (sketch values engine-specific; rows-only)"))
+      "HLL approx distinct (sketch values engine-specific; rows-only)"),
+
+    "a16_value_percentiles" -> QueryDef(valuePercentiles, Some("""
+      SELECT event_type, COUNT(*) AS n_events,
+        quantile_cont(k, 0.5) AS median_k, quantile_cont(k, 0.9) AS p90_k
+      FROM (SELECT event_type, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
+            FROM events) t
+      GROUP BY event_type ORDER BY event_type"""),
+      "exact interpolated percentiles"),
+
+    "a17_set_ops" -> QueryDef(setOps, Some("""
+      SELECT 'purchase_and_click' AS set_name, user_id FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click') a
+      UNION ALL
+      SELECT 'purchase_not_error' AS set_name, user_id FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error') b
+      ORDER BY set_name, user_id"""),
+      "INTERSECT / EXCEPT set operations"),
+
+    "a18_big_spenders" -> QueryDef(bigSpenders, Some("""
+      WITH spend AS (
+        SELECT c_custkey, c_name,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders, customer WHERE o_custkey = c_custkey
+        GROUP BY c_custkey, c_name),
+      thr AS (
+        SELECT CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_spend
+        FROM spend)
+      SELECT c_custkey, c_name, spend FROM spend, thr
+      WHERE spend > mean_spend * 2.0
+      ORDER BY spend DESC, c_custkey"""),
+      "scalar-subquery threshold filter"))
 }
