@@ -51,11 +51,15 @@ object ProtocolQueries {
         max(col("ts")).as("last_seen"),
         sum(when(isPending, 1L).otherwise(0L)).as("pending_items"))
     val now = e.agg(max(col("ts")).as("now"))
-    val wAll = Window.partitionBy(lit(1))
-    per.crossJoin(broadcast(now))
+    val base = per.crossJoin(broadcast(now))
       .withColumn("idle_ms", P.epochMs(col("now")) - P.epochMs(col("last_seen")))
-      .withColumn("pend_thr", avg(col("pending_items")).over(wAll) * 1.05)
-      .withColumn("idle_thr", avg(col("idle_ms")).over(wAll) * 1.2)
+    // Fleet-wide thresholds as a broadcast scalar aggregate — NOT an
+    // unpartitioned window, which would funnel every consumer row
+    // through a single partition at scale.
+    val thr = base.agg(
+      (avg(col("pending_items")) * 1.05).as("pend_thr"),
+      (avg(col("idle_ms")) * 1.2).as("idle_thr"))
+    base.crossJoin(broadcast(thr))
       .withColumn("status",
         when(col("pending_items") > col("pend_thr"), StatusPendingWarn)
           .when(col("idle_ms") > col("idle_thr"), StatusIdleWarn)
