@@ -70,6 +70,22 @@ object ProtocolDemo {
       .start()
     q.processAllAvailable(); q.stop()
     println(s"streaming source micro-batch sizes (quota 16): ${sizes.mkString(",")}")
+
+    // Stream-to-stream pipeline: source → transform → XADD sink
+    val dst = new StreamLog(clock)
+    val dstKey = StreamLogRegistry.register(dst)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-demo-ckpt").toString
+    val pipe = spark.readStream
+      .format("graft.streaming.StreamLogSourceProvider")
+      .option("log", key).option("batchSize", "16")
+      .load()
+      .selectExpr("msgid", "map('payload', content['payload']) AS content")
+      .writeStream
+      .format("graft.streaming.StreamLogSourceProvider")
+      .option("log", dstKey).option("checkpointLocation", ckpt)
+      .start()
+    pipe.processAllAvailable(); pipe.stop()
+    println(s"sink log after pipeline: XLEN=${dst.len}, first=${dst.all.head.content}")
     spark.stop()
   }
 }

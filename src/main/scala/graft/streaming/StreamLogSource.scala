@@ -5,10 +5,12 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -73,17 +75,24 @@ object StreamLogTable {
     StructField("content", MapType(StringType, StringType), nullable = false)))
 }
 
-class StreamLogTable(logKey: String, batchSize: Int) extends Table with SupportsRead {
+class StreamLogTable(logKey: String, batchSize: Int)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-stream($logKey)"
   override def schema(): StructType = StreamLogTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = StreamLogTable.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new StreamLogMicroBatchStream(logKey, batchSize)
+      }
+    }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite = new StreamLogStreamingWrite(logKey)
       }
     }
 }
@@ -136,6 +145,48 @@ class StreamLogMicroBatchStream(logKey: String, batchSize: Int)
 }
 
 case class StreamLogInputPartition(messages: Array[StreamMessage]) extends InputPartition
+
+/** P1 XADD as a streaming sink: executors buffer each partition's rows
+  * into the commit message; the driver-side `commit(epoch)` appends them
+  * to the log in (partition, row) order — the single-writer append that
+  * XADD performs at the Redis server, giving atomic per-epoch publishes
+  * (exactly-once per epoch; ids assigned by the log on append, so the
+  * written msgid column is ignored like XADD's auto-id `*`). */
+class StreamLogStreamingWrite(logKey: String) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    StreamLogWriterFactory
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val log = StreamLogRegistry.get(logKey)
+    messages.foreach {
+      case StreamLogCommit(rows) =>
+        rows.foreach(content => log.add(content.toMap))
+      case _ => ()
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class StreamLogCommit(rows: Array[Array[(String, String)]]) extends WriterCommitMessage
+
+object StreamLogWriterFactory extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[(String, String)]]
+      override def write(row: InternalRow): Unit = {
+        val m = row.getMap(1)
+        val ks = m.keyArray(); val vs = m.valueArray()
+        buf += Array.tabulate(m.numElements()) { i =>
+          ks.getUTF8String(i).toString -> vs.getUTF8String(i).toString
+        }
+      }
+      override def commit(): WriterCommitMessage = StreamLogCommit(buf.toArray)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+}
 
 object StreamLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
