@@ -255,6 +255,39 @@ object AnalyticsQueries {
       .orderBy(col("spend").desc, col("c_custkey"))
   }
 
+  /** As-of join composed from built-ins (the preferred shape when Spark
+    * lacks the operator — SURVEY §4): for every purchase, the most
+    * recent earlier click by the same user, via a tagged union + an
+    * unbounded-preceding window. One shuffle on user_id; no range
+    * self-join blowup. */
+  private def asofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val clickId = when(col("event_type") === "click", col("event_id"))
+    val clickTs = when(col("event_type") === "click", col("ts"))
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("last_click_id", last(clickId, ignoreNulls = true).over(w))
+      .withColumn("last_click_ts", last(clickTs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        coalesce(col("last_click_id"), lit(-1L)).as("click_id"),
+        coalesce(P.epochMs(col("ts")) - P.epochMs(col("last_click_ts")), lit(-1L)).as("gap_ms"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Pivot: user × event-type count matrix. */
+  private def eventPivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+  }
+
   private val discPriceSql =
     "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(6,4)) AS DECIMAL(24,6))"
   private val chargeSql =
@@ -418,5 +451,31 @@ object AnalyticsQueries {
       SELECT c_custkey, c_name, spend FROM spend, thr
       WHERE spend > mean_spend * 2.0
       ORDER BY spend DESC, c_custkey"""),
-      "scalar-subquery threshold filter"))
+      "scalar-subquery threshold filter"),
+
+    "a19_asof_attribution" -> QueryDef(asofAttribution, Some("""
+      WITH t AS (
+        SELECT user_id, ts, event_id, event_type,
+          last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+            OVER w AS last_click_id,
+          last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+            OVER w AS last_click_ts
+        FROM events WHERE event_type IN ('click', 'purchase')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT event_id AS purchase_id, user_id,
+             COALESCE(last_click_id, -1) AS click_id,
+             COALESCE(epoch_ms(ts) - epoch_ms(last_click_ts), -1) AS gap_ms
+      FROM t WHERE event_type = 'purchase' ORDER BY purchase_id"""),
+      "as-of join (latest prior click per purchase) via tagged window"),
+
+    "a20_event_pivot" -> QueryDef(eventPivot, Some("""
+      SELECT user_id,
+        COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        COUNT(*) FILTER (WHERE event_type = 'error') AS error
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+      "pivot user x event-type count matrix"))
 }
