@@ -12,12 +12,16 @@ final case class ConsumerPelState(
     lastActivityMs: Long)
 
 /** Emitted on every update: the consumer-state snapshot the Monitor
-  * consumes (pending count + idle basis). */
+  * consumes (pending count + idle basis). `idle` is true when the
+  * snapshot was produced by a processing-time timeout firing (M3's
+  * idle-warning condition detected inside the state machine) rather
+  * than by new commands. */
 final case class PelSnapshot(
     consumer: String,
     pendingCount: Int,
     timesDeliveredMax: Int,
-    lastActivityMs: Long)
+    lastActivityMs: Long,
+    idle: Boolean = false)
 
 /** Structured Streaming PEL: the reference's consumer-group state
   * (SURVEY.md §1.1 rows "Consumer group"/"PEL entry") as keyed state in
@@ -34,8 +38,30 @@ object StreamingPel {
   def updateState(
       consumer: String,
       commands: Iterator[PelCommand],
+      state: GroupState[ConsumerPelState]): Iterator[PelSnapshot] =
+    updateStateWithIdle(0L)(consumer, commands, state)
+
+  /** As [[updateState]], but with M3 idle detection inside the state
+    * machine: when `idleTimeoutMs > 0`, a processing-time timeout is
+    * armed after every update; if it fires (no commands for that
+    * consumer within the window), an `idle = true` snapshot is emitted —
+    * the streaming form of the monitor's idle-warning
+    * (reference `monitor.py:85-91`, idle branch). */
+  def updateStateWithIdle(idleTimeoutMs: Long)(
+      consumer: String,
+      commands: Iterator[PelCommand],
       state: GroupState[ConsumerPelState]): Iterator[PelSnapshot] = {
     var st = state.getOption.getOrElse(ConsumerPelState(Map.empty, 0L))
+    if (state.hasTimedOut) {
+      // Emit the idle warning ONCE and do not re-arm: re-arming here
+      // would make the engine schedule timeout batches forever (and
+      // processAllAvailable would never quiesce). The next real command
+      // for this consumer re-arms the timer below.
+      val timesMax =
+        if (st.pending.isEmpty) 0 else st.pending.valuesIterator.map(_.timesDelivered).max
+      return Iterator.single(
+        PelSnapshot(consumer, st.pending.size, timesMax, st.lastActivityMs, idle = true))
+    }
     commands.toSeq.sortBy(c => (c.atMs, c.msgid)).foreach { c =>
       c.action match {
         case "deliver" =>
@@ -50,17 +76,26 @@ object StreamingPel {
       }
     }
     state.update(st)
+    if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
     val timesMax = if (st.pending.isEmpty) 0 else st.pending.valuesIterator.map(_.timesDelivered).max
     Iterator.single(PelSnapshot(consumer, st.pending.size, timesMax, st.lastActivityMs))
   }
 
   /** Attach the state machine to a (streaming or batch) command Dataset;
-    * emits one [[PelSnapshot]] per touched consumer per micro-batch. */
-  def attach(spark: SparkSession, commands: Dataset[PelCommand]): Dataset[PelSnapshot] = {
+    * emits one [[PelSnapshot]] per touched consumer per micro-batch.
+    * With `idleTimeoutMs > 0`, consumers that go quiet additionally emit
+    * idle-flagged snapshots via processing-time timeouts. */
+  def attach(
+      spark: SparkSession,
+      commands: Dataset[PelCommand],
+      idleTimeoutMs: Long = 0L): Dataset[PelSnapshot] = {
     import spark.implicits._
+    val timeout =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     commands
       .groupByKey(_.consumer)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateState)
+      .flatMapGroupsWithState(OutputMode.Update, timeout)(updateStateWithIdle(idleTimeoutMs))
   }
 
   /** Batch-mode M1-style rollup over the latest snapshots. */

@@ -42,6 +42,43 @@ class StreamingPelSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("processing-time timeout emits idle-flagged snapshots for quiet consumers") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[PelCommand]
+    // Paced trigger: with ProcessingTimeTimeout the engine keeps running
+    // batches to check timers; an unpaced trigger busy-loops (and
+    // processAllAvailable never quiesces), so poll the sink instead.
+    val q = StreamingPel.attach(s, input.toDS(), idleTimeoutMs = 300L)
+      .writeStream.format("memory").queryName("pel_idle").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+
+    def pollUntil(cond: => Boolean, timeoutMs: Long = 30000): Boolean = {
+      val deadline = System.currentTimeMillis + timeoutMs
+      while (System.currentTimeMillis < deadline) {
+        if (cond) return true
+        Thread.sleep(100)
+      }
+      false
+    }
+
+    try {
+      input.addData(PelCommand("quiet", "1-0", "deliver", 1000))
+      assert(pollUntil(s.sql("SELECT 1 FROM pel_idle WHERE consumer = 'quiet'").count() > 0),
+        "initial snapshot never arrived")
+      val gotIdle = pollUntil(
+        s.sql("SELECT 1 FROM pel_idle WHERE consumer = 'quiet' AND idle = true").count() > 0)
+      assert(gotIdle, "quiet consumer never emitted an idle snapshot")
+      val idleRows = s.sql(
+        "SELECT consumer, pendingCount FROM pel_idle WHERE idle = true").collect()
+      assert(idleRows.map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("quiet", 1)),
+        "idle snapshot must carry the pending state intact")
+    } finally q.stop()
+  }
+
   test("state machine also runs in plain batch mode (same code path)") {
     val s = spark
     import s.implicits._
