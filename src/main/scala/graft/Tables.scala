@@ -18,19 +18,38 @@ object Tables {
     if (name == "events") readEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read
-    * natively. Read it as raw nanos (legacy long mode) and truncate to a
-    * proper micro-precision TimestampType column. The driver data carries
-    * no sub-microsecond part (verified: epoch_ns % 1000 == 0 everywhere),
-    * so the conversion is exact and matches DuckDB's own ns→us read. */
-  private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+  /** Raw parquet schema of `events` with ts as nanos LONG (the
+    * legacy-long read mode; also used by the streaming reader). */
+  val eventsRawSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
+
+  /** Convert a raw events frame (ts = nanos LONG) to the typed shape.
+    * The driver data carries no sub-microsecond part (verified:
+    * epoch_ns % 1000 == 0 everywhere), so the ns→µs truncation is exact
+    * and matches DuckDB's own nanosecond-parquet read. */
+  def eventsFromRaw(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     raw.select(
       col("event_id"),
       expr("timestamp_micros(ts div 1000)").as("ts"),
       col("user_id"), col("event_type"), col("value"), col("props"))
+  }
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read
+    * natively: enable the legacy nanos-as-long mode (session-wide — the
+    * only way Spark exposes it; other tables here carry µs timestamps
+    * and are unaffected) and convert. */
+  private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    eventsFromRaw(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")

@@ -35,15 +35,23 @@ case class FloatDotProduct(left: Expression, right: Expression) extends BinaryEx
       s"graft_dot expects ARRAY<FLOAT|DOUBLE> inputs, got (${left.dataType}, ${right.dataType})")
   }
 
+  /** NULL on ragged input: mismatched lengths or a null element yield
+    * NULL (matching the SQL-oracle semantics of indexing past the end /
+    * null propagation) — a silently truncated dot product would be a
+    * plausible-but-wrong similarity exactly when the data is corrupt. */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
     val aF = elemType(left) == FloatType
     val bF = elemType(right) == FloatType
     var s = 0.0
     var i = 0
+    val n = a.numElements()
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y
@@ -60,12 +68,17 @@ case class FloatDotProduct(left: Expression, right: Expression) extends BinaryEx
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-        int $n = Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $s += (double) $a.$aGet($i) * (double) $b.$bGet($i);
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            $s += (double) $a.$aGet($i) * (double) $b.$bGet($i);
+          }
+          if (!${ev.isNull}) { ${ev.value} = $s; }
         }
-        ${ev.value} = $s;
       """
     })
   }

@@ -16,7 +16,8 @@ import org.apache.spark.sql.types._
   *                         shuffle is O(#docs·#bands), never O(#docs²).
   *  - n-gram Jaccard     — exact verification ONLY on LSH candidate pairs
   *                         (the classic prune-then-verify pipeline)
-  *  - SimHash            — 32-bit near-dup fingerprint per document
+  *  - SimHash            — 30-bit trigram fingerprint per document
+  *                         + banded hamming-distance near-dup pairs
   *
   * The MinHash shingle unit is the word trigram — the same unit the
   * Jaccard verifier measures, so the LSH s-curve (4 bands × 4 rows ⇒
@@ -30,8 +31,8 @@ object DedupQueries {
 
   // ---- shared expression fragments (Spark SQL + DuckDB twins) ----
   //
-  // MinHash at scale: explode distinct 5-char shingles to rows, hash each
-  // shingle ONCE with a cheap polynomial char fold, then compute the 16
+  // MinHash at scale: explode distinct word-trigram shingles to rows,
+  // hash each ONCE with a cheap polynomial char fold, then compute the 16
   // signature entries as MIN aggregates over linear permutations
   // h_i(v) = ((2i+1)·v + 40503·i) mod 1e9+7. Aggregates are map-side
   // combinable (partial min), the permutation arithmetic is codegen'd,
@@ -185,22 +186,25 @@ object DedupQueries {
     * with `bit_count(xor)`. Same shuffle shape as the MinHash LSH:
     * O(#docs·#bands), never O(#docs²). */
   private def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val sim = simhashBase(s, dir)
-    val pairs = sim
+    // The fingerprint rides through the bucket expansion inside the
+    // collected structs, so the signature subplan is computed exactly
+    // once — joining back to the signature table would make Catalyst
+    // recompute the whole explode/hash/aggregate pipeline per join side.
+    simhashBase(s, dir)
       .select(col("doc_id"), explode(sequence(lit(0), lit(SimBands - 1))).as("b"), col("simhash"))
-      .select(col("doc_id"), col("b"),
-        expr("shiftright(simhash, CAST(b * 10 AS INT)) & CAST(1023 AS BIGINT)").as("bv"))
+      .select(col("b"),
+        expr("shiftright(simhash, CAST(b * 10 AS INT)) & CAST(1023 AS BIGINT)").as("bv"),
+        struct(col("doc_id"), col("simhash")).as("ds"))
       .groupBy(col("b"), col("bv"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .agg(array_sort(collect_list(col("ds"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
-           transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"""))
+           transform(slice(ids, i + 2, size(ids)),
+             y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                         x.simhash AS sim_a, y.simhash AS sim_b))))"""))
         .as("p"))
-      .select(col("p.doc_a"), col("p.doc_b")).distinct()
-    pairs
-      .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), Seq("doc_a"))
-      .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), Seq("doc_b"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.sim_a"), col("p.sim_b")).distinct()
       .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
       .filter(col("hamming") <= 2)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -249,7 +253,7 @@ object DedupQueries {
 
     "d05_simhash" -> QueryDef(simhash, Some(s"""$simhashDuckCte
       SELECT doc_id, simhash FROM sim ORDER BY doc_id"""),
-      "32-bit SimHash fingerprint per doc"),
+      "30-bit trigram SimHash fingerprint per doc"),
 
     "d06_simhash_neardup" -> QueryDef(simhashNearDup, Some(s"""$simhashDuckCte,
       bands AS (

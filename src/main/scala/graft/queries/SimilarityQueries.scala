@@ -47,7 +47,7 @@ object SimilarityQueries {
 
   private val cosDuck =
     """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])), (a, z) -> a + z)
+       list_transform(generate_series(1, greatest(len(q.v), len(c.v))), i -> q.v[i] * c.v[i])), (a, z) -> a + z)
        / (q.nrm * c.nrm)"""
 
   /** Brute-force cosine top-5 for each query vector (vec_id % 50 = 0). */

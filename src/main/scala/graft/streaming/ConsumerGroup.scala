@@ -36,11 +36,19 @@ final class ConsumerGroup private (
   }
 
   /** C4: XREADGROUP `0` — re-read everything currently owned by
-    * `consumer` (crash-retry redelivery), in id order. */
+    * `consumer` (crash-retry redelivery), in id order. PEL entries whose
+    * message has been trimmed/deleted from the stream are returned as
+    * id-only tombstones (empty content), matching Redis's nil-fields
+    * reply — the caller can still ack them, so a trim can never wedge a
+    * consumer behind unackable ghosts. */
   def readOwn(consumer: String): Seq[StreamMessage] = synchronized {
     touch(consumer)
     val owned = pel.valuesIterator.filter(_.consumer == consumer).map(_.msgid).toSet
-    log.all.filter(m => owned.contains(m.msgid))
+    val live = log.all.filter(m => owned.contains(m.msgid))
+    val liveIds = live.map(_.msgid).toSet
+    val ghosts = (owned -- liveIds).toSeq.sorted(MsgId.ordering)
+      .map(id => StreamMessage(id, Map.empty))
+    (live ++ ghosts).sortBy(m => MsgId.parse(m.msgid))
   }
 
   /** G2/C5: XPENDING_RANGE — up to `count` PEL entries of one consumer
@@ -81,8 +89,12 @@ final class ConsumerGroup private (
     owned.size
   }
 
-  /** G4: XGROUP DESTROY. */
-  def destroy(): Unit = synchronized { pel.clear(); lastSeenMs.clear(); lastDeliveredId = MsgId.Zero }
+  /** G4: XGROUP DESTROY — clears state and deregisters, so the next
+    * create() starts fresh and the registry does not pin the log. */
+  def destroy(): Unit = {
+    synchronized { pel.clear(); lastSeenMs.clear(); lastDeliveredId = MsgId.Zero }
+    ConsumerGroup.deregister(log, name)
+  }
 
   // ---- introspection (M1 XINFO GROUPS / M2 XINFO CONSUMERS) ----
 
@@ -106,9 +118,18 @@ object ConsumerGroup {
 
   /** G1: idempotent group creation from stream start (`0-0`), MKSTREAM
     * implied, BUSYGROUP swallowed (reference `common.py:20-41`) —
-    * repeated creation returns the existing group unchanged. */
+    * repeated creation returns the existing group unchanged. Passing a
+    * DIFFERENT clock for an existing group is rejected: silently keeping
+    * the first clock would give the caller wall-clock idle times under a
+    * manual test clock. */
   def create(log: StreamLog, name: String, clock: Clock = SystemClock): ConsumerGroup =
     registry.synchronized {
-      registry.getOrElseUpdate((log, name), new ConsumerGroup(log, name, clock))
+      val g = registry.getOrElseUpdate((log, name), new ConsumerGroup(log, name, clock))
+      require(g.clock eq clock,
+        s"consumer group '$name' already exists with a different clock")
+      g
     }
+
+  private[streaming] def deregister(log: StreamLog, name: String): Unit =
+    registry.synchronized { registry.remove((log, name)); () }
 }

@@ -16,33 +16,31 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Raw parquet schema (ts read as nanos LONG — see Tables.readEvents). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** One staging dir per source file, reused across calls (the file
+    * streaming source requires a directory; the driver ships a single
+    * parquet file — in production the source points at the ingest
+    * directory directly). */
+  private val stagingDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Streaming DataFrame of events with proper event-time column.
-    *
-    * The file streaming source requires a directory; the driver ships a
-    * single parquet file, so stage a symlink into a temp dir (in
-    * production the source points at the ingest directory directly). */
+  private def stagedDir(sfDir: String): String =
+    stagingDirs.computeIfAbsent(sfDir, { _ =>
+      import java.nio.file.{Files, Paths}
+      val dir = Files.createTempDirectory("graft-events-stream")
+      dir.toFile.deleteOnExit()
+      Files.createSymbolicLink(
+        dir.resolve("events.parquet"), Paths.get(s"$sfDir/events.parquet"))
+      dir.toString
+    })
+
+  /** Streaming DataFrame of events with proper event-time column
+    * (schema + ns→µs conversion shared with [[graft.Tables]]). */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val dir = Files.createTempDirectory("graft-events-stream")
-    Files.createSymbolicLink(
-      dir.resolve("events.parquet"), Paths.get(s"$sfDir/events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir.toString)
-      .select(
-        col("event_id"),
-        expr("timestamp_micros(ts div 1000)").as("ts"),
-        col("user_id"), col("event_type"), col("value"))
+    graft.Tables.eventsFromRaw(
+      spark.readStream
+        .schema(graft.Tables.eventsRawSchema)
+        .parquet(stagedDir(sfDir)))
+      .drop("props")
   }
 
   /** Hourly tumbling-window counts with a 2-hour watermark. */

@@ -14,7 +14,7 @@ final class Monitor(
 
   private val metrics = mutable.ArrayBuffer.empty[ConsumerMetrics]
   private val unhealthy = mutable.Map.empty[ConsumerGroup, List[String]]
-  private var target: Option[(ConsumerGroup, String, Int)] = None
+  private val targets = mutable.Map.empty[ConsumerGroup, (String, Int)]
 
   /** M3: pure health classification — pending-warning wins over
     * idle-warning (reference `monitor.py:85-91`). */
@@ -24,19 +24,20 @@ final class Monitor(
     else ConsumerStatus.Ok
 
   /** M4: the monitoring sweep — classify every consumer of every group
-    * with consumers > 0, remember unhealthy ones, and pick the healthy
-    * consumer with minimum pending as reassignment target (the clean
-    * argmin; the reference's first-healthy seeding quirk at
-    * `monitor.py:163-164` is documented in SURVEY §7.3 as a deviation).
+    * with consumers > 0, remember unhealthy ones, and pick PER GROUP the
+    * healthy consumer with minimum pending as reassignment target (the
+    * clean argmin; the reference's first-healthy seeding quirk at
+    * `monitor.py:163-164` is documented in SURVEY §7.3 as a deviation —
+    * a single cross-group target would leave other groups uncleaned).
     * With `autoCleanup`, rebalances failures before returning. */
   def collectMonitoringData(autoCleanup: Boolean = true): Seq[ConsumerMetrics] = {
-    metrics.clear(); unhealthy.clear(); target = None
+    metrics.clear(); unhealthy.clear(); targets.clear()
     groups.filter(_.consumers.nonEmpty).foreach { g =>
       g.consumerInfo.foreach { case (cid, pending, idleMs) =>
         val status = statusByMetrics(pending, idleMs)
         metrics += ConsumerMetrics(cid, pending, idleMs, status)
         if (status == ConsumerStatus.Ok) {
-          if (target.forall { case (_, _, p) => pending < p }) target = Some((g, cid, pending))
+          if (targets.get(g).forall { case (_, p) => pending < p }) targets(g) = (cid, pending)
         } else {
           unhealthy(g) = cid :: unhealthy.getOrElse(g, Nil)
         }
@@ -50,7 +51,7 @@ final class Monitor(
   def cleanup(): Unit =
     for {
       (g, consumers) <- unhealthy.toSeq
-      (tg, tc, _) <- target if tg == g
+      (tc, _) <- targets.get(g).toSeq
       dead <- consumers.reverse
     } cleanupUnhealthyConsumer(g, dead, tc)
 

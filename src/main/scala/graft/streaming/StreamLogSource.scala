@@ -42,19 +42,27 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object StreamLogRegistry {
   private val logs = mutable.Map.empty[String, StreamLog]
-  private val committed = mutable.Map.empty[String, Long]
+  private val committed = mutable.Map.empty[String, String]
+  private val sinkEpochs = mutable.Map.empty[String, Long]
   private var nextId = 0
 
   def register(log: StreamLog): String = synchronized {
     nextId += 1
     val key = s"log-$nextId"
     logs(key) = log
-    committed(key) = 0L
+    committed(key) = MsgId.Zero
     key
   }
   def get(key: String): StreamLog = synchronized(logs(key))
-  def markCommitted(key: String, upTo: Long): Unit = synchronized { committed(key) = upTo }
-  def committedOffset(key: String): Long = synchronized(committed.getOrElse(key, 0L))
+  def markCommitted(key: String, upTo: String): Unit = synchronized { committed(key) = upTo }
+  def committedId(key: String): String = synchronized(committed.getOrElse(key, MsgId.Zero))
+
+  /** Sink epoch dedup: returns true exactly once per (key, epoch) —
+    * Spark may re-run a commit after driver recovery. */
+  def beginSinkEpoch(key: String, epochId: Long): Boolean = synchronized {
+    if (sinkEpochs.getOrElse(key, -1L) >= epochId) false
+    else { sinkEpochs(key) = epochId; true }
+  }
 }
 
 class StreamLogSourceProvider extends TableProvider {
@@ -97,9 +105,11 @@ class StreamLogTable(logKey: String, batchSize: Int)
     }
 }
 
-/** Offset = count of messages delivered from the log head. */
-case class LogOffset(pos: Long) extends Offset {
-  override def json(): String = pos.toString
+/** Offset = last-delivered stream id — the group cursor itself. Stable
+  * under MAXLEN trims and XDEL (a position-based offset would re-base
+  * when the buffer shrinks, re-delivering or skipping messages). */
+case class LogOffset(lastId: String) extends Offset {
+  override def json(): String = lastId
 }
 
 class StreamLogMicroBatchStream(logKey: String, batchSize: Int)
@@ -107,30 +117,32 @@ class StreamLogMicroBatchStream(logKey: String, batchSize: Int)
 
   private def log = StreamLogRegistry.get(logKey)
 
-  override def initialOffset(): Offset = LogOffset(0L)
+  override def initialOffset(): Offset = LogOffset(MsgId.Zero)
 
   /** C1/C3 admission: deliver at most `batchSize` per trigger. */
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[LogOffset].pos
-    val available = log.len.toLong
-    limit match {
+    val from = start.asInstanceOf[LogOffset].lastId
+    val cap = limit match {
       case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        LogOffset(math.min(available, from + r.maxRows()))
-      case _ => LogOffset(available)
+        math.min(r.maxRows(), Int.MaxValue.toLong).toInt
+      case _ => Int.MaxValue
     }
+    val msgs = log.after(from, cap)
+    if (msgs.isEmpty) LogOffset(from) else LogOffset(msgs.last.msgid)
   }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
-  override def deserializeOffset(json: String): Offset = LogOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = LogOffset(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[LogOffset].pos.toInt
-    val until = end.asInstanceOf[LogOffset].pos.toInt
-    val slice = log.all.slice(from, until)
+    val from = start.asInstanceOf[LogOffset].lastId
+    val until = end.asInstanceOf[LogOffset].lastId
+    val slice = log.all
+      .filter(m => MsgId.lt(from, m.msgid) && MsgId.lte(m.msgid, until))
     if (slice.isEmpty) Array.empty
     else Array(StreamLogInputPartition(slice.toArray))
   }
@@ -139,7 +151,7 @@ class StreamLogMicroBatchStream(logKey: String, batchSize: Int)
 
   /** C7: epoch commit = ack boundary. */
   override def commit(end: Offset): Unit =
-    StreamLogRegistry.markCommitted(logKey, end.asInstanceOf[LogOffset].pos)
+    StreamLogRegistry.markCommitted(logKey, end.asInstanceOf[LogOffset].lastId)
 
   override def stop(): Unit = ()
 }
@@ -158,6 +170,8 @@ class StreamLogStreamingWrite(logKey: String) extends StreamingWrite {
     StreamLogWriterFactory
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // Epoch replay after driver recovery must not duplicate appends.
+    if (!StreamLogRegistry.beginSinkEpoch(logKey, epochId)) return
     val log = StreamLogRegistry.get(logKey)
     messages.foreach {
       case StreamLogCommit(rows) =>

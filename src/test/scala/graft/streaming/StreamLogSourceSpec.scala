@@ -37,13 +37,18 @@ class StreamLogSourceSpec extends SparkTestBase {
       assert(batchSizes.count(_ == 3) >= 3, "expected three full batches of 3")
       assert(seen.distinct.size == 10, "exactly-once per epoch")
       assert(seen.toSeq == seen.toSeq.sorted(MsgId.ordering), "delivery in id order")
-      assert(StreamLogRegistry.committedOffset(key) >= 9,
+      // the final epoch's commit lands on the next trigger — require
+      // progress, not the very last id yet
+      assert(MsgId.lt(MsgId.Zero, StreamLogRegistry.committedId(key)),
         "epoch commit (ack boundary) must advance")
+      val wave1Last = seen.toSeq.sorted(MsgId.ordering).last
 
       // late arrivals are picked up by subsequent triggers
       (11 to 12).foreach { i => log.add(Map("i" -> i)); clock.advance(1) }
       q.processAllAvailable()
       assert(batchSizes.sum == 12)
+      assert(MsgId.lte(wave1Last, StreamLogRegistry.committedId(key)),
+        "commit must cover the first wave after the next trigger")
     } finally q.stop()
   }
 }
