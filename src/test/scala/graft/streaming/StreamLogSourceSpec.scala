@@ -7,6 +7,40 @@ import scala.collection.mutable
   * everything exactly once to the sink, and commit offsets (ack). */
 class StreamLogSourceSpec extends SparkTestBase {
 
+  test("offsets are stable under MAXLEN trims between micro-batches (no re-delivery, no skips)") {
+    val s = spark
+    val clock = new ManualClock(1700000000000L)
+    val log = new StreamLog(clock)
+    (1 to 6).foreach { i => log.add(Map("i" -> i)); clock.advance(1) }
+    val key = StreamLogRegistry.register(log)
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = s.readStream
+      .format("graft.streaming.StreamLogSourceProvider")
+      .option("log", key).option("batchSize", "4")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= df.collect().map(r => (r.getString(0), r.getMap[String, String](1)("i")))
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // trim away the head (messages 1-4 are gone), append new ones: a
+      // position-based offset would now re-deliver or skip
+      log.trim(2)
+      (7 to 8).foreach { i => log.add(Map("i" -> i)); clock.advance(1) }
+      q.processAllAvailable()
+      val payloads = seen.synchronized(seen.toSeq.map(_._2))
+      assert(payloads == (1 to 8).map(_.toString),
+        s"trim shifted delivery: $payloads")
+      assert(payloads.distinct.size == payloads.size, "no re-delivery after trim")
+    } finally q.stop()
+  }
+
   test("micro-batches respect the batch_size admission quota and deliver all messages") {
     val s = spark
     val clock = new ManualClock(1700000000000L)
