@@ -81,16 +81,15 @@ object MediaPipeline {
     * real binary column). */
   def load(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
     Tables.documents(spark, sfDir)
       .select(
         col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        kind.as("kind"),
         encode(col("text"), "UTF-8").as("bytes"),
         struct(
-          concat(lit("application/x-graft-"),
-            element_at(array(lit("image"), lit("audio"), lit("video")),
-              (col("doc_id") % 3 + 1).cast("int"))).as("mimeType"),
+          concat(lit("application/x-graft-"), kind).as("mimeType"),
           (lit(16) + col("doc_id") % 113).cast("int").as("width"),
           (lit(16) + col("doc_id") % 71).cast("int").as("height"),
           (col("n_chars") * 10).as("durationMs")).as("meta"))

@@ -26,9 +26,12 @@ object EventStream {
     stagingDirs.computeIfAbsent(sfDir, { _ =>
       import java.nio.file.{Files, Paths}
       val dir = Files.createTempDirectory("graft-events-stream")
-      dir.toFile.deleteOnExit()
-      Files.createSymbolicLink(
+      val link = Files.createSymbolicLink(
         dir.resolve("events.parquet"), Paths.get(s"$sfDir/events.parquet"))
+      // deleteOnExit runs in registration-reverse order: link, then the
+      // (now empty) directory — registering only the dir would leak it.
+      dir.toFile.deleteOnExit()
+      link.toFile.deleteOnExit()
       dir.toString
     })
 

@@ -48,10 +48,18 @@ final case class ConsumerMetrics(
     pendingItems: Int,
     idleTimeMs: Long,
     status: String) {
-  /** JSON rendering mirroring `monitor.py:37-44`. */
-  def toJson: String =
-    s"""{"consumer_id": "$consumerId", "pending_items": $pendingItems, """ +
-      s""""idle_time": $idleTimeMs, "status": "$status"}"""
+  /** JSON rendering mirroring `monitor.py:37-44` (string fields escaped —
+    * consumer ids are caller-chosen and may contain quotes). */
+  def toJson: String = {
+    def esc(s: String): String = s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    }
+    s"""{"consumer_id": "${esc(consumerId)}", "pending_items": $pendingItems, """ +
+      s""""idle_time": $idleTimeMs, "status": "${esc(status)}"}"""
+  }
 }
 
 /** Health statuses (reference `monitor.py:13-16`). */

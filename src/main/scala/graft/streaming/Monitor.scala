@@ -6,7 +6,6 @@ import scala.collection.mutable
   * rebalance, report rendering — reference `monitor.py` (M1-M7, R1).
   */
 final class Monitor(
-    log: StreamLog,
     groups: Seq[ConsumerGroup],
     batchSize: Int = 2,               // pending-warn threshold, monitor.py:53-54
     idleTimeThresholdMs: Long = 30000L, // idle-warn threshold, monitor.py:55

@@ -32,7 +32,7 @@ object ProtocolDemo {
     println(s"group pending=${w1.group.pendingCount}, last-delivered=${w1.group.lastDelivered}")
 
     // M1-M7 + R1: monitoring sweep with auto-cleanup
-    val monitor = new Monitor(log, Seq(w1.group), batchSize = 5,
+    val monitor = new Monitor(Seq(w1.group), batchSize = 5,
       idleTimeThresholdMs = 60000, minWaitTimeMs = 0)
     monitor.collectMonitoringData(autoCleanup = true)
     monitor.printMonitoringData()

@@ -74,11 +74,10 @@ final class StreamLog(clock: Clock = SystemClock) {
     buf.iterator.filter(m => MsgId.lt(after, m.msgid)).take(count).toSeq
   }
 
-  /** XINFO STREAM last-generated-id (`scaler.py:47-48`). */
+  /** XINFO STREAM last-generated-id (`scaler.py:47-48`) — survives
+    * trims: it tracks the last id ever assigned, not the buffer tail. */
   def lastGeneratedId: String = synchronized {
-    if (buf.isEmpty && lastMs < 0) MsgId.Zero
-    else if (lastMs < 0) MsgId.Zero
-    else MsgId.format(lastMs, lastSeq)
+    if (lastMs < 0) MsgId.Zero else MsgId.format(lastMs, lastSeq)
   }
 
   def all: Seq[StreamMessage] = synchronized(buf.toSeq)

@@ -43,7 +43,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object StreamLogRegistry {
   private val logs = mutable.Map.empty[String, StreamLog]
   private val committed = mutable.Map.empty[String, String]
-  private val sinkEpochs = mutable.Map.empty[String, Long]
+  private val sinkEpochs = mutable.Map.empty[(String, String), Long]
   private var nextId = 0
 
   def register(log: StreamLog): String = synchronized {
@@ -57,11 +57,20 @@ object StreamLogRegistry {
   def markCommitted(key: String, upTo: String): Unit = synchronized { committed(key) = upTo }
   def committedId(key: String): String = synchronized(committed.getOrElse(key, MsgId.Zero))
 
-  /** Sink epoch dedup: returns true exactly once per (key, epoch) —
-    * Spark may re-run a commit after driver recovery. */
-  def beginSinkEpoch(key: String, epochId: Long): Boolean = synchronized {
-    if (sinkEpochs.getOrElse(key, -1L) >= epochId) false
-    else { sinkEpochs(key) = epochId; true }
+  /** Release a registered log (stops pinning its message buffer). */
+  def unregister(key: String): Unit = synchronized {
+    logs.remove(key); committed.remove(key)
+    sinkEpochs.keys.filter(_._1 == key).toList.foreach(sinkEpochs.remove)
+    ()
+  }
+
+  /** Sink epoch dedup: returns true exactly once per (key, writer
+    * query, epoch) — Spark may re-run a commit after driver recovery.
+    * Keyed by the writing query's id so independent queries (each with
+    * its own epoch counter) can append to the same log. */
+  def beginSinkEpoch(key: String, queryId: String, epochId: Long): Boolean = synchronized {
+    if (sinkEpochs.getOrElse((key, queryId), -1L) >= epochId) false
+    else { sinkEpochs((key, queryId)) = epochId; true }
   }
 }
 
@@ -100,7 +109,8 @@ class StreamLogTable(logKey: String, batchSize: Int)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toStreaming: StreamingWrite = new StreamLogStreamingWrite(logKey)
+        override def toStreaming: StreamingWrite =
+          new StreamLogStreamingWrite(logKey, info.queryId())
       }
     }
 }
@@ -117,6 +127,12 @@ class StreamLogMicroBatchStream(logKey: String, batchSize: Int)
 
   private def log = StreamLogRegistry.get(logKey)
 
+  /** Messages captured at offset-resolution time, keyed by the batch's
+    * (start, end] id range. A MAXLEN trim between latestOffset and
+    * planInputPartitions would otherwise silently drop messages the
+    * offset range already promised. */
+  private val planned = mutable.Map.empty[(String, String), Array[StreamMessage]]
+
   override def initialOffset(): Offset = LogOffset(MsgId.Zero)
 
   /** C1/C3 admission: deliver at most `batchSize` per trigger. */
@@ -130,7 +146,12 @@ class StreamLogMicroBatchStream(logKey: String, batchSize: Int)
       case _ => Int.MaxValue
     }
     val msgs = log.after(from, cap)
-    if (msgs.isEmpty) LogOffset(from) else LogOffset(msgs.last.msgid)
+    if (msgs.isEmpty) LogOffset(from)
+    else {
+      val end = msgs.last.msgid
+      planned.synchronized { planned((from, end)) = msgs.toArray }
+      LogOffset(end)
+    }
   }
 
   override def latestOffset(): Offset =
@@ -141,10 +162,12 @@ class StreamLogMicroBatchStream(logKey: String, batchSize: Int)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[LogOffset].lastId
     val until = end.asInstanceOf[LogOffset].lastId
-    val slice = log.all
-      .filter(m => MsgId.lt(from, m.msgid) && MsgId.lte(m.msgid, until))
+    // Fallback re-read covers checkpoint recovery, where latestOffset
+    // for this range ran in a previous process.
+    val slice = planned.synchronized(planned.remove((from, until))).getOrElse(
+      log.all.filter(m => MsgId.lt(from, m.msgid) && MsgId.lte(m.msgid, until)).toArray)
     if (slice.isEmpty) Array.empty
-    else Array(StreamLogInputPartition(slice.toArray))
+    else Array(StreamLogInputPartition(slice))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = StreamLogReaderFactory
@@ -164,14 +187,15 @@ case class StreamLogInputPartition(messages: Array[StreamMessage]) extends Input
   * XADD performs at the Redis server, giving atomic per-epoch publishes
   * (exactly-once per epoch; ids assigned by the log on append, so the
   * written msgid column is ignored like XADD's auto-id `*`). */
-class StreamLogStreamingWrite(logKey: String) extends StreamingWrite {
+class StreamLogStreamingWrite(logKey: String, queryId: String) extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     StreamLogWriterFactory
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    // Epoch replay after driver recovery must not duplicate appends.
-    if (!StreamLogRegistry.beginSinkEpoch(logKey, epochId)) return
+    // Epoch replay after driver recovery must not duplicate appends;
+    // keyed per writing query so multiple producers can share one log.
+    if (!StreamLogRegistry.beginSinkEpoch(logKey, queryId, epochId)) return
     val log = StreamLogRegistry.get(logKey)
     messages.foreach {
       case StreamLogCommit(rows) =>

@@ -24,7 +24,7 @@ class MonitorScalerSpec extends AnyFunSuite {
 
   test("too many pending wins over idle; idle warns past threshold") {
     val (clock, log) = fixture()
-    val m = new Monitor(log, Nil, batchSize = 2, idleTimeThresholdMs = 10)
+    val m = new Monitor(Nil, batchSize = 2, idleTimeThresholdMs = 10)
     assert(m.statusByMetrics(pending = 3, idleMs = 0) == ConsumerStatus.PendingWarn)
     assert(m.statusByMetrics(pending = 3, idleMs = 99999) == ConsumerStatus.PendingWarn)
     assert(m.statusByMetrics(pending = 2, idleMs = 11) == ConsumerStatus.IdleWarn)
@@ -37,7 +37,7 @@ class MonitorScalerSpec extends AnyFunSuite {
     val g = ConsumerGroup.create(log, "mon-idle", clock)
     g.readNew("c1", 1)
     clock.advance(1000)
-    val m = new Monitor(log, Seq(g), batchSize = 2, idleTimeThresholdMs = 10)
+    val m = new Monitor(Seq(g), batchSize = 2, idleTimeThresholdMs = 10)
     val metrics = m.collectMonitoringData(autoCleanup = false)
     assert(metrics.map(_.status) == Seq(ConsumerStatus.IdleWarn))
   }
@@ -50,7 +50,7 @@ class MonitorScalerSpec extends AnyFunSuite {
     val g = ConsumerGroup.create(log, "mon-clean", clock)
     g.readNew("overloaded", 3)          // 3 pending > batchSize=2 → unhealthy
     g.readNew("healthy", 1)             // 1 pending → OK, argmin target
-    val m = new Monitor(log, Seq(g), batchSize = 2, idleTimeThresholdMs = 60000)
+    val m = new Monitor(Seq(g), batchSize = 2, idleTimeThresholdMs = 60000)
     m.collectMonitoringData(autoCleanup = true)
     assert(!g.consumers.contains("overloaded"), "unhealthy consumer deleted")
     assert(g.pendingOf("healthy").size == 4, "items claimed before deletion, none lost")
@@ -62,7 +62,7 @@ class MonitorScalerSpec extends AnyFunSuite {
     (1 to 2).foreach(i => log.add(Map("i" -> i)))
     val g = ConsumerGroup.create(log, "mon-render", clock)
     g.readNew("c1", 2)
-    val m = new Monitor(log, Seq(g))
+    val m = new Monitor(Seq(g))
     m.collectMonitoringData(autoCleanup = false)
     val sb = new java.lang.StringBuilder
     m.printMonitoringData(sb)
@@ -164,7 +164,7 @@ class MonitorScalerSpec extends AnyFunSuite {
 
   test("property: classification precedence is total and pending-first") {
     val (_, log) = fixture()
-    val m = new Monitor(log, Nil, batchSize = 5, idleTimeThresholdMs = 1000)
+    val m = new Monitor(Nil, batchSize = 5, idleTimeThresholdMs = 1000)
     check(Prop.forAll(Gen.chooseNum(0, 20), Gen.chooseNum(0L, 5000L)) { (pending: Int, idle: Long) =>
       val s = m.statusByMetrics(pending, idle)
       if (pending > 5) s == ConsumerStatus.PendingWarn
