@@ -42,6 +42,13 @@ object DedupQueries {
   private val NumPerms = 16
   private val NumBands = 4   // 4 rows per band
 
+  /** Hot-bucket cap: buckets larger than this are skipped by the pair
+    * expansion. A degenerate bucket (k identical boilerplate docs)
+    * would otherwise expand O(k²) pairs; mass-duplicate content is the
+    * exact-dedup pass's job (d01), not near-dup LSH's. Mirrored in the
+    * DuckDB oracles so results stay hash-identical. */
+  private val MaxBucket = 64
+
   /** Word-trigram sets (shared by MinHash shingling and the Jaccard
     * verifier; `words` must be bound to split(text, ' ')). */
   private[queries] val gramsSpark = """array_distinct(CASE WHEN size(words) >= 3
@@ -75,7 +82,8 @@ object DedupQueries {
     sx AS (SELECT doc_id, UNNEST($gramsDuck) AS x FROM wsrc),
     vx AS (SELECT doc_id, $shingleHashDuck AS v FROM sx),
     sigc AS (SELECT doc_id, $mins FROM vx GROUP BY doc_id),
-    bands AS ($bandRows)"""
+    bands AS ($bandRows),
+    bsz AS (SELECT b, bkey, COUNT(*) AS c FROM bands GROUP BY b, bkey)"""
   }
 
   /** (doc_id, b, bkey): each doc emits `NumBands` LSH band keys. */
@@ -106,7 +114,7 @@ object DedupQueries {
     bands(s, dir)
       .groupBy(col("b"), col("bkey"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")).between(2, MaxBucket))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
            transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"""))
@@ -197,7 +205,7 @@ object DedupQueries {
         struct(col("doc_id"), col("simhash")).as("ds"))
       .groupBy(col("b"), col("bv"))
       .agg(array_sort(collect_list(col("ds"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")).between(2, MaxBucket))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
            transform(slice(ids, i + 2, size(ids)),
@@ -231,6 +239,7 @@ object DedupQueries {
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      JOIN bsz s ON s.b = a.b AND s.bkey = a.bkey AND s.c <= $MaxBucket
       ORDER BY doc_a, doc_b"""),
       "MinHash LSH candidate pairs (16 perms, 4 bands)"),
 
@@ -238,7 +247,8 @@ object DedupQueries {
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
-          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+          JOIN bsz s ON s.b = a.b AND s.bkey = a.bkey AND s.c <= $MaxBucket),
       g AS (
         SELECT doc_id, $gramsDuck AS grams
         FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents) t)
@@ -259,10 +269,12 @@ object DedupQueries {
       bands AS (
         SELECT doc_id, b, (simhash >> (b * 10)) & 1023 AS bv
         FROM sim, (SELECT UNNEST(generate_series(0, ${SimBands - 1})) AS b) bs),
+      bsz AS (SELECT b, bv, COUNT(*) AS c FROM bands GROUP BY b, bv),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
-          ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+          ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+          JOIN bsz s ON s.b = a.b AND s.bv = a.bv AND s.c <= $MaxBucket)
       SELECT doc_a, doc_b,
              CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
       FROM cand JOIN sim sa ON sa.doc_id = doc_a JOIN sim sb ON sb.doc_id = doc_b

@@ -45,21 +45,25 @@ object ProtocolQueries {
     * data-adaptive (1.05× mean pending, 1.2× mean idle) so every scale
     * factor exercises all three statuses. */
   def monitorBase(s: SparkSession, dir: String): DataFrame = {
-    val e = events(s, dir)
-    val per = e.groupBy(consumer.as("consumer_id"))
+    // ONE scan of events: aggregate to per-consumer rows, then derive
+    // "now" and the fleet-wide thresholds with window functions over the
+    // POST-aggregation rows. The unpartitioned window only ever sees
+    // #consumers rows (tiny — the reduction already happened); computing
+    // the thresholds as separate scalar aggregates instead would make
+    // Catalyst re-plan the events aggregation per reference, scanning
+    // the 100 TB fact table multiple times.
+    val per = events(s, dir)
+      .groupBy(consumer.as("consumer_id"))
       .agg(
         max(col("ts")).as("last_seen"),
         sum(when(isPending, 1L).otherwise(0L)).as("pending_items"))
-    val now = e.agg(max(col("ts")).as("now"))
-    val base = per.crossJoin(broadcast(now))
+    val wAll = Window.partitionBy(lit(1))
+    per
+      // every event belongs to a consumer, so max(last_seen) == max(ts)
+      .withColumn("now", max(col("last_seen")).over(wAll))
       .withColumn("idle_ms", P.epochMs(col("now")) - P.epochMs(col("last_seen")))
-    // Fleet-wide thresholds as a broadcast scalar aggregate — NOT an
-    // unpartitioned window, which would funnel every consumer row
-    // through a single partition at scale.
-    val thr = base.agg(
-      (avg(col("pending_items")) * 1.05).as("pend_thr"),
-      (avg(col("idle_ms")) * 1.2).as("idle_thr"))
-    base.crossJoin(broadcast(thr))
+      .withColumn("pend_thr", avg(col("pending_items")).over(wAll) * 1.05)
+      .withColumn("idle_thr", avg(col("idle_ms")).over(wAll) * 1.2)
       .withColumn("status",
         when(col("pending_items") > col("pend_thr"), StatusPendingWarn)
           .when(col("idle_ms") > col("idle_thr"), StatusIdleWarn)
