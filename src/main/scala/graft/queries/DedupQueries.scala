@@ -86,23 +86,38 @@ object DedupQueries {
     bsz AS (SELECT b, bkey, COUNT(*) AS c FROM bands GROUP BY b, bkey)"""
   }
 
-  /** (doc_id, b, bkey): each doc emits `NumBands` LSH band keys. */
-  private def bands(s: SparkSession, dir: String): DataFrame = {
+  /** MinHash signature rows (doc_id, m0..m15[, gh]): one scan of
+    * `documents`, grams exploded and hashed once, signature entries as
+    * map-side-combinable MIN aggregates. With `withGrams`, the sorted
+    * hashed gram set rides along as `gh` so downstream verifiers (d04)
+    * reuse this single gram computation instead of rebuilding the gram
+    * arrays per join side — at 100 TB gram construction is the CPU
+    * bill, and a compact BIGINT-hash array also beats shuffling raw
+    * trigram strings. */
+  private def signatures(s: SparkSession, dir: String, withGrams: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val sig = docs(s, dir)
+    val hashed = docs(s, dir)
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(gramsSpark)).as("x"))
       .select(col("doc_id"), expr(shingleHashSpark).as("v"))
-      .groupBy(col("doc_id"))
-      .agg((0 until NumPerms).map(i => expr(permSql(i)).as(s"m$i")).head,
-           (1 until NumPerms).map(i => expr(permSql(i)).as(s"m$i")): _*)
-    val bandStructs = (0 until NumBands).map { b =>
+    val permAggs = (0 until NumPerms).map(i => expr(permSql(i)).as(s"m$i"))
+    val aggs = if (withGrams) permAggs :+ array_sort(collect_set(col("v"))).as("gh")
+               else permAggs
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The `NumBands` (b, bkey) LSH band-key structs over m0..m15. */
+  private def bandKeyStructs: Seq[org.apache.spark.sql.Column] =
+    (0 until NumBands).map { b =>
       val key = concat_ws("|", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)
       struct(lit(b).as("b"), key.as("bkey"))
     }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+
+  /** (doc_id, b, bkey): each doc emits `NumBands` LSH band keys. */
+  private def bands(s: SparkSession, dir: String): DataFrame =
+    signatures(s, dir, withGrams = false)
+      .select(col("doc_id"), explode(array(bandKeyStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.bkey").as("bkey"))
-  }
 
   /** Candidate near-dup pairs: docs sharing any LSH band bucket.
     *
@@ -141,22 +156,37 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Verify LSH candidates with exact n-gram Jaccard (prune-then-verify). */
-  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val g = docs(s, dir)
-      .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), expr(gramsSpark).as("grams"))
-    val pairs = minhashPairs(s, dir)
-    pairs
-      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
-      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+  /** Verify LSH candidates with exact n-gram Jaccard (prune-then-verify).
+    *
+    * The hashed gram sets ride through the bucket expansion inside the
+    * collected structs — the d06 pattern — so the whole query is ONE
+    * scan of `documents` and one shuffle on the band key. Joining the
+    * candidate pairs back to a gram table (the round-1 shape) made
+    * Catalyst recompute the gram projection per join side and scan
+    * `documents` three times. Jaccard over the hashed gram set equals
+    * Jaccard over the grams themselves (mod 1e9+7 collisions, which the
+    * oracle twin reproduces exactly). */
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    signatures(s, dir, withGrams = true)
+      .select(col("doc_id"), col("gh"), explode(array(bandKeyStructs: _*)).as("bk"))
+      .select(col("bk.b").as("b"), col("bk.bkey").as("bkey"),
+        struct(col("doc_id"), col("gh")).as("dg"))
+      .groupBy(col("b"), col("bkey"))
+      .agg(array_sort(collect_list(col("dg"))).as("ids"))
+      .filter(size(col("ids")).between(2, MaxBucket))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+           transform(slice(ids, i + 2, size(ids)),
+             y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                         x.gh AS ga, y.gh AS gb))))"""))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.ga"), col("p.gb")).distinct()
       .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))).cast(LongType))
       .withColumn("n_union",
         (size(col("ga")) + size(col("gb"))).cast(LongType) - col("n_inter"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
         round(col("n_inter").cast(DoubleType) / col("n_union"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   private val SimBits  = 30 // graft_strhash values are < 2^30 (mod 1e9+7)
   private val SimBands = 3  // 3 bands × 10 bits ⇒ pigeonhole covers hamming ≤ 2
@@ -250,16 +280,16 @@ object DedupQueries {
           ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
           JOIN bsz s ON s.b = a.b AND s.bkey = a.bkey AND s.c <= $MaxBucket),
       g AS (
-        SELECT doc_id, $gramsDuck AS grams
-        FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents) t)
+        SELECT doc_id, list_sort(list_distinct(list(v))) AS gh
+        FROM vx GROUP BY doc_id)
       SELECT doc_a, doc_b,
-        CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_inter,
-        CAST(len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_union,
-        ROUND(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
-          (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))), 4) AS jaccard
+        CAST(len(list_intersect(ga.gh, gb.gh)) AS BIGINT) AS n_inter,
+        CAST(len(ga.gh) + len(gb.gh) - len(list_intersect(ga.gh, gb.gh)) AS BIGINT) AS n_union,
+        ROUND(CAST(len(list_intersect(ga.gh, gb.gh)) AS DOUBLE) /
+          (len(ga.gh) + len(gb.gh) - len(list_intersect(ga.gh, gb.gh))), 4) AS jaccard
       FROM cand JOIN g ga ON ga.doc_id = cand.doc_a JOIN g gb ON gb.doc_id = cand.doc_b
       ORDER BY doc_a, doc_b"""),
-      "n-gram Jaccard verification of LSH candidates"),
+      "n-gram Jaccard verification of LSH candidates (hashed gram sets)"),
 
     "d05_simhash" -> QueryDef(simhash, Some(s"""$simhashDuckCte
       SELECT doc_id, simhash FROM sim ORDER BY doc_id"""),

@@ -109,7 +109,15 @@ object ProtocolQueries {
       .orderBy(col("consumer_id"), col("batch_id"))
   }
 
-  /** S1: backlog = messages newer than the group cursor (exclusive >). */
+  /** S1: backlog = messages newer than the group cursor (exclusive >).
+    *
+    * Deliberate two-scan shape (here and p04/p11): the per-row filter
+    * depends on the global max(ts), so an exact single-scan plan would
+    * need a window over the UN-aggregated events — a single-partition
+    * sort at 100 TB. The broadcast scalar costs one extra scan pruned
+    * to the single `ts` column (parquet footer-stat territory), which
+    * is the shape that survives scale; p01/p09 fold the scan only
+    * because their windows run over post-aggregation rows. */
   private def backlog(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
     val now = e.agg(max(col("ts")).as("now"))
@@ -179,19 +187,21 @@ object ProtocolQueries {
   }
 
   /** M5+M6: claim the dead consumer's sufficiently-idle pending items for
-    * the M4 target (ownership-update projection). */
+    * the M4 target (ownership-update projection).
+    *
+    * "now" rides along in the broadcast target row — [[monitorBase]]
+    * already derives it from its post-aggregation window, so the claim
+    * filter needs no third `events` scan for a separate max(ts). */
   private def claimReassign(s: SparkSession, dir: String): DataFrame = {
-    val e = events(s, dir)
-    val now = e.agg(max(col("ts")).as("now"))
     val target = monitorBase(s, dir)
       .filter(col("status") === StatusOk && col("consumer_id") =!= DeadConsumer)
       .orderBy(col("pending_items"), col("consumer_id"))
       .limit(1)
-      .select(col("consumer_id").as("new_consumer"))
-    e.filter(consumer === DeadConsumer && isPending)
-      .crossJoin(broadcast(now))
-      .filter(col("ts") <= col("now") - expr("INTERVAL 1 HOUR"))
+      .select(col("consumer_id").as("new_consumer"), col("now"))
+    events(s, dir)
+      .filter(consumer === DeadConsumer && isPending)
       .crossJoin(broadcast(target))
+      .filter(col("ts") <= col("now") - expr("INTERVAL 1 HOUR"))
       .select(col("event_id"), lit(DeadConsumer).as("old_consumer"), col("new_consumer"))
       .orderBy(col("event_id"))
   }
