@@ -14,8 +14,11 @@ import org.apache.spark.sql.types._
   *  - s02: cluster-pruned (IVF-style) top-k — candidates restricted to
   *    the query's cluster. This is the 100 TB path: with C clusters the
   *    scan shrinks ~C×, and the cluster equi-join shuffles by cluster id.
-  *  - s03: embedding near-dup pairs within clusters — cosine analog of
-  *    the MinHash prune-then-verify dedup.
+  *  - s03: embedding near-dup pairs — random-hyperplane SimHash bands
+  *    (sign-of-dot with fixed pseudo-random vectors) generate candidate
+  *    pairs, cluster id prefilters, cosine verifies. The cosine analog
+  *    of the d06 prune-then-verify shape: one scan, one shuffle on the
+  *    band key, never an unbanded all-pairs join.
   *
   * Dot products run in DOUBLE via a sequential higher-order fold, which
   * both Spark (`aggregate`) and DuckDB (`list_reduce`) evaluate in the
@@ -84,20 +87,78 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** Near-dup pairs within clusters: top-50 same-label pairs by cosine. */
+  // ---- s03 random-hyperplane LSH ----
+  //
+  // 64 fixed pseudo-random hyperplanes → 8 bands × 8 sign bits. For a
+  // pair at angle θ each bit flips with p = θ/π, so P(candidate) =
+  // 1−(1−(1−θ/π)^8)^8: ~93% at cosine 0.9 (genuine near-dups), ~7% for
+  // near-orthogonal pairs — the s-curve that makes the candidate set
+  // O(docs·bands) instead of O(docs²/C). Within-cluster all-pairs (the
+  // round-1 shape) grows O(N²/C) as the corpus outscales a fixed label
+  // set; banding caps it. Band values are computed directly (8-bit
+  // ints) rather than folded into one 64-bit signature, which would
+  // overflow the sign bit of BIGINT.
+  //
+  // Hyperplane components are integer-valued (LCG over bit×dim index,
+  // exactly representable in DOUBLE), so both engines see bit-identical
+  // dot signs; the DuckDB twin regenerates them from the same formula.
+
+  private val HyperBands = 8
+  private val HyperBits  = 8
+  private val HyperDim   = 64 // embedding dimensionality (TESTDATA.md)
+  private val MaxBucket  = 64 // degenerate-bucket cap, mirrored in the twin
+
+  /** Component i of hyperplane k: ((1103515245·j + 12345) mod 2³¹)
+    * mod 2001 − 1000, j = k·HyperDim + i. */
+  private def hyperplane(k: Int): IndexedSeq[Long] =
+    (0 until HyperDim).map { i =>
+      val j = k.toLong * HyperDim + i
+      ((1103515245L * j + 12345L) % (1L << 31)) % 2001L - 1000L
+    }
+
+  /** Band b's 8-bit value: bit r = sign(v · hyperplane(b·8+r)). */
+  private def bandValueSql(b: Int): String =
+    (0 until HyperBits).map { r =>
+      val arr = hyperplane(b * HyperBits + r).map(x => s"CAST($x AS DOUBLE)").mkString(",")
+      s"(CASE WHEN graft_dot(v, array($arr)) > 0 THEN CAST(${1 << r} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  /** Near-dup pairs: top-50 banded same-label candidates by cosine.
+    * The vector and norm ride through the bucket structs (the d06
+    * pattern) so `embeddings` is scanned once. */
   private def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
-    val a = e.select(col("vec_id").as("id_a"), col("label").as("la"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("label").as("lb"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("la") === col("lb") && col("id_a") < col("id_b"))
-      .withColumn("cos", expr(dotSpark("va", "vb")) / (col("na") * col("nb")))
-      .select(col("id_a"), col("id_b"), col("la").as("label"), col("cos"))
+    val bvArray = array((0 until HyperBands).map(b => expr(bandValueSql(b))): _*)
+    vecs(s, dir)
+      .select(col("label"), posexplode(bvArray).as(Seq("b", "bv")),
+        struct(col("vec_id"), col("v"), col("nrm")).as("ds"))
+      .groupBy(col("label"), col("b"), col("bv"))
+      .agg(array_sort(collect_list(col("ds"))).as("ids"))
+      .filter(size(col("ids")).between(2, MaxBucket))
+      .select(col("label"), explode(expr(
+        """flatten(transform(ids, (x, i) ->
+           transform(slice(ids, i + 2, size(ids)),
+             y -> struct(x.vec_id AS id_a, y.vec_id AS id_b,
+                         x.v AS va, x.nrm AS na, y.v AS vb, y.nrm AS nb))))"""))
+        .as("p"))
+      .withColumn("cos", expr(dotSpark("p.va", "p.vb")) / (col("p.na") * col("p.nb")))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("label"), col("cos"))
+      .distinct()
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(50)
       .select(col("id_a"), col("id_b"), col("label"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** DuckDB twin of [[bandValueSql]]: same LCG regenerated inline (all
+    * BIGINT arithmetic), same sequential-fold dot → identical signs. */
+  private def bandValueDuck(b: Int): String =
+    (0 until HyperBits).map { r =>
+      val k = b * HyperBits + r
+      val dot = s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, $HyperDim),
+          i -> v[i] * CAST(((1103515245 * ($k * $HyperDim + i - 1) + 12345) % 2147483648) % 2001 - 1000 AS DOUBLE))),
+        (a, z) -> a + z)"""
+      s"(CASE WHEN $dot > 0 THEN CAST(${1 << r} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(annBruteForce, Some(s"""$vecsDuckCte,
@@ -119,11 +180,24 @@ object SimilarityQueries {
       FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""),
       "IVF-style cluster-pruned cosine top-k"),
 
-    "s03_embedding_neardup" -> QueryDef(embeddingNearDup, Some(s"""$vecsDuckCte,
+    "s03_embedding_neardup" -> QueryDef(embeddingNearDup, Some {
+      val sigCols = (0 until HyperBands).map(b => s"${bandValueDuck(b)} AS bv$b").mkString(", ")
+      val bandRows = (0 until HyperBands)
+        .map(b => s"SELECT vec_id, label, $b AS b, bv$b AS bv FROM sig")
+        .mkString(" UNION ALL ")
+      s"""$vecsDuckCte,
+      sig AS (SELECT vec_id, label, $sigCols FROM n),
+      bands AS ($bandRows),
+      bsz AS (SELECT label, b, bv, COUNT(*) AS c FROM bands GROUP BY label, b, bv),
+      cand AS (
+        SELECT DISTINCT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.label = b.label AND a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id
+        JOIN bsz s ON s.label = a.label AND s.b = a.b AND s.bv = a.bv AND s.c <= $MaxBucket),
       p AS (
-        SELECT q.vec_id AS id_a, c.vec_id AS id_b, q.label AS label, $cosDuck AS cos
-        FROM n q, n c WHERE q.label = c.label AND q.vec_id < c.vec_id)
+        SELECT id_a, id_b, cand.label AS label, $cosDuck AS cos
+        FROM cand JOIN n q ON q.vec_id = id_a JOIN n c ON c.vec_id = id_b)
       SELECT id_a, id_b, label, ROUND(cos, 6) AS cosine
-      FROM p ORDER BY cos DESC, id_a, id_b LIMIT 50"""),
-      "embedding-cosine near-dup pairs (cluster-pruned)"))
+      FROM p ORDER BY cos DESC, id_a, id_b LIMIT 50"""
+    }, "embedding near-dup pairs (hyperplane-LSH banded, cosine-verified)"))
 }
