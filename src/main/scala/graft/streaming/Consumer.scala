@@ -9,10 +9,19 @@ package graft.streaming
   * (retry-inclusive, at-least-once). Faithful port of the C1-C8 loop:
   * reference `consumer.py:36-103` (defaults `consumer.py:43-45`).
   */
+object Consumer {
+  /** Default consumer id when none is given: process id concatenated
+    * with thread id — the reference's `f"{pid}{thread_id}"` derivation
+    * (`consumer.py:42`), making concurrent consumer threads in one or
+    * many processes distinct group members without coordination. */
+  def defaultConsumerId: String =
+    s"${ProcessHandle.current().pid()}${Thread.currentThread().getId}"
+}
+
 final class Consumer(
     log: StreamLog,
     groupName: String,
-    val consumerId: String,
+    val consumerId: String = Consumer.defaultConsumerId,
     batchSize: Int = 2,
     maxWaitTimeMs: Long = 10000L,
     pollTimeMs: Long = 1000L,

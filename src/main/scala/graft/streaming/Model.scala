@@ -7,6 +7,14 @@ package graft.streaming
   * map (the reference's dynamic per-message schema — values are
   * stringified on write; cf. reference `consumer.py:14-23`,
   * `producer.py:37`).
+  *
+  * C6 bytes-payload note: the reference warns and skips decoding when
+  * the client was built with `decode_responses=False` and hands back
+  * raw bytes (`consumer.py:170-175`). That failure mode is
+  * unrepresentable here by construction — `content` is typed
+  * `Map[String, String]` end-to-end and the DSv2 source materializes
+  * `UTF8String → String` ([[StreamLogReaderFactory]]), so the
+  * defensive branch has no Scala analog; this note is its residue.
   */
 final case class StreamMessage(msgid: String, content: Map[String, String]) {
   def msgidTuple: (Long, Long) = MsgId.parse(msgid)

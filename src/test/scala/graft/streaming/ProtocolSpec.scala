@@ -159,4 +159,16 @@ class ProtocolSpec extends AnyFunSuite {
     assert(g2 eq g1)
     assert(g2.pendingCount == 1, "re-create must not reset state")
   }
+
+  // --- default consumer id (consumer.py:42: f"{pid}{thread_id}") ---
+
+  test("consumer id defaults to pid+thread when not given") {
+    val (clock, log) = fixture()
+    val c = new Consumer(log, "grp-defid", clock = clock)
+    assert(c.consumerId ==
+      s"${ProcessHandle.current().pid()}${Thread.currentThread().getId}",
+      "default id must be the reference's pid+thread derivation")
+    assert(c.consumerId.matches("\\d+"), "pid+thread id is all digits")
+    assert(new Consumer(log, "grp-defid", "explicit", clock = clock).consumerId == "explicit")
+  }
 }
