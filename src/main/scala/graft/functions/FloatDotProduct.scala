@@ -95,5 +95,9 @@ object GraftFunctions {
       "graft_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_strhash", exprs => StringPolyHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperbands", exprs => HyperplaneBands(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval().asInstanceOf[Number].intValue), "built-in")
   }
 }

@@ -108,26 +108,14 @@ object SimilarityQueries {
   private val HyperDim   = 64 // embedding dimensionality (TESTDATA.md)
   private val MaxBucket  = 64 // degenerate-bucket cap, mirrored in the twin
 
-  /** Component i of hyperplane k: ((1103515245·j + 12345) mod 2³¹)
-    * mod 2001 − 1000, j = k·HyperDim + i. */
-  private def hyperplane(k: Int): IndexedSeq[Long] =
-    (0 until HyperDim).map { i =>
-      val j = k.toLong * HyperDim + i
-      ((1103515245L * j + 12345L) % (1L << 31)) % 2001L - 1000L
-    }
-
-  /** Band b's 8-bit value: bit r = sign(v · hyperplane(b·8+r)). */
-  private def bandValueSql(b: Int): String =
-    (0 until HyperBits).map { r =>
-      val arr = hyperplane(b * HyperBits + r).map(x => s"CAST($x AS DOUBLE)").mkString(",")
-      s"(CASE WHEN graft_dot(v, array($arr)) > 0 THEN CAST(${1 << r} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    }.mkString(" + ")
-
   /** Near-dup pairs: top-50 banded same-label candidates by cosine.
     * The vector and norm ride through the bucket structs (the d06
-    * pattern) so `embeddings` is scanned once. */
+    * pattern) so `embeddings` is scanned once. The whole signature is
+    * one native codegen'd call ([[graft.functions.HyperplaneBands]]) —
+    * the composed `bands×bits literal-array graft_dot` formulation
+    * inlined ~25 KB of constants and dominated the query's runtime. */
   private def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val bvArray = array((0 until HyperBands).map(b => expr(bandValueSql(b))): _*)
+    val bvArray = expr(s"graft_hyperbands(v, $HyperBands, $HyperBits)")
     vecs(s, dir)
       .select(col("label"), posexplode(bvArray).as(Seq("b", "bv")),
         struct(col("vec_id"), col("v"), col("nrm")).as("ds"))
