@@ -62,8 +62,8 @@ object DedupQueries {
 
   /** Polynomial char-code hash of a short shingle string `x` — the
     * native codegen'd [[graft.functions.StringPolyHash]]. */
-  private val shingleHashSpark = "graft_strhash(x)"
-  private val shingleHashDuck =
+  private[queries] val shingleHashSpark = "graft_strhash(x)"
+  private[queries] val shingleHashDuck =
     """list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(x)),
        i -> CAST(ascii(substr(x, i, 1)) AS BIGINT))), (a, c) -> (a * 131 + c) % 1000000007)"""
 
@@ -166,7 +166,7 @@ object DedupQueries {
     * `documents` three times. Jaccard over the hashed gram set equals
     * Jaccard over the grams themselves (mod 1e9+7 collisions, which the
     * oracle twin reproduces exactly). */
-  private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     signatures(s, dir, withGrams = true)
       .select(col("doc_id"), col("gh"), explode(array(bandKeyStructs: _*)).as("bk"))
       .select(col("bk.b").as("b"), col("bk.bkey").as("bkey"),
@@ -184,9 +184,75 @@ object DedupQueries {
       .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))).cast(LongType))
       .withColumn("n_union",
         (size(col("ga")) + size(col("gb"))).cast(LongType) - col("n_inter"))
+      .withColumn("jacc", col("n_inter").cast(DoubleType) / col("n_union"))
+
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
-        round(col("n_inter").cast(DoubleType) / col("n_union"), 4).as("jaccard"))
+        round(col("jacc"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  private val JaccThreshold = 0.7 // LSH s-curve midpoint (4 bands × 4 rows)
+  private val MaxCcIters    = 20
+
+  /** d07: dedup clusters — the step every dedup pipeline ends with:
+    * group the verified near-dup pairs into connected components and
+    * name each by its minimum doc_id (the canonical survivor; everything
+    * else in the cluster is droppable).
+    *
+    * Components come from iterative min-label propagation over the edge
+    * list — each round is one shuffle-join (labels × edges) + a
+    * map-side-combinable MIN aggregate, and the loop runs O(component
+    * diameter) rounds (near-dup clusters are shallow; the 100 TB upgrade
+    * path is the big-star/small-star contraction, which converges in
+    * O(log n) rounds over the same join+min primitive). The driver-side
+    * `while` only checks the converged row count — all data movement is
+    * distributed. The DuckDB twin is a recursive CTE over the same
+    * verified pairs. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(s, dir)
+      .filter(col("jacc") >= JaccThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    // The only cache of the expensive upstream (LSH + Jaccard verify):
+    // everything the fixpoint needs derives from the edge list.
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("cluster", col("doc"))
+    // Convergence check: labels only ever DECREASE, so the fixpoint is
+    // reached exactly when sum(cluster) stops changing — one cheap
+    // scalar aggregate per round instead of a join against the previous
+    // labels (DECIMAL(38,0) so huge id sums cannot wrap). Null sum =
+    // empty graph = converged immediately.
+    var prevSum: java.math.BigDecimal = null
+    var iter = 0
+    var done = false
+    while (!done && iter < MaxCcIters) {
+      val msgs = edges.alias("e")
+        .join(labels.alias("l"), col("e.dst") === col("l.doc"))
+        .select(col("e.src").as("doc"), col("l.cluster"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col("doc")).agg(min(col("cluster")).as("cluster"))
+        .persist()
+      val sum = next.agg(org.apache.spark.sql.functions.sum(col("cluster"))
+        .cast(DecimalType(38, 0))).first().getDecimal(0)
+      if (iter > 0) labels.unpersist() // previous round's cache, already consumed
+      labels = next
+      done = if (sum == null) prevSum == null
+             else prevSum != null && sum.compareTo(prevSum) == 0
+      prevSum = sum
+      iter += 1
+    }
+    edges.unpersist()
+    // final `labels` cache (one tiny post-aggregation table) stays
+    // pinned: the returned plan still reads it and unpersisting here
+    // would recompute the whole fixpoint when the caller materializes.
+    labels
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .select(col("doc").as("doc_id"), col("cluster").as("cluster_id"), col("n_members"))
+      .orderBy(col("doc_id"))
+  }
 
   private val SimBits  = 30 // graft_strhash values are < 2^30 (mod 1e9+7)
   private val SimBands = 3  // 3 bands × 10 bits ⇒ pigeonhole covers hamming ≤ 2
@@ -290,6 +356,33 @@ object DedupQueries {
       FROM cand JOIN g ga ON ga.doc_id = cand.doc_a JOIN g gb ON gb.doc_id = cand.doc_b
       ORDER BY doc_a, doc_b"""),
       "n-gram Jaccard verification of LSH candidates (hashed gram sets)"),
+
+    "d07_dedup_clusters" -> QueryDef(dedupClusters, Some {
+      val cte = bandsDuckCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$cte,
+      g AS (SELECT doc_id, list_sort(list_distinct(list(v))) AS gh FROM vx GROUP BY doc_id),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        JOIN bsz s ON s.b = a.b AND s.bkey = a.bkey AND s.c <= $MaxBucket),
+      vp AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN g ga ON ga.doc_id = cand.doc_a JOIN g gb ON gb.doc_id = cand.doc_b
+        WHERE CAST(len(list_intersect(ga.gh, gb.gh)) AS DOUBLE) /
+              (len(ga.gh) + len(gb.gh) - len(list_intersect(ga.gh, gb.gh))) >= $JaccThreshold),
+      dedges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+                 UNION ALL SELECT doc_b, doc_a FROM vp),
+      dnodes AS (SELECT DISTINCT src AS doc FROM dedges),
+      reach AS (
+        SELECT doc, doc AS cluster FROM dnodes
+        UNION
+        SELECT e.dst AS doc, r.cluster FROM reach r JOIN dedges e ON e.src = r.doc),
+      lab AS (SELECT doc, MIN(cluster) AS cluster FROM reach GROUP BY doc)
+      SELECT doc AS doc_id, cluster AS cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster) AS n_members
+      FROM lab ORDER BY doc_id"""
+    }, "near-dup clusters: connected components over verified LSH pairs"),
 
     "d05_simhash" -> QueryDef(simhash, Some(s"""$simhashDuckCte
       SELECT doc_id, simhash FROM sim ORDER BY doc_id"""),

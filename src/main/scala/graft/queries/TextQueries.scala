@@ -108,6 +108,32 @@ object TextQueries {
           CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x) % 1000000007)""").as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  // ---- t06 deterministic stratified sampling ----
+  //
+  // Per-language keep-rates in ‰ — the corpus-mixing knob of a training
+  // pipeline (upsample the target language, downsample the rest). The
+  // keep decision is a deterministic Bernoulli draw from a content hash
+  // (graft_strhash of "doc_id:lang"), NOT an RNG: the sample is
+  // reproducible across runs, executors, and cluster sizes, composable
+  // with later re-sampling (subset rates ⇒ subset samples), and needs
+  // no shuffle — a row-local filter that pushes down to the scan.
+  private val SampleRatesPerMille = Seq(
+    "en" -> 600, "de" -> 300, "fr" -> 300, "es" -> 200, "zh" -> 100)
+
+  private val rateCase = SampleRatesPerMille
+    .map { case (l, r) => s"WHEN '$l' THEN $r" }
+    .mkString("CASE lang ", " ", " ELSE 0 END")
+
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    docs(s, dir)
+      .withColumn("x", concat(col("doc_id").cast(StringType), lit(":"), col("lang")))
+      .withColumn("bucket", expr(s"${DedupQueries.shingleHashSpark} % 1000"))
+      .filter(col("bucket") < expr(rateCase))
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_doc_quality" -> QueryDef(docQuality, Some(s"""$statsDuckCte
       SELECT doc_id, n_tokens,
@@ -153,5 +179,17 @@ object TextQueries {
             i -> CAST(instr('0123456789abcdef', h[i]) - 1 AS BIGINT))), (a, x) -> a * 16 + x))),
           (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
       FROM h ORDER BY doc_id"""),
-      "rolling-hash document fingerprint"))
+      "rolling-hash document fingerprint"),
+
+    "t06_stratified_sample" -> QueryDef(stratifiedSample, Some(s"""
+      WITH t AS (
+        SELECT doc_id, lang, source, CAST(doc_id AS VARCHAR) || ':' || lang AS x
+        FROM documents),
+      hb AS (
+        SELECT doc_id, lang, source, ${DedupQueries.shingleHashDuck} % 1000 AS bucket
+        FROM t)
+      SELECT doc_id, lang, source, bucket FROM hb
+      WHERE bucket < $rateCase
+      ORDER BY doc_id"""),
+      "deterministic hash-based stratified sample (per-language rates)"))
 }
