@@ -96,8 +96,12 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_strhash", exprs => StringPolyHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hyperbands", exprs => HyperplaneBands(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue,
-        exprs(2).eval().asInstanceOf[Number].intValue), "built-in")
+      "graft_hyperbands", exprs => {
+        require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
+          "graft_hyperbands(vector, bands, bits) expects literal integer bands/bits")
+        HyperplaneBands(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue,
+          exprs(2).eval().asInstanceOf[Number].intValue)
+      }, "built-in")
   }
 }

@@ -206,9 +206,13 @@ object AnalyticsQueries {
     * raw ids, constant-size sketch). Raw sketch estimates are
     * engine-specific, so the oracle contract is the sketch's ACCURACY
     * guarantee instead: emit the exact count plus a boolean asserting
-    * the HLL estimate landed within 1% of it; the DuckDB twin computes
+    * the HLL estimate landed within 3% of it; the DuckDB twin computes
     * exact and expects literal TRUE. Hash-exact, and it verifies the
-    * rsd=0.01 contract rather than dodging it. */
+    * accuracy contract rather than dodging it. The tolerance is 3×rsd —
+    * rsd=0.01 is a standard DEVIATION, not a bound, so a 1σ check would
+    * flag a perfectly healthy sketch ~32% of the time once cardinality
+    * outgrows the exact sparse/linear-counting regimes; 3σ fails with
+    * probability ~0.3% per group. */
   private def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
       .groupBy(col("event_type"))
@@ -217,7 +221,7 @@ object AnalyticsQueries {
         countDistinct(col("user_id")).as("exact_users"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
-          col("exact_users") <= 0.01).as("approx_within_1pct"))
+          col("exact_users") <= 0.03).as("approx_within_3sigma"))
       .orderBy(col("event_type"))
   }
 
@@ -430,9 +434,9 @@ object AnalyticsQueries {
 
     "a15_approx_distinct" -> QueryDef(approxDistinct, Some("""
       SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
-             TRUE AS approx_within_1pct
+             TRUE AS approx_within_3sigma
       FROM events GROUP BY event_type ORDER BY event_type"""),
-      "HLL approx distinct, verified via its 1% accuracy contract"),
+      "HLL approx distinct, verified via its 3-sigma accuracy contract"),
 
     "a16_value_percentiles" -> QueryDef(valuePercentiles, Some("""
       SELECT event_type, COUNT(*) AS n_events,

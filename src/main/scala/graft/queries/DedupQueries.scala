@@ -49,6 +49,15 @@ object DedupQueries {
     * DuckDB oracles so results stay hash-identical. */
   private val MaxBucket = 64
 
+  /** The in-bucket pair-expansion skeleton shared by every LSH family
+    * (d03/d04/d06/s03): for a sorted bucket array `ids`, emit each
+    * unordered pair (i < j) as a struct of `fields` over `x`/`y` —
+    * e.g. `"x.doc_id AS doc_a, y.doc_id AS doc_b"`. One definition so
+    * the slice/index arithmetic can never drift between call sites. */
+  private[queries] def pairExpansion(fields: String): String =
+    s"""flatten(transform(ids, (x, i) ->
+        transform(slice(ids, i + 2, size(ids)), y -> struct($fields))))"""
+
   /** Word-trigram sets (shared by MinHash shingling and the Jaccard
     * verifier; `words` must be bound to split(text, ' ')). */
   private[queries] val gramsSpark = """array_distinct(CASE WHEN size(words) >= 3
@@ -130,10 +139,7 @@ object DedupQueries {
       .groupBy(col("b"), col("bkey"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, MaxBucket))
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-           transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"""))
-        .as("p"))
+      .select(explode(expr(pairExpansion("x AS doc_a, y AS doc_b"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
       .orderBy(col("doc_a"), col("doc_b"))
 
@@ -174,12 +180,8 @@ object DedupQueries {
       .groupBy(col("b"), col("bkey"))
       .agg(array_sort(collect_list(col("dg"))).as("ids"))
       .filter(size(col("ids")).between(2, MaxBucket))
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-           transform(slice(ids, i + 2, size(ids)),
-             y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-                         x.gh AS ga, y.gh AS gb))))"""))
-        .as("p"))
+      .select(explode(expr(pairExpansion(
+        "x.doc_id AS doc_a, y.doc_id AS doc_b, x.gh AS ga, y.gh AS gb"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.ga"), col("p.gb")).distinct()
       .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))).cast(LongType))
       .withColumn("n_union",
@@ -193,7 +195,7 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
 
   private val JaccThreshold = 0.7 // LSH s-curve midpoint (4 bands × 4 rows)
-  private val MaxCcIters    = 20
+  private val MaxCcIters    = 50
 
   /** d07: dedup clusters — the step every dedup pipeline ends with:
     * group the verified near-dup pairs into connected components and
@@ -235,8 +237,8 @@ object DedupQueries {
       val next = labels.unionByName(msgs)
         .groupBy(col("doc")).agg(min(col("cluster")).as("cluster"))
         .persist()
-      val sum = next.agg(org.apache.spark.sql.functions.sum(col("cluster"))
-        .cast(DecimalType(38, 0))).first().getDecimal(0)
+      val sum = next.agg(org.apache.spark.sql.functions.sum(
+        col("cluster").cast(DecimalType(38, 0)))).first().getDecimal(0)
       if (iter > 0) labels.unpersist() // previous round's cache, already consumed
       labels = next
       done = if (sum == null) prevSum == null
@@ -244,6 +246,12 @@ object DedupQueries {
       prevSum = sum
       iter += 1
     }
+    // A truncated fixpoint would silently emit WRONG cluster ids (and
+    // diverge from the fully-converged recursive-CTE oracle) — fail
+    // loudly instead; chains deeper than the cap need the
+    // big-star/small-star O(log n) contraction noted above.
+    if (!done) throw new IllegalStateException(
+      s"d07 connected components did not converge in $MaxCcIters rounds")
     edges.unpersist()
     // final `labels` cache (one tiny post-aggregation table) stays
     // pinned: the returned plan still reads it and unpersisting here
@@ -302,12 +310,9 @@ object DedupQueries {
       .groupBy(col("b"), col("bv"))
       .agg(array_sort(collect_list(col("ds"))).as("ids"))
       .filter(size(col("ids")).between(2, MaxBucket))
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-           transform(slice(ids, i + 2, size(ids)),
-             y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-                         x.simhash AS sim_a, y.simhash AS sim_b))))"""))
-        .as("p"))
+      .select(explode(expr(pairExpansion(
+        """x.doc_id AS doc_a, y.doc_id AS doc_b,
+           x.simhash AS sim_a, y.simhash AS sim_b"""))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.sim_a"), col("p.sim_b")).distinct()
       .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
       .filter(col("hamming") <= 2)

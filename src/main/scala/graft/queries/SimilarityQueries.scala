@@ -64,7 +64,10 @@ object SimilarityQueries {
       .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 5)
-      .select(col("q_id"), col("c_id"), col("rnk"), round(col("cos"), 6).as("cosine"))
+      // raw double, NOT round(cos, 6): Spark rounds via shortest-string
+      // BigDecimal, DuckDB rounds the binary value — near-tie cosines
+      // would diverge; identical IEEE inputs hash-match unrounded.
+      .select(col("q_id"), col("c_id"), col("rnk"), col("cos").as("cosine"))
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -83,7 +86,7 @@ object SimilarityQueries {
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("c_id"), col("q_label").as("label"),
-        col("rnk"), round(col("cos"), 6).as("cosine"))
+        col("rnk"), col("cos").as("cosine"))
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -122,22 +125,20 @@ object SimilarityQueries {
       .groupBy(col("label"), col("b"), col("bv"))
       .agg(array_sort(collect_list(col("ds"))).as("ids"))
       .filter(size(col("ids")).between(2, MaxBucket))
-      .select(col("label"), explode(expr(
-        """flatten(transform(ids, (x, i) ->
-           transform(slice(ids, i + 2, size(ids)),
-             y -> struct(x.vec_id AS id_a, y.vec_id AS id_b,
-                         x.v AS va, x.nrm AS na, y.v AS vb, y.nrm AS nb))))"""))
-        .as("p"))
+      .select(col("label"), explode(expr(DedupQueries.pairExpansion(
+        """x.vec_id AS id_a, y.vec_id AS id_b,
+           x.v AS va, x.nrm AS na, y.v AS vb, y.nrm AS nb"""))).as("p"))
       .withColumn("cos", expr(dotSpark("p.va", "p.vb")) / (col("p.na") * col("p.nb")))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("label"), col("cos"))
       .distinct()
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(50)
-      .select(col("id_a"), col("id_b"), col("label"), round(col("cos"), 6).as("cosine"))
+      .select(col("id_a"), col("id_b"), col("label"), col("cos").as("cosine"))
   }
 
-  /** DuckDB twin of [[bandValueSql]]: same LCG regenerated inline (all
-    * BIGINT arithmetic), same sequential-fold dot → identical signs. */
+  /** DuckDB twin of [[graft.functions.HyperplaneBands]]: same LCG
+    * regenerated inline (all BIGINT arithmetic), same sequential-fold
+    * dot → identical signs. */
   private def bandValueDuck(b: Int): String =
     (0 until HyperBits).map { r =>
       val k = b * HyperBits + r
@@ -154,7 +155,7 @@ object SimilarityQueries {
         SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cosDuck AS cos
         FROM n q, n c WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
       r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM p)
-      SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cosine
+      SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, cos AS cosine
       FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""),
       "brute-force cosine top-k ANN baseline"),
 
@@ -164,7 +165,7 @@ object SimilarityQueries {
         FROM n q, n c
         WHERE q.vec_id % 50 = 0 AND q.label = c.label AND q.vec_id <> c.vec_id),
       r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM p)
-      SELECT q_id, c_id, label, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cosine
+      SELECT q_id, c_id, label, CAST(rnk AS BIGINT) AS rnk, cos AS cosine
       FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""),
       "IVF-style cluster-pruned cosine top-k"),
 
@@ -174,7 +175,8 @@ object SimilarityQueries {
         .map(b => s"SELECT vec_id, label, $b AS b, bv$b AS bv FROM sig")
         .mkString(" UNION ALL ")
       s"""$vecsDuckCte,
-      sig AS (SELECT vec_id, label, $sigCols FROM n),
+      sig AS (SELECT vec_id, label, $sigCols FROM n
+              WHERE len(list_filter(v, e -> e IS NULL)) = 0),
       bands AS ($bandRows),
       bsz AS (SELECT label, b, bv, COUNT(*) AS c FROM bands GROUP BY label, b, bv),
       cand AS (
@@ -185,7 +187,7 @@ object SimilarityQueries {
       p AS (
         SELECT id_a, id_b, cand.label AS label, $cosDuck AS cos
         FROM cand JOIN n q ON q.vec_id = id_a JOIN n c ON c.vec_id = id_b)
-      SELECT id_a, id_b, label, ROUND(cos, 6) AS cosine
+      SELECT id_a, id_b, label, cos AS cosine
       FROM p ORDER BY cos DESC, id_a, id_b LIMIT 50"""
     }, "embedding near-dup pairs (hyperplane-LSH banded, cosine-verified)"))
 }

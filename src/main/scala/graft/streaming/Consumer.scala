@@ -12,8 +12,10 @@ package graft.streaming
 object Consumer {
   /** Default consumer id when none is given: process id concatenated
     * with thread id — the reference's `f"{pid}{thread_id}"` derivation
-    * (`consumer.py:42`), making concurrent consumer threads in one or
-    * many processes distinct group members without coordination. */
+    * (`consumer.py:42`), ported quirk included: the unseparated
+    * concatenation is ambiguous (pid 12/thread 34 collides with pid
+    * 123/thread 4), so colliding consumers would share a PEL slice.
+    * Pass an explicit id where that matters. */
   def defaultConsumerId: String =
     s"${ProcessHandle.current().pid()}${Thread.currentThread().getId}"
 }
