@@ -54,6 +54,21 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
 
+  /** Streaming exact dedup bounded by the watermark — the streaming
+    * twin of the d01 batch dedup and the first operator an at-least-once
+    * ingest (this library's own delivery model, C4 redelivery) feeds
+    * into. `dropDuplicatesWithinWatermark` keeps an id in state only
+    * until the watermark passes it, so dedup state is bounded at 100 TB
+    * — plain `dropDuplicates` on a stream grows state forever. */
+  def dedupWithinWatermark(df: DataFrame, keys: Seq[String],
+      eventTimeCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    df.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** [[dedupWithinWatermark]] applied to the events file stream. */
+  def dedupedEvents(spark: SparkSession, sfDir: String): DataFrame =
+    dedupWithinWatermark(readEvents(spark, sfDir), Seq("event_id"))
+
   /** Runnable demo: stream the events table through the windowed agg and
     * print the first window rows.
     * Run: `sbt "runMain graft.streaming.EventStream [sfDir]"` */

@@ -31,4 +31,31 @@ class EventStreamSpec extends SparkTestBase {
       assert(streaming == batch, "streaming window agg diverged from batch")
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark drops redelivered ids, keeps state bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(minute: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+    val deduped = EventStream.dedupWithinWatermark(
+      input.toDF().toDF("ts", "event_id", "payload"), Seq("event_id"),
+      watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, "a"), (ts(1), 2L, "b"), (ts(1), 2L, "b-retry"))
+      q.processAllAvailable()
+      // an at-least-once redelivery in a later micro-batch, still within
+      // the watermark: dropped
+      input.addData((ts(2), 1L, "a-retry"))
+      q.processAllAvailable()
+      input.addData((ts(9), 3L, "c"))
+      q.processAllAvailable()
+      val ids = s.sql("SELECT event_id FROM dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"duplicates leaked: ${ids.toSeq}")
+    } finally q.stop()
+  }
 }
