@@ -21,7 +21,9 @@ object Bench {
     } catch { case _: Throwable => () }
     // A failed query is reported as -1.0 (not its time-to-exception,
     // which would read as a speedup) and logged to stderr.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted iteration: Map order is arbitrary, which made per-query
+    // warmup effects (codegen/page cache) differ run to run.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val elapsed =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -33,7 +35,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
