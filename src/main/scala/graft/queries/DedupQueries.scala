@@ -211,56 +211,15 @@ object DedupQueries {
     * `while` only checks the converged row count — all data movement is
     * distributed. The DuckDB twin is a recursive CTE over the same
     * verified pairs. */
-  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairs(s, dir)
-      .filter(col("jacc") >= JaccThreshold)
-      .select(col("doc_a"), col("doc_b"))
-    // The only cache of the expensive upstream (LSH + Jaccard verify):
-    // everything the fixpoint needs derives from the edge list.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("cluster", col("doc"))
-    // Convergence check: labels only ever DECREASE, so the fixpoint is
-    // reached exactly when sum(cluster) stops changing — one cheap
-    // scalar aggregate per round instead of a join against the previous
-    // labels (DECIMAL(38,0) so huge id sums cannot wrap). Null sum =
-    // empty graph = converged immediately.
-    var prevSum: java.math.BigDecimal = null
-    var iter = 0
-    var done = false
-    while (!done && iter < MaxCcIters) {
-      val msgs = edges.alias("e")
-        .join(labels.alias("l"), col("e.dst") === col("l.doc"))
-        .select(col("e.src").as("doc"), col("l.cluster"))
-      val next = labels.unionByName(msgs)
-        .groupBy(col("doc")).agg(min(col("cluster")).as("cluster"))
-        .persist()
-      val sum = next.agg(org.apache.spark.sql.functions.sum(
-        col("cluster").cast(DecimalType(38, 0)))).first().getDecimal(0)
-      if (iter > 0) labels.unpersist() // previous round's cache, already consumed
-      labels = next
-      done = if (sum == null) prevSum == null
-             else prevSum != null && sum.compareTo(prevSum) == 0
-      prevSum = sum
-      iter += 1
-    }
-    // A truncated fixpoint would silently emit WRONG cluster ids (and
-    // diverge from the fully-converged recursive-CTE oracle) — fail
-    // loudly instead; chains deeper than the cap need the
-    // big-star/small-star O(log n) contraction noted above.
-    if (!done) throw new IllegalStateException(
-      s"d07 connected components did not converge in $MaxCcIters rounds")
-    edges.unpersist()
-    // final `labels` cache (one tiny post-aggregation table) stays
-    // pinned: the returned plan still reads it and unpersisting here
-    // would recompute the whole fixpoint when the caller materializes.
-    labels
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ConnectedComponents.run(
+      jaccardPairs(s, dir)
+        .filter(col("jacc") >= JaccThreshold)
+        .select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b", MaxCcIters)
       .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster"))))
       .select(col("doc").as("doc_id"), col("cluster").as("cluster_id"), col("n_members"))
       .orderBy(col("doc_id"))
-  }
 
   private val SimBits  = 30 // graft_strhash values are < 2^30 (mod 1e9+7)
   private val SimBands = 3  // 3 bands × 10 bits ⇒ pigeonhole covers hamming ≤ 2

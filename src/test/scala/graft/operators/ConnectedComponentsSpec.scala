@@ -1,0 +1,42 @@
+package graft.operators
+
+/** Shapes the planted near-dup data never exercises: deep chains,
+  * cycles, multi-component graphs, the non-convergence guard. */
+class ConnectedComponentsSpec extends graft.streaming.SparkTestBase {
+
+  private def cc(pairs: Seq[(Long, Long)], maxIters: Int = 50): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    ConnectedComponents.run(pairs.toDF("a", "b"), "a", "b", maxIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("deep chain collapses to the minimum id") {
+    // path 100-99-…-70: eccentricity 30, well past the shallow-pair regime
+    val chain = (70L until 100L).map(i => (i, i + 1))
+    val labels = cc(chain)
+    assert(labels.keySet == (70L to 100L).toSet)
+    assert(labels.values.toSet == Set(70L), s"chain must collapse to 70: $labels")
+  }
+
+  test("cycles, multiple components, and id order independence") {
+    val labels = cc(Seq(
+      (5L, 3L), (3L, 9L), (9L, 5L),   // cycle, min 3
+      (20L, 21L),                     // pair
+      (31L, 30L)))                    // reversed pair
+    assert(labels == Map(
+      5L -> 3L, 3L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("empty edge list yields empty labels (converged immediately)") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+
+  test("fails loudly instead of emitting a truncated fixpoint") {
+    val chain = (0L until 30L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] { cc(chain, maxIters = 3) }
+    assert(e.getMessage.contains("did not converge"))
+  }
+}
