@@ -279,6 +279,30 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d08: surviving corpus after PAIRWISE dedup — drop every doc that
+    * has a verified near-dup with a smaller doc_id (each LSH pair
+    * already satisfies doc_a < doc_b, so the drop list is just the
+    * distinct doc_b side; no join back to pair structure needed).
+    * This is the one-aggregation greedy rule most pipelines run;
+    * it differs from d07's transitive rule only on chains like
+    * 3–9, 9–1 (greedy keeps 3, the component-min rule drops it) —
+    * both are standard, and d07 provides the transitive variant.
+    * One documents scan + a broadcast-able drop-list join, grouped to
+    * per-language before/after counts. */
+  private def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val dropList = jaccardPairs(s, dir)
+      .filter(col("jacc") >= JaccThreshold)
+      .select(col("doc_b").as("dropped_id")).distinct()
+    docs(s, dir)
+      .join(broadcast(dropList), col("doc_id") === col("dropped_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("dropped_id").isNull, 1L).otherwise(0L)).as("n_survivors"),
+        sum(when(col("dropped_id").isNull, 0L).otherwise(1L)).as("n_dropped"))
+      .orderBy(col("lang"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_exact_dedup" -> QueryDef(exactDedup, Some("""
       SELECT total_docs, distinct_docs, total_docs - distinct_docs AS dups_removed
@@ -347,6 +371,25 @@ object DedupQueries {
              COUNT(*) OVER (PARTITION BY cluster) AS n_members
       FROM lab ORDER BY doc_id"""
     }, "near-dup clusters: connected components over verified LSH pairs"),
+
+    "d08_dedup_survivors" -> QueryDef(dedupSurvivors, Some(s"""$bandsDuckCte,
+      g AS (SELECT doc_id, list_sort(list_distinct(list(v))) AS gh FROM vx GROUP BY doc_id),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        JOIN bsz s ON s.b = a.b AND s.bkey = a.bkey AND s.c <= $MaxBucket),
+      dropped AS (
+        SELECT DISTINCT doc_b AS dropped_id FROM cand
+        JOIN g ga ON ga.doc_id = cand.doc_a JOIN g gb ON gb.doc_id = cand.doc_b
+        WHERE CAST(len(list_intersect(ga.gh, gb.gh)) AS DOUBLE) /
+              (len(ga.gh) + len(gb.gh) - len(list_intersect(ga.gh, gb.gh))) >= $JaccThreshold)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN dropped_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+        CAST(SUM(CASE WHEN dropped_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+      FROM documents LEFT JOIN dropped ON doc_id = dropped_id
+      GROUP BY lang ORDER BY lang"""),
+      "surviving corpus after pairwise near-dup dedup, per language"),
 
     "d05_simhash" -> QueryDef(simhash, Some(s"""$simhashDuckCte
       SELECT doc_id, simhash FROM sim ORDER BY doc_id"""),

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -134,6 +135,31 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- t07 token-budget corpus assembly ----
+  //
+  // The other half of corpus mixing: cap each source's contribution at
+  // a TOKEN budget rather than a document rate. Docs are ordered by a
+  // deterministic shuffle hash (so "the first B tokens" is a stable
+  // uniform sample, not a doc_id-ordered prefix) and kept while the
+  // running token total stays within budget. The cumulative sum is a
+  // per-source window over exact integers — partition-independent, and
+  // the classic one-shuffle shape for quota problems at scale.
+  private val TokenBudgetPerSource = 800L
+
+  private def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("x", col("doc_id").cast(StringType))
+      .withColumn("h", expr(DedupQueries.shingleHashSpark))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= TokenBudgetPerSource)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_doc_quality" -> QueryDef(docQuality, Some(s"""$statsDuckCte
       SELECT doc_id, n_tokens,
@@ -191,5 +217,22 @@ object TextQueries {
       SELECT doc_id, lang, source, bucket FROM hb
       WHERE bucket < $rateCase
       ORDER BY doc_id"""),
-      "deterministic hash-based stratified sample (per-language rates)"))
+      "deterministic hash-based stratified sample (per-language rates)"),
+
+    "t07_token_budget_mix" -> QueryDef(tokenBudgetMix, Some(s"""
+      WITH t AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(doc_id AS VARCHAR) AS x
+        FROM documents),
+      hc AS (
+        SELECT doc_id, source, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY ${DedupQueries.shingleHashDuck}, doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM t)
+      SELECT doc_id, source, n_tokens, cum_tokens FROM hc
+      WHERE cum_tokens <= $TokenBudgetPerSource
+      ORDER BY doc_id"""),
+      "per-source token-budget corpus assembly (deterministic order)"))
 }
