@@ -27,41 +27,51 @@ object ConnectedComponents {
     *         minimum id (the canonical survivor) */
   def run(pairs: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("cluster", col("doc"))
-    var prevSum: java.math.BigDecimal = null
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIters) {
-      val msgs = edges.alias("e")
-        .join(labels.alias("l"), col("e.dst") === col("l.doc"))
-        .select(col("e.src").as("doc"), col("l.cluster"))
-      // localCheckpoint, NOT persist: persist truncates re-execution but
-      // the LOGICAL plan still nests the previous round's plan, doubling
-      // per round — a 30-round chain OOMs merely stringifying the plan.
-      // Checkpointing cuts the lineage so every round's plan is shallow.
-      // (Each round's blocks stay resident until context GC — the label
-      // table is one row per near-dup vertex, far smaller than the
-      // corpus; bounded by maxIters.)
-      val next = labels.unionByName(msgs)
-        .groupBy(col("doc")).agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint(true)
-      val sum = next.agg(org.apache.spark.sql.functions.sum(
-        col("cluster").cast(DecimalType(38, 0)))).first().getDecimal(0)
-      labels = next
-      done = if (sum == null) prevSum == null
-             else prevSum != null && sum.compareTo(prevSum) == 0
-      prevSum = sum
-      iter += 1
-    }
-    if (!done) throw new IllegalStateException(
-      s"connected components did not converge in $maxIters rounds")
-    edges.unpersist()
-    // final labels cache stays pinned: the returned plan reads it, and
-    // unpersisting here would recompute the whole fixpoint on first use.
-    labels
+    // try/finally: the non-convergence throw (or any mid-loop failure)
+    // must not leave the doubled edge list pinned in a long-lived
+    // session's block manager.
+    var pinned: DataFrame = null // currently-cached round (the last one stays)
+    try {
+      var labels = edges.select(col("src").as("doc")).distinct()
+        .withColumn("cluster", col("doc"))
+      var prevSum: java.math.BigDecimal = null
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIters) {
+        val msgs = edges.alias("e")
+          .join(labels.alias("l"), col("e.dst") === col("l.doc"))
+          .select(col("e.src").as("doc"), col("l.cluster"))
+        val next = labels.unionByName(msgs)
+          .groupBy(col("doc")).agg(min(col("cluster")).as("cluster"))
+          .persist()
+        val sum = next.agg(org.apache.spark.sql.functions.sum(
+          col("cluster").cast(DecimalType(38, 0)))).first().getDecimal(0)
+        // Truncate lineage EXPLICITLY: persist alone leaves the logical
+        // plan nesting the previous round's plan (doubling per round — a
+        // 30-round chain ran out of heap merely stringifying it).
+        // Re-wrapping the cached rows as a fresh DataFrame makes every
+        // round's plan a shallow scan of the cached data, and lets the
+        // previous round's blocks be unpersisted immediately — memory
+        // stays at two label-table copies regardless of depth.
+        labels = spark.createDataFrame(next.toDF().rdd, next.schema)
+        if (pinned != null) pinned.unpersist()
+        pinned = next
+        done = if (sum == null) prevSum == null
+               else prevSum != null && sum.compareTo(prevSum) == 0
+        prevSum = sum
+        iter += 1
+      }
+      if (!done) {
+        if (pinned != null) pinned.unpersist()
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIters rounds")
+      }
+      // the final round's cache stays pinned: the returned plan reads it
+      labels
+    } finally edges.unpersist()
   }
 }

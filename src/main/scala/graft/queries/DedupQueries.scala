@@ -197,6 +197,26 @@ object DedupQueries {
   private val JaccThreshold = 0.7 // LSH s-curve midpoint (4 bands × 4 rows)
   private val MaxCcIters    = 50
 
+  /** DuckDB CTEs appended to [[bandsDuckCte]]: hashed gram sets (g) and
+    * capped LSH candidate pairs (cand) — the oracle twin of
+    * [[jaccardPairs]]' upstream, shared by d04/d07/d08 so the Jaccard
+    * set semantics and bucket cap can never drift between oracles. */
+  private lazy val gramCandDuckCte = s"""
+      g AS (SELECT doc_id, list_sort(list_distinct(list(v))) AS gh FROM vx GROUP BY doc_id),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        JOIN bsz s ON s.b = a.b AND s.bkey = a.bkey AND s.c <= $MaxBucket)"""
+
+  /** As [[gramCandDuckCte]] plus vp: the Jaccard-verified pairs (d07/d08). */
+  private lazy val verifiedPairsDuckCte = s"""$gramCandDuckCte,
+      vp AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN g ga ON ga.doc_id = cand.doc_a JOIN g gb ON gb.doc_id = cand.doc_b
+        WHERE CAST(len(list_intersect(ga.gh, gb.gh)) AS DOUBLE) /
+              (len(ga.gh) + len(gb.gh) - len(list_intersect(ga.gh, gb.gh))) >= $JaccThreshold)"""
+
   /** d07: dedup clusters — the step every dedup pipeline ends with:
     * group the verified near-dup pairs into connected components and
     * name each by its minimum doc_id (the canonical survivor; everything
@@ -328,14 +348,7 @@ object DedupQueries {
       "MinHash LSH candidate pairs (16 perms, 4 bands)"),
 
     "d04_ngram_jaccard" -> QueryDef(ngramJaccard, Some(s"""$bandsDuckCte,
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-          JOIN bsz s ON s.b = a.b AND s.bkey = a.bkey AND s.c <= $MaxBucket),
-      g AS (
-        SELECT doc_id, list_sort(list_distinct(list(v))) AS gh
-        FROM vx GROUP BY doc_id)
+      $gramCandDuckCte
       SELECT doc_a, doc_b,
         CAST(len(list_intersect(ga.gh, gb.gh)) AS BIGINT) AS n_inter,
         CAST(len(ga.gh) + len(gb.gh) - len(list_intersect(ga.gh, gb.gh)) AS BIGINT) AS n_union,
@@ -348,17 +361,7 @@ object DedupQueries {
     "d07_dedup_clusters" -> QueryDef(dedupClusters, Some {
       val cte = bandsDuckCte.replaceFirst("WITH ", "WITH RECURSIVE ")
       s"""$cte,
-      g AS (SELECT doc_id, list_sort(list_distinct(list(v))) AS gh FROM vx GROUP BY doc_id),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-        JOIN bsz s ON s.b = a.b AND s.bkey = a.bkey AND s.c <= $MaxBucket),
-      vp AS (
-        SELECT doc_a, doc_b FROM cand
-        JOIN g ga ON ga.doc_id = cand.doc_a JOIN g gb ON gb.doc_id = cand.doc_b
-        WHERE CAST(len(list_intersect(ga.gh, gb.gh)) AS DOUBLE) /
-              (len(ga.gh) + len(gb.gh) - len(list_intersect(ga.gh, gb.gh))) >= $JaccThreshold),
+      $verifiedPairsDuckCte,
       dedges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
                  UNION ALL SELECT doc_b, doc_a FROM vp),
       dnodes AS (SELECT DISTINCT src AS doc FROM dedges),
@@ -373,17 +376,8 @@ object DedupQueries {
     }, "near-dup clusters: connected components over verified LSH pairs"),
 
     "d08_dedup_survivors" -> QueryDef(dedupSurvivors, Some(s"""$bandsDuckCte,
-      g AS (SELECT doc_id, list_sort(list_distinct(list(v))) AS gh FROM vx GROUP BY doc_id),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-        JOIN bsz s ON s.b = a.b AND s.bkey = a.bkey AND s.c <= $MaxBucket),
-      dropped AS (
-        SELECT DISTINCT doc_b AS dropped_id FROM cand
-        JOIN g ga ON ga.doc_id = cand.doc_a JOIN g gb ON gb.doc_id = cand.doc_b
-        WHERE CAST(len(list_intersect(ga.gh, gb.gh)) AS DOUBLE) /
-              (len(ga.gh) + len(gb.gh) - len(list_intersect(ga.gh, gb.gh))) >= $JaccThreshold)
+      $verifiedPairsDuckCte,
+      dropped AS (SELECT DISTINCT doc_b AS dropped_id FROM vp)
       SELECT lang, COUNT(*) AS n_docs,
         CAST(SUM(CASE WHEN dropped_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
         CAST(SUM(CASE WHEN dropped_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped

@@ -60,14 +60,14 @@ object EventStream {
     * into. `dropDuplicatesWithinWatermark` keeps an id in state only
     * until the watermark passes it, so dedup state is bounded at 100 TB
     * — plain `dropDuplicates` on a stream grows state forever. */
-  def dedupWithinWatermark(df: DataFrame, keys: Seq[String],
+  def dedupWithinWatermark(df: DataFrame, key: String, moreKeys: Seq[String] = Nil,
       eventTimeCol: String = "ts", watermark: String = "2 hours"): DataFrame =
     df.withWatermark(eventTimeCol, watermark)
-      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+      .dropDuplicatesWithinWatermark(key, moreKeys: _*)
 
   /** [[dedupWithinWatermark]] applied to the events file stream. */
   def dedupedEvents(spark: SparkSession, sfDir: String): DataFrame =
-    dedupWithinWatermark(readEvents(spark, sfDir), Seq("event_id"))
+    dedupWithinWatermark(readEvents(spark, sfDir), "event_id")
 
   /** Runnable demo: stream the events table through the windowed agg and
     * print the first window rows.

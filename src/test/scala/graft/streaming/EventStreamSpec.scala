@@ -41,7 +41,7 @@ class EventStreamSpec extends SparkTestBase {
     def ts(minute: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
     val deduped = EventStream.dedupWithinWatermark(
-      input.toDF().toDF("ts", "event_id", "payload"), Seq("event_id"),
+      input.toDF().toDF("ts", "event_id", "payload"), "event_id",
       watermark = "10 minutes")
     val q = deduped.writeStream.format("memory").queryName("dedup_out")
       .outputMode("append").start()
@@ -56,6 +56,23 @@ class EventStreamSpec extends SparkTestBase {
       q.processAllAvailable()
       val ids = s.sql("SELECT event_id FROM dedup_out").collect().map(_.getLong(0)).sorted
       assert(ids.toSeq == Seq(1L, 2L, 3L), s"duplicates leaked: ${ids.toSeq}")
+    } finally q.stop()
+  }
+
+  test("dedupedEvents file-stream wiring emits each event_id once") {
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val q = EventStream.dedupedEvents(s, sf)
+      .writeStream.format("memory").queryName("dedup_events_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n = s.sql("SELECT COUNT(*) FROM dedup_events_out").collect().head.getLong(0)
+      val distinct = s.sql(
+        "SELECT COUNT(DISTINCT event_id) FROM dedup_events_out").collect().head.getLong(0)
+      val batch = graft.Tables.events(s, sf).select("event_id").distinct().count()
+      assert(n == distinct && n == batch,
+        s"deduped stream must emit each id once: n=$n distinct=$distinct batch=$batch")
     } finally q.stop()
   }
 }
