@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The two cross-engine primitives every dedup/similarity oracle rests
+  * on, checked against plain-Scala models of the DuckDB formulas —
+  * bit-for-bit, over randomized and adversarial inputs. The oracle gate
+  * exercises them only through whole queries; this pins the primitives
+  * themselves. */
+class FunctionsParitySpec extends graft.streaming.SparkTestBase {
+
+  /** DuckDB twin model: list_reduce(list_prepend(0, ascii codes),
+    * (a, c) -> (a*131 + c) % 1e9+7). */
+  private def strhashModel(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % 1000000007L)
+
+  /** DuckDB twin model: sequential left-to-right double fold. */
+  private def dotModel(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    for (i <- a.indices) s += a(i).toDouble * b(i).toDouble
+    s
+  }
+
+  test("graft_strhash matches the DuckDB fold model on random + edge ASCII strings") {
+    val s = spark
+    GraftFunctions.register(s)
+    val rnd = new scala.util.Random(42)
+    val printable = (32 to 126).map(_.toChar)
+    val cases = Seq("", "a", " ", "~", "zzzzzzzzzzzzzzzzzzzzzzzz",
+      printable.mkString) ++
+      Seq.fill(200)(Seq.fill(rnd.nextInt(60) + 1)(
+        printable(rnd.nextInt(printable.size))).mkString)
+    val df = s.createDataFrame(
+      java.util.Arrays.asList(cases.map(Row(_)): _*),
+      StructType(Seq(StructField("x", StringType))))
+    val got = df.select(expr("graft_strhash(x)")).collect().map(_.getLong(0))
+    cases.zip(got).foreach { case (in, h) =>
+      assert(h == strhashModel(in), s"hash mismatch for ${in.take(20)}…")
+    }
+  }
+
+  test("graft_dot is bit-identical to the sequential-fold model") {
+    val s = spark
+    GraftFunctions.register(s)
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(100)((
+      Array.fill(64)(rnd.nextFloat() * 2e3f - 1e3f),
+      Array.fill(64)(rnd.nextFloat() * 2e3f - 1e3f))) :+
+      ((Array.empty[Float], Array.empty[Float]))
+    val df = s.createDataFrame(
+      java.util.Arrays.asList(pairs.map { case (a, b) => Row(a.toSeq, b.toSeq) }: _*),
+      StructType(Seq(
+        StructField("a", ArrayType(FloatType, containsNull = false)),
+        StructField("b", ArrayType(FloatType, containsNull = false)))))
+    val got = df.select(expr("graft_dot(a, b)")).collect().map(_.getDouble(0))
+    pairs.zip(got).foreach { case ((a, b), d) =>
+      assert(java.lang.Double.doubleToLongBits(d) ==
+        java.lang.Double.doubleToLongBits(dotModel(a, b)),
+        s"dot bits differ: got $d want ${dotModel(a, b)}")
+    }
+  }
+
+  test("graft_dot nulls on ragged or null-element input") {
+    val s = spark
+    GraftFunctions.register(s)
+    val df = s.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](1f)),
+        Row(Seq[java.lang.Float](1f, null), Seq[java.lang.Float](1f, 2f))),
+      StructType(Seq(
+        StructField("a", ArrayType(FloatType, containsNull = true)),
+        StructField("b", ArrayType(FloatType, containsNull = true)))))
+    assert(df.select(expr("graft_dot(a, b)")).collect().forall(_.isNullAt(0)))
+  }
+}
