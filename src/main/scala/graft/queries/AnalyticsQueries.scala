@@ -295,6 +295,43 @@ object AnalyticsQueries {
       .orderBy(col("purchase_id"))
   }
 
+  /** TPC-H Q17-style: revenue from small-quantity orders of one brand —
+    * the correlated per-group threshold (l_quantity < 0.2 × that part's
+    * average quantity) computed as a window over the partkey partitions,
+    * the single-scan shape: a correlated scalar subquery would make the
+    * optimizer build the lineitem⋈part aggregate twice. The window
+    * average is a decimal-exact sum over the partition divided once in
+    * DOUBLE, so the threshold is bit-identical across engines and
+    * partitionings. */
+  private def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_partkey"))
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).filter(col("p_brand") === "Brand#23"),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty",
+        sum(col("l_quantity").cast(DecimalType(18, 2))).over(w).cast(DoubleType) /
+          count(lit(1)).over(w))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg(count(lit(1)).as("n_items"),
+        (P.dsum2(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q14-style promo revenue share: conditional vs total decimal
+    * sums in ONE aggregation, ratio derived afterwards — never a
+    * double-summed CASE (order-dependent) nor a second scan. */
+  private def promoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val dp = P.discPrice(col("l_extendedprice"), col("l_discount"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1996-03-01") && col("l_shipdate") < ts("1996-04-01"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .agg(
+        P.sumd(when(col("p_type").like("PROMO%"), dp)
+          .otherwise(lit(0).cast(DecimalType(24, 6)))).as("promo_revenue"),
+        P.sumd(dp).as("total_revenue"))
+      .withColumn("promo_pct",
+        col("promo_revenue") * 100.0 / col("total_revenue"))
+  }
+
   /** Pivot: user × event-type count matrix. */
   private def eventPivot(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
@@ -488,6 +525,32 @@ object AnalyticsQueries {
              COALESCE(epoch_ms(ts) - epoch_ms(last_click_ts), -1) AS gap_ms
       FROM t WHERE event_type = 'purchase' ORDER BY purchase_id"""),
       "as-of join (latest prior click per purchase) via tagged window"),
+
+    "a21_small_qty_revenue" -> QueryDef(smallQtyRevenue, Some("""
+      WITH t AS (
+        SELECT l_quantity, l_extendedprice,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY p_partkey) AS DOUBLE)
+            / COUNT(*) OVER (PARTITION BY p_partkey) AS avg_qty
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey AND p_brand = 'Brand#23')
+      SELECT COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      FROM t WHERE l_quantity < avg_qty * 0.2"""),
+      "TPC-H Q17 small-quantity revenue via windowed threshold"),
+
+    "a22_promo_revenue" -> QueryDef(promoRevenue, Some(s"""
+      WITH g AS (
+        SELECT
+          CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN $discPriceSql
+                             ELSE CAST(0 AS DECIMAL(24,6)) END), 2) AS DOUBLE) AS promo_revenue,
+          CAST(ROUND(SUM($discPriceSql), 2) AS DOUBLE) AS total_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01')
+      SELECT promo_revenue, total_revenue,
+             promo_revenue * 100.0 / total_revenue AS promo_pct
+      FROM g"""),
+      "TPC-H Q14 promo revenue share"),
 
     "a20_event_pivot" -> QueryDef(eventPivot, Some("""
       SELECT user_id,
