@@ -332,6 +332,35 @@ object AnalyticsQueries {
         col("promo_revenue") * 100.0 / col("total_revenue"))
   }
 
+  /** Range join composed from built-ins (SURVEY §4 ladder, like the
+    * a19 as-of join): clicks within ±1 h of each purchase by the same
+    * user. The naive formulation is a non-equi theta-join (O(n²) per
+    * user at scale); instead the click side explodes to its hour bucket
+    * ±1 and the join becomes an equi-join on (user, bucket) — any pair
+    * within 1 h shares a key exactly once — followed by the exact range
+    * filter. One shuffle on the composite key, candidates ≤ 3× clicks,
+    * never a cross product. */
+  private def rangeJoinClicks(s: SparkSession, dir: String): DataFrame = {
+    val HourMs = 3600000L
+    val e = Tables.events(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withColumn("p_bkt", floor(P.epochMs(col("p_ts")) / HourMs))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withColumn("b0", floor(P.epochMs(col("c_ts")) / HourMs))
+      .select(col("c_user"), col("c_ts"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("c_bkt"))
+    p.join(c,
+        col("p_user") === col("c_user") && col("p_bkt") === col("c_bkt") &&
+          abs(P.epochMs(col("c_ts")) - P.epochMs(col("p_ts"))) <= HourMs,
+        "left_outer")
+      .groupBy(col("purchase_id"))
+      .agg(count(col("c_ts")).as("n_near_clicks"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Pivot: user × event-type count matrix. */
   private def eventPivot(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
@@ -551,6 +580,16 @@ object AnalyticsQueries {
              promo_revenue * 100.0 / total_revenue AS promo_pct
       FROM g"""),
       "TPC-H Q14 promo revenue share"),
+
+    "a23_range_join_clicks" -> QueryDef(rangeJoinClicks, Some("""
+      WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click')
+      SELECT purchase_id, CAST(COUNT(c_ts) AS BIGINT) AS n_near_clicks
+      FROM p LEFT JOIN c ON p.user_id = c.user_id
+        AND abs(epoch_ms(c_ts) - epoch_ms(p_ts)) <= 3600000
+      GROUP BY purchase_id ORDER BY purchase_id"""),
+      "range join (clicks within 1h of purchase) via interval bucketing"),
 
     "a20_event_pivot" -> QueryDef(eventPivot, Some("""
       SELECT user_id,
