@@ -49,6 +49,37 @@ object DedupQueries {
     * DuckDB oracles so results stay hash-identical. */
   private val MaxBucket = 64
 
+  /** Cap-BEFORE-collect bucket aggregation shared by every LSH family
+    * (d03/d04/d06/s03): count bucket sizes with a per-key window, drop
+    * rows of buckets outside [2, maxBucket], and only then
+    * `collect_list` the payload.
+    *
+    * Ordering matters at scale: `collect_list → filter(size)` (the
+    * round-2 shape) materializes a degenerate hot bucket — k boilerplate
+    * docs, each payload struct carrying gram sets or vectors — as ONE
+    * k-element array in a single aggregation buffer before the cap can
+    * discard it: an executor OOM on the hottest key. Here the count runs
+    * first; `WindowExec` buffers the bucket's rows individually in a
+    * spillable array (spills to disk past
+    * `spark.sql.windowExec.buffer.spill.threshold`), so the hot bucket
+    * costs disk, not heap, and the collect aggregate only ever sees
+    * buckets ≤ maxBucket. Still ONE shuffle and ONE scan of the
+    * signature subtree: the window and the collect share the bucket-key
+    * hash partitioning (a count-agg + semi-join would plan two
+    * non-identical exchanges over the signature subtree — partial-agg on
+    * one side, raw rows on the other — defeating ReuseExchange and
+    * computing the gram/hash pipeline twice). */
+  private[queries] def collectCappedBuckets(bandRows: DataFrame,
+      keyCols: Seq[String], payload: org.apache.spark.sql.Column,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val keys = keyCols.map(col)
+    bandRows
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .filter(col("bucket_n").between(2, maxBucket))
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(payload)).as("ids"))
+  }
+
   /** The in-bucket pair-expansion skeleton shared by every LSH family
     * (d03/d04/d06/s03): for a sorted bucket array `ids`, emit each
     * unordered pair (i < j) as a struct of `fields` over `x`/`y` —
@@ -135,10 +166,7 @@ object DedupQueries {
     * self-join (which would recompute the signature plan on both sides
     * and, at scale, shuffle the corpus twice). */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    bands(s, dir)
-      .groupBy(col("b"), col("bkey"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, MaxBucket))
+    collectCappedBuckets(bands(s, dir), Seq("b", "bkey"), col("doc_id"))
       .select(explode(expr(pairExpansion("x AS doc_a, y AS doc_b"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
       .orderBy(col("doc_a"), col("doc_b"))
@@ -173,13 +201,12 @@ object DedupQueries {
     * Jaccard over the grams themselves (mod 1e9+7 collisions, which the
     * oracle twin reproduces exactly). */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    signatures(s, dir, withGrams = true)
-      .select(col("doc_id"), col("gh"), explode(array(bandKeyStructs: _*)).as("bk"))
-      .select(col("bk.b").as("b"), col("bk.bkey").as("bkey"),
-        struct(col("doc_id"), col("gh")).as("dg"))
-      .groupBy(col("b"), col("bkey"))
-      .agg(array_sort(collect_list(col("dg"))).as("ids"))
-      .filter(size(col("ids")).between(2, MaxBucket))
+    collectCappedBuckets(
+      signatures(s, dir, withGrams = true)
+        .select(col("doc_id"), col("gh"), explode(array(bandKeyStructs: _*)).as("bk"))
+        .select(col("bk.b").as("b"), col("bk.bkey").as("bkey"),
+          struct(col("doc_id"), col("gh")).as("dg")),
+      Seq("b", "bkey"), col("dg"))
       .select(explode(expr(pairExpansion(
         "x.doc_id AS doc_a, y.doc_id AS doc_b, x.gh AS ga, y.gh AS gb"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.ga"), col("p.gb")).distinct()
@@ -281,14 +308,13 @@ object DedupQueries {
     // collected structs, so the signature subplan is computed exactly
     // once — joining back to the signature table would make Catalyst
     // recompute the whole explode/hash/aggregate pipeline per join side.
-    simhashBase(s, dir)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(SimBands - 1))).as("b"), col("simhash"))
-      .select(col("b"),
-        expr("shiftright(simhash, CAST(b * 10 AS INT)) & CAST(1023 AS BIGINT)").as("bv"),
-        struct(col("doc_id"), col("simhash")).as("ds"))
-      .groupBy(col("b"), col("bv"))
-      .agg(array_sort(collect_list(col("ds"))).as("ids"))
-      .filter(size(col("ids")).between(2, MaxBucket))
+    collectCappedBuckets(
+      simhashBase(s, dir)
+        .select(col("doc_id"), explode(sequence(lit(0), lit(SimBands - 1))).as("b"), col("simhash"))
+        .select(col("b"),
+          expr("shiftright(simhash, CAST(b * 10 AS INT)) & CAST(1023 AS BIGINT)").as("bv"),
+          struct(col("doc_id"), col("simhash")).as("ds")),
+      Seq("b", "bv"), col("ds"))
       .select(explode(expr(pairExpansion(
         """x.doc_id AS doc_a, y.doc_id AS doc_b,
            x.simhash AS sim_a, y.simhash AS sim_b"""))).as("p"))

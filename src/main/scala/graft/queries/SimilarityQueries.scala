@@ -119,12 +119,14 @@ object SimilarityQueries {
     * inlined ~25 KB of constants and dominated the query's runtime. */
   private def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val bvArray = expr(s"graft_hyperbands(v, $HyperBands, $HyperBits)")
-    vecs(s, dir)
-      .select(col("label"), posexplode(bvArray).as(Seq("b", "bv")),
-        struct(col("vec_id"), col("v"), col("nrm")).as("ds"))
-      .groupBy(col("label"), col("b"), col("bv"))
-      .agg(array_sort(collect_list(col("ds"))).as("ids"))
-      .filter(size(col("ids")).between(2, MaxBucket))
+    // Cap-before-collect via the shared helper: the bucket-size count
+    // window runs upstream of collect_list, so a degenerate bucket of
+    // 64-float vectors spills instead of materializing one giant array.
+    DedupQueries.collectCappedBuckets(
+      vecs(s, dir)
+        .select(col("label"), posexplode(bvArray).as(Seq("b", "bv")),
+          struct(col("vec_id"), col("v"), col("nrm")).as("ds")),
+      Seq("label", "b", "bv"), col("ds"), MaxBucket)
       .select(col("label"), explode(expr(DedupQueries.pairExpansion(
         """x.vec_id AS id_a, y.vec_id AS id_b,
            x.v AS va, x.nrm AS na, y.v AS vb, y.nrm AS nb"""))).as("p"))
