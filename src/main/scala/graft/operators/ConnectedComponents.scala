@@ -1,26 +1,82 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-/** Distributed connected components by iterative min-label propagation —
-  * the clustering step of near-dup dedup (d07) as a reusable operator.
+/** Distributed connected components by alternating big-star/small-star
+  * contraction — the clustering step of near-dup dedup (d07) as a
+  * reusable operator.
   *
-  * Each round is one shuffle join (edges ⋈ labels) plus a
-  * map-side-combinable MIN aggregate; rounds needed = max component
-  * eccentricity. Near-dup clusters are shallow in practice; corpora
-  * with deep similarity chains want the big-star/small-star contraction
-  * (O(log n) rounds over the same join+MIN primitive) — this operator
-  * fails loudly rather than emit a truncated fixpoint.
+  * Each round applies two edge rewrites (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14):
   *
-  * Convergence is detected by the monotone checksum: labels only ever
-  * decrease, so the fixpoint is reached exactly when sum(cluster) stops
-  * changing — one scalar aggregate per round instead of a join against
-  * the previous labels. Ids are cast to DECIMAL(38,0) inside the sum so
-  * huge id spaces cannot wrap.
+  *  - '''large-star''': every node links its LARGER neighbors to the
+  *    minimum of its neighborhood (including itself);
+  *  - '''small-star''': every node links its smaller neighbors (and
+  *    itself) to the minimum of those.
+  *
+  * The fixpoint is a forest of stars, each rooted at its component's
+  * minimum id. Convergence takes O(log n) rounds regardless of
+  * component diameter — a 1024-node path contracts in 11 rounds where
+  * min-label propagation (this operator's previous incarnation) needed
+  * ~1024: on 100 TB corpora, boilerplate families form exactly such
+  * deep similarity chains, and rounds are shuffles.
+  *
+  * Both rewrites compute the per-neighborhood minimum with a window
+  * over the grouping node, not a groupBy+join-back: one shuffle per
+  * rewrite, a spillable row buffer for skewed neighborhoods (the same
+  * hot-key argument as the LSH bucket cap), and the edge set is
+  * scanned once per rewrite.
+  *
+  * Convergence is detected by a (count, sum(src), sum(dst)) checksum
+  * over the edge set — one scalar aggregate per round. Sums are
+  * DECIMAL(38,0) so huge id spaces cannot wrap; a NULL sum alongside a
+  * non-zero count (decimal overflow under non-ANSI SQL) throws rather
+  * than risking a silent false fixpoint. On checksum convergence the
+  * star shape itself is verified (no node may be both a child and a
+  * parent) so even an astronomically unlikely checksum collision fails
+  * loudly instead of emitting wrong labels.
   */
 object ConnectedComponents {
+
+  /** Large-star: for each node u with symmetric neighborhood N(u) and
+    * m = min(N(u) ∪ {u}), emit (v, m) for every v ∈ N(u), v > u. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    sym
+      .withColumn("m", least(col("src"), min(col("dst"))
+        .over(Window.partitionBy(col("src")))))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    // no distinct here: the min-window is duplicate-insensitive and
+    // small-star ends the round with one — saves a shuffle per round
+  }
+
+  /** Small-star: orient each edge toward its larger endpoint; for each
+    * node b with smaller-neighbor set N(b) and m = min(N(b)), emit
+    * (v, m) for every v ∈ N(b) ∪ {b}, v ≠ m. */
+  private def smallStar(edges: DataFrame): DataFrame =
+    edges
+      .select(greatest(col("src"), col("dst")).as("b"),
+        least(col("src"), col("dst")).as("s"))
+      .withColumn("m", min(col("s")).over(Window.partitionBy(col("b"))))
+      .select(explode(array(
+        struct(col("b").as("src"), col("m").as("dst")),
+        struct(col("s").as("src"), col("m").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** One-time fixpoint validation: a converged edge set must be a
+    * forest of stars, i.e. no node appears as both a child (src) and a
+    * parent (dst). Guards the checksum against collisions. */
+  private def isStarForest(edges: DataFrame): Boolean =
+    edges.alias("a")
+      .join(edges.alias("b"), col("a.dst") === col("b.src"), "left_semi")
+      .isEmpty
 
   /** @param pairs undirected edges as two numeric-id columns
     * @return (doc, cluster): every vertex labeled with its component's
@@ -28,50 +84,62 @@ object ConnectedComponents {
   def run(pairs: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionByName(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    var edges = pairs
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
       .persist()
     // try/finally: the non-convergence throw (or any mid-loop failure)
-    // must not leave the doubled edge list pinned in a long-lived
-    // session's block manager.
-    var pinned: DataFrame = null // currently-cached round (the last one stays)
+    // must not leave the current round pinned in a long-lived session's
+    // block manager.
+    var pinned: DataFrame = edges
     try {
-      var labels = edges.select(col("src").as("doc")).distinct()
-        .withColumn("cluster", col("doc"))
-      var prevSum: java.math.BigDecimal = null
+      var prev: (Long, java.math.BigDecimal, java.math.BigDecimal) = null
       var iter = 0
-      var done = false
+      var done = edges.isEmpty // no edges: trivially converged
       while (!done && iter < maxIters) {
-        val msgs = edges.alias("e")
-          .join(labels.alias("l"), col("e.dst") === col("l.doc"))
-          .select(col("e.src").as("doc"), col("l.cluster"))
-        val next = labels.unionByName(msgs)
-          .groupBy(col("doc")).agg(min(col("cluster")).as("cluster"))
-          .persist()
-        val sum = next.agg(org.apache.spark.sql.functions.sum(
-          col("cluster").cast(DecimalType(38, 0)))).first().getDecimal(0)
+        val next = smallStar(largeStar(edges)).persist()
+        val row = next.agg(
+          count(lit(1)),
+          sum(col("src").cast(DecimalType(38, 0))),
+          sum(col("dst").cast(DecimalType(38, 0)))).first()
+        val cnt = row.getLong(0)
+        val (sSrc, sDst) = (row.getDecimal(1), row.getDecimal(2))
+        if (cnt > 0 && (sSrc == null || sDst == null))
+          throw new IllegalStateException(
+            "connected components: DECIMAL(38,0) checksum overflow — " +
+            s"NULL sum over $cnt edges; cannot verify convergence")
         // Truncate lineage EXPLICITLY: persist alone leaves the logical
-        // plan nesting the previous round's plan (doubling per round — a
-        // 30-round chain ran out of heap merely stringifying it).
+        // plan nesting the previous round's plan (doubling per round).
         // Re-wrapping the cached rows as a fresh DataFrame makes every
         // round's plan a shallow scan of the cached data, and lets the
         // previous round's blocks be unpersisted immediately — memory
-        // stays at two label-table copies regardless of depth.
-        labels = spark.createDataFrame(next.toDF().rdd, next.schema)
-        if (pinned != null) pinned.unpersist()
+        // stays at two edge-set copies regardless of depth.
+        edges = spark.createDataFrame(next.toDF().rdd, next.schema)
+        pinned.unpersist()
         pinned = next
-        done = if (sum == null) prevSum == null
-               else prevSum != null && sum.compareTo(prevSum) == 0
-        prevSum = sum
+        done = prev != null && prev._1 == cnt &&
+          decEq(prev._2, sSrc) && decEq(prev._3, sDst)
+        prev = (cnt, sSrc, sDst)
         iter += 1
       }
-      if (!done) {
-        if (pinned != null) pinned.unpersist()
+      if (!done)
         throw new IllegalStateException(
           s"connected components did not converge in $maxIters rounds")
-      }
+      if (!isStarForest(edges))
+        throw new IllegalStateException(
+          "connected components: checksum converged on a non-star edge " +
+          "set (checksum collision); refusing to emit wrong labels")
+      // Star forest → labels: children carry their root, roots carry
+      // themselves. groupBy-min collapses the duplicate root rows.
+      edges.select(col("src").as("doc"), col("dst").as("cluster"))
+        .unionByName(edges.select(col("dst").as("doc"), col("dst").as("cluster")))
+        .groupBy(col("doc")).agg(min(col("cluster")).as("cluster"))
       // the final round's cache stays pinned: the returned plan reads it
-      labels
-    } finally edges.unpersist()
+    } catch {
+      case t: Throwable => pinned.unpersist(); throw t
+    }
   }
+
+  private def decEq(a: java.math.BigDecimal, b: java.math.BigDecimal): Boolean =
+    (a == null && b == null) || (a != null && b != null && a.compareTo(b) == 0)
 }

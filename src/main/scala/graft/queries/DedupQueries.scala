@@ -249,15 +249,13 @@ object DedupQueries {
     * name each by its minimum doc_id (the canonical survivor; everything
     * else in the cluster is droppable).
     *
-    * Components come from iterative min-label propagation over the edge
-    * list — each round is one shuffle-join (labels × edges) + a
-    * map-side-combinable MIN aggregate, and the loop runs O(component
-    * diameter) rounds (near-dup clusters are shallow; the 100 TB upgrade
-    * path is the big-star/small-star contraction, which converges in
-    * O(log n) rounds over the same join+min primitive). The driver-side
-    * `while` only checks the converged row count — all data movement is
-    * distributed. The DuckDB twin is a recursive CTE over the same
-    * verified pairs. */
+    * Components come from alternating big-star/small-star contraction
+    * over the edge list ([[graft.operators.ConnectedComponents]]) —
+    * O(log n) rounds regardless of component diameter, so the deep
+    * similarity chains of 100 TB corpora (boilerplate families) cost
+    * ~10 rounds, not thousands. The driver-side `while` only checks a
+    * scalar convergence checksum — all data movement is distributed.
+    * The DuckDB twin is a recursive CTE over the same verified pairs. */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
     graft.operators.ConnectedComponents.run(
       jaccardPairs(s, dir)

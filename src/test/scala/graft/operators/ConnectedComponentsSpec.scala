@@ -19,6 +19,18 @@ class ConnectedComponentsSpec extends graft.streaming.SparkTestBase {
     assert(labels.values.toSet == Set(70L), s"chain must collapse to 70: $labels")
   }
 
+  test("128-node path converges within 2*log2(n) rounds") {
+    // The O(log n) contraction contract: a path graph is the worst case
+    // for diameter-bound algorithms (min-label propagation would need
+    // ~128 rounds). maxIters IS the assertion — big/small-star must
+    // reach the fixpoint within 2*log2(128) = 14 rounds or run() throws.
+    val n = 128
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1))
+    val labels = cc(chain, maxIters = 2 * 7)
+    assert(labels.keySet == (0L until n.toLong).toSet)
+    assert(labels.values.toSet == Set(0L), "path must collapse to node 0")
+  }
+
   test("cycles, multiple components, and id order independence") {
     val labels = cc(Seq(
       (5L, 3L), (3L, 9L), (9L, 5L),   // cycle, min 3
