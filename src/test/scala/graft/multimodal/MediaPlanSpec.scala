@@ -1,0 +1,32 @@
+package graft.multimodal
+
+import org.apache.spark.sql.execution.{ExplainMode, FileSourceScanExec}
+
+/** Plan-shape regression tests for the media pipeline: the properties
+  * the 100 TB story depends on but value-level oracles can't see. */
+class MediaPlanSpec extends graft.streaming.SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("m03 metadata scan prunes the payload column out of the parquet read") {
+    // metadataSummary must stay answerable without touching the payload
+    // (here: the `text` column the fake payload derives from). If anyone
+    // widens the scan, ReadSchema regains the column and this fails.
+    val qe = MediaPipeline.metadataSummary(spark, sf).queryExecution
+    val scans = qe.executedPlan.collect { case f: FileSourceScanExec => f }
+    val schemas =
+      if (scans.nonEmpty) scans.map(_.requiredSchema.fieldNames.toSet)
+      else { // AQE wraps the initial plan; fall back to the formatted text
+        val re = "ReadSchema: struct<([^>]*)>".r
+        re.findAllMatchIn(qe.explainString(ExplainMode.fromString("formatted")))
+          .map(_.group(1).split(",").map(_.takeWhile(_ != ':').trim).toSet)
+          .toSeq
+      }
+    assert(schemas.nonEmpty, "expected at least one parquet scan in the plan")
+    schemas.foreach { fields =>
+      assert(!fields.contains("text"),
+        s"payload column leaked into the parquet ReadSchema: $fields")
+      assert(fields.contains("doc_id"), s"unexpected scan schema: $fields")
+    }
+  }
+}
