@@ -25,6 +25,32 @@ final class Scaler(log: StreamLog, groupName: String, clock: Clock = SystemClock
     (backlog, pending)
   }
 
+  def calculateRate(backlog: Int, pending: Int): Double =
+    Scaler.calculateRate(backlog, pending)
+
+  def validateScalingParams(scaleOutRate: Int, scaleInRate: Int): Unit =
+    Scaler.validateScalingParams(scaleOutRate, scaleInRate)
+
+  def calculateScale(
+      rate: Double, backlog: Int, consumers: Int,
+      scaleOutRate: Int, scaleInRate: Int): String =
+    Scaler.calculateScale(rate, backlog, consumers, scaleOutRate, scaleInRate)
+
+  /** S5: validate → rate → decide (defaults out=50, in=10,
+    * reference `scaler.py:99-117`). */
+  def getScaleDecision(scaleOutRate: Int = 50, scaleInRate: Int = 10): (Double, String) = {
+    validateScalingParams(scaleOutRate, scaleInRate)
+    val (backlog, pending) = collectMetrics()
+    val rate = calculateRate(backlog, pending)
+    val suggestion = calculateScale(rate, backlog, group.consumers.size, scaleOutRate, scaleInRate)
+    (rate, suggestion)
+  }
+}
+
+/** The pure S2-S4 arithmetic, shared by the batch advisor above and the
+  * streaming-offset twin below (same decision tables, one definition). */
+object Scaler {
+
   /** S2: utilization rate = round(clamp(backlog/pending·100, 1, 100), 4);
     * 0 when EITHER backlog or pending is 0 — the reference's
     * `all([stream_length, stream_pending])` guard (`scaler.py:74-83`)
@@ -59,14 +85,50 @@ final class Scaler(log: StreamLog, groupName: String, clock: Clock = SystemClock
     else if (rate < scaleInRate && consumers > 1) Scale.In
     else if (rate >= scaleOutRate) Scale.Out
     else Scale.NoScale
+}
 
-  /** S5: validate → rate → decide (defaults out=50, in=10,
-    * reference `scaler.py:99-117`). */
-  def getScaleDecision(scaleOutRate: Int = 50, scaleInRate: Int = 10): (Double, String) = {
-    validateScalingParams(scaleOutRate, scaleInRate)
-    val (backlog, pending) = collectMetrics()
-    val rate = calculateRate(backlog, pending)
-    val suggestion = calculateScale(rate, backlog, group.consumers.size, scaleOutRate, scaleInRate)
-    (rate, suggestion)
+/** The Scaler's live twin for Structured Streaming: S1's cursors mapped
+  * onto the DSv2 offset model of [[StreamLogSourceProvider]]
+  * (reference `scaler.py:36-63` semantics, no consumer group needed):
+  *
+  *  - the '''delivered''' cursor is a resolved end offset of the running
+  *    query (its offset WAL / `StreamingQueryProgress.sources.endOffset`
+  *    — [[LogOffset]] serializes as the raw stream id);
+  *  - the '''acked''' cursor is the source's last epoch commit
+  *    ([[StreamLogRegistry.committedId]], written by
+  *    `StreamLogMicroBatchStream.commit` — the C7 ack boundary);
+  *  - '''backlog''' = ids past the delivered cursor (S1's
+  *    never-delivered ⇒ XLEN / caught-up ⇒ 0 / else count rules);
+  *  - '''pending''' = ids delivered but not yet epoch-committed — the
+  *    PEL's cardinality in offset arithmetic: (acked, delivered].
+  *
+  * Rate and decision reuse the exact S2/S3 tables from [[Scaler]].
+  */
+final class StreamingScaler(logKey: String) {
+
+  private def log = StreamLogRegistry.get(logKey)
+
+  /** S1, offset-based. @param deliveredUpTo a resolved end offset of
+    * the running query (offset WAL entry or progress endOffset). */
+  def collectMetrics(deliveredUpTo: String): (Int, Int) = {
+    val acked = StreamLogRegistry.committedId(logKey)
+    val backlog =
+      if (deliveredUpTo == MsgId.Zero) log.len
+      else if (deliveredUpTo == log.lastGeneratedId) 0
+      else log.all.count(m => MsgId.lt(deliveredUpTo, m.msgid))
+    val pending = log.all.count(m =>
+      MsgId.lt(acked, m.msgid) && MsgId.lte(m.msgid, deliveredUpTo))
+    (backlog, pending)
+  }
+
+  /** S5 from live offsets: validate → rate → decide.
+    * @param consumers the running query's delivery parallelism (the
+    *        consumer-count analog in the S3 table) */
+  def getScaleDecision(deliveredUpTo: String, consumers: Int,
+      scaleOutRate: Int = 50, scaleInRate: Int = 10): (Double, String) = {
+    Scaler.validateScalingParams(scaleOutRate, scaleInRate)
+    val (backlog, pending) = collectMetrics(deliveredUpTo)
+    val rate = Scaler.calculateRate(backlog, pending)
+    (rate, Scaler.calculateScale(rate, backlog, consumers, scaleOutRate, scaleInRate))
   }
 }
