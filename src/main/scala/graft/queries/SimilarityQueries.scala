@@ -121,7 +121,8 @@ object SimilarityQueries {
 
   private val HyperBands = 8
   private val HyperBits  = 8
-  private val HyperDim   = 64 // embedding dimensionality (TESTDATA.md)
+  // No hardcoded embedding dimensionality anywhere: both engines derive
+  // hyperplane indices from each row's actual vector length.
   private val MaxBucket  = 64 // degenerate-bucket cap, mirrored in the twin
 
   /** Near-dup pairs: top-50 banded same-label candidates by cosine.
@@ -221,13 +222,16 @@ object SimilarityQueries {
 
   /** DuckDB twin of [[graft.functions.HyperplaneBands]]: same LCG
     * regenerated inline (all BIGINT arithmetic), same sequential-fold
-    * dot → identical signs. */
+    * dot → identical signs. The hyperplane index is `k·len(v)+i`,
+    * derived from each row's ACTUAL vector length exactly as the Spark
+    * expression derives it — a dimensionality change diverges nowhere
+    * instead of silently mismatching a hardcoded constant. */
   private def bandValueDuck(b: Int): String =
     (0 until HyperBits).map { r =>
       val k = b * HyperBits + r
       val dot = s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        list_transform(generate_series(1, $HyperDim),
-          i -> v[i] * CAST(((1103515245 * ($k * $HyperDim + i - 1) + 12345) % 2147483648) % 2001 - 1000 AS DOUBLE))),
+        list_transform(generate_series(1, len(v)),
+          i -> v[i] * CAST(((1103515245 * ($k * len(v) + i - 1) + 12345) % 2147483648) % 2001 - 1000 AS DOUBLE))),
         (a, z) -> a + z)"""
       s"(CASE WHEN $dot > 0 THEN CAST(${1 << r} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")

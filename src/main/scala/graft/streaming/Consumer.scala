@@ -15,7 +15,13 @@ object Consumer {
     * (`consumer.py:42`), ported quirk included: the unseparated
     * concatenation is ambiguous (pid 12/thread 34 collides with pid
     * 123/thread 4), so colliding consumers would share a PEL slice.
-    * Pass an explicit id where that matters. */
+    * Pass an explicit id where that matters.
+    *
+    * Deliberate divergence: this is a `def` (per-construction), while
+    * the reference evaluates the f-string once at import as a Python
+    * default argument — all consumers in a reference process share the
+    * importing thread's id. Per-thread ids are what the derivation
+    * plainly intends; memoizing the quirk would port an accident. */
   def defaultConsumerId: String =
     s"${ProcessHandle.current().pid()}${Thread.currentThread().getId}"
 }
