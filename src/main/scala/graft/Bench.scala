@@ -38,7 +38,10 @@ object Bench {
         try {
           once() // warmup run, discarded
           val times = Array.fill(iters)(once()).sorted
-          times(times.length / 2)
+          // true median: mean of the two middles for even iter counts
+          // (upper-middle alone would bias even-iters runs high)
+          if (times.length % 2 == 1) times(times.length / 2)
+          else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0

@@ -71,16 +71,27 @@ object ConnectedComponents {
       .distinct()
 
   /** One-time fixpoint validation: a converged edge set must be a
-    * forest of stars, i.e. no node appears as both a child (src) and a
-    * parent (dst). Guards the checksum against collisions. */
+    * forest of stars — no node appears as both a child (src) and a
+    * parent (dst), AND every child has exactly one parent (a two-parent
+    * child like {(x,r1),(x,r2)} has no chain yet still isn't a star).
+    * Guards the checksum against collisions. */
   private def isStarForest(edges: DataFrame): Boolean =
     edges.alias("a")
       .join(edges.alias("b"), col("a.dst") === col("b.src"), "left_semi")
+      .isEmpty &&
+    edges.groupBy(col("src"))
+      .agg(countDistinct(col("dst")).as("parents"))
+      .filter(col("parents") > 1)
       .isEmpty
 
-  /** @param pairs undirected edges as two numeric-id columns
-    * @return (doc, cluster): every vertex labeled with its component's
-    *         minimum id (the canonical survivor) */
+  /** @param pairs undirected edges as two numeric-id columns.
+    *        Self-loops (a,a) carry no connectivity and are dropped: a
+    *        vertex appearing ONLY in self-loops is omitted from the
+    *        output rather than labeled with itself — labeling it would
+    *        cost an extra pass over the (possibly huge) input edge list
+    *        solely to re-discover isolated ids the caller already has.
+    * @return (doc, cluster): every vertex of a real edge labeled with
+    *         its component's minimum id (the canonical survivor) */
   def run(pairs: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
@@ -98,6 +109,21 @@ object ConnectedComponents {
       var done = edges.isEmpty // no edges: trivially converged
       while (!done && iter < maxIters) {
         val next = smallStar(largeStar(edges)).persist()
+        // Swap the cache bookkeeping BEFORE running any job on `next`:
+        // if the checksum job (or the overflow guard below) throws, the
+        // catch block's pinned.unpersist() then releases the round that
+        // actually holds blocks — unpersisting only the previous round
+        // would leak the fresh cache it just materialized.
+        //
+        // Truncate lineage EXPLICITLY: persist alone leaves the logical
+        // plan nesting the previous round's plan (doubling per round).
+        // Re-wrapping the cached rows as a fresh DataFrame makes every
+        // round's plan a shallow scan of the cached data, and lets the
+        // previous round's blocks be unpersisted immediately — memory
+        // stays at two edge-set copies regardless of depth.
+        edges = spark.createDataFrame(next.toDF().rdd, next.schema)
+        pinned.unpersist()
+        pinned = next
         val row = next.agg(
           count(lit(1)),
           sum(col("src").cast(DecimalType(38, 0))),
@@ -108,15 +134,6 @@ object ConnectedComponents {
           throw new IllegalStateException(
             "connected components: DECIMAL(38,0) checksum overflow — " +
             s"NULL sum over $cnt edges; cannot verify convergence")
-        // Truncate lineage EXPLICITLY: persist alone leaves the logical
-        // plan nesting the previous round's plan (doubling per round).
-        // Re-wrapping the cached rows as a fresh DataFrame makes every
-        // round's plan a shallow scan of the cached data, and lets the
-        // previous round's blocks be unpersisted immediately — memory
-        // stays at two edge-set copies regardless of depth.
-        edges = spark.createDataFrame(next.toDF().rdd, next.schema)
-        pinned.unpersist()
-        pinned = next
         done = prev != null && prev._1 == cnt &&
           decEq(prev._2, sSrc) && decEq(prev._3, sDst)
         prev = (cnt, sSrc, sDst)

@@ -264,6 +264,13 @@ object AnalyticsQueries {
     * with the same decimal-sum/double-divide as before, so the oracle is
     * unchanged. */
   private def bigSpenders(s: SparkSession, dir: String): DataFrame = {
+    // The cache is deliberately left registered after the query runs:
+    // the returned (lazy) plan reads it, so there is no point at which
+    // this method could unpersist. The entries are LRU-evictable from
+    // unified memory, so the cost is soft — bounded eviction pressure,
+    // not a leak — and far smaller than either alternative shape
+    // (double fact-table scan, or every customer row through one
+    // window partition).
     val spend = Tables.orders(s, dir)
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))

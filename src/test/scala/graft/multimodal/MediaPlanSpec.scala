@@ -14,14 +14,13 @@ class MediaPlanSpec extends graft.streaming.SparkTestBase {
     // widens the scan, ReadSchema regains the column and this fails.
     val qe = MediaPipeline.metadataSummary(spark, sf).queryExecution
     val scans = qe.executedPlan.collect { case f: FileSourceScanExec => f }
-    val schemas =
-      if (scans.nonEmpty) scans.map(_.requiredSchema.fieldNames.toSet)
-      else { // AQE wraps the initial plan; fall back to the formatted text
-        val re = "ReadSchema: struct<([^>]*)>".r
-        re.findAllMatchIn(qe.explainString(ExplainMode.fromString("formatted")))
-          .map(_.group(1).split(",").map(_.takeWhile(_ != ':').trim).toSet)
-          .toSeq
-      }
+    val schemas: Seq[String] =
+      if (scans.nonEmpty) scans.map(_.requiredSchema.fieldNames.mkString(","))
+      else // AQE wraps the initial plan; fall back to the formatted text.
+        // Whole ReadSchema lines, not a struct<...> regex — a nested
+        // struct's inner '>' would truncate a capture group.
+        qe.explainString(ExplainMode.fromString("formatted"))
+          .linesIterator.filter(_.contains("ReadSchema:")).toSeq
     assert(schemas.nonEmpty, "expected at least one parquet scan in the plan")
     schemas.foreach { fields =>
       assert(!fields.contains("text"),

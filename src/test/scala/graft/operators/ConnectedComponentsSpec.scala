@@ -46,6 +46,13 @@ class ConnectedComponentsSpec extends graft.streaming.SparkTestBase {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  test("self-loops carry no connectivity (documented contract)") {
+    // (7,7) is dropped; a vertex with ONLY self-loops is omitted, one
+    // with real edges is labeled normally.
+    val labels = cc(Seq((7L, 7L), (1L, 2L), (2L, 2L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("fails loudly instead of emitting a truncated fixpoint") {
     val chain = (0L until 30L).map(i => (i, i + 1))
     val e = intercept[IllegalStateException] { cc(chain, maxIters = 3) }
