@@ -160,6 +160,74 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- t08 eval-set decontamination ----
+  //
+  // The step every pretraining pipeline runs before training: find
+  // corpus documents whose n-grams overlap a held-out evaluation set
+  // (here: the deterministic doc_id % 20 = 7 slice stands in for the
+  // benchmark suite). Shape for 100 TB: the EVAL side is small — its
+  // distinct hashed grams broadcast; the corpus side explodes grams
+  // once and left-joins the broadcast probe set, so the only shuffle is
+  // the per-doc aggregation. Gram unit + hash reuse the MinHash
+  // fragments (word trigrams, graft_strhash) — one definition corpus
+  // wide. On this corpus the ≥50% threshold flags exactly the planted
+  // near-dups of eval docs; the low-fraction tail is the word-salad
+  // trigram collision floor, reported but not flagged.
+  private val ContamPct = 50 // flag at >= 50% of grams hitting the eval set
+
+  private def decontamination(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val grams = docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(DedupQueries.gramsSpark)).as("x"))
+      .select(col("doc_id"), expr(DedupQueries.shingleHashSpark).as("v"))
+    val probes = grams.filter(col("doc_id") % 20 === 7).select(col("v")).distinct()
+    grams.filter(col("doc_id") % 20 =!= 7)
+      .join(broadcast(probes.withColumnRenamed("v", "pv")),
+        col("v") === col("pv"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("pv").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        round(col("n_hits").cast(DoubleType) / col("n_grams"), 4).as("contamination"),
+        // integer cross-multiplication: exact, no float-threshold parity risk
+        (col("n_hits") * 100 >= col("n_grams") * ContamPct).as("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- t09 repetition-based quality filter ----
+  //
+  // Gopher-style intra-document repetition rules: flag documents whose
+  // most frequent token exceeds 15% of tokens or whose duplicate-bigram
+  // fraction exceeds 8% (thresholds calibrated to this corpus: p90 of
+  // top-token fraction is ~0.14, of dup-bigram ~0.065). All metrics are
+  // row-local integer counts and every threshold is an integer
+  // cross-multiplication, so the per-source rollup is exact — no float
+  // aggregation anywhere.
+  private def repetitionFilter(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")).cast(LongType))
+      .withColumn("max_tok",
+        expr("array_max(transform(array_distinct(words), w -> size(filter(words, x -> x = w))))")
+          .cast(LongType))
+      .withColumn("n_bi", greatest(col("n_tokens") - 1, lit(1L)))
+      .withColumn("dist_bi",
+        expr("""size(array_distinct(CASE WHEN size(words) >= 2
+          THEN transform(sequence(1, size(words) - 1),
+               i -> concat_ws(' ', element_at(words, i), element_at(words, i+1)))
+          ELSE array() END))""").cast(LongType))
+      .withColumn("flag_top", col("max_tok") * 100 > col("n_tokens") * 15)
+      .withColumn("flag_bi", (col("n_bi") - col("dist_bi")) * 100 > col("n_bi") * 8)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("flag_top"), 1L).otherwise(0L)).as("n_flagged_top"),
+        sum(when(col("flag_bi"), 1L).otherwise(0L)).as("n_flagged_bigram"),
+        sum(when(col("flag_top") || col("flag_bi"), 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy(col("source"))
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_doc_quality" -> QueryDef(docQuality, Some(s"""$statsDuckCte
       SELECT doc_id, n_tokens,
@@ -234,5 +302,43 @@ object TextQueries {
       SELECT doc_id, source, n_tokens, cum_tokens FROM hc
       WHERE cum_tokens <= $TokenBudgetPerSource
       ORDER BY doc_id"""),
-      "per-source token-budget corpus assembly (deterministic order)"))
+      "per-source token-budget corpus assembly (deterministic order)"),
+
+    "t08_decontamination" -> QueryDef(decontamination, Some(s"""
+      WITH wsrc AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+      gx AS (SELECT doc_id, UNNEST(${DedupQueries.gramsDuck}) AS x FROM wsrc),
+      vx AS (SELECT doc_id, ${DedupQueries.shingleHashDuck} AS v FROM gx),
+      probes AS (SELECT DISTINCT v FROM vx WHERE doc_id % 20 = 7),
+      corpus AS (SELECT doc_id, v FROM vx WHERE doc_id % 20 <> 7),
+      h AS (SELECT c.doc_id, COUNT(*) AS n_grams,
+              CAST(SUM(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+            FROM corpus c LEFT JOIN probes p ON p.v = c.v GROUP BY c.doc_id)
+      SELECT doc_id, n_grams, n_hits,
+        ROUND(CAST(n_hits AS DOUBLE) / n_grams, 4) AS contamination,
+        (n_hits * 100 >= n_grams * $ContamPct) AS is_contaminated
+      FROM h WHERE n_hits > 0 ORDER BY doc_id"""),
+      "eval-set decontamination: trigram overlap vs the held-out slice"),
+
+    "t09_repetition_filter" -> QueryDef(repetitionFilter, Some("""
+      WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+      m AS (SELECT doc_id, source,
+        CAST(len(words) AS BIGINT) AS n_tokens,
+        CAST(list_max(list_transform(list_distinct(words),
+          x -> len(list_filter(words, y -> y = x)))) AS BIGINT) AS max_tok,
+        GREATEST(CAST(len(words) AS BIGINT) - 1, 1) AS n_bi,
+        CAST(len(list_distinct(CASE WHEN len(words) >= 2
+          THEN list_transform(generate_series(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1])
+          ELSE [] END)) AS BIGINT) AS dist_bi
+        FROM w),
+      f AS (SELECT source,
+              (max_tok * 100 > n_tokens * 15) AS flag_top,
+              ((n_bi - dist_bi) * 100 > n_bi * 8) AS flag_bi
+            FROM m)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN flag_top THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_top,
+        CAST(SUM(CASE WHEN flag_bi THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_bigram,
+        CAST(SUM(CASE WHEN flag_top OR flag_bi THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+      FROM f GROUP BY source ORDER BY source"""),
+      "Gopher-style repetition quality filter, per-source rollup"))
 }
