@@ -389,6 +389,56 @@ object AnalyticsQueries {
   private val chargeSql =
     s"CAST($discPriceSql * CAST(1.0 + l_tax AS DECIMAL(6,4)) AS DECIMAL(30,10))"
 
+  /** a24: ordered conversion funnel view → click → purchase. Order
+    * matters (a click only counts after a view; a purchase only after a
+    * qualified click), which plain per-type counts (a20) can't see.
+    *
+    * Shape: two stacked window passes over ONE (user_id, ts) sort — the
+    * first resolves each row's earliest strictly-preceding view, the
+    * second the earliest strictly-preceding qualified click; both share
+    * the partitioning and ordering, so Catalyst plans a single exchange
+    * + sort. No self-joins (the naive funnel is events³ at 100 TB). */
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("prior_view",
+        min(when(col("event_type") === "view", col("ts"))).over(wPrev))
+      .withColumn("qual_click",
+        col("event_type") === "click" && col("prior_view").isNotNull)
+      .withColumn("prior_qual_click",
+        min(when(col("qual_click"), col("ts"))).over(wPrev))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("s1"),
+        max(when(col("qual_click"), 1L).otherwise(0L)).as("s2"),
+        max(when(col("event_type") === "purchase" &&
+          col("prior_qual_click").isNotNull, 1L).otherwise(0L)).as("s3"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("s1")).as("n_view"),
+        sum(col("s2")).as("n_view_click"),
+        sum(col("s3")).as("n_full_funnel"))
+  }
+
+  /** a25: signup-cohort retention — users grouped by first-signup day,
+    * counted as retained in week k if ANY event falls in [d0+7k,
+    * d0+7k+7). One scan: the cohort day is a full-partition window MIN
+    * per user (same shuffle key the final distinct-count needs), not a
+    * self-join back onto events. */
+  private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .withColumn("d0",
+        min(when(col("event_type") === "signup", to_date(col("ts")))).over(wUser))
+      .filter(col("d0").isNotNull && (to_date(col("ts")) >= col("d0")))
+      .withColumn("week",
+        floor(datediff(to_date(col("ts")), col("d0")) / 7).cast(LongType))
+      .groupBy(col("d0").as("cohort_day"), col("week"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("week"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_pricing_summary" -> QueryDef(pricingSummary, Some(s"""
       SELECT l_returnflag, l_linestatus,
@@ -612,5 +662,46 @@ object AnalyticsQueries {
         COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
         COUNT(*) FILTER (WHERE event_type = 'error') AS error
       FROM events GROUP BY user_id ORDER BY user_id"""),
-      "pivot user x event-type count matrix"))
+      "pivot user x event-type count matrix"),
+
+    "a24_funnel" -> QueryDef(funnel, Some("""
+      WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+          MIN(CASE WHEN event_type = 'view' THEN ts END) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view
+        FROM events),
+      q AS (
+        SELECT *,
+          (event_type = 'click' AND prior_view IS NOT NULL) AS qual_click,
+          MIN(CASE WHEN event_type = 'click' AND prior_view IS NOT NULL THEN ts END) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_qual_click
+        FROM e),
+      u AS (
+        SELECT user_id,
+          MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+          MAX(CASE WHEN qual_click THEN 1 ELSE 0 END) AS s2,
+          MAX(CASE WHEN event_type = 'purchase' AND prior_qual_click IS NOT NULL
+              THEN 1 ELSE 0 END) AS s3
+        FROM q GROUP BY user_id)
+      SELECT COUNT(*) AS n_users,
+        CAST(SUM(s1) AS BIGINT) AS n_view,
+        CAST(SUM(s2) AS BIGINT) AS n_view_click,
+        CAST(SUM(s3) AS BIGINT) AS n_full_funnel
+      FROM u"""),
+      "ordered view->click->purchase conversion funnel"),
+
+    "a25_cohort_retention" -> QueryDef(cohortRetention, Some("""
+      WITH e AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+          MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS DATE) END) OVER
+            (PARTITION BY user_id) AS d0
+        FROM events)
+      SELECT d0 AS cohort_day,
+        CAST(FLOOR(date_diff('day', d0, d) / 7.0) AS BIGINT) AS week,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM e WHERE d0 IS NOT NULL AND d >= d0
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "signup-cohort weekly retention counts"))
 }
