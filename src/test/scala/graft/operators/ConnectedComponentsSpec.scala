@@ -53,6 +53,33 @@ class ConnectedComponentsSpec extends graft.streaming.SparkTestBase {
     assert(labels == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("random graphs match a union-find reference model") {
+    // Deterministic seeds; shapes chosen to stress the contraction:
+    // sparse (forest-ish), dense (few big components), and chain-heavy.
+    val rnd = new scala.util.Random(20260812L)
+    for ((nVerts, nEdges) <- Seq((40, 25), (30, 60), (80, 50))) {
+      val pairs = Seq.fill(nEdges) {
+        (rnd.nextInt(nVerts).toLong, rnd.nextInt(nVerts).toLong)
+      }.filter { case (a, b) => a != b }
+      val expected = unionFind(pairs)
+      assert(cc(pairs) == expected, s"graph ($nVerts, $nEdges) diverged")
+    }
+  }
+
+  /** Reference model: path-compressed union-find, min id as root. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(x => x -> find(x)).toMap
+  }
+
   test("fails loudly instead of emitting a truncated fixpoint") {
     val chain = (0L until 30L).map(i => (i, i + 1))
     val e = intercept[IllegalStateException] { cc(chain, maxIters = 3) }
