@@ -173,6 +173,12 @@ object TextQueries {
   // wide. On this corpus the ≥50% threshold flags exactly the planted
   // near-dups of eval docs; the low-fraction tail is the word-salad
   // trigram collision floor, reported but not flagged.
+  //
+  // The %20 slice standing in for the benchmark suite costs a second
+  // `documents` scan (the probe subtree filters the same table); in
+  // production the probe set comes from a separate, genuinely small
+  // eval table and that scan disappears — the broadcast join shape is
+  // the part that carries to 100 TB.
   private val ContamPct = 50 // flag at >= 50% of grams hitting the eval set
 
   private def decontamination(s: SparkSession, dir: String): DataFrame = {
