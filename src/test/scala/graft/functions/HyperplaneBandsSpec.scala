@@ -39,6 +39,27 @@ class HyperplaneBandsSpec extends graft.streaming.SparkTestBase {
     got.flatten.foreach(bv => assert(bv >= 0L && bv < 256L))
   }
 
+  test("hyperplane indices derive from the actual vector length") {
+    // The DuckDB twins derive the LCG index from len(v) too, so any
+    // dimensionality — not just the corpus's 64 — must agree with the
+    // reference model (guards the k·dim+i indexing against a silently
+    // hardcoded dim on either side).
+    val s = spark
+    GraftFunctions.register(s)
+    val rnd = new scala.util.Random(11)
+    for (dim <- Seq(1, 3, 16, 100)) {
+      val vecs = Seq.fill(5)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      val df = s.createDataFrame(
+        java.util.Arrays.asList(vecs.map(v => Row(v.toSeq)): _*),
+        StructType(Seq(StructField("v", ArrayType(FloatType, containsNull = false)))))
+      val got = df.select(expr("graft_hyperbands(v, 4, 6)")).collect()
+        .map(_.getSeq[Long](0))
+      vecs.zip(got).foreach { case (v, g) =>
+        assert(g == reference(v, 4, 6), s"dim=$dim mismatch")
+      }
+    }
+  }
+
   test("null element nulls the signature; type errors are rejected") {
     val s = spark
     GraftFunctions.register(s)
