@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Cluster-wide registration of the native expressions via the
+  * idiomatic extension point:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions …
+  * }}}
+  *
+  * makes `graft_dot` / `graft_strhash` / `graft_hyperbands` available
+  * in EVERY session the cluster creates — pure-SQL clients included —
+  * without the imperative per-session
+  * [[graft.functions.GraftFunctions.register]] call (which remains for
+  * ad-hoc sessions and tests; both paths share one builder table). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    graft.functions.GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(this.getClass.getName, name),
+        builder))
+    }
+}

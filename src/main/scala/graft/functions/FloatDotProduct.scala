@@ -88,20 +88,30 @@ case class FloatDotProduct(left: Expression, right: Expression) extends BinaryEx
     copy(left = newLeft, right = newRight)
 }
 
-/** Session-scoped registration of graft native functions (idempotent). */
+/** Session-scoped registration of graft native functions (idempotent).
+  * The builders are shared with [[graft.GraftExtensions]], which
+  * injects the same functions at session construction for clusters
+  * configured with `spark.sql.extensions=graft.GraftExtensions`. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_strhash", exprs => StringPolyHash(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hyperbands", exprs => {
-        require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
-          "graft_hyperbands(vector, bands, bits) expects literal integer bands/bits")
-        HyperplaneBands(exprs.head,
-          exprs(1).eval().asInstanceOf[Number].intValue,
-          exprs(2).eval().asInstanceOf[Number].intValue)
-      }, "built-in")
-  }
+
+  /** name → expression builder, one definition for both registration
+    * paths. */
+  private[graft] val builders:
+      Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "graft_dot" -> (exprs => FloatDotProduct(exprs(0), exprs(1))),
+    "graft_strhash" -> (exprs => StringPolyHash(exprs.head)),
+    "graft_hyperbands" -> (exprs => {
+      require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
+        "graft_hyperbands(vector, bands, bits) expects literal integer bands/bits")
+      HyperplaneBands(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval().asInstanceOf[Number].intValue)
+    }))
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }
