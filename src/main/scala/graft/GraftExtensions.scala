@@ -17,11 +17,15 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * [[graft.functions.GraftFunctions.register]] call (which remains for
   * ad-hoc sessions and tests; both paths share one builder table). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(this.getClass.getName, name),
         builder))
     }
+    // Hot-bucket guard for user queries written collect-then-filter
+    // (see the rule's scaladoc for the exact pattern and proof).
+    ext.injectOptimizerRule(_ => graft.plans.CapCollectBuckets)
+  }
 }
