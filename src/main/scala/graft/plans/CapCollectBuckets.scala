@@ -59,6 +59,10 @@ object CapCollectBuckets extends Rule[LogicalPlan] with PredicateHelper {
   private def rewrite(cond: Expression, agg: Aggregate,
       groupExprs: Seq[Expression], aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
+    // A global aggregate has no grouping keys: the rewrite's window
+    // would put EVERY row in one partition — worse than the original
+    // single collect buffer. Leave it alone.
+    if (groupExprs.isEmpty) return None
     // The single collect_list alias (bare or array_sort-wrapped).
     val collects = aggExprs.flatMap {
       case a @ Alias(ae: AggregateExpression, _) =>

@@ -69,6 +69,13 @@ class CapCollectBucketsSpec extends graft.streaming.SparkTestBase {
       .agg(array_distinct(collect_list(col("v"))).as("ids"))
       .filter(size(col("ids")) <= 3)
     assert(!distinctWrap.queryExecution.optimizedPlan.toString.contains("graft_bucket_n"))
+    // Global aggregate: no grouping keys means the window would funnel
+    // every row into one partition — must not rewrite.
+    val global = data(extSession)
+      .agg(collect_list(col("v")).as("ids"))
+      .filter(size(col("ids")) <= 100)
+    assert(!global.queryExecution.optimizedPlan.toString.contains("graft_bucket_n"))
+    assert(global.collect().head.getSeq[Int](0).size == 11)
     // Mixed predicate: the non-size conjunct must survive the rewrite.
     val mixed = data(extSession).groupBy(col("k"))
       .agg(collect_list(col("v")).as("ids"))
