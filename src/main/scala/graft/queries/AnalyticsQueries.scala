@@ -439,6 +439,37 @@ object AnalyticsQueries {
       .orderBy(col("cohort_day"), col("week"))
   }
 
+  /** a26: TPC-H Q18 — customers with any order whose total line
+    * quantity exceeds a threshold. The heavy side (lineitem groupBy
+    * orderkey) aggregates BEFORE joining; the qualifying-order set is
+    * then a small broadcast side against orders⋈customer. */
+  private def largeVolumeCustomers(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(P.dsum2(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300.0)
+    Tables.orders(s, dir)
+      .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** a27: TPC-H Q13 — distribution of per-customer order counts. The
+    * LEFT join keeps zero-order customers (the bucket COUNT(o) = 0),
+    * then a second aggregation histograms the counts — two shuffles,
+    * both on keys the data is naturally keyed by. */
+  private def orderCountDistribution(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_pricing_summary" -> QueryDef(pricingSummary, Some(s"""
       SELECT l_returnflag, l_linestatus,
@@ -703,5 +734,27 @@ object AnalyticsQueries {
         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       FROM e WHERE d0 IS NOT NULL AND d >= d0
       GROUP BY 1, 2 ORDER BY 1, 2"""),
-      "signup-cohort weekly retention counts"))
+      "signup-cohort weekly retention counts"),
+
+    "a26_large_volume_customers" -> QueryDef(largeVolumeCustomers, Some("""
+      WITH big AS (
+        SELECT l_orderkey,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300.0)
+      SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      FROM orders JOIN big ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"""),
+      "TPC-H Q18 large-volume customers"),
+
+    "a27_order_count_distribution" -> QueryDef(orderCountDistribution, Some("""
+      WITH pc AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey)
+      SELECT c_count, COUNT(*) AS custdist
+      FROM pc GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC"""),
+      "TPC-H Q13 order-count distribution"))
 }
