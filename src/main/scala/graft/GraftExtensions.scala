@@ -17,11 +17,20 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * [[graft.functions.GraftFunctions.register]] call (which remains for
   * ad-hoc sessions and tests; both paths share one builder table). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** `DESCRIBE FUNCTION EXTENDED` must point at the implementing
+    * expression, not this configurator. */
+  private val implClasses: Map[String, Class[_]] = Map(
+    "graft_dot" -> classOf[graft.functions.FloatDotProduct],
+    "graft_strhash" -> classOf[graft.functions.StringPolyHash],
+    "graft_hyperbands" -> classOf[graft.functions.HyperplaneBands])
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(this.getClass.getName, name),
+        new ExpressionInfo(
+          implClasses.getOrElse(name, this.getClass).getName, name),
         builder))
     }
     // Hot-bucket guard for user queries written collect-then-filter

@@ -51,8 +51,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 object CapCollectBuckets extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
+    // !isStreaming: a streaming aggregation accumulates groups ACROSS
+    // micro-batches, but the rewrite's window would count only the
+    // current batch's rows — filtering batch-locally against a cap
+    // meant for the accumulated group. Batch plans only.
     case f @ Filter(cond, agg @ Aggregate(groupExprs, aggExprs, child, _))
-        if agg.resolved && f.resolved =>
+        if agg.resolved && f.resolved && !child.isStreaming =>
       rewrite(cond, agg, groupExprs, aggExprs, child).getOrElse(f)
   }
 

@@ -215,9 +215,20 @@ object TextQueries {
     docs(s, dir)
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_tokens", size(col("words")).cast(LongType))
-      .withColumn("max_tok",
-        expr("array_max(transform(array_distinct(words), w -> size(filter(words, x -> x = w))))")
-          .cast(LongType))
+      // Max token frequency = longest equal-run in the SORTED token
+      // array: O(n log n) row-local work. The distinct×filter
+      // formulation is O(distinct·n) — quadratic on the long,
+      // repetitive documents this filter exists to catch.
+      .withColumn("sw", array_sort(col("words")))
+      .withColumn("max_tok", expr("""
+        aggregate(sequence(2, greatest(size(sw), 2)),
+          named_struct('cur', CAST(1 AS BIGINT), 'best', CAST(1 AS BIGINT)),
+          (a, i) -> IF(i > size(sw), a,
+            IF(element_at(sw, i) = element_at(sw, i - 1),
+               named_struct('cur', a.cur + CAST(1 AS BIGINT),
+                            'best', greatest(a.best, a.cur + CAST(1 AS BIGINT))),
+               named_struct('cur', CAST(1 AS BIGINT), 'best', a.best))),
+          a -> a.best)"""))
       .withColumn("n_bi", greatest(col("n_tokens") - 1, lit(1L)))
       .withColumn("dist_bi",
         expr("""size(array_distinct(CASE WHEN size(words) >= 2
@@ -225,7 +236,12 @@ object TextQueries {
                i -> concat_ws(' ', element_at(words, i), element_at(words, i+1)))
           ELSE array() END))""").cast(LongType))
       .withColumn("flag_top", col("max_tok") * 100 > col("n_tokens") * 15)
-      .withColumn("flag_bi", (col("n_bi") - col("dist_bi")) * 100 > col("n_bi") * 8)
+      // A bigram-free doc (single token) has duplicate-bigram fraction
+      // 0, not 100%: the n_bi floor exists only to keep the division
+      // shape total, so gate the flag on there being real bigrams.
+      .withColumn("flag_bi",
+        col("n_tokens") >= 2 &&
+          (col("n_bi") - col("dist_bi")) * 100 > col("n_bi") * 8)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -329,6 +345,9 @@ object TextQueries {
       WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
       m AS (SELECT doc_id, source,
         CAST(len(words) AS BIGINT) AS n_tokens,
+        -- oracle side: same VALUE as Spark's sorted-run-length fold
+        -- (max token frequency); the simple quadratic form is fine in
+        -- the oracle, where only the value matters
         CAST(list_max(list_transform(list_distinct(words),
           x -> len(list_filter(words, y -> y = x)))) AS BIGINT) AS max_tok,
         GREATEST(CAST(len(words) AS BIGINT) - 1, 1) AS n_bi,
@@ -339,7 +358,7 @@ object TextQueries {
         FROM w),
       f AS (SELECT source,
               (max_tok * 100 > n_tokens * 15) AS flag_top,
-              ((n_bi - dist_bi) * 100 > n_bi * 8) AS flag_bi
+              (n_tokens >= 2 AND (n_bi - dist_bi) * 100 > n_bi * 8) AS flag_bi
             FROM m)
       SELECT source, COUNT(*) AS n_docs,
         CAST(SUM(CASE WHEN flag_top THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_top,

@@ -58,6 +58,27 @@ class CapCollectBucketsSpec extends graft.streaming.SparkTestBase {
       "count-filter must sit upstream of the collect aggregation")
   }
 
+  test("streaming aggregations are never rewritten") {
+    // A streaming aggregate accumulates groups across micro-batches;
+    // the rewrite's window would count only the current batch. The
+    // rule must bail on streaming children.
+    val s = extSession
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Int)]
+    val sdf = ms.toDF().toDF("k", "v")
+      .groupBy(col("k")).agg(collect_list(col("v")).as("ids"))
+      .filter(size(col("ids")) <= 3)
+    // Apply the rule directly: the batch QueryExecution pipeline
+    // rightly refuses streaming sources, and streaming execution
+    // optimizes per micro-batch — either way the rule sees a plan
+    // whose child isStreaming and must return it unchanged.
+    val analyzed = sdf.queryExecution.analyzed
+    assert(analyzed.isStreaming)
+    assert(CapCollectBuckets(analyzed) eq analyzed,
+      "rule must not touch a streaming aggregation")
+  }
+
   test("shapes the rule cannot prove are left untouched") {
     // Lower bound only: nothing to cap, no rewrite.
     val lowerOnly = data(extSession).groupBy(col("k"))
