@@ -103,31 +103,35 @@ object ConnectedComponents {
     // must not leave the current round pinned in a long-lived session's
     // block manager.
     var pinned: DataFrame = edges
+    // This round's persist until it is materialized and takes over from
+    // `pinned`; tracked separately so the catch block can release BOTH
+    // copies no matter where in the round a failure lands.
+    var fresh: DataFrame = null
     try {
       var prev: (Long, java.math.BigDecimal, java.math.BigDecimal) = null
       var iter = 0
       var done = edges.isEmpty // no edges: trivially converged
       while (!done && iter < maxIters) {
         val next = smallStar(largeStar(edges)).persist()
-        // Swap the cache bookkeeping BEFORE running any job on `next`:
-        // if the checksum job (or the overflow guard below) throws, the
-        // catch block's pinned.unpersist() then releases the round that
-        // actually holds blocks — unpersisting only the previous round
-        // would leak the fresh cache it just materialized.
-        //
-        // Truncate lineage EXPLICITLY: persist alone leaves the logical
-        // plan nesting the previous round's plan (doubling per round).
-        // Re-wrapping the cached rows as a fresh DataFrame makes every
-        // round's plan a shallow scan of the cached data, and lets the
-        // previous round's blocks be unpersisted immediately — memory
-        // stays at two edge-set copies regardless of depth.
-        edges = spark.createDataFrame(next.toDF().rdd, next.schema)
-        pinned.unpersist()
-        pinned = next
+        fresh = next
+        // Materialize `next` FIRST — the checksum job below computes it
+        // from the previous round's cache. Only after it holds blocks
+        // may the previous round be unpersisted: dropping it earlier
+        // would force this job to recompute the whole lineage (round 1
+        // re-reads the source; largeStar scans its input twice).
         val row = next.agg(
           count(lit(1)),
           sum(col("src").cast(DecimalType(38, 0))),
           sum(col("dst").cast(DecimalType(38, 0)))).first()
+        pinned.unpersist()
+        pinned = next
+        fresh = null
+        // Truncate lineage EXPLICITLY: persist alone leaves the logical
+        // plan nesting the previous round's plan (doubling per round).
+        // Re-wrapping the cached rows as a fresh DataFrame makes every
+        // round's plan a shallow scan of the cached data — memory stays
+        // at two edge-set copies regardless of depth.
+        edges = spark.createDataFrame(next.toDF().rdd, next.schema)
         val cnt = row.getLong(0)
         val (sSrc, sDst) = (row.getDecimal(1), row.getDecimal(2))
         if (cnt > 0 && (sSrc == null || sDst == null))
@@ -153,7 +157,10 @@ object ConnectedComponents {
         .groupBy(col("doc")).agg(min(col("cluster")).as("cluster"))
       // the final round's cache stays pinned: the returned plan reads it
     } catch {
-      case t: Throwable => pinned.unpersist(); throw t
+      case t: Throwable =>
+        if (fresh != null) fresh.unpersist()
+        pinned.unpersist()
+        throw t
     }
   }
 

@@ -74,7 +74,10 @@ object DedupQueries {
       maxBucket: Int = MaxBucket): DataFrame = {
     val keys = keyCols.map(col)
     bandRows
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      // count(payload), not count(*): collect_list skips null payloads,
+      // so the cap must count only the rows that would be collected —
+      // count(*) would let null rows change bucket membership.
+      .withColumn("bucket_n", count(payload).over(Window.partitionBy(keys: _*)))
       .filter(col("bucket_n").between(2, maxBucket))
       .groupBy(keys: _*)
       .agg(array_sort(collect_list(payload)).as("ids"))
