@@ -470,6 +470,136 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
 
+  /** a28: TPC-H Q7 — bilateral trade volume between two nations by ship
+    * year. The 2-row filtered nation dim broadcasts onto supplier and
+    * customer, pruning both sides of the fact join to ~2/25 of their
+    * rows before the orderkey shuffle; the pair predicate then keeps
+    * only cross-nation flows. */
+  private def nationTradeFlows(s: SparkSession, dir: String): DataFrame = {
+    val nn = Tables.nation(s, dir).filter(col("n_name").isin("NATION_3", "NATION_7"))
+    val n1 = nn.select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+    val n2 = nn.select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1998-01-01"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .withColumn("l_year", year(col("l_shipdate")).cast(LongType))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(P.sumd(P.discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** a29: TPC-H Q8 — one nation's share of a part-type market within a
+    * customer region, by order year. Conditional/total decimal sums
+    * divide once as doubles (the a22 pattern), so the share is
+    * IEEE-identical to the oracle. */
+  private def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val econParts = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    val suppNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val zero = lit(0).cast(DecimalType(24, 6))
+    Tables.lineitem(s, dir)
+      .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("cnk"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("snk"))
+      .withColumn("o_year", year(col("o_orderdate")).cast(LongType))
+      .withColumn("volume", P.discPrice(col("l_extendedprice"), col("l_discount")))
+      .groupBy(col("o_year"))
+      .agg((P.sumd(when(col("supp_nation") === "NATION_5", col("volume")).otherwise(zero)) /
+        P.sumd(col("volume"))).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** a30: TPC-H Q10 — revenue lost to returned items per customer in a
+    * quarter, top 20. The returnflag filter rides the lineitem scan;
+    * nation broadcasts. */
+  private def returnedItems(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= ts("1996-10-01") && col("o_orderdate") < ts("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(P.sumd(P.discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** a31: TPC-H Q15 — supplier(s) with the maximum quarterly revenue.
+    * The per-supplier revenue aggregate is persisted and referenced
+    * twice (max scalar + equality filter) — the a18 shape: one fact
+    * scan, a broadcast 1-row max, and no unpartitioned window over the
+    * unbounded supplier cardinality. */
+  private def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1996-07-01") && col("l_shipdate") < ts("1996-10-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(P.sumd(P.discPrice(col("l_extendedprice"), col("l_discount"))).as("total_revenue"))
+      .persist() // lazy plan reads it; LRU-evictable (see bigSpenders)
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    val top = rev.join(broadcast(mx)).filter(col("total_revenue") === col("mx"))
+    Tables.supplier(s, dir)
+      .join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** a32: TPC-H Q19 — revenue under a three-branch disjunctive
+    * brand/size/quantity predicate. The part side is pre-filtered to
+    * the union of the brand+size branches (so the broadcast build side
+    * is tiny and the predicates reach the part scan); the quantity
+    * envelope [1,30] is pushed onto the lineitem scan, with the exact
+    * per-branch ranges applied in the join condition. */
+  private def disjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
+      (col("p_brand") === "Brand#15" && col("p_size").between(1, 15)))
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity").between(1, 30))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#15" && col("l_quantity").between(20, 30))))
+      .agg(P.sumd(P.discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+  }
+
+  /** a33: TPC-H Q22 shape — rich-but-dormant customers per nation:
+    * above-average positive balance AND no order since 2000 (the
+    * classic "no orders at all" is empty on this data — every customer
+    * has at least one order). Anti-join against the date-pruned orders
+    * scan; the balance threshold is a broadcast 1-row scalar. */
+  private def dormantCustomers(s: SparkSession, dir: String): DataFrame = {
+    val nations = Seq(3, 7, 11, 13, 17)
+    val base = Tables.customer(s, dir).filter(col("c_nationkey").isin(nations: _*))
+    val thresh = base.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType) /
+        count(lit(1))).as("thresh"))
+    val active = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("2000-01-01"))
+      .select(col("o_custkey"))
+    base.join(broadcast(thresh))
+      .filter(col("c_acctbal") > col("thresh"))
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), P.dsum2(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_pricing_summary" -> QueryDef(pricingSummary, Some(s"""
       SELECT l_returnflag, l_linestatus,
@@ -756,5 +886,85 @@ object AnalyticsQueries {
       SELECT c_count, COUNT(*) AS custdist
       FROM pc GROUP BY c_count
       ORDER BY custdist DESC, c_count DESC"""),
-      "TPC-H Q13 order-count distribution"))
+      "TPC-H Q13 order-count distribution"),
+
+    "a28_nation_trade_flows" -> QueryDef(nationTradeFlows, Some(s"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        CAST(ROUND(SUM($discPriceSql), 2) AS DOUBLE) AS revenue
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year"""),
+      "TPC-H Q7 bilateral trade volume by year"),
+
+    "a29_market_share" -> QueryDef(marketShare, Some(s"""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        CAST(ROUND(SUM(CASE WHEN sn.n_name = 'NATION_5' THEN $discPriceSql
+          ELSE CAST(0 AS DECIMAL(24,6)) END), 2) AS DOUBLE) /
+        CAST(ROUND(SUM($discPriceSql), 2) AS DOUBLE) AS mkt_share
+      FROM lineitem, part, orders, customer, supplier,
+        nation cn, nation sn, region
+      WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+        AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+        AND c_nationkey = cn.n_nationkey AND cn.n_regionkey = r_regionkey
+        AND s_nationkey = sn.n_nationkey
+        AND r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1 ORDER BY o_year"""),
+      "TPC-H Q8 national market share"),
+
+    "a30_returned_items" -> QueryDef(returnedItems, Some(s"""
+      SELECT c_custkey, c_name,
+        CAST(ROUND(SUM($discPriceSql), 2) AS DOUBLE) AS revenue,
+        c_acctbal, n_name
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+      "TPC-H Q10 returned-item revenue per customer"),
+
+    "a31_top_supplier" -> QueryDef(topSupplier, Some(s"""
+      WITH rev AS (
+        SELECT l_suppkey, CAST(ROUND(SUM($discPriceSql), 2) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-07-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier, rev
+      WHERE s_suppkey = l_suppkey
+        AND total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      ORDER BY s_suppkey"""),
+      "TPC-H Q15 top supplier by quarterly revenue"),
+
+    "a32_disjunctive_revenue" -> QueryDef(disjunctiveRevenue, Some(s"""
+      SELECT CAST(ROUND(SUM($discPriceSql), 2) AS DOUBLE) AS revenue
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey AND (
+        (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) OR
+        (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) OR
+        (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))"""),
+      "TPC-H Q19 disjunctive brand/size/quantity revenue"),
+
+    "a33_dormant_customers" -> QueryDef(dormantCustomers, Some("""
+      WITH base AS (
+        SELECT * FROM customer WHERE c_nationkey IN (3, 7, 11, 13, 17)),
+      th AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS thresh
+        FROM base WHERE c_acctbal > 0)
+      SELECT c_nationkey, COUNT(*) AS numcust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM base, th
+      WHERE c_acctbal > thresh
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY c_nationkey ORDER BY c_nationkey"""),
+      "TPC-H Q22 shape: rich dormant customers per nation"))
 }
