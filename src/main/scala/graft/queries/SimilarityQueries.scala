@@ -236,6 +236,28 @@ object SimilarityQueries {
       s"(CASE WHEN $dot > 0 THEN CAST(${1 << r} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
 
+  /** s05: embedding sanity report — per-cluster vector counts and L2
+    * norm extrema, plus an EXACT distribution checksum. Min/max of the
+    * fold-computed norms are raw doubles (bit-identical across engines);
+    * the checksum integerizes each norm first (`floor(nrm·10⁶)` — IEEE
+    * multiply + floor are deterministic in both engines) so the SUM is
+    * exact integer arithmetic, immune to float summation order across
+    * partitions. A mean is derived from checksum/n in one double
+    * division. One scan, one narrow shuffle of (label, n, min, max,
+    * sum) partials. */
+  private def clusterNormStats(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir)
+      .withColumn("nrm_u", floor(col("nrm") * 1e6).cast(LongType))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"),
+        sum(col("nrm_u")).as("norm_checksum_u"))
+      .withColumn("mean_norm_u",
+        col("norm_checksum_u").cast(DoubleType) / col("n_vecs") / 1e6)
+      .orderBy(col("label"))
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(annBruteForce, Some(s"""$vecsDuckCte,
       p AS (
@@ -321,5 +343,14 @@ object SimilarityQueries {
         TRUE AS high_sim_recall_ok,
         TRUE AS recall_measurable
       FROM j"""
-    }, "recall contract: pruned ANN paths measured against the exact baseline"))
+    }, "recall contract: pruned ANN paths measured against the exact baseline"),
+
+    "s05_cluster_norm_stats" -> QueryDef(clusterNormStats, Some(s"""$vecsDuckCte
+      SELECT label, COUNT(*) AS n_vecs,
+        MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+        CAST(SUM(CAST(FLOOR(nrm * 1e6) AS BIGINT)) AS BIGINT) AS norm_checksum_u,
+        CAST(SUM(CAST(FLOOR(nrm * 1e6) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e6
+          AS mean_norm_u
+      FROM n GROUP BY label ORDER BY label"""),
+      "per-cluster embedding norm stats with exact checksum"))
 }

@@ -250,6 +250,63 @@ object TextQueries {
         sum(when(col("flag_top") || col("flag_bi"), 1L).otherwise(0L)).as("n_flagged"))
       .orderBy(col("source"))
 
+  /** t10: corpus vocabulary stats — per-term document frequency and
+    * corpus fraction, top 50. Distinct-per-doc explode feeds a
+    * map-side-combinable count; the doc total is a broadcast 1-row
+    * scalar. No logarithm in the output: Java's and DuckDB's `ln` are
+    * not guaranteed to round identically (only sqrt is), so the
+    * hash-checked surface stays in exact counts + one IEEE division —
+    * a caller derives idf from df/n_docs locally if needed. */
+  private def termDocFreq(s: SparkSession, dir: String): DataFrame = {
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    docs(s, dir)
+      .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .join(broadcast(n))
+      .withColumn("df_frac", col("df").cast(DoubleType) / col("n_docs"))
+      .select(col("term"), col("df"), col("df_frac"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(50)
+  }
+
+  /** t11: n-gram LM statistics — top 50 corpus bigrams with counts and
+    * occurrence fraction. One explode → one count shuffle (partial
+    * aggregation absorbs the per-doc duplication); the total is a
+    * broadcast scalar off the same aggregate, not a second corpus
+    * scan. */
+  private def bigramStats(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(explode(expr("""CASE WHEN size(words) >= 2
+        THEN transform(sequence(1, size(words) - 1),
+             i -> concat_ws(' ', element_at(words, i), element_at(words, i+1)))
+        ELSE array() END""")).as("bigram"))
+    val counts = bigrams.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n")).persist() // read twice: total + top-k
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    counts.join(broadcast(total))
+      .withColumn("frac", col("n").cast(DoubleType) / col("n_total"))
+      .select(col("bigram"), col("n"), col("frac"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+  }
+
+  /** t12: corpus composition report — token-length histogram (buckets
+    * of 10) per source with within-source shares. The share window runs
+    * over POST-aggregation rows (#buckets per source — bounded by the
+    * max document length, not the corpus), the p01 pattern. */
+  private def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+    docs(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("bucket", (col("n_tokens") - (col("n_tokens") % 10)))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(w))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_doc_quality" -> QueryDef(docQuality, Some(s"""$statsDuckCte
       SELECT doc_id, n_tokens,
@@ -365,5 +422,44 @@ object TextQueries {
         CAST(SUM(CASE WHEN flag_bi THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_bigram,
         CAST(SUM(CASE WHEN flag_top OR flag_bi THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
       FROM f GROUP BY source ORDER BY source"""),
-      "Gopher-style repetition quality filter, per-source rollup"))
+      "Gopher-style repetition quality filter, per-source rollup"),
+
+    "t10_term_doc_freq" -> QueryDef(termDocFreq, Some("""
+      WITH terms AS (
+        SELECT unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT term, COUNT(*) AS df,
+        CAST(COUNT(*) AS DOUBLE) / n_docs AS df_frac
+      FROM terms, n GROUP BY term, n_docs
+      ORDER BY df DESC, term LIMIT 50"""),
+      "vocabulary document-frequency stats, top 50 terms"),
+
+    "t11_bigram_stats" -> QueryDef(bigramStats, Some("""
+      WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+      b AS (SELECT unnest(CASE WHEN len(words) >= 2
+              THEN list_transform(generate_series(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i+1])
+              ELSE [] END) AS bigram
+            FROM w),
+      c AS (SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
+      SELECT bigram, n, CAST(n AS DOUBLE) / n_total AS frac
+      FROM c, t ORDER BY n DESC, bigram LIMIT 50"""),
+      "corpus bigram LM stats, top 50"),
+
+    "t12_length_histogram" -> QueryDef(lengthHistogram, Some("""
+      WITH m AS (
+        SELECT source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      h AS (
+        SELECT source, n_tokens - (n_tokens % 10) AS bucket,
+          COUNT(*) AS n_docs
+        FROM m GROUP BY 1, 2)
+      SELECT source, bucket, n_docs,
+        CAST(n_docs AS DOUBLE) /
+          SUM(n_docs) OVER (PARTITION BY source) AS share
+      FROM h ORDER BY source, bucket"""),
+      "token-length histogram per source with shares"))
 }
