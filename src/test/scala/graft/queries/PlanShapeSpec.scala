@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-shape regression tests for the round-4 queries: the scale
+  * properties value-level oracles can't see. Each assertion encodes a
+  * deliberate design decision — if a refactor regresses it, correctness
+  * stays green but the 100 TB story breaks, so it must fail here. */
+class PlanShapeSpec extends graft.streaming.SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def queries = graft.SparkEntry.queries
+
+  test("a31 top supplier: max is a broadcast scalar, not a window over suppliers") {
+    // The supplier cardinality is unbounded at scale; the max must never
+    // plan as an unpartitioned WindowExec over the revenue aggregate.
+    val qe = queries("a31_top_supplier")(spark, sf).queryExecution
+    val windows = qe.executedPlan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty,
+      s"a31 planned ${windows.size} WindowExec node(s); expected broadcast-scalar max")
+  }
+
+  test("a32 disjunctive revenue: quantity envelope reaches the lineitem scan") {
+    val qe = queries("a32_disjunctive_revenue")(spark, sf).queryExecution
+    // AQE wraps the initial plan, hiding scan nodes from collect — read
+    // the formatted explain's PushedFilters lines (MediaPlanSpec pattern).
+    val scans = qe.executedPlan.collect { case f: FileSourceScanExec => f }
+    val pushed: Seq[String] =
+      if (scans.nonEmpty) scans.map(_.metadata.getOrElse("PushedFilters", ""))
+      else qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .linesIterator.filter(_.contains("PushedFilters:")).toSeq
+    assert(pushed.exists(_.contains("l_quantity")),
+      s"quantity envelope not pushed to the lineitem scan: $pushed")
+  }
+
+  test("t12 length histogram: share window runs over post-aggregation rows") {
+    // The window must sit ABOVE the per-bucket aggregate (bounded
+    // cardinality), never over the raw documents.
+    val plan = queries("t12_length_histogram")(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected a window in t12")
+    def containsAggregate(p: LogicalPlan): Boolean =
+      p.collectFirst { case a: Aggregate => a }.isDefined
+    windows.foreach { w =>
+      assert(containsAggregate(w.child),
+        "t12 window is not over the aggregated histogram rows")
+    }
+  }
+
+  test("a28 trade flows: both nation dims broadcast below the fact shuffle") {
+    // The 2-row nation filter must reach both sides as broadcast joins;
+    // a plan that shuffles nation with the facts has lost the pruning.
+    val text = queries("a28_nation_trade_flows")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(text).size
+    assert(broadcasts >= 2,
+      s"expected >=2 broadcast joins (nation dims), saw $broadcasts")
+  }
+
+  test("t10 term doc freq: corpus total joins as broadcast, no extra shuffle join") {
+    val text = queries("t10_term_doc_freq")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!text.contains("SortMergeJoin"),
+      "t10 planned a SortMergeJoin for the 1-row total; expected broadcast")
+  }
+}
