@@ -69,6 +69,31 @@ object EventStream {
   def dedupedEvents(spark: SparkSession, sfDir: String): DataFrame =
     dedupWithinWatermark(readEvents(spark, sfDir), "event_id")
 
+  /** Streaming sessionization — the streaming twin of the a10 batch
+    * query, via the NATIVE `session_window` aggregation: per-user
+    * sessions close after `gap` of event-time inactivity, and state is
+    * evicted once the watermark passes a session's end, so per-user
+    * state is bounded by session length, not stream length. Sessions
+    * merge across micro-batches (Spark unions overlapping windows), so
+    * the result is independent of batch boundaries — the property a
+    * hand-rolled `flatMapGroupsWithState` sessionizer has to prove and
+    * this one gets from the engine. Emitted only on watermark close
+    * (Append mode), exactly the at-least-once-friendly contract the
+    * PEL delivery path feeds. */
+  def sessionize(df: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    df.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** [[sessionize]] applied to the events file stream. */
+  def sessionizedEvents(spark: SparkSession, sfDir: String): DataFrame =
+    sessionize(readEvents(spark, sfDir))
+
   /** Runnable demo: stream the events table through the windowed agg and
     * print the first window rows.
     * Run: `sbt "runMain graft.streaming.EventStream [sfDir]"` */

@@ -59,6 +59,75 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("session_window sessionization merges across batches and matches batch gaps") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+    val sessions = EventStream.sessionize(
+      input.toDF().toDF("ts", "user_id"), gap = "30 minutes", watermark = "1 hour")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 10:00 and 10:20 land in DIFFERENT micro-batches
+      // but the same session (gap 20 min < 30); 11:30 starts a new one.
+      // user 2: one single-event session.
+      input.addData((ts(10, 0), 1L), (ts(10, 5), 2L))
+      q.processAllAvailable()
+      input.addData((ts(10, 20), 1L), (ts(11, 30), 1L))
+      q.processAllAvailable()
+      // watermark push: 14:00 - 1h = 13:00 closes every session above
+      input.addData((ts(14, 0), 99L))
+      q.processAllAvailable()
+      val rows = s.sql(
+        """SELECT user_id, session_start, session_end, n_events FROM sess_out
+           WHERE user_id < 99 ORDER BY user_id, session_start""")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      assert(rows.toSeq == Seq(
+        (1L, ts(10, 0), ts(10, 50), 2L),  // merged across batches; end = last + gap
+        (1L, ts(11, 30), ts(12, 0), 1L),
+        (2L, ts(10, 5), ts(10, 35), 1L)),
+        s"unexpected sessions: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("sessionizedEvents file-stream emits closed sessions consistent with batch a10") {
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val q = EventStream.sessionizedEvents(s, sf)
+      .writeStream.format("memory").queryName("sess_events_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // Append mode only emits sessions the final watermark passed; every
+      // emitted session must agree with the batch gap-sessionization on
+      // (user, start, count).
+      val emitted = s.sql(
+        "SELECT user_id, session_start, n_events FROM sess_events_out")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      val f = org.apache.spark.sql.functions
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val batch = graft.Tables.events(s, sf)
+        .withColumn("prev", f.lag("ts", 1).over(w))
+        .withColumn("new_sess",
+          f.when(f.col("prev").isNull.or(
+            f.col("ts").cast("long") - f.col("prev").cast("long") > 1800), 1L).otherwise(0L))
+        .withColumn("sess_id", f.sum("new_sess").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(f.min("ts").as("session_start"), f.count(f.lit(1)).as("n_events"))
+        .select("user_id", "session_start", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(emitted.nonEmpty, "no sessions emitted — watermark never advanced?")
+      assert(emitted.subsetOf(batch),
+        s"streaming sessions disagree with batch: ${(emitted -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("dedupedEvents file-stream wiring emits each event_id once") {
     val s = spark
     val sf = "/root/testdata/sf0.001"
