@@ -600,6 +600,26 @@ object AnalyticsQueries {
       .orderBy(col("c_nationkey"))
   }
 
+  /** a34: rolling 90-day spend per customer — a RANGE-frame window over
+    * event time (every other window in the suite is ROWS-framed or
+    * unbounded). The frame is defined on epoch DAYS so both engines
+    * bound it with exact integer arithmetic; the sum is decimal-exact
+    * per frame and cast to double once. One shuffle on custkey; frame
+    * state is bounded by the 90-day span, not partition length. */
+  private def rollingRevenue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_day"))
+      .rangeBetween(-90, 0)
+    Tables.orders(s, dir)
+      .withColumn("epoch_day",
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast(LongType))
+      .withColumn("rolling_spend",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DoubleType))
+      .filter(col("o_custkey") % 100 === 0) // sample output, full window input
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("rolling_spend"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_pricing_summary" -> QueryDef(pricingSummary, Some(s"""
       SELECT l_returnflag, l_linestatus,
@@ -966,5 +986,15 @@ object AnalyticsQueries {
                         WHERE o_custkey = c_custkey
                           AND o_orderdate >= TIMESTAMP '2000-01-01')
       GROUP BY c_nationkey ORDER BY c_nationkey"""),
-      "TPC-H Q22 shape: rich dormant customers per nation"))
+      "TPC-H Q22 shape: rich dormant customers per nation"),
+
+    "a34_rolling_revenue" -> QueryDef(rollingRevenue, Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey
+          ORDER BY date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+          RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_spend
+      FROM orders WHERE o_custkey % 100 = 0
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""),
+      "rolling 90-day spend per customer (RANGE-frame window)"))
 }
