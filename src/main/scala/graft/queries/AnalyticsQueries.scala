@@ -600,6 +600,20 @@ object AnalyticsQueries {
       .orderBy(col("c_nationkey"))
   }
 
+  /** a35: CUBE over status × priority — all four grouping combinations
+    * in ONE pass (a08 covers ROLLUP's prefix hierarchy; CUBE adds the
+    * (priority-only) slice). Spark expands the cube into a single
+    * expand+aggregate, so the fact table is still scanned once. */
+  private def orderCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), P.dsum2(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
   /** a34: rolling 90-day spend per customer — a RANGE-frame window over
     * event time (every other window in the suite is ROWS-framed or
     * unbounded). The frame is defined on epoch DAYS so both engines
@@ -996,5 +1010,15 @@ object AnalyticsQueries {
           RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_spend
       FROM orders WHERE o_custkey % 100 = 0
       ORDER BY o_custkey, o_orderdate, o_orderkey"""),
-      "rolling 90-day spend per customer (RANGE-frame window)"))
+      "rolling 90-day spend per customer (RANGE-frame window)"),
+
+    "a35_order_cube" -> QueryDef(orderCube, Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+        COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus, o_orderpriority"""),
+      "CUBE aggregation over status × priority"))
 }

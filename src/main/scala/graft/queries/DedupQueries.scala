@@ -350,6 +350,29 @@ object DedupQueries {
       .orderBy(col("lang"))
   }
 
+  /** d09: incremental ingest dedup — a NEW batch (doc_id % 10 == 0
+    * plays the fresh crawl) checked against the EXISTING corpus's
+    * digest index. The shape every continuously-ingesting pipeline
+    * runs: at 100 TB the index side is a (digest, min_doc) aggregate —
+    * digests only, never text — so the join shuffles 16 bytes/doc, and
+    * an established deployment keeps that index as a bucketed table
+    * ([[graft.operators.Bucketing]]) so only the new batch shuffles.
+    * The digest is the d02 16-word-prefix fingerprint (this corpus's
+    * planted duplicates are near-dups — full-text md5 would never
+    * fire; a production pipeline picks the key per dedup policy). */
+  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16))).as("digest"))
+    val idx = d.filter(col("doc_id") % 10 =!= 0)
+      .groupBy(col("digest")).agg(min(col("doc_id")).as("index_doc"))
+    d.filter(col("doc_id") % 10 === 0)
+      .join(idx, Seq("digest"), "left")
+      .select(col("doc_id"), col("digest"),
+        col("index_doc").isNotNull.as("is_dup"),
+        coalesce(col("index_doc"), lit(-1L)).as("index_doc"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_exact_dedup" -> QueryDef(exactDedup, Some("""
       SELECT total_docs, distinct_docs, total_docs - distinct_docs AS dups_removed
@@ -411,6 +434,20 @@ object DedupQueries {
       FROM documents LEFT JOIN dropped ON doc_id = dropped_id
       GROUP BY lang ORDER BY lang"""),
       "surviving corpus after pairwise near-dup dedup, per language"),
+
+    "d09_incremental_dedup" -> QueryDef(incrementalDedup, Some("""
+      WITH d AS (SELECT doc_id,
+        md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS digest
+        FROM documents),
+      idx AS (SELECT digest, MIN(doc_id) AS index_doc
+              FROM d WHERE doc_id % 10 <> 0 GROUP BY digest),
+      b AS (SELECT doc_id, digest FROM d WHERE doc_id % 10 = 0)
+      SELECT b.doc_id, b.digest,
+        (idx.digest IS NOT NULL) AS is_dup,
+        COALESCE(idx.index_doc, -1) AS index_doc
+      FROM b LEFT JOIN idx ON b.digest = idx.digest
+      ORDER BY b.doc_id"""),
+      "new-batch exact dedup against the existing corpus digest index"),
 
     "d05_simhash" -> QueryDef(simhash, Some(s"""$simhashDuckCte
       SELECT doc_id, simhash FROM sim ORDER BY doc_id"""),
