@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The session configuration discipline this library assumes, in one
+  * place — so a deployment starts from the settings the operators were
+  * designed against instead of rediscovering them per cluster.
+  *
+  * Everything here is sizing, not semantics: no query in
+  * [[SparkEntry]] changes its RESULT under different values (the
+  * oracle gate runs under the driver's own session), but several
+  * change their scaling behavior:
+  *
+  *  - '''AQE on, with skew-join splitting''': the LSH bucket caps
+  *    bound degenerate keys inside aggregations, but ordinary data
+  *    skew in the TPC-H-style joins is AQE's job — at 100 TB a single
+  *    hot `orderkey` reducer is the difference between a straggler
+  *    and a finished stage. `SkewJoin.saltedJoin` stays available for
+  *    distributions AQE's split heuristics miss.
+  *  - '''Coalesce partitions''': post-shuffle partition targets track
+  *    data volume, so the same plan serves sf0.001 and sf100 without
+  *    retuning `shuffle.partitions` per query.
+  *  - '''shuffle.partitions as a ceiling''': sized to cluster
+  *    parallelism (2-3× total cores is the usual guidance; the driver
+  *    uses core count directly on local[32]). With AQE coalescing
+  *    it is a cap, not a constant cost.
+  *  - '''maxPartitionBytes 128m''': scan-task granularity. Bigger
+  *    tasks amortize scheduling at 100 TB but risk executor memory on
+  *    wide rows (the `documents.text` / embedding columns); 128m is
+  *    the safe default the multimodal `mapPartitions` batching was
+  *    sized against.
+  *  - '''ANSI off''': the oracle-parity arithmetic (Portable.scala)
+  *    is calibrated against non-ANSI overflow semantics; decimal
+  *    checksums that MUST fail loudly guard themselves explicitly
+  *    (ConnectedComponents' null-sum check) instead of relying on the
+  *    session mode.
+  *  - '''UTC''': every timestamp oracle compares epoch-exact values;
+  *    a non-UTC session would silently shift window boundaries.
+  */
+object GraftSession {
+
+  /** Apply the recommended configuration to a builder. `parallelism`
+    * is the cluster's total core count (executors × cores). */
+  def recommended(builder: SparkSession.Builder, parallelism: Int): SparkSession.Builder =
+    builder
+      .config("spark.sql.shuffle.partitions", math.max(parallelism, 1).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "134217728")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+
+  /** Local session with the recommended configs — what Bench/Verify
+    * run; a cluster deployment passes its own master/executor confs
+    * through `recommended`. */
+  def local(cores: Int, appName: String = "graft"): SparkSession =
+    recommended(SparkSession.builder(), cores)
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}
