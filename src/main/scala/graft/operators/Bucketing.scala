@@ -40,6 +40,21 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Write `df` hive-partitioned on a low-cardinality column — the
+    * OTHER physical-layout lever: bucketing co-locates a high-
+    * cardinality join key; directory partitioning prunes on the
+    * low-cardinality predicate columns (date, source, lang). At 100 TB
+    * a time-partitioned fact table turns "last quarter" queries from a
+    * full scan into a listing of ~90 directories — the scan's
+    * PartitionFilters, applied before any file is opened. Keep
+    * partition columns coarse (directories are metadata pressure:
+    * aim for thousands of partitions, never key-per-value millions). */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
+
   /** Equi-join two bucketed tables on their shared bucket key. When both
     * tables were written with [[writeBucketed]] on `key` with the same
     * bucket count, the resulting plan contains NO shuffle exchange —

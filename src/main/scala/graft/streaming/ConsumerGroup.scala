@@ -80,6 +80,29 @@ final class ConsumerGroup private (
     }
   }
 
+  /** XAUTOCLAIM — the one-call sweep the reference names as the future
+    * simplification of its list→claim→delete rebalance dance
+    * (`monitor.py:101`) but never implements: atomically claim up to
+    * `count` PEL entries idle ≥ `minIdleMs` for `newConsumer`, in msgid
+    * order starting at `start` (exclusive of nothing — Redis semantics:
+    * inclusive scan cursor). Returns (nextStart, claimed ids): callers
+    * loop with the returned cursor until it wraps to "0-0", exactly the
+    * Redis 6.2 contract, so a monitor sweeps an arbitrarily large PEL
+    * in bounded batches instead of one unbounded XPENDING read. */
+  def autoClaim(newConsumer: String, minIdleMs: Long, start: String = "0-0",
+      count: Int = 100): (String, Seq[String]) = synchronized {
+    val now = clock.nowMs
+    val eligible = pel.valuesIterator
+      .filter(e => !MsgId.lt(e.msgid, start) &&
+        e.timeSinceDelivered(now) >= minIdleMs)
+      .toSeq.sortBy(e => MsgId.parse(e.msgid))
+    val (batch, rest) = eligible.splitAt(count)
+    batch.foreach(e =>
+      pel(e.msgid) = PelEntry(e.msgid, newConsumer, now, e.timesDelivered + 1))
+    val nextStart = rest.headOption.map(_.msgid).getOrElse("0-0")
+    (nextStart, batch.map(_.msgid))
+  }
+
   /** G3: XGROUP DELCONSUMER — destroy a consumer; unclaimed PEL entries
     * are lost. Returns the number of lost (pending) messages. */
   def delConsumer(consumer: String): Int = synchronized {

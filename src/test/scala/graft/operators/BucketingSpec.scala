@@ -37,6 +37,34 @@ class BucketingSpec extends graft.streaming.SparkTestBase {
     }
   }
 
+  test("partitioned write: a predicate on the partition column prunes directories") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val o = graft.Tables.orders(s, sf)
+      .withColumn("o_year", f_year(col("o_orderdate")))
+    Bucketing.writePartitioned(o, dir, "o_year")
+    try {
+      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collectLeaves().collectFirst {
+          case fs: org.apache.spark.sql.execution.FileSourceScanExec =>
+            fs.metrics.get("numFiles").map(_.value).getOrElse(-1L)
+        }.getOrElse(-1L)
+      }
+      val all = s.read.parquet(dir)
+      val full = filesRead(all)
+      val pruned = filesRead(s.read.parquet(dir).filter(col("o_year") === 1996))
+      assert(pruned > 0 && pruned < full,
+        s"expected partition pruning: pruned=$pruned full=$full")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  private def f_year(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.year(c)
+
   test("bucket pruning: an equality predicate reads a subset of bucket files") {
     val s = spark
     val o = graft.Tables.orders(s, sf).select("o_orderkey", "o_totalprice")

@@ -150,6 +150,29 @@ class ProtocolSpec extends AnyFunSuite {
     assert(g.pendingOf("dead").isEmpty)
   }
 
+  test("XAUTOCLAIM sweeps idle entries in msgid order with a batching cursor") {
+    val (clock, log) = fixture()
+    (1 to 5).foreach(i => log.add(Map("i" -> i)))
+    val g = ConsumerGroup.create(log, "grp-autoclaim", clock)
+    g.readNew("dead", 5)
+    // Too fresh: nothing claimed, cursor wraps immediately.
+    assert(g.autoClaim("alive", minIdleMs = 1000) == ("0-0", Seq()))
+    clock.advance(1500)
+    // Batched sweep: 2 per call, cursor resumes where the batch ended.
+    val (cur1, got1) = g.autoClaim("alive", minIdleMs = 1000, count = 2)
+    assert(got1.size == 2 && cur1 != "0-0")
+    val (cur2, got2) = g.autoClaim("alive", minIdleMs = 1000, start = cur1, count = 2)
+    assert(got2.size == 2 && cur2 != "0-0")
+    // Claimed entries are no longer idle — the final call sees only the
+    // remaining 5th entry, then wraps.
+    val (cur3, got3) = g.autoClaim("alive", minIdleMs = 1000, start = cur2, count = 2)
+    assert(cur3 == "0-0" && got3.size == 1)
+    val all = (got1 ++ got2 ++ got3)
+    assert(all == all.sorted(MsgId.ordering), "claims must advance in msgid order")
+    assert(g.pendingOf("alive").size == 5 && g.pendingOf("dead").isEmpty)
+    assert(g.pendingOf("alive").map(_.timesDelivered).forall(_ == 2))
+  }
+
   test("group creation is idempotent (BUSYGROUP swallowed)") {
     val (clock, log) = fixture()
     log.add(Map("i" -> 1))
