@@ -600,6 +600,40 @@ object AnalyticsQueries {
       .orderBy(col("c_nationkey"))
   }
 
+  /** a36: approximate percentiles with an oracle-checked accuracy
+    * contract — the 100 TB path for a16's exact `percentile` (which
+    * sorts every group). `approx_percentile` (Greenwald-Khanna) is
+    * mergeable partition-local state with rank error ≤ ε·N, but its
+    * VALUES are not cross-engine comparable — so, as with a15's HLL,
+    * the query emits the CONTRACT: each approx value's feasible rank
+    * interval [count(<v)+1, count(≤v)] (tie-safe on this heavily
+    * duplicated field) must intersect [p−2ε, p+2ε]·N. The DuckDB twin
+    * expects literal TRUE, so a sketch regression fails the hash gate.
+    * The scan is persisted and read twice (sketch, then rank counts) —
+    * the a18 pattern, not a double scan. */
+  private def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val kCol = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast(IntegerType)
+    val base = Tables.events(s, dir).select(kCol.as("k"))
+      .filter(col("k").isNotNull).persist()
+    val acc = 1000
+    val eps = 2.0 / acc
+    val sk = base.agg(
+      expr(s"approx_percentile(k, array(0.5, 0.9, 0.99), $acc)").as("ap"))
+    def ok(i: Int, p: Double) = {
+      val v = element_at(col("ap"), i)
+      ((sum(when(col("k") < v, 1L).otherwise(0L)) + 1L) <=
+          (lit(p) + eps) * count(lit(1))) &&
+        (sum(when(col("k") <= v, 1L).otherwise(0L)) >=
+          (lit(p) - eps) * count(lit(1)))
+    }
+    base.join(broadcast(sk))
+      .agg(
+        count(lit(1)).as("n_events"),
+        ok(1, 0.5).as("ok_p50"),
+        ok(2, 0.9).as("ok_p90"),
+        ok(3, 0.99).as("ok_p99"))
+  }
+
   /** a35: CUBE over status × priority — all four grouping combinations
     * in ONE pass (a08 covers ROLLUP's prefix hierarchy; CUBE adds the
     * (priority-only) slice). Spark expands the cube into a single
@@ -1020,5 +1054,13 @@ object AnalyticsQueries {
       FROM orders
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus, o_orderpriority"""),
-      "CUBE aggregation over status × priority"))
+      "CUBE aggregation over status × priority"),
+
+    "a36_approx_percentiles" -> QueryDef(approxPercentiles, Some("""
+      SELECT COUNT(*) AS n_events,
+        TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+      FROM (SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
+            FROM events) t
+      WHERE k IS NOT NULL"""),
+      "approx percentiles (GK sketch) with rank-error accuracy contract"))
 }
