@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The write-side end of a corpus-assembly pipeline: deterministic
+  * token-budgeted JSONL shards.
+  *
+  * Sharding is a pure function of the data — a 64-bit hash order, a
+  * cumulative token sum over it, `shard = cum / shardTokens` — so the
+  * same corpus produces the same shards on any cluster size, any
+  * partitioning, any rerun: reproducibility a random `repartition`
+  * cannot give, and the property training-data lineage audits need.
+  *
+  * Scale shape: ONE window shuffle (the cumulative sum over the hash
+  * order) and a partitioned write. The window is a running sum over a
+  * single global ordering — at 100 TB that ordering must not funnel
+  * through one partition, so the cumulative sum is computed
+  * hierarchically: a per-range window inside `numRanges` hash ranges
+  * (parallel), plus broadcast range-offsets (the per-range totals are
+  * tiny). `ORDER BY hash` within a range is a range-local sort, and
+  * ranges are independent tasks.
+  */
+object TrainingExport {
+
+  /** Assign each doc a deterministic shard id so every shard holds
+    * ≈`shardTokens` tokens (a shard may overshoot by at most one doc).
+    * Returns the input plus (`h64`, `shard`). `tokenCol` must be a
+    * bigint token count; `idCol` a unique id. */
+  def assignShards(docs: DataFrame, idCol: String, tokenCol: String,
+      shardTokens: Long, numRanges: Int = 256): DataFrame = {
+    require(shardTokens > 0 && numRanges > 0)
+    val h = abs(xxhash64(col(idCol)))
+    val rangeId = pmod(h, lit(numRanges.toLong))
+    val inRange = Window.partitionBy(col("__range"))
+      .orderBy(col("h64"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tagged = docs
+      .withColumn("h64", h)
+      .withColumn("__range", rangeId)
+      .withColumn("__cum_in_range", sum(col(tokenCol)).over(inRange))
+    // Per-range totals are numRanges rows — the broadcastable prefix
+    // offsets of the hierarchical cumulative sum.
+    val offsets = tagged.groupBy(col("__range"))
+      .agg(max(col("__cum_in_range")).as("__range_total"))
+      .withColumn("__offset",
+        coalesce(sum(col("__range_total")).over(
+          Window.orderBy(col("__range"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__range"), col("__offset"))
+    tagged
+      .join(broadcast(offsets), "__range")
+      .withColumn("shard",
+        ((col("__cum_in_range") + col("__offset") - col(tokenCol)) / shardTokens)
+          .cast("long"))
+      .drop("__range", "__cum_in_range", "__offset")
+  }
+
+  /** [[assignShards]] then write JSONL partitioned by shard. */
+  def writeShards(docs: DataFrame, idCol: String, tokenCol: String,
+      shardTokens: Long, path: String): Unit =
+    assignShards(docs, idCol, tokenCol, shardTokens)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .json(path)
+}

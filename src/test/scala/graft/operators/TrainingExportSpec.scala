@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Contract of the deterministic token-budgeted sharder. */
+class TrainingExportSpec extends graft.streaming.SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = graft.Tables.documents(spark, sf)
+    .select(col("doc_id"), col("text"), col("n_chars"))
+
+  test("every doc lands in exactly one shard; shard ids are contiguous") {
+    val out = TrainingExport.assignShards(docs, "doc_id", "n_chars", 50000L)
+    val n = docs.count()
+    assert(out.count() == n)
+    assert(out.select("doc_id").distinct().count() == n)
+    val shards = out.select("shard").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(shards.head == 0L && shards.last == shards.length - 1,
+      s"shard ids not contiguous: ${shards.toSeq}")
+  }
+
+  test("shard token sums respect the budget within one max-doc overshoot") {
+    val budget = 50000L
+    val out = TrainingExport.assignShards(docs, "doc_id", "n_chars", budget)
+    val maxDoc = docs.agg(max("n_chars")).collect().head.getLong(0)
+    val sums = out.groupBy("shard").agg(sum("n_chars").as("toks"))
+      .orderBy("shard").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val middle = sums.dropRight(1) // the final shard holds the remainder
+    middle.foreach { case (shard, toks) =>
+      assert(math.abs(toks - budget) < maxDoc,
+        s"shard $shard holds $toks tokens vs budget $budget (maxDoc $maxDoc)")
+    }
+  }
+
+  test("shard assignment is deterministic across runs and repartitionings") {
+    val a = TrainingExport.assignShards(docs, "doc_id", "n_chars", 50000L)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = TrainingExport.assignShards(docs.repartition(13), "doc_id", "n_chars", 50000L)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b, "shard assignment changed under repartitioning")
+  }
+
+  test("writeShards produces shard-partitioned JSONL that round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    try {
+      TrainingExport.writeShards(docs, "doc_id", "n_chars", 50000L, dir)
+      val back = spark.read.json(dir)
+      assert(back.count() == docs.count())
+      assert(back.columns.contains("shard"))
+      val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("shard="))
+      assert(dirs.nonEmpty, "expected shard= partition directories")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+}
