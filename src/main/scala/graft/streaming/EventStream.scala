@@ -94,6 +94,37 @@ object EventStream {
   def sessionizedEvents(spark: SparkSession, sfDir: String): DataFrame =
     sessionize(readEvents(spark, sfDir))
 
+  /** Stream-stream interval join — the streaming twin of the a19 as-of
+    * attribution: each purchase joined to this user's clicks in the
+    * preceding `horizon`. Both sides carry watermarks and the join
+    * condition bounds the event-time distance, so each side's state
+    * store holds only `horizon + watermark` of data — the two
+    * conditions Spark REQUIRES before it will run a stream-stream
+    * inner join with bounded state at all (an unbounded-interval
+    * stream join never stops growing).
+    *
+    * Semantics differ from a19 deliberately: the batch as-of keeps only
+    * the LATEST prior click (a window over the totally-ordered past —
+    * meaningless mid-stream, where a later-arriving earlier click
+    * would retroactively change emitted rows); the interval join emits
+    * EVERY (purchase, prior click ≤ horizon) pair, which is
+    * append-safe. Downstream dedup/argmax is a batch concern. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** Runnable demo: stream the events table through the windowed agg and
     * print the first window rows.
     * Run: `sbt "runMain graft.streaming.EventStream [sfDir]"` */

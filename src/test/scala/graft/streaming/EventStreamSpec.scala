@@ -128,6 +128,42 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to in-horizon clicks only") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val purchases = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Long)]
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+    val joined = EventStream.attributionJoin(
+      clicks.toDF().toDF("ts", "user_id", "event_id"),
+      purchases.toDF().toDF("ts", "user_id", "event_id"),
+      horizon = "30 minutes", watermark = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      // user 1: click 10:00 (in horizon of 10:20 purchase), click 9:40
+      // (40 min before — outside), and the sides arrive in DIFFERENT
+      // micro-batches. user 2's click must never match user 1's purchase.
+      clicks.addData((ts(9, 40), 1L, 100L), (ts(10, 0), 1L, 101L), (ts(10, 10), 2L, 200L))
+      q.processAllAvailable()
+      purchases.addData((ts(10, 20), 1L, 900L))
+      q.processAllAvailable()
+      // advance both watermarks so results flush
+      clicks.addData((ts(13, 0), 9L, 999L))
+      purchases.addData((ts(13, 0), 9L, 998L))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT purchase_id, user_id, click_id FROM attr_out WHERE user_id = 1 ORDER BY click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((900L, 1L, 101L)),
+        s"expected only the in-horizon same-user click: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("dedupedEvents file-stream wiring emits each event_id once") {
     val s = spark
     val sf = "/root/testdata/sf0.001"
