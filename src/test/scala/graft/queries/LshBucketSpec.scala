@@ -33,6 +33,25 @@ class LshBucketSpec extends graft.streaming.SparkTestBase {
     assert(naive.nonEmpty && !naive.exists(_._1 == "hot") && !naive.exists(_._1 == "solo"))
   }
 
+  test("null payloads do not count toward bucket membership (collect_list parity)") {
+    val s = spark
+    import s.implicits._
+    // "pair" holds 2 non-null + 2 null payloads: must stay a bucket of 2.
+    // "ghost" holds 1 non-null + 3 nulls: must be dropped as a singleton
+    // (a count(*) cap would wrongly keep it — the ADVICE r3 latent bug).
+    // "all-null" must vanish entirely.
+    val rows: Seq[(String, java.lang.Long)] = Seq(
+      ("pair", 1L), ("pair", 2L), ("pair", null), ("pair", null),
+      ("ghost", 7L), ("ghost", null), ("ghost", null), ("ghost", null),
+      ("all-null", null), ("all-null", null))
+    val df = rows.toDF("bkey", "id").withColumn("b", lit(0))
+    val out = DedupQueries.collectCappedBuckets(df, Seq("bkey", "b"), col("id"), maxBucket = 8)
+      .select(col("bkey"), col("ids"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+    assert(out == Map("pair" -> Seq(1L, 2L)),
+      s"null payloads changed bucket membership: $out")
+  }
+
   test("d03's plan counts and filters buckets BEFORE collecting them") {
     // The scale property the helper exists for: a hot bucket's rows are
     // dropped by the count-window filter while still individually
