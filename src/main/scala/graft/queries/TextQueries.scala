@@ -307,6 +307,30 @@ object TextQueries {
       .orderBy(col("source"), col("bucket"))
   }
 
+  /** t13: quality-WEIGHTED deterministic sampling — t06's uniform
+    * hash-Bernoulli with a per-document keep probability proportional
+    * to the t01 quality score (the curation move: keep high-quality
+    * docs at up to 40%, low-quality proportionally less). Same
+    * reproducibility story as t06: the draw is a content hash, so the
+    * sample is identical across runs, partitionings, and cluster
+    * sizes, and it remains a row-local pushdown-friendly filter. The
+    * bucket-vs-threshold comparison is double arithmetic on
+    * hash-exact inputs — bit-identical in both engines. */
+  private def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    withStats(docs(s, dir))
+      .withColumn("stop_ratio", col("stop_hits").cast(DoubleType) / col("n_tokens"))
+      .withColumn("quality_score",
+        least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) * 0.5 +
+          least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3 +
+          (lit(1.0) - col("n_punct").cast(DoubleType) / greatest(col("n_tokens"), lit(1L))) * 0.2)
+      .withColumn("x", concat(col("doc_id").cast(StringType), lit(":w")))
+      .withColumn("bucket", expr(s"${DedupQueries.shingleHashSpark} % 1000"))
+      .filter(col("bucket").cast(DoubleType) < col("quality_score") * 400.0)
+      .select(col("doc_id"), col("lang"), col("quality_score"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_doc_quality" -> QueryDef(docQuality, Some(s"""$statsDuckCte
       SELECT doc_id, n_tokens,
@@ -461,5 +485,23 @@ object TextQueries {
         CAST(n_docs AS DOUBLE) /
           SUM(n_docs) OVER (PARTITION BY source) AS share
       FROM h ORDER BY source, bucket"""),
-      "token-length histogram per source with shares"))
+      "token-length histogram per source with shares"),
+
+    "t13_weighted_sample" -> QueryDef(weightedSample, Some(s"""$statsDuckCte,
+      q AS (
+        SELECT doc_id, lang, n_tokens, n_punct, stop_hits,
+          LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
+            LEAST(CAST(stop_hits AS DOUBLE) / n_tokens * 5.0, 1.0) * 0.3 +
+            (1.0 - CAST(n_punct AS DOUBLE) / GREATEST(n_tokens, 1)) * 0.2
+            AS quality_score,
+          CAST(doc_id AS VARCHAR) || ':w' AS x
+        FROM stats),
+      h AS (
+        SELECT doc_id, lang, quality_score,
+          ${DedupQueries.shingleHashDuck} % 1000 AS bucket
+        FROM q)
+      SELECT doc_id, lang, quality_score, bucket
+      FROM h WHERE bucket < quality_score * 400.0
+      ORDER BY doc_id"""),
+      "quality-weighted deterministic sampling"))
 }
