@@ -513,7 +513,10 @@ object AnalyticsQueries {
         col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(asiaNations), col("c_nationkey") === col("cnk"))
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      // no broadcast hint on supplier: it scales with SF (unlike the
+      // fixed nation/region dims) — AQE broadcasts it while small and
+      // falls back to a shuffle join at real scale
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(suppNation), col("s_nationkey") === col("snk"))
       .withColumn("o_year", year(col("o_orderdate")).cast(LongType))
       .withColumn("volume", P.discPrice(col("l_extendedprice"), col("l_discount")))
