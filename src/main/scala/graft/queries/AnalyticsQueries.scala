@@ -574,7 +574,9 @@ object AnalyticsQueries {
       (col("p_brand") === "Brand#15" && col("p_size").between(1, 15)))
     Tables.lineitem(s, dir)
       .filter(col("l_quantity").between(1, 30))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+      // no broadcast hint: the filtered part side is ~4% of a table
+      // that scales with SF — AQE broadcasts while it fits
+      .join(p, col("l_partkey") === col("p_partkey") && (
         (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
         (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
         (col("p_brand") === "Brand#15" && col("l_quantity").between(20, 30))))
