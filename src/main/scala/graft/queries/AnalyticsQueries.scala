@@ -449,7 +449,10 @@ object AnalyticsQueries {
       .agg(P.dsum2(col("l_quantity")).as("sum_qty"))
       .filter(col("sum_qty") > 300.0)
     Tables.orders(s, dir)
-      .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+      // no broadcast hint: the qualifying-order set is a constant
+      // FRACTION of orders (grows with SF) — AQE broadcasts it while
+      // it fits and shuffle-joins beyond that
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
@@ -507,7 +510,9 @@ object AnalyticsQueries {
       .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
     val zero = lit(0).cast(DecimalType(24, 6))
     Tables.lineitem(s, dir)
-      .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
+      // no hint: the type-filtered part slice is 1/6 of a table that
+      // scales with SF — AQE's call
+      .join(econParts, col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(s, dir)
         .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01")),
         col("l_orderkey") === col("o_orderkey"))

@@ -341,7 +341,10 @@ object DedupQueries {
       .filter(col("jacc") >= JaccThreshold)
       .select(col("doc_b").as("dropped_id")).distinct()
     docs(s, dir)
-      .join(broadcast(dropList), col("doc_id") === col("dropped_id"), "left")
+      // no broadcast hint: the drop list is a constant fraction of the
+      // corpus (dup density does not shrink with scale) — AQE
+      // broadcasts while small, shuffle-joins at 100 TB
+      .join(dropList, col("doc_id") === col("dropped_id"), "left")
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
