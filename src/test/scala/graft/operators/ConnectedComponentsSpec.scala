@@ -53,6 +53,21 @@ class ConnectedComponentsSpec extends graft.streaming.SparkTestBase {
     assert(labels == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("rounds do not leak cached RDDs (only the final round stays pinned)") {
+    // The per-round bookkeeping must unpersist the previous round after
+    // materializing the next (ADVICE r3): across a many-round run, the
+    // cache population may grow by at most the documented final-round
+    // cache (plus the input edge set) — a leak grows linearly in rounds.
+    val s = spark
+    import s.implicits._
+    val before = s.sparkContext.getPersistentRDDs.size
+    val chain = (0L until 127L).map(i => (i, i + 1))
+    ConnectedComponents.run(chain.toDF("a", "b"), "a", "b", 50).count()
+    val after = s.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"cached RDDs grew by ${after - before} across ~8 rounds — per-round unpersist broken")
+  }
+
   test("random graphs match a union-find reference model") {
     // Deterministic seeds; shapes chosen to stress the contraction:
     // sparse (forest-ish), dense (few big components), and chain-heavy.
