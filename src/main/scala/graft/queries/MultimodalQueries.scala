@@ -25,6 +25,30 @@ object MultimodalQueries {
       .toDF()
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** m04: token accounting for multimodal training data — the budget
+    * input every mixed-modality mix plan needs. Estimated tokens per
+    * record from METADATA alone (ViT-style 14px patches for images,
+    * 80 ms/token audio, 1 fps × 28px patches for video), so the scan
+    * never touches the payload column (the m03 pruning property), and
+    * all arithmetic is exact integer ceil-division. */
+  private def mediaTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val w = col("meta.width").cast("long")
+    val h = col("meta.height").cast("long")
+    val dur = col("meta.durationMs")
+    val tokens = when(col("kind") === "image",
+        ((w + 13L) / 14L).cast("long") * ((h + 13L) / 14L).cast("long"))
+      .when(col("kind") === "audio", ((dur + 79L) / 80L).cast("long"))
+      .otherwise(((dur + 999L) / 1000L).cast("long") *
+        ((w + 27L) / 28L).cast("long") * ((h + 27L) / 28L).cast("long"))
+    MediaPipeline.load(s, dir).toDF()
+      .select(col("kind"), tokens.as("est_tokens"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("est_tokens")).as("sum_tokens"),
+        max(col("est_tokens")).as("max_tokens"))
+      .orderBy(col("kind"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "m01_media_features" -> QueryDef(mediaFeatures, Some(s"""
       WITH m AS (
@@ -56,6 +80,27 @@ object MultimodalQueries {
              md5(substr(text, CAST(frame_idx AS INT) * 32 + 1, 32)) AS frame_md5
       FROM f ORDER BY media_id, frame_idx"""),
       "video frame sampling (every 4th 32-byte frame, fingerprinted)"),
+
+    "m04_media_token_budget" -> QueryDef(mediaTokenBudget, Some(s"""
+      WITH m AS (
+        SELECT $kindDuck AS kind,
+               CAST(16 + doc_id % 113 AS BIGINT) AS w,
+               CAST(16 + doc_id % 71 AS BIGINT) AS h,
+               CAST(n_chars * 10 AS BIGINT) AS dur
+        FROM documents),
+      t AS (
+        SELECT kind,
+          CASE kind
+            WHEN 'image' THEN ((w + 13) // 14) * ((h + 13) // 14)
+            WHEN 'audio' THEN (dur + 79) // 80
+            ELSE ((dur + 999) // 1000) * ((w + 27) // 28) * ((h + 27) // 28)
+          END AS est_tokens
+        FROM m)
+      SELECT kind, COUNT(*) AS n_media,
+        CAST(SUM(est_tokens) AS BIGINT) AS sum_tokens,
+        CAST(MAX(est_tokens) AS BIGINT) AS max_tokens
+      FROM t GROUP BY kind ORDER BY kind"""),
+      "multimodal token accounting from metadata only (payload never read)"),
 
     "m03_media_meta" -> QueryDef(MediaPipeline.metadataSummary, Some(s"""
       WITH m AS (

@@ -8,6 +8,20 @@ class MediaPlanSpec extends graft.streaming.SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("m04 token budget never reads the payload column") {
+    val qe = graft.SparkEntry.queries("m04_media_token_budget")(spark, sf).queryExecution
+    val scans = qe.executedPlan.collect { case f: FileSourceScanExec => f }
+    val schemas: Seq[String] =
+      if (scans.nonEmpty) scans.map(_.requiredSchema.fieldNames.mkString(","))
+      else qe.explainString(ExplainMode.fromString("formatted"))
+        .linesIterator.filter(_.contains("ReadSchema:")).toSeq
+    assert(schemas.nonEmpty)
+    schemas.foreach { fields =>
+      assert(!fields.contains("text"),
+        s"payload column leaked into the m04 scan: $fields")
+    }
+  }
+
   test("m03 metadata scan prunes the payload column out of the parquet read") {
     // metadataSummary must stay answerable without touching the payload
     // (here: the `text` column the fake payload derives from). If anyone
