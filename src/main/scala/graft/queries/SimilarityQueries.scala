@@ -236,6 +236,40 @@ object SimilarityQueries {
       s"(CASE WHEN $dot > 0 THEN CAST(${1 << r} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
 
+  /** s06: IVF with a BUILT index — s02 trusts the data's `label` as its
+    * cell; here the index is constructed: K deterministically seeded
+    * centroids (`vec_id % 47 == 0` — in production, a k-means fit),
+    * every vector assigned to its nearest seed by cosine, queries
+    * scored only against their own cell. The assignment is one
+    * broadcast(K seeds) nested-loop scan + a map-side-combinable
+    * argmax (max of a (cos, -seed) struct — lexicographic, ties to the
+    * LOWEST seed id), never a shuffle of the N×K scored pairs: the
+    * shape that holds when N is 10¹⁰ and K is 10⁴. */
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val seeds = e.filter(col("vec_id") % 47 === 0)
+      .select(col("vec_id").as("s_id"), col("v").as("sv"), col("nrm").as("sn"))
+    val assigned = e
+      .join(broadcast(seeds))
+      .withColumn("scos", expr(dotSpark("v", "sv")) / (col("nrm") * col("sn")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("scos"), (-col("s_id")).as("neg"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg")).as("cell"))
+    val cells = e.join(assigned, "vec_id")
+    val q = cells.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("cell"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val c = cells.select(col("vec_id").as("c_id"), col("cell"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    q.join(c, Seq("cell")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("cell"), col("c_id"), col("rnk"), col("cos").as("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** s05: embedding sanity report — per-cluster vector counts and L2
     * norm extrema, plus an EXACT distribution checksum. Min/max of the
     * fold-computed norms are raw doubles (bit-identical across engines);
@@ -344,6 +378,31 @@ object SimilarityQueries {
         TRUE AS recall_measurable
       FROM j"""
     }, "recall contract: pruned ANN paths measured against the exact baseline"),
+
+    "s06_ann_ivf" -> QueryDef(annIvf, Some(s"""$vecsDuckCte,
+      seeds AS (SELECT vec_id AS s_id, v AS sv, nrm AS sn
+        FROM n WHERE vec_id % 47 = 0),
+      sc AS (
+        SELECT n.vec_id, s_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, len(n.v)), i -> n.v[i] * sv[i])), (a, z) -> a + z)
+            / (n.nrm * sn) AS scos
+        FROM n, seeds),
+      asg AS (
+        SELECT vec_id, s_id AS cell FROM (
+          SELECT vec_id, s_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
+          FROM sc) t WHERE rn = 1),
+      cells AS (SELECT n.vec_id, n.label, n.v, n.nrm, asg.cell
+                FROM n JOIN asg ON n.vec_id = asg.vec_id),
+      p AS (
+        SELECT q.vec_id AS q_id, q.cell AS cell, c.vec_id AS c_id, $cosDuck AS cos
+        FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+        WHERE q.vec_id % 50 = 0),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM p)
+      SELECT q_id, cell, c_id, CAST(rnk AS BIGINT) AS rnk, cos AS cosine
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""),
+      "IVF ANN with a built index: seeded centroids, nearest-seed cells, in-cell top-k"),
 
     "s05_cluster_norm_stats" -> QueryDef(clusterNormStats, Some(s"""$vecsDuckCte
       SELECT label, COUNT(*) AS n_vecs,
