@@ -331,6 +331,30 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t14: deterministic train/validation/test split — the same
+    * content-hash machinery as t06/t13 driving the 98/1/1 split every
+    * training pipeline needs. Assignment is a pure function of doc_id,
+    * so the split is stable across reruns, re-partitionings, and
+    * incremental corpus growth (old docs never migrate between splits
+    * when new docs arrive — the property random splits lose). Reported
+    * per (lang, split) with within-language shares, the mix report a
+    * curation run signs off on. */
+  private def trainSplit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val w = Window.partitionBy(col("lang"))
+    docs(s, dir)
+      .withColumn("x", concat(col("doc_id").cast(StringType), lit(":split")))
+      .withColumn("bucket", expr(s"${DedupQueries.shingleHashSpark} % 100"))
+      .withColumn("split",
+        when(col("bucket") < 98, "train")
+          .when(col("bucket") === 98, "validation")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(w))
+      .orderBy(col("lang"), col("split"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_doc_quality" -> QueryDef(docQuality, Some(s"""$statsDuckCte
       SELECT doc_id, n_tokens,
@@ -503,5 +527,23 @@ object TextQueries {
       SELECT doc_id, lang, quality_score, bucket
       FROM h WHERE bucket < quality_score * 400.0
       ORDER BY doc_id"""),
-      "quality-weighted deterministic sampling"))
+      "quality-weighted deterministic sampling"),
+
+    "t14_train_split" -> QueryDef(trainSplit, Some(s"""
+      WITH t AS (
+        SELECT lang, CAST(doc_id AS VARCHAR) || ':split' AS x
+        FROM documents),
+      b AS (
+        SELECT lang, ${DedupQueries.shingleHashDuck} % 100 AS bucket FROM t),
+      sp AS (
+        SELECT lang,
+          CASE WHEN bucket < 98 THEN 'train'
+               WHEN bucket = 98 THEN 'validation'
+               ELSE 'test' END AS split
+        FROM b),
+      g AS (SELECT lang, split, COUNT(*) AS n_docs FROM sp GROUP BY 1, 2)
+      SELECT lang, split, n_docs,
+        CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang) AS share
+      FROM g ORDER BY lang, split"""),
+      "deterministic 98/1/1 train/validation/test split per language"))
 }

@@ -173,6 +173,33 @@ class ProtocolSpec extends AnyFunSuite {
     assert(g.pendingOf("alive").map(_.timesDelivered).forall(_ == 2))
   }
 
+  test("XAUTOCLAIM property: any batch size sweeps the idle set exactly once") {
+    // Whatever the page size, looping until the cursor wraps must claim
+    // every idle entry exactly once and touch nothing fresh.
+    for (batchSize <- Seq(1, 3, 7, 100)) {
+      val (clock, log) = fixture()
+      (1 to 23).foreach(i => log.add(Map("i" -> i)))
+      val g = ConsumerGroup.create(log, s"grp-ac-prop-$batchSize", clock)
+      g.readNew("dead", 17)            // 17 idle-to-be entries
+      clock.advance(2000)
+      g.readNew("dead", 6)             // 6 fresh entries (idle 0)
+      var cursor = "0-0"
+      var first = true
+      val claimed = scala.collection.mutable.ArrayBuffer[String]()
+      while (first || cursor != "0-0") {
+        first = false
+        val (next, got) = g.autoClaim("alive", 1000, cursor, batchSize)
+        claimed ++= got
+        assert(got.size <= batchSize)
+        cursor = next
+      }
+      assert(claimed.size == 17, s"batch=$batchSize claimed ${claimed.size}")
+      assert(claimed.distinct.size == 17, "an entry was claimed twice")
+      assert(claimed == claimed.sorted(MsgId.ordering))
+      assert(g.pendingOf("dead").size == 6, "fresh entries must stay owned")
+    }
+  }
+
   test("group creation is idempotent (BUSYGROUP swallowed)") {
     val (clock, log) = fixture()
     log.add(Map("i" -> 1))
