@@ -27,7 +27,13 @@ object TrainingExport {
   /** Assign each doc a deterministic shard id so every shard holds
     * ≈`shardTokens` tokens (a shard may overshoot by at most one doc).
     * Returns the input plus (`h64`, `shard`). `tokenCol` must be a
-    * bigint token count; `idCol` a unique id. */
+    * NON-NEGATIVE bigint token count; `idCol` a unique id.
+    *
+    * Shard ids are `floor(prefix / shardTokens)`: when one document
+    * alone exceeds the budget, the ids after it SKIP the spans that
+    * document swallowed — consumers must treat shard ids as ordered
+    * labels, not a dense 0..N-1 range (they are dense whenever every
+    * doc fits the budget, the normal case). */
   def assignShards(docs: DataFrame, idCol: String, tokenCol: String,
       shardTokens: Long, numRanges: Int = 256): DataFrame = {
     require(shardTokens > 0 && numRanges > 0)
@@ -51,9 +57,11 @@ object TrainingExport {
       .select(col("__range"), col("__offset"))
     tagged
       .join(broadcast(offsets), "__range")
+      // integer `div`, not `/`: Column `/` is IEEE double division,
+      // which goes inexact once the global prefix sum passes 2^53
+      // tokens — silent off-by-one shard assignment at extreme scale
       .withColumn("shard",
-        ((col("__cum_in_range") + col("__offset") - col(tokenCol)) / shardTokens)
-          .cast("long"))
+        expr(s"(__cum_in_range + __offset - `$tokenCol`) div ${shardTokens}L"))
       .drop("__range", "__cum_in_range", "__offset")
   }
 

@@ -79,7 +79,13 @@ object EventStream {
     * hand-rolled `flatMapGroupsWithState` sessionizer has to prove and
     * this one gets from the engine. Emitted only on watermark close
     * (Append mode), exactly the at-least-once-friendly contract the
-    * PEL delivery path feeds. */
+    * PEL delivery path feeds.
+    *
+    * Boundary semantics: a session's window is `[first, last + gap)` —
+    * an event arriving EXACTLY `gap` after the previous one starts a
+    * NEW session. The a10 batch query keeps such an event in the same
+    * session (its rule is `ts - prev > gap`); comparisons between the
+    * two must use `>= gap` as the batch split rule. */
   def sessionize(df: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =
     df.withWatermark("ts", watermark)

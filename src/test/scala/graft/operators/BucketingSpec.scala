@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
 /** The bucketing contract: co-located write ⇒ zero-exchange join. */
@@ -17,21 +16,29 @@ class BucketingSpec extends graft.streaming.SparkTestBase {
 
     Bucketing.writeBucketed(l, "b_lineitem", "orderkey", 4)
     Bucketing.writeBucketed(o, "b_orders", "orderkey", 4)
+    // At test scale AQE would broadcast the small side (also shuffle-
+    // free, but not the path this operator exists for). Pin broadcasts
+    // off so the assertion exercises the co-located sort-merge join —
+    // what a 100 TB large⋈large actually runs.
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val joined = Bucketing.bucketedJoin(s, "b_lineitem", "b_orders", "orderkey")
-      // Force execution so AQE finalizes the plan before we inspect it.
-      val n = joined.count()
-
-      val shuffles = joined.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec => e
-      }
-      val planText = joined.queryExecution.executedPlan.toString
-      assert(shuffles.isEmpty && !planText.contains("Exchange hashpartitioning"),
+      // collect() (not count(), which is a different QueryExecution) so
+      // THIS DataFrame's adaptive plan is finalized before inspection.
+      val n = joined.collect().length.toLong
+      // AQE wraps the plan in a leaf node, so collect{ShuffleExchangeExec}
+      // would be vacuous — the rendered tree is the reliable surface.
+      val planText = graft.PlanTestUtils.formatted(joined.queryExecution)
+      assert(!planText.contains("Exchange hashpartitioning"),
         s"bucketed join planned a shuffle:\n$planText")
+      assert(planText.contains("SortMergeJoin") || planText.contains("ShuffledHashJoin"),
+        s"expected a co-located join in the plan:\n$planText")
 
       val expected = l.join(o, "orderkey").count()
       assert(n == expected, s"bucketed join rows $n != plain join rows $expected")
     } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       s.sql("DROP TABLE IF EXISTS b_lineitem")
       s.sql("DROP TABLE IF EXISTS b_orders")
     }

@@ -1,13 +1,16 @@
 package graft.queries
 
+import graft.PlanTestUtils
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.window.WindowExec
 
 /** Plan-shape regression tests for the round-4 queries: the scale
   * properties value-level oracles can't see. Each assertion encodes a
   * deliberate design decision — if a refactor regresses it, correctness
-  * stays green but the 100 TB story breaks, so it must fail here. */
+  * stays green but the 100 TB story breaks, so it must fail here.
+  *
+  * Physical-plan assertions go through the formatted explain text
+  * ([[graft.PlanTestUtils]]): under AQE, `executedPlan` is a leaf
+  * wrapper and `collect` on it is vacuous. */
 class PlanShapeSpec extends graft.streaming.SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
@@ -16,22 +19,18 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
 
   test("a31 top supplier: max is a broadcast scalar, not a window over suppliers") {
     // The supplier cardinality is unbounded at scale; the max must never
-    // plan as an unpartitioned WindowExec over the revenue aggregate.
-    val qe = queries("a31_top_supplier")(spark, sf).queryExecution
-    val windows = qe.executedPlan.collect { case w: WindowExec => w }
-    assert(windows.isEmpty,
-      s"a31 planned ${windows.size} WindowExec node(s); expected broadcast-scalar max")
+    // plan as an unpartitioned Window over the revenue aggregate.
+    val text = PlanTestUtils.formatted(
+      queries("a31_top_supplier")(spark, sf).queryExecution)
+    assert(!text.contains("Window"),
+      s"a31 planned a Window; expected broadcast-scalar max:\n$text")
+    assert(text.contains("BroadcastNestedLoopJoin") || text.contains("BroadcastExchange"),
+      "a31 lost its broadcast-scalar max join")
   }
 
   test("a32 disjunctive revenue: quantity envelope reaches the lineitem scan") {
-    val qe = queries("a32_disjunctive_revenue")(spark, sf).queryExecution
-    // AQE wraps the initial plan, hiding scan nodes from collect — read
-    // the formatted explain's PushedFilters lines (MediaPlanSpec pattern).
-    val scans = qe.executedPlan.collect { case f: FileSourceScanExec => f }
-    val pushed: Seq[String] =
-      if (scans.nonEmpty) scans.map(_.metadata.getOrElse("PushedFilters", ""))
-      else qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-        .linesIterator.filter(_.contains("PushedFilters:")).toSeq
+    val pushed = PlanTestUtils.scanPushedFilters(
+      queries("a32_disjunctive_revenue")(spark, sf).queryExecution)
     assert(pushed.exists(_.contains("l_quantity")),
       s"quantity envelope not pushed to the lineitem scan: $pushed")
   }
@@ -54,16 +53,16 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
   test("a28 trade flows: both nation dims broadcast below the fact shuffle") {
     // The 2-row nation filter must reach both sides as broadcast joins;
     // a plan that shuffles nation with the facts has lost the pruning.
-    val text = queries("a28_nation_trade_flows")(spark, sf)
-      .queryExecution.executedPlan.toString
+    val text = PlanTestUtils.formatted(
+      queries("a28_nation_trade_flows")(spark, sf).queryExecution)
     val broadcasts = "BroadcastHashJoin".r.findAllIn(text).size
     assert(broadcasts >= 2,
       s"expected >=2 broadcast joins (nation dims), saw $broadcasts")
   }
 
   test("t10 term doc freq: corpus total joins as broadcast, no extra shuffle join") {
-    val text = queries("t10_term_doc_freq")(spark, sf)
-      .queryExecution.executedPlan.toString
+    val text = PlanTestUtils.formatted(
+      queries("t10_term_doc_freq")(spark, sf).queryExecution)
     assert(!text.contains("SortMergeJoin"),
       "t10 planned a SortMergeJoin for the 1-row total; expected broadcast")
   }

@@ -111,11 +111,14 @@ class EventStreamSpec extends SparkTestBase {
       val f = org.apache.spark.sql.functions
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts", "event_id")
+      // >= gap, not > gap: session_window's window is [first, last+gap),
+      // so an event exactly `gap` later starts a NEW session (see the
+      // sessionize scaladoc — a10's batch rule differs at the boundary).
       val batch = graft.Tables.events(s, sf)
         .withColumn("prev", f.lag("ts", 1).over(w))
         .withColumn("new_sess",
           f.when(f.col("prev").isNull.or(
-            f.col("ts").cast("long") - f.col("prev").cast("long") > 1800), 1L).otherwise(0L))
+            f.col("ts").cast("long") - f.col("prev").cast("long") >= 1800), 1L).otherwise(0L))
         .withColumn("sess_id", f.sum("new_sess").over(
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
         .groupBy("user_id", "sess_id")
