@@ -115,8 +115,15 @@ object EventStream {
     * would retroactively change emitted rows); the interval join emits
     * EVERY (purchase, prior click ≤ horizon) pair, which is
     * append-safe. Downstream dedup/argmax is a batch concern. */
+  /** `joinType` "inner" emits attributed pairs only; "left_outer"
+    * additionally emits each UNattributed purchase once (null click
+    * columns) after the watermark proves no in-horizon click can still
+    * arrive — the shape a conversion-rate monitor needs (attributed vs
+    * organic), with the null row's emission delayed by exactly the
+    * state-cleanup bound. */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
-      horizon: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+      horizon: String = "30 minutes", watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.select(col("user_id").as("c_user"),
       col("ts").as("click_ts"), col("event_id").as("click_id"))
       .withWatermark("click_ts", watermark)
@@ -126,7 +133,8 @@ object EventStream {
     p.join(c,
       col("p_user") === col("c_user") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("purchase_id"), col("p_user").as("user_id"),
         col("click_id"), col("click_ts"), col("purchase_ts"))
   }

@@ -167,6 +167,42 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unattributed purchases with null clicks") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val purchases = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Long)]
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+    val joined = EventStream.attributionJoin(
+      clicks.toDF().toDF("ts", "user_id", "event_id"),
+      purchases.toDF().toDF("ts", "user_id", "event_id"),
+      horizon = "30 minutes", watermark = "1 hour", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode("append").start()
+    try {
+      // user 1 purchases WITH a prior click; user 2 purchases organically.
+      clicks.addData((ts(10, 0), 1L, 101L))
+      purchases.addData((ts(10, 20), 1L, 900L), (ts(10, 25), 2L, 901L))
+      q.processAllAvailable()
+      // The unmatched row may only flush after the watermark proves no
+      // in-horizon click can still arrive — push it far past.
+      clicks.addData((ts(14, 0), 9L, 999L))
+      purchases.addData((ts(14, 0), 9L, 998L))
+      q.processAllAvailable()
+      val rows = s.sql(
+        """SELECT purchase_id, user_id, click_id FROM attr_outer_out
+           WHERE user_id IN (1, 2) ORDER BY purchase_id""")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))
+      assert(rows.toSeq == Seq((900L, 1L, 101L), (901L, 2L, -1L)),
+        s"expected one attributed and one null-click purchase: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("dedupedEvents file-stream wiring emits each event_id once") {
     val s = spark
     val sf = "/root/testdata/sf0.001"
