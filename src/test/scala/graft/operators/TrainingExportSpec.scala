@@ -42,6 +42,37 @@ class TrainingExportSpec extends graft.streaming.SparkTestBase {
     assert(a == b, "shard assignment changed under repartitioning")
   }
 
+  test("hierarchical prefix sum matches a sequential reference on random corpora") {
+    // The operator computes shard = floor(exclusive_prefix / budget)
+    // via per-range windows + broadcast offsets. Reference: read back
+    // the operator's own (h64, range-implied) order, recompute the
+    // prefix sums sequentially on the driver, and demand identical
+    // shard ids. Catches any off-by-one in the offset window frame or
+    // the range ordering.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 3) {
+      val budget = Seq(50L, 500L, 5000L)(trial - 1)
+      val docs = (0 until 400).map(i => (i.toLong + trial * 10000, rnd.nextInt(200).toLong))
+        .toDF("doc_id", "toks")
+      val out = TrainingExport.assignShards(docs, "doc_id", "toks", budget, numRanges = 16)
+        .select(col("doc_id"), col("toks"), col("h64"), col("shard"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // Sequential reference: order by (range, h64, doc_id), running sum.
+      val ordered = out.sortBy { case (id, _, h, _) =>
+        (((h % 16) + 16) % 16, h, id)
+      }
+      var cum = 0L
+      ordered.foreach { case (id, toks, _, shard) =>
+        val expected = cum / budget
+        assert(shard == expected,
+          s"trial $trial doc $id: shard $shard != reference $expected (prefix $cum)")
+        cum += toks
+      }
+    }
+  }
+
   test("writeShards produces shard-partitioned JSONL that round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
     try {
