@@ -74,15 +74,20 @@ object ConnectedComponents {
     * forest of stars — no node appears as both a child (src) and a
     * parent (dst), AND every child has exactly one parent (a two-parent
     * child like {(x,r1),(x,r2)} has no chain yet still isn't a star).
-    * Guards the checksum against collisions. */
-  private def isStarForest(edges: DataFrame): Boolean =
-    edges.alias("a")
+    * Guards the checksum against collisions. Both violation families
+    * are unioned into ONE job — this runs once per clustering, but a
+    * job is a full scheduler round-trip and the two checks share their
+    * input scan. */
+  private def isStarForest(edges: DataFrame): Boolean = {
+    val chains = edges.alias("a")
       .join(edges.alias("b"), col("a.dst") === col("b.src"), "left_semi")
-      .isEmpty &&
-    edges.groupBy(col("src"))
+      .select(lit(1).as("v"))
+    val multiParent = edges.groupBy(col("src"))
       .agg(countDistinct(col("dst")).as("parents"))
       .filter(col("parents") > 1)
-      .isEmpty
+      .select(lit(1).as("v"))
+    chains.unionByName(multiParent).isEmpty
+  }
 
   /** @param pairs undirected edges as two numeric-id columns.
     *        Self-loops (a,a) carry no connectivity and are dropped: a
