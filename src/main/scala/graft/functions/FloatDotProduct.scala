@@ -101,6 +101,7 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "graft_dot" -> (exprs => FloatDotProduct(exprs(0), exprs(1))),
     "graft_strhash" -> (exprs => StringPolyHash(exprs.head)),
+    "graft_sorted_icount" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
     "graft_hyperbands" -> (exprs => {
       require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
         "graft_hyperbands(vector, bands, bits) expects literal integer bands/bits")

@@ -213,7 +213,10 @@ object DedupQueries {
       .select(explode(expr(pairExpansion(
         "x.doc_id AS doc_a, y.doc_id AS doc_b, x.gh AS ga, y.gh AS gb"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.ga"), col("p.gb")).distinct()
-      .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))).cast(LongType))
+      // native sorted-merge count, not size(array_intersect): the gram
+      // sets arrive sorted (array_sort(collect_set)) and this runs once
+      // per candidate PAIR — see graft.functions.SortedIntersectCount
+      .withColumn("n_inter", expr("graft_sorted_icount(ga, gb)"))
       .withColumn("n_union",
         (size(col("ga")) + size(col("gb"))).cast(LongType) - col("n_inter"))
       .withColumn("jacc", col("n_inter").cast(DoubleType) / col("n_union"))

@@ -62,6 +62,29 @@ class FunctionsParitySpec extends graft.streaming.SparkTestBase {
     }
   }
 
+  test("graft_sorted_icount equals size(array_intersect) on random sorted sets") {
+    val s = spark
+    GraftFunctions.register(s)
+    val rnd = new scala.util.Random(13)
+    // Random distinct sorted sets over a small value domain so overlaps
+    // are common; plus adversarial edges: empty, identical, disjoint.
+    def set(): Seq[Long] =
+      Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+    val shared = set()
+    val pairs = Seq.fill(200)((set(), set())) ++ Seq(
+      (Seq.empty[Long], set()), (shared, shared),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L)))
+    val df = s.createDataFrame(
+      java.util.Arrays.asList(pairs.map { case (a, b) => Row(a, b) }: _*),
+      StructType(Seq(
+        StructField("a", ArrayType(LongType, containsNull = false)),
+        StructField("b", ArrayType(LongType, containsNull = false)))))
+    val rows = df.select(expr("graft_sorted_icount(a, b)"),
+      size(array_intersect(col("a"), col("b"))).cast(LongType)).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"merge count ${r.getLong(0)} != array_intersect ${r.getLong(1)}"))
+  }
+
   test("graft_dot nulls on ragged or null-element input") {
     val s = spark
     GraftFunctions.register(s)
