@@ -35,13 +35,15 @@ class GraftExtensionsSpec extends graft.streaming.SparkTestBase {
         """SELECT graft_strhash('abc') AS h,
                   graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
                             array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
-                  graft_hyperbands(array(CAST(1.0 AS FLOAT)), 2, 2) AS bands""")
+                  graft_hyperbands(array(CAST(1.0 AS FLOAT)), 2, 2) AS bands,
+                  graft_sorted_icount(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS ic""")
         .collect().head
       // (97·131 + 98)·131 + 99 mod 1e9+7
       assert(r.getLong(0) == 1677554L)
       assert(r.getDouble(1) == 11.0)
       val bands = r.getSeq[Long](2)
       assert(bands.length == 2 && bands.forall(b => b >= 0 && b < 4))
+      assert(r.getLong(3) == 2L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
