@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private val implClasses: Map[String, Class[_]] = Map(
     "graft_dot" -> classOf[graft.functions.FloatDotProduct],
     "graft_strhash" -> classOf[graft.functions.StringPolyHash],
+    "graft_gramhash" -> classOf[graft.functions.GramHash],
+    "graft_minhash" -> classOf[graft.functions.MinHashPerms],
+    "graft_simhash" -> classOf[graft.functions.SimHashFold],
     "graft_hyperbands" -> classOf[graft.functions.HyperplaneBands])
 
   override def apply(ext: SparkSessionExtensions): Unit = {

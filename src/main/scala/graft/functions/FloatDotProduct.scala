@@ -101,6 +101,17 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "graft_dot" -> (exprs => FloatDotProduct(exprs(0), exprs(1))),
     "graft_strhash" -> (exprs => StringPolyHash(exprs.head)),
+    "graft_gramhash" -> (exprs => GramHash(exprs.head)),
+    "graft_minhash" -> (exprs => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        "graft_minhash(hashes, nperms) expects a literal integer nperms")
+      MinHashPerms(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)
+    }),
+    "graft_simhash" -> (exprs => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        "graft_simhash(hashes, bits) expects a literal integer bits")
+      SimHashFold(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)
+    }),
     "graft_sorted_icount" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
     "graft_hyperbands" -> (exprs => {
       require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,

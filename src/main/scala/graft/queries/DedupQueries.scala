@@ -31,9 +31,10 @@ object DedupQueries {
 
   // ---- shared expression fragments (Spark SQL + DuckDB twins) ----
   //
-  // MinHash at scale: explode distinct word-trigram shingles to rows,
-  // hash each ONCE with a cheap polynomial char fold, then compute the 16
-  // signature entries as MIN aggregates over linear permutations
+  // MinHash at scale: one fused pass hashes every word-trigram shingle
+  // straight off the raw text (graft_gramhash — no per-gram string is
+  // ever built), the distinct hash values explode to rows, and the 16
+  // signature entries are MIN aggregates over linear permutations
   // h_i(v) = ((2i+1)·v + 40503·i) mod 1e9+7. Aggregates are map-side
   // combinable (partial min), the permutation arithmetic is codegen'd,
   // and nothing is recomputed — unlike a nested higher-order-function
@@ -92,12 +93,22 @@ object DedupQueries {
     s"""flatten(transform(ids, (x, i) ->
         transform(slice(ids, i + 2, size(ids)), y -> struct($fields))))"""
 
-  /** Word-trigram sets (shared by MinHash shingling and the Jaccard
-    * verifier; `words` must be bound to split(text, ' ')). */
-  private[queries] val gramsSpark = """array_distinct(CASE WHEN size(words) >= 3
-    THEN transform(sequence(1, size(words) - 2),
-         i -> concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2)))
-    ELSE array(text) END)"""
+  /** Hashed word-trigram multiset, fused into ONE pass over the raw
+    * text — [[graft.functions.GramHash]]. The composed form
+    * (`transform(sequence(...), i -> concat_ws(' ', wᵢ, wᵢ₊₁, wᵢ₊₂))` →
+    * `graft_strhash`) allocates a transient string per trigram and
+    * folds every character ~3×; the fused expression composes each
+    * trigram hash in O(1) from per-word hashes via
+    * `h(x∘y) = h(x)·131^|y| + h(y) mod p` — value-identical (pinned by
+    * FunctionsParitySpec), so the DuckDB twins keep the explicit
+    * string-building form ([[gramsDuck]]). Deduplication happens on
+    * the hashed VALUES (`array_distinct` here, `DISTINCT v` /
+    * `list_distinct(list(v))` in the twins): every consumer aggregates
+    * the hash set, so string-level vs value-level dedup could differ
+    * only where the twin engines' hash-collision handling would
+    * already diverge — value-level makes both sides identical by
+    * construction. */
+  private[queries] val gramHashSpark = "array_distinct(graft_gramhash(text))"
   private[queries] val gramsDuck = """CASE WHEN len(words) >= 3
     THEN list_distinct(list_transform(generate_series(1, len(words) - 2),
          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
@@ -129,24 +140,26 @@ object DedupQueries {
     bsz AS (SELECT b, bkey, COUNT(*) AS c FROM bands GROUP BY b, bkey)"""
   }
 
-  /** MinHash signature rows (doc_id, m0..m15[, gh]): one scan of
-    * `documents`, grams exploded and hashed once, signature entries as
-    * map-side-combinable MIN aggregates. With `withGrams`, the sorted
-    * hashed gram set rides along as `gh` so downstream verifiers (d04)
-    * reuse this single gram computation instead of rebuilding the gram
-    * arrays per join side — at 100 TB gram construction is the CPU
-    * bill, and a compact BIGINT-hash array also beats shuffling raw
-    * trigram strings. */
+  /** MinHash signature rows (doc_id, m0..m15[, gh]) as a PURE
+    * PROJECTION over one scan of `documents`: the fused gram-hash pass
+    * ([[graft.functions.GramHash]]) feeds the row-local 16-permutation
+    * fold ([[graft.functions.MinHashPerms]]). The round-4 formulation
+    * exploded gram rows and re-aggregated them under `groupBy(doc_id)`
+    * — a corpus-wide exchange on a key every row already held; now no
+    * signature byte touches the network, and the first shuffle of the
+    * whole LSH family is the band-key bucket shuffle. With `withGrams`,
+    * the sorted hashed gram set rides along as `gh` so downstream
+    * verifiers (d04) reuse this single gram computation — a compact
+    * BIGINT-hash array, never raw trigram strings. */
   private def signatures(s: SparkSession, dir: String, withGrams: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val hashed = docs(s, dir)
-      .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(gramsSpark)).as("x"))
-      .select(col("doc_id"), expr(shingleHashSpark).as("v"))
-    val permAggs = (0 until NumPerms).map(i => expr(permSql(i)).as(s"m$i"))
-    val aggs = if (withGrams) permAggs :+ array_sort(collect_set(col("v"))).as("gh")
-               else permAggs
-    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val base = docs(s, dir).withColumn("g", expr(gramHashSpark))
+    val mh = (0 until NumPerms).map(i =>
+      element_at(col("mh"), i + 1).as(s"m$i"))
+    val cols = Seq(col("doc_id")) ++
+      (if (withGrams) Seq(array_sort(col("g")).as("gh")) else Nil) ++
+      Seq(expr(s"graft_minhash(g, $NumPerms)").as("mh"))
+    base.select(cols: _*).select(col("*") +: mh: _*).drop("mh")
   }
 
   /** The `NumBands` (b, bkey) LSH band-key structs over m0..m15. */
@@ -280,23 +293,18 @@ object DedupQueries {
     * (most docs share most tokens ⇒ identical majority votes); trigram
     * sets discriminate (random-pair jaccard ≤ 0.02 on this data).
     *
-    * Shape: explode trigrams → one codegen'd hash per gram → 30 bit-vote
-    * SUM aggregates (map-side combinable) → one projection folding the
-    * votes into the fingerprint. No interpreted lambda in the hot path. */
+    * Shape: a PURE PROJECTION — one fused gram-hash pass per doc
+    * ([[graft.functions.GramHash]]) → one row-local bit-vote fold
+    * ([[graft.functions.SimHashFold]]). The round-4 formulation
+    * exploded gram rows into 30 SUM aggregates under `groupBy(doc_id)`
+    * — a corpus-wide exchange on a key every row already held; now d05
+    * is scan → project → sort, and d06's only exchange is the band
+    * bucket shuffle. No interpreted lambda, no per-gram string, no
+    * signature byte on the network. */
   private def simhashBase(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val votes = (0 until SimBits).map(b =>
-      expr(s"SUM(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END)").as(s"s$b"))
-    val fold = expr((0 until SimBits).map(b =>
-      s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-      .mkString(" + "))
     docs(s, dir)
-      .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(gramsSpark)).as("x"))
-      .select(col("doc_id"), expr("graft_strhash(x)").as("v"))
-      .groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fold.as("simhash"))
+      .select(col("doc_id"), expr(s"graft_simhash($gramHashSpark, $SimBits)").as("simhash"))
   }
 
   private def simhash(s: SparkSession, dir: String): DataFrame =
@@ -487,7 +495,10 @@ object DedupQueries {
     s"""
       WITH wsrc AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
       sx AS (SELECT doc_id, UNNEST($gramsDuck) AS x FROM wsrc),
-      vx AS (SELECT doc_id, $shingleHashDuck AS v FROM sx),
+      -- DISTINCT on the hashed VALUE, mirroring the Spark side's
+      -- array_distinct(graft_gramhash(text)): the bit votes are summed
+      -- over the per-doc gram-hash SET on both engines
+      vx AS (SELECT DISTINCT doc_id, $shingleHashDuck AS v FROM sx),
       sums AS (SELECT doc_id, $votes FROM vx GROUP BY doc_id),
       sim AS (SELECT doc_id, $fold AS simhash FROM sums)"""
   }

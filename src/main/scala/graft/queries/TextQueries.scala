@@ -169,7 +169,7 @@ object TextQueries {
   // distinct hashed grams broadcast; the corpus side explodes grams
   // once and left-joins the broadcast probe set, so the only shuffle is
   // the per-doc aggregation. Gram unit + hash reuse the MinHash
-  // fragments (word trigrams, graft_strhash) — one definition corpus
+  // fragments (word trigrams, graft_gramhash) — one definition corpus
   // wide. On this corpus the ≥50% threshold flags exactly the planted
   // near-dups of eval docs; the low-fraction tail is the word-salad
   // trigram collision floor, reported but not flagged.
@@ -184,9 +184,7 @@ object TextQueries {
   private def decontamination(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val grams = docs(s, dir)
-      .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(DedupQueries.gramsSpark)).as("x"))
-      .select(col("doc_id"), expr(DedupQueries.shingleHashSpark).as("v"))
+      .select(col("doc_id"), explode(expr(DedupQueries.gramHashSpark)).as("v"))
     val probes = grams.filter(col("doc_id") % 20 === 7).select(col("v")).distinct()
     grams.filter(col("doc_id") % 20 =!= 7)
       .join(broadcast(probes.withColumnRenamed("v", "pv")),
@@ -434,7 +432,9 @@ object TextQueries {
     "t08_decontamination" -> QueryDef(decontamination, Some(s"""
       WITH wsrc AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
       gx AS (SELECT doc_id, UNNEST(${DedupQueries.gramsDuck}) AS x FROM wsrc),
-      vx AS (SELECT doc_id, ${DedupQueries.shingleHashDuck} AS v FROM gx),
+      -- DISTINCT on the hashed VALUE, mirroring the Spark side's
+      -- array_distinct(graft_gramhash(text)) gram-hash set
+      vx AS (SELECT DISTINCT doc_id, ${DedupQueries.shingleHashDuck} AS v FROM gx),
       probes AS (SELECT DISTINCT v FROM vx WHERE doc_id % 20 = 7),
       corpus AS (SELECT doc_id, v FROM vx WHERE doc_id % 20 <> 7),
       h AS (SELECT c.doc_id, COUNT(*) AS n_grams,

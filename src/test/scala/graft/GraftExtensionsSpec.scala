@@ -36,7 +36,8 @@ class GraftExtensionsSpec extends graft.streaming.SparkTestBase {
                   graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
                             array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
                   graft_hyperbands(array(CAST(1.0 AS FLOAT)), 2, 2) AS bands,
-                  graft_sorted_icount(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS ic""")
+                  graft_sorted_icount(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS ic,
+                  graft_gramhash('a b c d') AS gh""")
         .collect().head
       // (97·131 + 98)·131 + 99 mod 1e9+7
       assert(r.getLong(0) == 1677554L)
@@ -44,6 +45,10 @@ class GraftExtensionsSpec extends graft.streaming.SparkTestBase {
       val bands = r.getSeq[Long](2)
       assert(bands.length == 2 && bands.forall(b => b >= 0 && b < 4))
       assert(r.getLong(3) == 2L)
+      // two trigrams: h("a b c") and h("b c d")
+      val gh = r.getSeq[Long](4)
+      def m(s: String) = s.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % 1000000007L)
+      assert(gh == Seq(m("a b c"), m("b c d")))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

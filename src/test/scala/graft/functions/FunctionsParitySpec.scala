@@ -85,6 +85,85 @@ class FunctionsParitySpec extends graft.streaming.SparkTestBase {
       s"merge count ${r.getLong(0)} != array_intersect ${r.getLong(1)}"))
   }
 
+  /** The composed trigram-hash pipeline graft_gramhash fuses away:
+    * split → per-position concat_ws(' ', wᵢ, wᵢ₊₁, wᵢ₊₂) →
+    * graft_strhash — per POSITION (no dedup), so the test pins order
+    * and multiplicity, not just the value set. */
+  private val composedGramHash = """CASE WHEN size(words) >= 3
+    THEN transform(sequence(1, size(words) - 2),
+         i -> graft_strhash(concat_ws(' ', element_at(words, i),
+                element_at(words, i+1), element_at(words, i+2))))
+    ELSE array(graft_strhash(text)) END"""
+
+  test("graft_gramhash equals the composed concat_ws+strhash form per position") {
+    val s = spark
+    GraftFunctions.register(s)
+    val rnd = new scala.util.Random(99)
+    val vocab = Seq("alpha", "b", "gamma7", "Zz", "~!", "0")
+    def doc(): String =
+      Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // Edges exercise the split(limit=-1) contract: empty text, <3 words,
+    // leading/trailing/double spaces (empty words), repeated trigrams.
+    val cases = Seq("", "one", "one two", "a b c", "a b c d e",
+      " lead", "trail ", "dbl  space", "  ", "   ", "a a a a a a",
+      "x y z x y z x y z") ++ Seq.fill(300)(doc())
+    val df = s.createDataFrame(
+      java.util.Arrays.asList(cases.map(Row(_)): _*),
+      StructType(Seq(StructField("text", StringType))))
+      .withColumn("words", split(col("text"), " "))
+    val rows = df.select(expr("graft_gramhash(text)"),
+      expr(composedGramHash)).collect()
+    cases.zip(rows).foreach { case (in, r) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"gramhash mismatch for '${in.take(30)}'")
+    }
+  }
+
+  test("graft_gramhash fallback hashes the whole text for <3-word docs") {
+    val s = spark
+    GraftFunctions.register(s)
+    val df = s.createDataFrame(
+      java.util.Arrays.asList(Row("two words"), Row(""), Row("  ")),
+      StructType(Seq(StructField("text", StringType))))
+    val rows = df.select(expr("graft_gramhash(text)"), expr("graft_strhash(text)")).collect()
+    // "  " is three empty words → one trigram "  " = the whole text;
+    // either branch must equal the full-text hash here.
+    rows.foreach(r => assert(r.getSeq[Long](0) == Seq(r.getLong(1))))
+  }
+
+  test("graft_minhash equals the exploded MIN-aggregate model; graft_simhash the bit-vote model") {
+    val s = spark
+    GraftFunctions.register(s)
+    val rnd = new scala.util.Random(4242)
+    val arrays = Seq(Seq(0L), Seq(999999999L), Seq(1L, 1L, 1L)) ++
+      Seq.fill(150)(Seq.fill(rnd.nextInt(80) + 1)(rnd.nextLong(1000000007L)))
+    def minhashModel(vs: Seq[Long], nperms: Int): Seq[Long] =
+      (0 until nperms).map(i => vs.map(v => ((2L * i + 1) * v + 40503L * i) % 1000000007L).min)
+    def simhashModel(vs: Seq[Long], bits: Int): Long =
+      (0 until bits).map { b =>
+        val vote = vs.map(v => if (((v >> b) & 1L) == 1L) 1 else -1).sum
+        if (vote > 0) 1L << b else 0L
+      }.sum
+    val df = s.createDataFrame(
+      java.util.Arrays.asList(arrays.map(Row(_)): _*),
+      StructType(Seq(StructField("g", ArrayType(LongType, containsNull = false)))))
+    val rows = df.select(expr("graft_minhash(g, 16)"), expr("graft_simhash(g, 30)")).collect()
+    arrays.zip(rows).foreach { case (vs, r) =>
+      assert(r.getSeq[Long](0) == minhashModel(vs, 16), s"minhash mismatch for ${vs.take(5)}…")
+      assert(r.getLong(1) == simhashModel(vs, 30), s"simhash mismatch for ${vs.take(5)}…")
+    }
+  }
+
+  test("graft_minhash / graft_simhash null on empty or null-element input") {
+    val s = spark
+    GraftFunctions.register(s)
+    val df = s.createDataFrame(
+      java.util.Arrays.asList(Row(Seq.empty[java.lang.Long]), Row(Seq[java.lang.Long](1L, null))),
+      StructType(Seq(StructField("g", ArrayType(LongType, containsNull = true)))))
+    val rows = df.select(expr("graft_minhash(g, 16)"), expr("graft_simhash(g, 30)")).collect()
+    assert(rows.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+
   test("graft_dot nulls on ragged or null-element input") {
     val s = spark
     GraftFunctions.register(s)
