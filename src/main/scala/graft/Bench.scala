@@ -27,24 +27,35 @@ object Bench {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val median =
+      // Per-iteration times ride along so the artifact self-diagnoses
+      // environmental outliers: a genuine regression shows in every
+      // iteration, a contention blip in one (round 4's driver run had
+      // two 6-9x blips that medians-only output couldn't distinguish
+      // from regressions without a manual rerun).
+      val (median, times) =
         try {
           once() // warmup run, discarded
-          val times = Array.fill(iters)(once()).sorted
+          val raw = Array.fill(iters)(once())
+          val sorted = raw.sorted
           // true median: mean of the two middles for even iter counts
           // (upper-middle alone would bias even-iters runs high)
-          if (times.length % 2 == 1) times(times.length / 2)
-          else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
+          val m = if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+                  else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
+          (m, raw.toSeq)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
+          (-1.0, Seq.empty[Double])
         }
-      name -> median
+      (name, median, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(d: Double) = f"$d%.4f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val detail = results.map { case (k, _, ts) =>
+      s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"stat":"median"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_iters":$detail,"sf":"$sfDir","iters":$iters,"stat":"median"}""")
     spark.stop()
   }
 }
