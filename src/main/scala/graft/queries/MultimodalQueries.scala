@@ -32,14 +32,17 @@ object MultimodalQueries {
     * never touches the payload column (the m03 pruning property), and
     * all arithmetic is exact integer ceil-division. */
   private def mediaTokenBudget(s: SparkSession, dir: String): DataFrame = {
-    val w = col("meta.width").cast("long")
-    val h = col("meta.height").cast("long")
-    val dur = col("meta.durationMs")
+    // SQL `div`, not Column `/`: `/` on longs is IEEE double division
+    // plus a truncating cast — exact only below 2^53. `div` is true
+    // integer division at any magnitude, matching the DuckDB twin's
+    // `//` (same rule as TrainingExport's shard arithmetic).
     val tokens = when(col("kind") === "image",
-        ((w + 13L) / 14L).cast("long") * ((h + 13L) / 14L).cast("long"))
-      .when(col("kind") === "audio", ((dur + 79L) / 80L).cast("long"))
-      .otherwise(((dur + 999L) / 1000L).cast("long") *
-        ((w + 27L) / 28L).cast("long") * ((h + 27L) / 28L).cast("long"))
+        expr("(CAST(meta.width AS BIGINT) + 13) div 14") *
+        expr("(CAST(meta.height AS BIGINT) + 13) div 14"))
+      .when(col("kind") === "audio", expr("(meta.durationMs + 79) div 80"))
+      .otherwise(expr("(meta.durationMs + 999) div 1000") *
+        expr("(CAST(meta.width AS BIGINT) + 27) div 28") *
+        expr("(CAST(meta.height AS BIGINT) + 27) div 28"))
     MediaPipeline.load(s, dir).toDF()
       .select(col("kind"), tokens.as("est_tokens"))
       .groupBy(col("kind"))
