@@ -370,7 +370,9 @@ object DedupQueries {
     * runs: at 100 TB the index side is a (digest, min_doc) aggregate —
     * digests only, never text — so the join shuffles 16 bytes/doc, and
     * an established deployment keeps that index as a bucketed table
-    * ([[graft.operators.Bucketing]]) so only the new batch shuffles.
+    * ([[graft.operators.Bucketing]]) so only the new batch shuffles —
+    * demonstrated plan-for-plan by BucketingSpec's "d09 steady state"
+    * test (one batch-side exchange, index scan stays bucketed).
     * The digest is the d02 16-word-prefix fingerprint (this corpus's
     * planted duplicates are near-dups — full-text md5 would never
     * fire; a production pipeline picks the key per dedup policy). */

@@ -31,4 +31,22 @@ object PlanTestUtils {
     * operator presence/absence under AQE. */
   def formatted(qe: QueryExecution): String =
     qe.explainString(ExplainMode.fromString("formatted"))
+
+  /** Count of shuffle exchanges in the FINAL adaptive plan tree.
+    *
+    * Two rendering traps this helper absorbs: formatted mode prints the
+    * node header (`Exchange (5)`) and its `Arguments: hashpartitioning`
+    * on separate lines, so substring checks like
+    * `contains("Exchange hashpartitioning")` are vacuously false; and
+    * with AQE the text also renders the `== Initial Plan ==`, whose
+    * exchanges may have been optimized away — counting the whole text
+    * double-counts. Cuts at the initial-plan marker and counts tree
+    * node headers, excluding reuse (`ReusedExchange` reads an existing
+    * shuffle; it does not move data again). */
+  def finalPlanExchanges(qe: QueryExecution): Int = {
+    val t = formatted(qe)
+    val cut = t.indexOf("== Initial Plan ==")
+    val finalTree = if (cut >= 0) t.substring(0, cut) else t
+    "(?<!Reused)Exchange \\(\\d+\\)".r.findAllIn(finalTree).size
+  }
 }

@@ -30,7 +30,7 @@ class BucketingSpec extends graft.streaming.SparkTestBase {
       // AQE wraps the plan in a leaf node, so collect{ShuffleExchangeExec}
       // would be vacuous — the rendered tree is the reliable surface.
       val planText = graft.PlanTestUtils.formatted(joined.queryExecution)
-      assert(!planText.contains("Exchange hashpartitioning"),
+      assert(graft.PlanTestUtils.finalPlanExchanges(joined.queryExecution) == 0,
         s"bucketed join planned a shuffle:\n$planText")
       assert(planText.contains("SortMergeJoin") || planText.contains("ShuffledHashJoin"),
         s"expected a co-located join in the plan:\n$planText")
@@ -41,6 +41,52 @@ class BucketingSpec extends graft.streaming.SparkTestBase {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       s.sql("DROP TABLE IF EXISTS b_lineitem")
       s.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+
+  /** The steady-state deployment d09's scaladoc promises: the corpus
+    * digest index lives as a table bucketed on `digest`, so checking a
+    * fresh crawl batch shuffles ONLY the batch — the index side joins
+    * from its bucketed layout with no exchange. The per-batch network
+    * cost is O(batch), not O(corpus), which is what makes continuous
+    * ingest dedup affordable at 100 TB. */
+  test("d09 steady state: incremental dedup shuffles only the new batch, never the bucketed index") {
+    val s = spark
+    val sf01 = "/root/testdata/sf0.001"
+    val digest = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16))).as("digest")
+    val d = graft.Tables.documents(s, sf01).select(col("doc_id"), digest)
+    val idx = d.filter(col("doc_id") % 10 =!= 0)
+      .groupBy(col("digest")).agg(min(col("doc_id")).as("index_doc"))
+    Bucketing.writeBucketed(idx, "b_digest_index", "digest", 4)
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = d.filter(col("doc_id") % 10 === 0)
+        .join(s.table("b_digest_index"), Seq("digest"), "left")
+        .select(col("doc_id"), col("digest"),
+          col("index_doc").isNotNull.as("is_dup"),
+          coalesce(col("index_doc"), lit(-1L)).as("index_doc"))
+      val got = joined.collect()
+      val planText = graft.PlanTestUtils.formatted(joined.queryExecution)
+      // Exactly ONE hash exchange: the batch side being repartitioned
+      // into the index's bucket layout. A second one means the index
+      // re-shuffled — the regression this test exists to catch.
+      val exchanges = graft.PlanTestUtils.finalPlanExchanges(joined.queryExecution)
+      assert(exchanges == 1,
+        s"expected exactly the batch-side exchange, found $exchanges:\n$planText")
+      assert(planText.contains("Bucketed: true"),
+        s"index scan lost its bucketed layout:\n$planText")
+
+      // Same rows as the registered d09 query (which aggregates its
+      // index inline) — the bucketed deployment changes the physical
+      // plan, never the answer.
+      val expected = graft.SparkEntry.queries("d09_incremental_dedup")(s, sf01)
+        .collect().map(_.toSeq)
+      assert(got.sortBy(_.getLong(0)).map(_.toSeq).toSeq == expected.toSeq,
+        "bucketed-index d09 differs from the registered query")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      s.sql("DROP TABLE IF EXISTS b_digest_index")
     }
   }
 
