@@ -54,15 +54,35 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
 
+  /** Does the plan already carry an event-time watermark? Spark
+    * disallows REDEFINING a watermark downstream of a stateful
+    * operator, so composable operators must reuse the one the input
+    * carries instead of stacking `withWatermark` unconditionally —
+    * the trap a chained `dedup → sessionize` ingest hits otherwise. */
+  private def hasWatermark(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case _ => false
+    }
+
+  /** `df.withWatermark(...)` unless the input already carries one (the
+    * output of another watermarked operator), which is then reused. */
+  private def ensureWatermark(df: DataFrame, eventTimeCol: String,
+      watermark: String): DataFrame =
+    if (hasWatermark(df)) df else df.withWatermark(eventTimeCol, watermark)
+
   /** Streaming exact dedup bounded by the watermark — the streaming
     * twin of the d01 batch dedup and the first operator an at-least-once
     * ingest (this library's own delivery model, C4 redelivery) feeds
     * into. `dropDuplicatesWithinWatermark` keeps an id in state only
     * until the watermark passes it, so dedup state is bounded at 100 TB
-    * — plain `dropDuplicates` on a stream grows state forever. */
+    * — plain `dropDuplicates` on a stream grows state forever.
+    *
+    * Composable: an input that already carries a watermark keeps it
+    * (the `watermark` argument is then ignored). */
   def dedupWithinWatermark(df: DataFrame, key: String, moreKeys: Seq[String] = Nil,
       eventTimeCol: String = "ts", watermark: String = "2 hours"): DataFrame =
-    df.withWatermark(eventTimeCol, watermark)
+    ensureWatermark(df, eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(key, moreKeys: _*)
 
   /** [[dedupWithinWatermark]] applied to the events file stream. */
@@ -81,14 +101,22 @@ object EventStream {
     * (Append mode), exactly the at-least-once-friendly contract the
     * PEL delivery path feeds.
     *
-    * Boundary semantics: a session's window is `[first, last + gap)` —
-    * an event arriving EXACTLY `gap` after the previous one starts a
-    * NEW session. The a10 batch query keeps such an event in the same
-    * session (its rule is `ts - prev > gap`); comparisons between the
-    * two must use `>= gap` as the batch split rule. */
+    * Boundary semantics: a session's window extends to `last + gap`,
+    * and Spark merges sessions whose windows TOUCH (`start ≤ end`), so
+    * an event arriving EXACTLY `gap` after the previous one stays in
+    * the SAME session — agreeing with the a10 batch query's split rule
+    * `ts - prev > gap` at the boundary. (Round 4 documented the
+    * opposite from the window extent alone; the exact-gap fixture in
+    * EventStreamSpec's composed-pipeline test pins the real merge-on-
+    * touch semantics by data, so a drift in either rule fails a test.)
+    *
+    * Composable: an input that already carries a watermark (e.g. the
+    * output of [[dedupWithinWatermark]]) keeps it — stacking a second
+    * `withWatermark` on a stateful operator's output is a query-time
+    * error ("Redefining watermark is disallowed"). */
   def sessionize(df: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =
-    df.withWatermark("ts", watermark)
+    ensureWatermark(df, "ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),

@@ -111,14 +111,15 @@ class EventStreamSpec extends SparkTestBase {
       val f = org.apache.spark.sql.functions
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts", "event_id")
-      // >= gap, not > gap: session_window's window is [first, last+gap),
-      // so an event exactly `gap` later starts a NEW session (see the
-      // sessionize scaladoc — a10's batch rule differs at the boundary).
+      // > gap, the a10 rule: session_window merges touching windows,
+      // so an event exactly `gap` later stays in the SAME session —
+      // the batch twin's strict-inequality split matches it exactly
+      // (pinned by data in the composed-pipeline test below).
       val batch = graft.Tables.events(s, sf)
         .withColumn("prev", f.lag("ts", 1).over(w))
         .withColumn("new_sess",
           f.when(f.col("prev").isNull.or(
-            f.col("ts").cast("long") - f.col("prev").cast("long") >= 1800), 1L).otherwise(0L))
+            f.col("ts").cast("long") - f.col("prev").cast("long") > 1800), 1L).otherwise(0L))
         .withColumn("sess_id", f.sum("new_sess").over(
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
         .groupBy("user_id", "sess_id")
@@ -201,6 +202,89 @@ class EventStreamSpec extends SparkTestBase {
       assert(rows.toSeq == Seq((900L, 1L, 101L), (901L, 2L, -1L)),
         s"expected one attributed and one null-click purchase: ${rows.toSeq}")
     } finally q.stop()
+  }
+
+  /** The composed ingest chain a real deployment runs as ONE query:
+    * at-least-once events → watermark dedup → sessionization. Two
+    * stacked stateful operators is exactly where watermark propagation
+    * can surprise (the session agg sees the DEDUP's output watermark),
+    * so this pins (a) duplicates never inflate session counts even when
+    * the replay lands in a later micro-batch, (b) the final answer is
+    * INDEPENDENT of micro-batch boundaries (same data, two different
+    * splits, identical sessions), and (c) the exact-gap boundary rule
+    * by data: session_window merges TOUCHING windows, so an event
+    * arriving exactly `gap` after the previous one stays in the SAME
+    * session — agreeing with a10's `ts - prev > gap` split. Round 4
+    * documented the opposite from the window extent alone; this
+    * fixture is what makes the boundary claim empirical. */
+  test("composed dedup→sessionize pipeline: duplicate-proof, batch-split independent, exact-gap pinned") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // (ts, user_id, event_id): u1 has two sessions split by a 40-min
+    // silence and a replayed event per session; u3's second event lands
+    // EXACTLY gap (30 min) after the first. Arrival order keeps every
+    // event (replays included) within the 1-hour watermark of the max
+    // event time seen before it — batch-split independence is only
+    // promised for non-late data; a replay older than the watermark is
+    // DROPPED by design, which is the state bound, not a bug.
+    val all = Seq(
+      (ts(10, 0), 1L, 101L), (ts(10, 0), 3L, 301L), (ts(10, 20), 1L, 102L),
+      (ts(10, 0), 1L, 101L), // replay of 101, arriving batches later
+      (ts(10, 20), 1L, 102L), // replay of 102
+      (ts(10, 30), 3L, 302L), (ts(11, 0), 1L, 103L))
+    val closer = (ts(16, 0), 99L, 999L)
+
+    def run(name: String, batches: Seq[Seq[(java.sql.Timestamp, Long, Long)]]): Seq[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)] = {
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Long)]
+      val pipeline = EventStream.sessionize(
+        EventStream.dedupWithinWatermark(
+          input.toDF().toDF("ts", "user_id", "event_id"),
+          "event_id", watermark = "1 hour"),
+        gap = "30 minutes", watermark = "1 hour")
+      val q = pipeline.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        input.addData(closer); q.processAllAvailable()
+        s.sql(s"SELECT user_id, session_start, session_end, n_events FROM $name WHERE user_id < 99")
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+          .sortBy(r => (r._1, r._2.getTime)).toSeq
+      } finally q.stop()
+    }
+
+    val expected = Seq(
+      (1L, ts(10, 0), ts(10, 50), 2L),  // replays deduped: 2 events, not 3
+      (1L, ts(11, 0), ts(11, 30), 1L),
+      // exact-gap pair: windows [10:00,10:30) and [10:30,11:00) touch
+      // and MERGE — one session, end = last + gap
+      (3L, ts(10, 0), ts(11, 0), 2L))
+
+    // Split A: one event per micro-batch (replays in LATER batches than
+    // their originals). Split B: everything in a single batch.
+    val a = run("pipe_a", all.map(Seq(_)))
+    val b = run("pipe_b", Seq(all))
+    assert(a == expected, s"split-A sessions wrong: $a")
+    assert(b == expected, s"split-B sessions wrong: $b")
+
+    // The a10 batch rule (`ts - prev > gap`) on the SAME deduped data
+    // also keeps u3's exact-gap pair in ONE session — streaming and
+    // batch agree at the boundary, and a drift in either rule (a
+    // strict-overlap session merge, or a `>=` batch split) fails here.
+    val f = org.apache.spark.sql.functions
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val batchSessions = all.distinct.toDF("ts", "user_id", "event_id")
+      .withColumn("prev", f.lag("ts", 1).over(w))
+      .withColumn("new_sess", f.when(f.col("prev").isNull.or(
+        f.col("ts").cast("long") - f.col("prev").cast("long") > 1800), 1L).otherwise(0L))
+      .withColumn("sess_id", f.sum("new_sess").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_id").agg(f.count(f.lit(1)).as("n"))
+      .filter(f.col("user_id") === 3L).collect().map(_.getLong(2))
+    assert(batchSessions.toSeq == Seq(2L),
+      s"a10's > rule must keep the exact-gap pair together: ${batchSessions.toSeq}")
   }
 
   test("dedupedEvents file-stream wiring emits each event_id once") {
