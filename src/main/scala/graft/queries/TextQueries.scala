@@ -280,8 +280,10 @@ object TextQueries {
         THEN transform(sequence(1, size(words) - 1),
              i -> concat_ws(' ', element_at(words, i), element_at(words, i+1)))
         ELSE array() END""")).as("bigram"))
-    val counts = bigrams.groupBy(col("bigram"))
-      .agg(count(lit(1)).as("n")).persist() // read twice: total + top-k
+    val counts = PersistedAggregates.memo(s, "t11_counts", dir) {
+      // read twice (total + top-k); memoized — see PersistedAggregates
+      bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    }
     val total = counts.agg(sum(col("n")).as("n_total"))
     counts.join(broadcast(total))
       .withColumn("frac", col("n").cast(DoubleType) / col("n_total"))

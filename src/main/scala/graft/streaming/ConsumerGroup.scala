@@ -18,7 +18,10 @@ final class ConsumerGroup private (
     val clock: Clock) {
 
   private var lastDeliveredId: String = MsgId.Zero
-  private val pel = mutable.LinkedHashMap.empty[String, PelEntry]          // msgid → entry
+  // msgid → entry, ordered by msgid: XPENDING/XAUTOCLAIM scan in id
+  // order, and a sorted map makes autoClaim's cursor seek O(log PEL)
+  // + O(scanned) instead of sort-the-world per call.
+  private val pel = mutable.TreeMap.empty[String, PelEntry](MsgId.ordering)
   private val lastSeenMs = mutable.LinkedHashMap.empty[String, Long]       // consumer → last fetch
 
   /** C2: XREADGROUP `>` — deliver up to `count` never-delivered messages
@@ -92,15 +95,25 @@ final class ConsumerGroup private (
   def autoClaim(newConsumer: String, minIdleMs: Long, start: String = "0-0",
       count: Int = 100): (String, Seq[String]) = synchronized {
     val now = clock.nowMs
-    val eligible = pel.valuesIterator
-      .filter(e => !MsgId.lt(e.msgid, start) &&
-        e.timeSinceDelivered(now) >= minIdleMs)
-      .toSeq.sortBy(e => MsgId.parse(e.msgid))
-    val (batch, rest) = eligible.splitAt(count)
-    batch.foreach(e =>
+    // Scan in msgid order from `start` (the PEL is a TreeMap, so the
+    // seek is O(log PEL)) and stop once `count` eligible entries are
+    // collected — per-call work proportional to entries SCANNED, and
+    // the cursor is the first unscanned msgid, as in Redis 6.2 (not
+    // the next ELIGIBLE id, which would cost a full eligibility sweep
+    // exactly when the PEL is large and mostly busy).
+    val it = pel.iteratorFrom(start)
+    val batch = Seq.newBuilder[PelEntry]
+    var taken = 0
+    var nextStart = MsgId.Zero
+    while (it.hasNext && nextStart == MsgId.Zero) {
+      val (id, e) = it.next()
+      if (taken == count) nextStart = id
+      else if (e.timeSinceDelivered(now) >= minIdleMs) { batch += e; taken += 1 }
+    }
+    val claimed = batch.result()
+    claimed.foreach(e =>
       pel(e.msgid) = PelEntry(e.msgid, newConsumer, now, e.timesDelivered + 1))
-    val nextStart = rest.headOption.map(_.msgid).getOrElse("0-0")
-    (nextStart, batch.map(_.msgid))
+    (nextStart, claimed.map(_.msgid))
   }
 
   /** G3: XGROUP DELCONSUMER — destroy a consumer; unclaimed PEL entries

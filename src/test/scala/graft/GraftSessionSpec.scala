@@ -6,15 +6,38 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The recommended-config contract: what a builder gets, verbatim. */
 class GraftSessionSpec extends AnyFunSuite {
 
+  /** Every SQL conf `recommended` sets. getOrCreate applies them onto
+    * the SHARED test session's state (the context is reused), so each
+    * test snapshots all of them first and restores them afterwards —
+    * restoring only shuffle.partitions (the round-4 shape) left ANSI /
+    * timezone / AQE flags mutated for every later suite in the run. */
+  private val touchedConfs = Seq(
+    "spark.sql.shuffle.partitions",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.files.maxPartitionBytes",
+    "spark.sql.ansi.enabled",
+    "spark.sql.session.timeZone")
+
+  private def withConfSnapshot[A](body: SparkSession => A): A = {
+    val shared = graft.streaming.SparkTestBase.session
+    // SQL confs live in the session state, not sparkContext.getConf —
+    // snapshot from shared.conf (getOption: some may be unset).
+    val saved = touchedConfs.map(k => k -> shared.conf.getOption(k))
+    try body(shared)
+    finally saved.foreach {
+      case (k, Some(v)) => shared.conf.set(k, v)
+      case (k, None)    => shared.conf.unset(k)
+    }
+  }
+
   test("recommended applies the sizing discipline to a builder") {
-    // Piggyback on the shared test session's context: builder configs
-    // land in the session conf even when the SparkContext is reused.
-    val s = graft.streaming.SparkTestBase.session
-    val b = GraftSession.recommended(SparkSession.builder(), 7)
-    // Extract configs via a private-free route: apply to a fresh session
-    // backed by the existing context.
-    val s2 = b.getOrCreate()
-    try {
+    withConfSnapshot { _ =>
+      val b = GraftSession.recommended(SparkSession.builder(), 7)
+      // Extract configs via a private-free route: apply to a session
+      // backed by the existing context.
+      val s2 = b.getOrCreate()
       assert(s2.conf.get("spark.sql.adaptive.enabled") == "true")
       assert(s2.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
       assert(s2.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
@@ -22,18 +45,13 @@ class GraftSessionSpec extends AnyFunSuite {
       assert(s2.conf.get("spark.sql.ansi.enabled") == "false")
       assert(s2.conf.get("spark.sql.session.timeZone") == "UTC")
       assert(s2.conf.get("spark.sql.shuffle.partitions") == "7")
-    } finally {
-      // Restore the shared session's shuffle partitions (getOrCreate
-      // applied ours onto the same session state).
-      s2.conf.set("spark.sql.shuffle.partitions",
-        s.sparkContext.getConf.get("spark.sql.shuffle.partitions", "4"))
     }
   }
 
   test("parallelism floor is 1") {
-    val b = GraftSession.recommended(SparkSession.builder(), 0)
-    val s2 = b.getOrCreate()
-    try assert(s2.conf.get("spark.sql.shuffle.partitions") == "1")
-    finally s2.conf.set("spark.sql.shuffle.partitions", "4")
+    withConfSnapshot { _ =>
+      val s2 = GraftSession.recommended(SparkSession.builder(), 0).getOrCreate()
+      assert(s2.conf.get("spark.sql.shuffle.partitions") == "1")
+    }
   }
 }
