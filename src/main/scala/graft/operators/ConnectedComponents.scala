@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -31,13 +31,25 @@ import org.apache.spark.sql.types.DecimalType
   * scanned once per rewrite.
   *
   * Convergence is detected by a (count, sum(src), sum(dst)) checksum
-  * over the edge set — one scalar aggregate per round. Sums are
+  * over the edge set, collected via `Dataset.observe` DURING the job
+  * that materializes each round's cache — one scheduler job per round,
+  * not a materialize job plus a checksum job. Sums are
   * DECIMAL(38,0) so huge id spaces cannot wrap; a NULL sum alongside a
   * non-zero count (decimal overflow under non-ANSI SQL) throws rather
   * than risking a silent false fixpoint. On checksum convergence the
   * star shape itself is verified (no node may be both a child and a
   * parent) so even an astronomically unlikely checksum collision fails
   * loudly instead of emitting wrong labels.
+  *
+  * Nothing this operator caches outlives the call: the result labels
+  * are `localCheckpoint(eager = true)`-materialized (RDD blocks the
+  * ContextCleaner reclaims once the caller drops the result) and every
+  * round cache is unpersisted on exit. The previous incarnation left
+  * the final round's `Dataset.persist` pinned in the session
+  * CacheManager — which holds a STRONG reference, so a long-lived
+  * session invoking the operator repeatedly (the bench loop, a
+  * notebook) accumulated one edge-set cache per call until memory
+  * pressure forced eviction storms across the whole session.
   */
 object ConnectedComponents {
 
@@ -98,18 +110,29 @@ object ConnectedComponents {
     * @return (doc, cluster): every vertex of a real edge labeled with
     *         its component's minimum id (the canonical survivor) */
   def run(pairs: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50): DataFrame =
+    runImpl(pairs, srcCol, dstCol, maxIters, midLoopLocalCheckpoint = false)
+
+  /** Probe seam for `tools.CcProbe`: `midLoopLocalCheckpoint = true`
+    * swaps the persist + createDataFrame lineage cut for
+    * `localCheckpoint(eager = true)` per round. Kept package-private so
+    * the production entry point stays a single code path. */
+  private[graft] def runImpl(pairs: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int, midLoopLocalCheckpoint: Boolean): DataFrame = {
     val spark = pairs.sparkSession
-    var edges = pairs
+    val raw = pairs
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .persist()
+    var edges =
+      if (midLoopLocalCheckpoint) raw.localCheckpoint(eager = true)
+      else raw.persist()
     // try/finally: the non-convergence throw (or any mid-loop failure)
     // must not leave the current round pinned in a long-lived session's
-    // block manager.
-    var pinned: DataFrame = edges
+    // block manager. (null in localCheckpoint mode — checkpoint blocks
+    // are the ContextCleaner's to reclaim, not CacheManager entries.)
+    var pinned: DataFrame = if (midLoopLocalCheckpoint) null else edges
     // This round's persist until it is materialized and takes over from
-    // `pinned`; tracked separately so the catch block can release BOTH
+    // `pinned`; tracked separately so cleanup can release BOTH
     // copies no matter where in the round a failure lands.
     var fresh: DataFrame = null
     try {
@@ -117,28 +140,45 @@ object ConnectedComponents {
       var iter = 0
       var done = edges.isEmpty // no edges: trivially converged
       while (!done && iter < maxIters) {
-        val next = smallStar(largeStar(edges)).persist()
-        fresh = next
-        // Materialize `next` FIRST — the checksum job below computes it
-        // from the previous round's cache. Only after it holds blocks
-        // may the previous round be unpersisted: dropping it earlier
-        // would force this job to recompute the whole lineage (round 1
-        // re-reads the source; largeStar scans its input twice).
-        val row = next.agg(
-          count(lit(1)),
-          sum(col("src").cast(DecimalType(38, 0))),
-          sum(col("dst").cast(DecimalType(38, 0)))).first()
-        pinned.unpersist()
-        pinned = next
-        fresh = null
-        // Truncate lineage EXPLICITLY: persist alone leaves the logical
-        // plan nesting the previous round's plan (doubling per round).
-        // Re-wrapping the cached rows as a fresh DataFrame makes every
-        // round's plan a shallow scan of the cached data — memory stays
-        // at two edge-set copies regardless of depth.
-        edges = spark.createDataFrame(next.toDF().rdd, next.schema)
-        val cnt = row.getLong(0)
-        val (sSrc, sDst) = (row.getDecimal(1), row.getDecimal(2))
+        // The convergence checksum rides the SAME job that materializes
+        // the round: CollectMetrics evaluates while the cache (or
+        // checkpoint) is built, so each round costs one scheduler job
+        // where it previously cost two (materialize + separate agg).
+        val obs = Observation()
+        val observed = smallStar(largeStar(edges)).observe(obs,
+          count(lit(1)).as("cnt"),
+          sum(col("src").cast(DecimalType(38, 0))).as("src_sum"),
+          sum(col("dst").cast(DecimalType(38, 0))).as("dst_sum"))
+        if (midLoopLocalCheckpoint) {
+          edges = observed.localCheckpoint(eager = true)
+        } else {
+          val next = observed.persist()
+          fresh = next
+          // Materialize `next` FIRST — it computes from the previous
+          // round's cache. Only after it holds blocks may the previous
+          // round be unpersisted: dropping it earlier would force this
+          // job to recompute the whole lineage (round 1 re-reads the
+          // source; largeStar scans its input twice).
+          next.count()
+          if (pinned != null) pinned.unpersist()
+          pinned = next
+          fresh = null
+          // Truncate lineage EXPLICITLY: persist alone leaves the
+          // logical plan nesting the previous round's plan (doubling
+          // per round). Re-wrapping the cached rows as a fresh
+          // DataFrame makes every round's plan a shallow scan of the
+          // cached data — memory stays at two edge-set copies
+          // regardless of depth.
+          edges = spark.createDataFrame(next.toDF().rdd, next.schema)
+        }
+        val m = obs.get
+        val cnt = m("cnt").asInstanceOf[Long]
+        def dec(k: String): java.math.BigDecimal = m.getOrElse(k, null) match {
+          case null => null
+          case d: java.math.BigDecimal => d
+          case d: scala.math.BigDecimal => d.bigDecimal
+        }
+        val (sSrc, sDst) = (dec("src_sum"), dec("dst_sum"))
         if (cnt > 0 && (sSrc == null || sDst == null))
           throw new IllegalStateException(
             "connected components: DECIMAL(38,0) checksum overflow — " +
@@ -157,15 +197,16 @@ object ConnectedComponents {
           "set (checksum collision); refusing to emit wrong labels")
       // Star forest → labels: children carry their root, roots carry
       // themselves. groupBy-min collapses the duplicate root rows.
+      // localCheckpoint materializes the (small) label set into RDD
+      // blocks so the finally block can release every round cache —
+      // the result owes nothing to this operator's scratch state.
       edges.select(col("src").as("doc"), col("dst").as("cluster"))
         .unionByName(edges.select(col("dst").as("doc"), col("dst").as("cluster")))
         .groupBy(col("doc")).agg(min(col("cluster")).as("cluster"))
-      // the final round's cache stays pinned: the returned plan reads it
-    } catch {
-      case t: Throwable =>
-        if (fresh != null) fresh.unpersist()
-        pinned.unpersist()
-        throw t
+        .localCheckpoint(eager = true)
+    } finally {
+      if (fresh != null) fresh.unpersist()
+      if (pinned != null) pinned.unpersist()
     }
   }
 
