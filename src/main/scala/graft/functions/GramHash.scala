@@ -64,7 +64,11 @@ object GramHash {
 
   /** Static hot loop, callable from generated code. One pass over the
     * text; per-word `(hash, 131^len)` then O(1) composition per
-    * trigram. UTF-16 code units, matching [[StringPolyHash.hash]]. */
+    * trigram. Folds CODE POINTS (one step per astral character), and
+    * the length weight counts code points, matching
+    * [[StringPolyHash.hash]] and the DuckDB `ascii()` twin exactly —
+    * the composition identity `h(x ∘ y) = h(x)·131^|y| + h(y) (mod p)`
+    * needs `|y|` in fold steps, which are code points. */
   def eval(text: UTF8String): ArrayData = {
     val str = text.toString
     val n = str.length
@@ -78,7 +82,11 @@ object GramHash {
       // text (`ELSE array(text)`), spaces included.
       var a = 0L
       var i = 0
-      while (i < n) { a = (a * 131 + str.charAt(i).toLong) % P; i += 1 }
+      while (i < n) {
+        val cp = str.codePointAt(i)
+        a = (a * 131 + cp) % P
+        i += Character.charCount(cp)
+      }
       return new GenericArrayData(Array(a))
     }
 
@@ -93,14 +101,14 @@ object GramHash {
     var pw = 1L
     var i = 0
     while (i < n) {
-      val c = str.charAt(i)
-      if (c == ' ') {
+      val cp = str.codePointAt(i)
+      if (cp == ' ') {
         wh(w) = a; wp(w) = pw; w += 1; a = 0L; pw = 1L
       } else {
-        a = (a * 131 + c.toLong) % P
+        a = (a * 131 + cp) % P
         pw = (pw * 131L) % P
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     wh(w) = a; wp(w) = pw
 

@@ -16,6 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Arithmetic is identical to the DuckDB oracle twin
   * (`list_reduce(list_prepend(0, list_transform(...ascii(substr(x,i,1))...)))`):
   * per-character code points, 131 multiplier, mod 1_000_000_007.
+  *
+  * '''Unicode contract: the fold iterates CODE POINTS, not UTF-16 code
+  * units.''' DuckDB's `substr`/`length`/`ascii` all operate on code
+  * points, so folding Java `charAt` units would diverge on any
+  * astral-plane character (emoji, rare CJK): one 🦀 is ONE fold step
+  * with value 0x1F980 in both engines, not two surrogate steps.
+  * Pinned by FunctionsParitySpec's astral-plane case.
   */
 case class StringPolyHash(child: Expression) extends UnaryExpression {
 
@@ -38,15 +45,19 @@ case class StringPolyHash(child: Expression) extends UnaryExpression {
 }
 
 object StringPolyHash {
-  /** Static hot loop, callable from generated code. */
+  /** Static hot loop, callable from generated code. Advances by code
+    * point (`Character.charCount`) so astral-plane characters fold as
+    * one step, matching DuckDB's per-character `ascii()` model; on the
+    * BMP fast path `charCount` is 1 and this is the plain char loop. */
   def hash(s: UTF8String): Long = {
     val str = s.toString
     var a = 0L
     var i = 0
     val n = str.length
     while (i < n) {
-      a = (a * 131 + str.charAt(i).toLong) % 1000000007L
-      i += 1
+      val cp = str.codePointAt(i)
+      a = (a * 131 + cp) % 1000000007L
+      i += Character.charCount(cp)
     }
     a
   }

@@ -12,9 +12,19 @@ import org.apache.spark.sql.types._
 class FunctionsParitySpec extends graft.streaming.SparkTestBase {
 
   /** DuckDB twin model: list_reduce(list_prepend(0, ascii codes),
-    * (a, c) -> (a*131 + c) % 1e9+7). */
-  private def strhashModel(s: String): Long =
-    s.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % 1000000007L)
+    * (a, c) -> (a*131 + c) % 1e9+7). DuckDB's substr/ascii walk CODE
+    * POINTS, so the model folds code points — one step per 🦀, value
+    * 0x1F980, never two surrogate steps. */
+  private def strhashModel(s: String): Long = {
+    var a = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      a = (a * 131 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    a
+  }
 
   /** DuckDB twin model: sequential left-to-right double fold. */
   private def dotModel(a: Array[Float], b: Array[Float]): Double = {
@@ -38,6 +48,49 @@ class FunctionsParitySpec extends graft.streaming.SparkTestBase {
     val got = df.select(expr("graft_strhash(x)")).collect().map(_.getLong(0))
     cases.zip(got).foreach { case (in, h) =>
       assert(h == strhashModel(in), s"hash mismatch for ${in.take(20)}…")
+    }
+  }
+
+  test("graft_strhash folds astral-plane characters as single code points (DuckDB contract)") {
+    val s = spark
+    GraftFunctions.register(s)
+    // 🦀 = U+1F980 (two UTF-16 units); a UTF-16 code-unit fold would
+    // take two steps (0xD83E then 0xDD80) and diverge from DuckDB's
+    // per-character ascii() model. Each expectation below is the
+    // code-point fold computed by hand — the test passes DELIBERATELY,
+    // not because model and implementation share a bug.
+    val crab = 0x1F980L
+    val cases = Seq(
+      "🦀" -> crab % 1000000007L,
+      "a🦀" -> (('a'.toLong * 131 + crab) % 1000000007L),
+      "🦀b" -> ((crab % 1000000007L) * 131 + 'b'.toLong) % 1000000007L,
+      // mixed BMP CJK (single unit) + astral musical symbol U+1D11E
+      "水𝄞" -> (('水'.toLong * 131 + 0x1D11EL) % 1000000007L))
+    val df = s.createDataFrame(
+      java.util.Arrays.asList(cases.map(c => Row(c._1)): _*),
+      StructType(Seq(StructField("x", StringType))))
+    val got = df.select(expr("graft_strhash(x)")).collect().map(_.getLong(0))
+    cases.zip(got).foreach { case ((in, want), h) =>
+      assert(h == want, s"astral fold mismatch for '$in': got $h want $want")
+      assert(h == strhashModel(in), s"model drift for '$in'")
+    }
+  }
+
+  test("graft_gramhash equals the composed form on astral-plane words") {
+    val s = spark
+    GraftFunctions.register(s)
+    // Words containing astral characters exercise the composition
+    // identity h(x∘y) = h(x)·131^|y| + h(y): |y| must count code
+    // points (🦀 = 1), or trigram hashes diverge from the composed
+    // concat_ws+strhash form even when strhash itself is fixed.
+    val cases = Seq("🦀 crab 🦀", "a🦀b c𝄞d e f", "🦀🦀 🦀 🦀 x", "水 𝄞水 水𝄞水 y")
+    val df = s.createDataFrame(
+      java.util.Arrays.asList(cases.map(Row(_)): _*),
+      StructType(Seq(StructField("text", StringType))))
+      .withColumn("words", split(col("text"), " "))
+    val rows = df.select(expr("graft_gramhash(text)"), expr(composedGramHash)).collect()
+    cases.zip(rows).foreach { case (in, r) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"astral gramhash mismatch for '$in'")
     }
   }
 
