@@ -32,30 +32,41 @@ object Bench {
       // iteration, a contention blip in one (round 4's driver run had
       // two 6-9x blips that medians-only output couldn't distinguish
       // from regressions without a manual rerun).
-      val (median, times) =
+      val (median, times, fp) =
         try {
-          once() // warmup run, discarded
+          // The warmup doubles as the plan-fingerprint run: executing
+          // it first lets AQE finalize its stage decisions, so the
+          // fingerprint hashes the plan the timed runs actually get —
+          // at zero extra query executions.
+          val warm = fn(spark, sfDir)
+          warm.count() // warmup run, discarded
+          val fingerprint = graft.tools.PlanFingerprint(warm)
           val raw = Array.fill(iters)(once())
           val sorted = raw.sorted
           // true median: mean of the two middles for even iter counts
           // (upper-middle alone would bias even-iters runs high)
           val m = if (sorted.length % 2 == 1) sorted(sorted.length / 2)
                   else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
-          (m, raw.toSeq)
+          (m, raw.toSeq, fingerprint)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          (-1.0, Seq.empty[Double])
+          (-1.0, Seq.empty[Double], "")
         }
-      (name, median, times)
+      (name, median, times, fp)
     }
     def fmt(d: Double) = f"$d%.4f"
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val detail = results.map { case (k, _, ts) =>
+    val detail = results.map { case (k, _, ts, _) =>
       s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // Normalized-final-plan hashes (tools.PlanFingerprint): a changed
+    // hash between rounds = the plan itself changed (broadcast flip,
+    // lost pushdown), distinguishable from mere time noise.
+    val plans = results.map { case (k, _, _, f) => s"\"" + k + "\":\"" + f + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_iters":$detail,"sf":"$sfDir","iters":$iters,"stat":"median"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_iters":$detail,"plans":$plans,"sf":"$sfDir","iters":$iters,"stat":"median"}""")
     spark.stop()
   }
 }

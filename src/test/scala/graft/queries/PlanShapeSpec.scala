@@ -66,4 +66,33 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     assert(!text.contains("SortMergeJoin"),
       "t10 planned a SortMergeJoin for the 1-row total; expected broadcast")
   }
+
+  test("plan fingerprints: stable across rebuilds, distinct across queries, volatile-token-free") {
+    // The bench artifact's `plans` map is only useful if the same
+    // logical query always hashes identically: expression ids are a
+    // global counter, so two BUILDS of the same query differ in every
+    // `#id` — normalization must erase exactly that class of token.
+    def fp(name: String): String = {
+      val df = queries(name)(spark, sf)
+      df.count() // AQE must finalize before the plan is fingerprinted
+      graft.tools.PlanFingerprint(df)
+    }
+    val a1 = fp("a01_pricing_summary")
+    val a2 = fp("a01_pricing_summary")
+    assert(a1 == a2, "same query, two builds: fingerprints must match")
+    assert(a1.nonEmpty && a1.length == 16)
+    val others = Seq(fp("t04_token_count"), fp("a28_nation_trade_flows"))
+    assert(!others.contains(a1), "distinct queries must not alias")
+
+    // Normalization unit cases: the exact tokens that vary run-to-run.
+    import graft.tools.PlanFingerprint.normalize
+    assert(normalize("Exchange hashpartitioning(x#123L, 32), [plan_id=456]") ==
+      normalize("Exchange hashpartitioning(x#9L, 32), [plan_id=8]"))
+    assert(normalize("Statistics(sizeInBytes=1.5 MiB, rowCount=42)") ==
+      normalize("Statistics(sizeInBytes=2.0 KiB)"))
+    assert(normalize("InMemoryFileIndex[file:/root/testdata/sf0.001/x.parquet]") ==
+      normalize("InMemoryFileIndex[file:/root/testdata/sf0.1/x.parquet]"))
+    // but structure still distinguishes:
+    assert(normalize("BroadcastHashJoin") != normalize("SortMergeJoin"))
+  }
 }
