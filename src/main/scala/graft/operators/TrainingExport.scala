@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -35,9 +35,20 @@ object TrainingExport {
     * labels, not a dense 0..N-1 range (they are dense whenever every
     * doc fits the budget, the normal case). */
   def assignShards(docs: DataFrame, idCol: String, tokenCol: String,
-      shardTokens: Long, numRanges: Int = 256): DataFrame = {
+      shardTokens: Long, numRanges: Int = 256): DataFrame =
+    assignShards(docs, idCol, tokenCol, shardTokens, numRanges,
+      abs(xxhash64(col(idCol))))
+
+  /** [[assignShards]] with a caller-supplied NON-NEGATIVE bigint hash
+    * expression instead of the default `abs(xxhash64(id))`. The hash
+    * defines the deterministic global order `(hash mod numRanges,
+    * hash, id)` — callers needing the order reproducible OUTSIDE Spark
+    * (an audit re-deriving shards in another engine) pass a portable
+    * hash here (xxhash64 is Spark-specific). */
+  def assignShards(docs: DataFrame, idCol: String, tokenCol: String,
+      shardTokens: Long, numRanges: Int, hash: Column): DataFrame = {
     require(shardTokens > 0 && numRanges > 0)
-    val h = abs(xxhash64(col(idCol)))
+    val h = hash
     val rangeId = pmod(h, lit(numRanges.toLong))
     val inRange = Window.partitionBy(col("__range"))
       .orderBy(col("h64"), col(idCol))

@@ -355,6 +355,31 @@ object TextQueries {
       .orderBy(col("lang"), col("split"))
   }
 
+  private val ShardTokens = 2000L
+  private val ShardRanges = 256
+
+  /** t15: token-budgeted training-shard assignment — the driver-gated
+    * face of [[graft.operators.TrainingExport.assignShards]] (t14
+    * covers the split; this covers the sharding). Every doc gets a
+    * deterministic `shard = floor(prefix / budget)` under the
+    * hierarchical prefix sum (per-range window + broadcast offsets),
+    * with the portable content hash supplying the global order so a
+    * DuckDB single-window prefix-sum twin re-derives the exact same
+    * shards — the cross-engine audit a training-data lineage review
+    * runs. ~27k corpus tokens / 2000 ≈ 14 shards at sf0.01. */
+  private def shardAssignment(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val toks = docs(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("x", concat(col("doc_id").cast(StringType), lit(":shard")))
+      .withColumn("h64", expr(DedupQueries.shingleHashSpark))
+      .select(col("doc_id"), col("n_tokens"), col("h64"))
+    graft.operators.TrainingExport
+      .assignShards(toks, "doc_id", "n_tokens", ShardTokens, ShardRanges, col("h64"))
+      .select(col("doc_id"), col("h64"), col("n_tokens"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_doc_quality" -> QueryDef(docQuality, Some(s"""$statsDuckCte
       SELECT doc_id, n_tokens,
@@ -547,5 +572,24 @@ object TextQueries {
       SELECT lang, split, n_docs,
         CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang) AS share
       FROM g ORDER BY lang, split"""),
-      "deterministic 98/1/1 train/validation/test split per language"))
+      "deterministic 98/1/1 train/validation/test split per language"),
+
+    "t15_shard_assignment" -> QueryDef(shardAssignment, Some(s"""
+      WITH sx AS (
+        SELECT doc_id, text, CAST(doc_id AS VARCHAR) || ':shard' AS x
+        FROM documents),
+      t AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          ${DedupQueries.shingleHashDuck} AS h64
+        FROM sx),
+      c AS (
+        SELECT doc_id, h64, n_tokens,
+          SUM(n_tokens) OVER (ORDER BY h64 % $ShardRanges, h64, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+      SELECT doc_id, h64, n_tokens,
+        CAST((cum - n_tokens) // $ShardTokens AS BIGINT) AS shard
+      FROM c ORDER BY doc_id"""),
+      "token-budgeted training shard assignment (hierarchical prefix sum)"))
 }
