@@ -681,6 +681,33 @@ object AnalyticsQueries {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** a37: per-type value outliers through an EXPLICITLY SALTED hot-key
+    * join ([[graft.operators.SkewJoin]]) — the driver-gated face of the
+    * skew-mitigation operator. `event_type` has ~5 values: a plain
+    * shuffle join on it sends ~20% of the fact table through ONE
+    * reducer at 100 TB. The salted shape spreads each hot key over
+    * `numSalts` reducers by joining on `(event_type, __salt)`, with the
+    * per-type stats side replicated once per salt — the manual fallback
+    * for key distributions too hot for AQE's skew splitting (AQE splits
+    * map outputs, but a single mapper's one-key output is indivisible).
+    * Salting is pure plumbing: the result equals the plain join, which
+    * is exactly what the DuckDB twin checks; PlanShapeSpec pins the
+    * salted shape itself. */
+  private def skewTypeOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_events"),
+        P.sumd(col("value").cast(DecimalType(25, 6))).as("sum_value"))
+      // one deterministic double division of cross-engine-exact inputs
+      .withColumn("mean_value", col("sum_value") / col("n_events"))
+      .select(col("event_type"), col("n_events"), col("mean_value"))
+    graft.operators.SkewJoin.saltedJoin(ev, stats, "event_type", numSalts = 8)
+      .filter(col("value") > col("mean_value") * 2)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("n_events"), col("mean_value"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_pricing_summary" -> QueryDef(pricingSummary, Some(s"""
       SELECT l_returnflag, l_linestatus,
@@ -1075,5 +1102,19 @@ object AnalyticsQueries {
       FROM (SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
             FROM events) t
       WHERE k IS NOT NULL"""),
-      "approx percentiles (GK sketch) with rank-error accuracy contract"))
+      "approx percentiles (GK sketch) with rank-error accuracy contract"),
+
+    "a37_skew_type_outliers" -> QueryDef(skewTypeOutliers, Some("""
+      WITH stats AS (
+        SELECT event_type, COUNT(*) AS n_events,
+          CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type),
+      s2 AS (
+        SELECT event_type, n_events, sum_value / n_events AS mean_value
+        FROM stats)
+      SELECT e.event_id, e.event_type, e.value, s2.n_events, s2.mean_value
+      FROM events e JOIN s2 USING (event_type)
+      WHERE e.value > s2.mean_value * 2
+      ORDER BY e.event_id"""),
+      "hot-key fact join via explicit salting (SkewJoin) — per-type value outliers"))
 }

@@ -67,6 +67,19 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
       "t10 planned a SortMergeJoin for the 1-row total; expected broadcast")
   }
 
+  test("a37 skew outliers: join is SALTED — keys include __salt, stats side exploded per salt") {
+    // The whole point of a37 is the shape: a join on (event_type,
+    // __salt) spreading each hot key over numSalts reducers, with the
+    // stats side replicated by an explode over the salt sequence. If a
+    // refactor swaps in a plain key join, the values stay identical
+    // (salting is semantics-preserving) and only this test fails.
+    val text = PlanTestUtils.formatted(
+      queries("a37_skew_type_outliers")(spark, sf).queryExecution)
+    assert(text.contains("__salt"), s"a37 lost its salt column:\n$text")
+    assert(text.contains("explode"),
+      "a37 stats side is no longer replicated via explode over salts")
+  }
+
   test("plan fingerprints: stable across rebuilds, distinct across queries, volatile-token-free") {
     // The bench artifact's `plans` map is only useful if the same
     // logical query always hashes identically: expression ids are a
