@@ -41,15 +41,21 @@ import org.apache.spark.sql.types.DecimalType
   * parent) so even an astronomically unlikely checksum collision fails
   * loudly instead of emitting wrong labels.
   *
-  * Nothing this operator caches outlives the call: the result labels
-  * are `localCheckpoint(eager = true)`-materialized (RDD blocks the
-  * ContextCleaner reclaims once the caller drops the result) and every
-  * round cache is unpersisted on exit. The previous incarnation left
-  * the final round's `Dataset.persist` pinned in the session
-  * CacheManager — which holds a STRONG reference, so a long-lived
-  * session invoking the operator repeatedly (the bench loop, a
-  * notebook) accumulated one edge-set cache per call until memory
-  * pressure forced eviction storms across the whole session.
+  * Each round's edge set is materialized by `localCheckpoint(eager =
+  * true)`: one eager job per round, storing the BINARY InternalRow
+  * format the next round rescans directly. The alternative —
+  * `persist` + `createDataFrame(df.rdd, schema)` lineage re-wrap —
+  * measured 25-33% slower on 1M-edge deep-path graphs
+  * ([[graft.tools.CcProbe]]: the re-wrap converts every cached row
+  * InternalRow→Row on read and back on write, every round). The cost
+  * of checkpoint mode: spent rounds' blocks are reclaimed by the
+  * ContextCleaner after their references are GC'd rather than
+  * unpersisted eagerly, so transient block-manager occupancy can
+  * exceed two edge-set copies between GCs (blocks spill to disk under
+  * pressure — MEMORY_AND_DISK — they do not evict). Nothing outlives
+  * the call's references: no CacheManager entry is ever created, so a
+  * long-lived session invoking the operator repeatedly accumulates
+  * nothing pinned.
   */
 object ConnectedComponents {
 
@@ -111,12 +117,14 @@ object ConnectedComponents {
     *         its component's minimum id (the canonical survivor) */
   def run(pairs: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 50): DataFrame =
-    runImpl(pairs, srcCol, dstCol, maxIters, midLoopLocalCheckpoint = false)
+    runImpl(pairs, srcCol, dstCol, maxIters, midLoopLocalCheckpoint = true)
 
-  /** Probe seam for `tools.CcProbe`: `midLoopLocalCheckpoint = true`
-    * swaps the persist + createDataFrame lineage cut for
-    * `localCheckpoint(eager = true)` per round. Kept package-private so
-    * the production entry point stays a single code path. */
+  /** Probe seam for [[graft.tools.CcProbe]]: `midLoopLocalCheckpoint`
+    * selects per-round lineage truncation — `true` (production
+    * default; ~25-33% faster on 1M-edge deep-path graphs) checkpoints
+    * each round's binary rows; `false` keeps the persist +
+    * createDataFrame re-wrap for comparison. Package-private so the
+    * production entry point stays a single code path. */
   private[graft] def runImpl(pairs: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int, midLoopLocalCheckpoint: Boolean): DataFrame = {
     val spark = pairs.sparkSession
