@@ -85,4 +85,69 @@ class StreamLogSourceSpec extends SparkTestBase {
         "commit must cover the first wave after the next trigger")
     } finally q.stop()
   }
+
+  test("C1 quota holds end-to-end across failure replay: pending re-delivered inside the same quota") {
+    // The reference's count-quota counts a consumer's PENDING items
+    // toward the batch (consumer.py:92-103: re-read own pending, then
+    // top up to batch_size). The DSv2 twin of "pending" is an epoch
+    // that delivered but never committed: after a crash, the SAME
+    // offset range is replayed — through planInputPartitions' fallback
+    // re-read, since the planned-slice map dies with the stream — and
+    // the replay must still fit the quota because the range was
+    // admission-capped when first planned. This drives Consumer
+    // getItems semantics through the registered source end-to-end:
+    // every micro-batch ≤ batchSize, the crashed epoch re-delivered
+    // verbatim, nothing lost, nothing delivered twice across DISTINCT
+    // epochs.
+    val s = spark
+    val clock = new ManualClock(1700000000000L)
+    val log = new StreamLog(clock)
+    (1 to 10).foreach { i => log.add(Map("i" -> i)); clock.advance(1) }
+    val key = StreamLogRegistry.register(log)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-c1-replay").toString
+
+    val batches = mutable.ArrayBuffer.empty[Seq[String]]
+    @volatile var crashOnce = true
+    def start() = s.readStream
+      .format("graft.streaming.StreamLogSourceProvider")
+      .option("log", key).option("batchSize", "3")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.collect().map(_.getString(0)).toSeq
+        batches.synchronized { batches += ids }
+        if (crashOnce && batches.synchronized(batches.size) == 2) {
+          crashOnce = false
+          // fail AFTER the sink saw the rows, BEFORE the epoch commits:
+          // these three messages are now this query's pending items
+          throw new RuntimeException("injected crash before ack")
+        }
+        ()
+      }
+      .start()
+
+    val q1 = start()
+    try q1.processAllAvailable()
+    catch { case _: Throwable => () } // the injected crash surfaces here
+    try q1.awaitTermination(10000) catch { case _: Throwable => () }
+    assert(q1.exception.isDefined, "query 1 must die from the injected crash")
+
+    val q2 = start() // recovery: a fresh stream instance, same checkpoint
+    try {
+      q2.processAllAvailable()
+      val all = batches.synchronized(batches.toList)
+      assert(all.forall(_.size <= 3), s"admission quota violated: ${all.map(_.size)}")
+      // the crashed epoch (batch 2) is re-delivered verbatim by the
+      // recovered query — same ids, same quota (C2/C4 pending re-read)
+      assert(all(2) == all(1),
+        s"replayed epoch differs from crashed epoch: ${all(2)} vs ${all(1)}")
+      // apart from that one replay, delivery is exactly-once and ordered
+      val distinctEpochs = all.take(2) ++ all.drop(3)
+      val ids = distinctEpochs.flatten
+      assert(ids.distinct.size == ids.size, "duplicate delivery outside the replayed epoch")
+      assert(ids.size == 10, s"lost messages: got ${ids.size} of 10")
+      assert(ids == ids.sorted(MsgId.ordering), "delivery must follow id order")
+    } finally q2.stop()
+  }
 }
