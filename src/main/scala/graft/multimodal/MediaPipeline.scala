@@ -21,13 +21,20 @@ final case class MediaRecord(
     bytes: Array[Byte],
     meta: MediaMeta)
 
-/** Output of the per-partition decode + feature-extract stage. */
+/** Output of the per-partition decode + feature-extract stage.
+  * `luma_mean`/`fingerprint` come from the stub codec (pixel-domain
+  * stand-ins); `distinct_bytes`/`ioc`/`printable_ratio`/`format` are
+  * REAL statistics of the actual payload bytes ([[MediaPipeline.ByteStats]]). */
 final case class MediaFeatures(
     media_id: Long,
     kind: String,
     n_bytes: Long,
     luma_mean: Double,
     fingerprint: Long,
+    distinct_bytes: Int,
+    ioc: Double,
+    printable_ratio: Double,
+    format: String,
     out_width: Int,
     out_height: Int)
 
@@ -72,6 +79,69 @@ object MediaPipeline {
     }
   }
 
+  /** ===== REAL byte-level analysis (NOT a stub) =====
+    * Statistics computed from the actual payload bytes — no codec
+    * needed, meaningful on any blob, and the first triage a 100 TB
+    * media-ingest pipeline runs before spending decode CPU:
+    *
+    *  - '''index of coincidence''' `Σ cᵢ(cᵢ−1) / n(n−1)` over the byte
+    *    histogram — the exact-integer cousin of Shannon entropy
+    *    (compressed/encrypted payloads ≈ 1/256; text ≈ 0.04-0.07).
+    *    Chosen over `−Σ p log₂ p` deliberately: the numerator and
+    *    denominator are exact integers with ONE deterministic double
+    *    division, where log₂ would hash-diverge from the oracle by a
+    *    ulp (libm vs JVM);
+    *  - '''printable ratio''' — fraction of bytes in [0x20, 0x7E]:
+    *    text-vs-binary triage;
+    *  - '''distinct byte values''' — degenerate-payload detector;
+    *  - '''container sniffing''' from magic bytes (JPEG SOI, PNG, GIF,
+    *    RIFF) — public file-format knowledge; the honest answer on
+    *    these text-derived payloads is "unknown", and the detector
+    *    still runs for real on every byte array.
+    */
+  object ByteStats {
+    final case class Stats(
+        distinctBytes: Int, ioc: Double, printableRatio: Double, format: String)
+
+    def analyze(bytes: Array[Byte]): Stats = {
+      val hist = new Array[Long](256)
+      var printable = 0L
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        hist(b) += 1
+        if (b >= 0x20 && b <= 0x7e) printable += 1
+        i += 1
+      }
+      var distinct = 0
+      var coll = 0L
+      var j = 0
+      while (j < 256) {
+        val c = hist(j)
+        if (c > 0) distinct += 1
+        coll += c * (c - 1)
+        j += 1
+      }
+      val n = bytes.length.toLong
+      Stats(
+        distinct,
+        if (n < 2) 0.0 else coll.toDouble / (n * (n - 1)).toDouble,
+        if (n == 0) 0.0 else printable.toDouble / n,
+        sniff(bytes))
+    }
+
+    /** Magic-byte container detection (SOI `FF D8 FF`, PNG `89 50 4E
+      * 47`, GIF `47 49 46 38`, RIFF `52 49 46 46`). */
+    def sniff(b: Array[Byte]): String = {
+      def u(i: Int) = b(i) & 0xff
+      if (b.length >= 3 && u(0) == 0xFF && u(1) == 0xD8 && u(2) == 0xFF) "jpeg"
+      else if (b.length >= 4 && u(0) == 0x89 && u(1) == 0x50 && u(2) == 0x4E && u(3) == 0x47) "png"
+      else if (b.length >= 4 && u(0) == 0x47 && u(1) == 0x49 && u(2) == 0x46 && u(3) == 0x38) "gif"
+      else if (b.length >= 4 && u(0) == 0x52 && u(1) == 0x49 && u(2) == 0x46 && u(3) == 0x46) "riff"
+      else "unknown"
+    }
+  }
+
   val FrameBytes  = 32 // video-like payloads: fixed-size frame stride
   val FrameStride = 4  // sample every 4th frame
   val MaxDim      = 64 // resize: clamp the longest edge
@@ -113,9 +183,11 @@ object MediaPipeline {
       val codec = StubCodec // per-partition codec init happens here
       batch.map { m =>
         val d = codec.decode(m.bytes)
+        val b = ByteStats.analyze(m.bytes) // real stats, actual bytes
         val (ow, oh) = resizeDims(m.meta.width, m.meta.height)
         MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong,
-          d.lumaMean, d.fingerprint, ow, oh)
+          d.lumaMean, d.fingerprint,
+          b.distinctBytes, b.ioc, b.printableRatio, b.format, ow, oh)
       }
     }
   }

@@ -57,8 +57,20 @@ object MultimodalQueries {
       WITH m AS (
         SELECT doc_id AS media_id, $kindDuck AS kind, text,
                CAST(16 + doc_id % 113 AS INT) AS w, CAST(16 + doc_id % 71 AS INT) AS h
-        FROM documents)
-      SELECT media_id, kind, CAST(length(text) AS BIGINT) AS n_bytes,
+        FROM documents),
+      codes AS (
+        SELECT media_id,
+          UNNEST(list_transform(generate_series(1, length(text)),
+            i -> ascii(substr(text, i, 1)))) AS code
+        FROM m),
+      hist AS (SELECT media_id, code, COUNT(*) AS c FROM codes GROUP BY 1, 2),
+      bstats AS (
+        SELECT media_id,
+          CAST(COUNT(*) AS INT) AS distinct_bytes,
+          CAST(SUM(c * (c - 1)) AS BIGINT) AS coll,
+          CAST(SUM(CASE WHEN code BETWEEN 32 AND 126 THEN c ELSE 0 END) AS BIGINT) AS printable
+        FROM hist GROUP BY 1)
+      SELECT m.media_id, kind, CAST(length(text) AS BIGINT) AS n_bytes,
         CASE WHEN length(text) = 0 THEN 0.0
              ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
                     list_transform(generate_series(1, length(text)),
@@ -68,10 +80,32 @@ object MultimodalQueries {
           list_transform(generate_series(1, length(text)),
             i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (a, c) -> (a * 131 + c) % 1000000007)
           AS fingerprint,
+        b.distinct_bytes,
+        CASE WHEN length(text) < 2 THEN 0.0
+             ELSE CAST(b.coll AS DOUBLE)
+                  / CAST(length(text) * (length(text) - 1) AS DOUBLE) END AS ioc,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(b.printable AS DOUBLE) / length(text) END AS printable_ratio,
+        CASE WHEN length(text) >= 3 AND ascii(substr(text, 1, 1)) = 255
+              AND ascii(substr(text, 2, 1)) = 216 AND ascii(substr(text, 3, 1)) = 255
+             THEN 'jpeg'
+             WHEN length(text) >= 4 AND ascii(substr(text, 1, 1)) = 137
+              AND ascii(substr(text, 2, 1)) = 80 AND ascii(substr(text, 3, 1)) = 78
+              AND ascii(substr(text, 4, 1)) = 71
+             THEN 'png'
+             WHEN length(text) >= 4 AND ascii(substr(text, 1, 1)) = 71
+              AND ascii(substr(text, 2, 1)) = 73 AND ascii(substr(text, 3, 1)) = 70
+              AND ascii(substr(text, 4, 1)) = 56
+             THEN 'gif'
+             WHEN length(text) >= 4 AND ascii(substr(text, 1, 1)) = 82
+              AND ascii(substr(text, 2, 1)) = 73 AND ascii(substr(text, 3, 1)) = 70
+              AND ascii(substr(text, 4, 1)) = 70
+             THEN 'riff'
+             ELSE 'unknown' END AS format,
         CAST(CASE WHEN greatest(w, h) <= 64 THEN w ELSE w * 64 // greatest(w, h) END AS INT) AS out_width,
         CAST(CASE WHEN greatest(w, h) <= 64 THEN h ELSE h * 64 // greatest(w, h) END AS INT) AS out_height
-      FROM m ORDER BY media_id"""),
-      "per-partition batched decode + feature extraction (stub codec)"),
+      FROM m JOIN bstats b USING (media_id) ORDER BY m.media_id"""),
+      "decode (stub codec) + REAL payload byte statistics: IoC, printable ratio, magic-byte sniff"),
 
     "m02_frame_sample" -> QueryDef(frameSample, Some("""
       WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
