@@ -245,17 +245,26 @@ object SimilarityQueries {
     * argmax (max of a (cos, -seed) struct — lexicographic, ties to the
     * LOWEST seed id), never a shuffle of the N×K scored pairs: the
     * shape that holds when N is 10¹⁰ and K is 10⁴. */
-  private def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
-    val seeds = e.filter(col("vec_id") % 47 === 0)
+  /** Deterministically seeded centroids (`vec_id % 47 == 0`) — the s06
+    * "k-means fit" stand-in, shared with s07. */
+  private def ivfSeeds(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 47 === 0)
       .select(col("vec_id").as("s_id"), col("v").as("sv"), col("nrm").as("sn"))
-    val assigned = e
-      .join(broadcast(seeds))
+
+  /** Nearest-seed cell per vector (the built IVF index): broadcast(K
+    * seeds) nested-loop scan + map-side-combinable argmax (max of a
+    * (cos, -seed) struct — lexicographic, ties to the LOWEST seed id).
+    * The N×K scored pairs never shuffle. Shared by s06/s07. */
+  private def ivfAssigned(e: DataFrame): DataFrame =
+    e.join(broadcast(ivfSeeds(e)))
       .withColumn("scos", expr(dotSpark("v", "sv")) / (col("nrm") * col("sn")))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("scos"), (-col("s_id")).as("neg"))).as("m"))
       .select(col("vec_id"), (-col("m.neg")).as("cell"))
-    val cells = e.join(assigned, "vec_id")
+
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cells = e.join(ivfAssigned(e), "vec_id")
     val q = cells.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("cell"),
         col("v").as("qv"), col("nrm").as("qn"))
@@ -267,6 +276,42 @@ object SimilarityQueries {
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("cell"), col("c_id"), col("rnk"), col("cos").as("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** s07: IVF MULTI-PROBE — the recall lever the s06 index exists for.
+    * Single-probe IVF misses neighbors that fall just across a cell
+    * boundary; probing each query's `nProbe` nearest cells recovers
+    * them at `nProbe×` the in-cell scan cost (still a C/nProbe× prune
+    * vs brute force).
+    *
+    * Scale shape: candidate assignment is the same shuffle-free argmax
+    * as s06. Only the QUERY slice pays a window for its top-nProbe
+    * seeds — queries are tiny by definition (here N/50), so the
+    * (queries × K) window input is negligible next to the corpus; the
+    * corpus-side N×K scores still never shuffle. Probed cells are
+    * disjoint (a candidate lives in exactly one cell), so no
+    * dedup step is needed before the per-query top-k. */
+  private def annIvfMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val c = e.join(ivfAssigned(e), "vec_id")
+      .select(col("vec_id").as("c_id"), col("cell"),
+        col("v").as("cv"), col("nrm").as("cn"))
+    val wp = Window.partitionBy(col("vec_id")).orderBy(col("scos").desc, col("s_id"))
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .join(broadcast(ivfSeeds(e)))
+      .withColumn("scos", expr(dotSpark("v", "sv")) / (col("nrm") * col("sn")))
+      .withColumn("probe_rank", row_number().over(wp).cast(LongType))
+      .filter(col("probe_rank") <= 2)
+      .select(col("vec_id").as("q_id"), col("s_id").as("cell"),
+        col("probe_rank"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    probes.join(c, Seq("cell")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("cell"), col("probe_rank"), col("c_id"),
+        col("rnk"), col("cos").as("cosine"))
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -403,6 +448,37 @@ object SimilarityQueries {
       SELECT q_id, cell, c_id, CAST(rnk AS BIGINT) AS rnk, cos AS cosine
       FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""),
       "IVF ANN with a built index: seeded centroids, nearest-seed cells, in-cell top-k"),
+
+    "s07_ann_ivf_multiprobe" -> QueryDef(annIvfMultiProbe, Some(s"""$vecsDuckCte,
+      seeds AS (SELECT vec_id AS s_id, v AS sv, nrm AS sn
+        FROM n WHERE vec_id % 47 = 0),
+      sc AS (
+        SELECT n.vec_id, s_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, len(n.v)), i -> n.v[i] * sv[i])), (a, z) -> a + z)
+            / (n.nrm * sn) AS scos
+        FROM n, seeds),
+      asg AS (
+        SELECT vec_id, s_id AS cell FROM (
+          SELECT vec_id, s_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
+          FROM sc) t WHERE rn = 1),
+      cells AS (SELECT n.vec_id, n.v, n.nrm, asg.cell
+                FROM n JOIN asg ON n.vec_id = asg.vec_id),
+      probes AS (
+        SELECT vec_id AS q_id, s_id AS cell, CAST(rn AS BIGINT) AS probe_rank FROM (
+          SELECT vec_id, s_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
+          FROM sc WHERE vec_id % 50 = 0) t WHERE rn <= 2),
+      p AS (
+        SELECT pr.q_id, pr.cell, pr.probe_rank, c.vec_id AS c_id, $cosDuck AS cos
+        FROM probes pr
+        JOIN n q ON q.vec_id = pr.q_id
+        JOIN cells c ON c.cell = pr.cell AND c.vec_id <> pr.q_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM p)
+      SELECT q_id, cell, probe_rank, c_id, CAST(rnk AS BIGINT) AS rnk, cos AS cosine
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""),
+      "IVF multi-probe: per-query top-2 cells searched, nProbe x in-cell cost"),
 
     "s05_cluster_norm_stats" -> QueryDef(clusterNormStats, Some(s"""$vecsDuckCte
       SELECT label, COUNT(*) AS n_vecs,
