@@ -389,6 +389,41 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  private val ChunkWords = 16
+
+  /** d10: chunk-level dedup — the paragraph/line-dedup pass (CCNet-style)
+    * that runs WITHIN documents where d01-d08 run across them: boilerplate
+    * (headers, navigation, license blocks) repeats verbatim inside
+    * otherwise-distinct pages. The corpus text carries no newlines, so the
+    * "paragraph" unit is the fixed 16-word chunk; a production corpus
+    * splits on '\n' and the rest of the pipeline is unchanged.
+    *
+    * Scale shape: the chunk string dies at the md5 projection — only
+    * (doc_id, digest) rows shuffle, 16 B of payload each. The global
+    * occurrence count is a window over the digest partition (rows spill
+    * individually; a degenerate boilerplate chunk costs disk, not an
+    * aggregation buffer), and the per-doc rollup is the second and last
+    * shuffle. Flag arithmetic is integer cross-multiplication — no float
+    * threshold parity risk. */
+  private def chunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val chunks = docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, CAST((size(words) + ${ChunkWords - 1}) div $ChunkWords AS INT)),
+            i -> md5(concat_ws(' ', slice(words, (i - 1) * $ChunkWords + 1, $ChunkWords))))"""))
+        .as("ch"))
+    chunks
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("ch"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .filter(col("n_dup_chunks") > 0)
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast(DoubleType) / col("n_chunks"), 4).as("dup_ratio"),
+        (col("n_dup_chunks") * 100 >= col("n_chunks") * 50).as("is_dup_heavy"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_exact_dedup" -> QueryDef(exactDedup, Some("""
       SELECT total_docs, distinct_docs, total_docs - distinct_docs AS dups_removed
@@ -464,6 +499,23 @@ object DedupQueries {
       FROM b LEFT JOIN idx ON b.digest = idx.digest
       ORDER BY b.doc_id"""),
       "new-batch exact dedup against the existing corpus digest index"),
+
+    "d10_chunk_dedup" -> QueryDef(chunkDedup, Some(s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      c AS (SELECT doc_id,
+              md5(array_to_string(
+                words[(i - 1) * $ChunkWords + 1 : (i - 1) * $ChunkWords + $ChunkWords], ' ')) AS ch
+            FROM w, UNNEST(generate_series(1,
+              CAST((len(words) + ${ChunkWords - 1}) // $ChunkWords AS INT))) AS t(i)),
+      o AS (SELECT doc_id, ch, COUNT(*) OVER (PARTITION BY ch) AS n_occ FROM c),
+      d AS (SELECT doc_id, COUNT(*) AS n_chunks,
+              CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+            FROM o GROUP BY doc_id)
+      SELECT doc_id, n_chunks, n_dup_chunks,
+        ROUND(CAST(n_dup_chunks AS DOUBLE) / n_chunks, 4) AS dup_ratio,
+        (n_dup_chunks * 100 >= n_chunks * 50) AS is_dup_heavy
+      FROM d WHERE n_dup_chunks > 0 ORDER BY doc_id"""),
+      "chunk-level (paragraph-analog) dedup: per-doc duplicated-chunk ratio"),
 
     "d05_simhash" -> QueryDef(simhash, Some(s"""$simhashDuckCte
       SELECT doc_id, simhash FROM sim ORDER BY doc_id"""),

@@ -52,6 +52,34 @@ object MultimodalQueries {
       .orderBy(col("kind"))
   }
 
+  /** m05: cross-video duplicate-frame detection — the multimodal dedup
+    * pass: near-identical videos (re-uploads, trims, watermarked copies)
+    * share exact sampled-frame fingerprints even when their containers
+    * differ byte-wise, so "how many of my frames appear in other media"
+    * is the standard video near-dup signal.
+    *
+    * Scale shape: frames reduce to (media_id, digest) rows at the
+    * sampling projection — payloads never shuffle. The per-media
+    * DISTINCT collapses within-video repeats (static scenes), the
+    * cross-media occurrence count is a window over the digest partition
+    * (spillable rows, the d10 shape), and the rollup is the last
+    * shuffle. */
+  private def frameDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val frames = MediaPipeline.sampleFrames(MediaPipeline.load(s, dir)).toDF()
+      .select(col("media_id"), col("frame_md5")).distinct()
+    frames
+      .withColumn("n_media", count(lit(1)).over(Window.partitionBy(col("frame_md5"))))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("n_media") >= 2, 1L).otherwise(0L)).as("n_shared_frames"))
+      .filter(col("n_shared_frames") > 0)
+      .select(col("media_id"), col("n_frames"), col("n_shared_frames"),
+        round(col("n_shared_frames").cast(DoubleType) / col("n_frames"), 4).as("shared_ratio"))
+      .orderBy(col("media_id"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "m01_media_features" -> QueryDef(mediaFeatures, Some(s"""
       WITH m AS (
@@ -147,5 +175,23 @@ object MultimodalQueries {
       SELECT kind, COUNT(*) AS n_media, CAST(SUM(w) AS BIGINT) AS sum_width,
              CAST(SUM(dur) AS BIGINT) AS sum_duration_ms
       FROM m GROUP BY kind ORDER BY kind"""),
-      "metadata-only scan (payload column never read)"))
+      "metadata-only scan (payload column never read)"),
+
+    "m05_frame_dedup" -> QueryDef(frameDedup, Some("""
+      WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+      f AS (SELECT doc_id AS media_id,
+              UNNEST(generate_series(0, CAST((length(text) + 31) // 32 AS INT) - 1, 4)) AS frame_idx,
+              text
+            FROM v),
+      h AS (SELECT DISTINCT media_id,
+              md5(substr(text, CAST(frame_idx AS INT) * 32 + 1, 32)) AS fh
+            FROM f),
+      o AS (SELECT media_id, fh, COUNT(*) OVER (PARTITION BY fh) AS n_media FROM h),
+      d AS (SELECT media_id, COUNT(*) AS n_frames,
+              CAST(SUM(CASE WHEN n_media >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_frames
+            FROM o GROUP BY media_id)
+      SELECT media_id, n_frames, n_shared_frames,
+        ROUND(CAST(n_shared_frames AS DOUBLE) / n_frames, 4) AS shared_ratio
+      FROM d WHERE n_shared_frames > 0 ORDER BY media_id"""),
+      "cross-video duplicate-frame detection over sampled-frame fingerprints"))
 }

@@ -315,6 +315,54 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private val QuantCand = 20 // quantized-scan candidates per query, reranked exactly
+
+  /** s08: scalar-quantized (SQ8) scan + exact rerank — the memory-
+    * bandwidth lever of a 100 TB vector store: the brute-force pass
+    * reads 1-byte codes instead of 4-byte floats (4× less scan I/O;
+    * int8 SIMD in a native store), then only the top-[[QuantCand]]
+    * survivors per query pay the full-precision dot product.
+    *
+    * Quantization is symmetric per-vector max-abs: q = floor(x·127/mx
+    * + 0.5). Quantized components are small integers, so their dot
+    * product and norm are EXACT in double arithmetic — both engines
+    * compute bit-identical candidate scores (the floor/division chain
+    * is deterministic IEEE on both sides), making an approximate path
+    * hash-checkable with no tolerance. The rerank emits the raw exact
+    * cosine next to the quantized estimate, so the output also
+    * quantifies the quantization error rank-by-rank.
+    *
+    * Plan shape: same broadcast(queries) nested-loop + per-partition
+    * top-k as s01 — quantization adds one row-local projection, the
+    * rerank touches QuantCand rows/query. */
+  private def annQuantized(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+      .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("qv", expr(
+        """CASE WHEN mx = CAST(0 AS FLOAT) THEN transform(v, x -> CAST(0 AS FLOAT))
+           ELSE transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D
+                                        / CAST(mx AS DOUBLE) + 0.5D) AS FLOAT)) END"""))
+      .withColumn("qn", expr(s"sqrt(${dotSpark("qv", "qv")})"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("qn").as("qqn"),
+        col("v").as("xqv"), col("nrm").as("xqn"))
+    val c = e.select(col("vec_id").as("c_id"), col("qv").as("cqv"), col("qn").as("cqn"),
+      col("v").as("xcv"), col("nrm").as("xcn"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("c_id"))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("qcos", expr(dotSpark("qqv", "cqv")) / (col("qqn") * col("cqn")))
+      .withColumn("cand_rnk", row_number().over(wq))
+      .filter(col("cand_rnk") <= QuantCand)
+      // full-precision dot only for the QuantCand survivors — the rerank
+      .withColumn("cos", expr(dotSpark("xqv", "xcv")) / (col("xqn") * col("xcn")))
+      .withColumn("rnk", row_number().over(wr).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("c_id"), col("rnk"),
+        col("qcos").as("quantized_cosine"), col("cos").as("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** s05: embedding sanity report — per-cluster vector counts and L2
     * norm extrema, plus an EXACT distribution checksum. Min/max of the
     * fold-computed norms are raw doubles (bit-identical across engines);
@@ -479,6 +527,32 @@ object SimilarityQueries {
       SELECT q_id, cell, probe_rank, c_id, CAST(rnk AS BIGINT) AS rnk, cos AS cosine
       FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""),
       "IVF multi-probe: per-query top-2 cells searched, nProbe x in-cell cost"),
+
+    "s08_ann_quantized" -> QueryDef(annQuantized, Some(s"""$vecsDuckCte,
+      qz AS (SELECT vec_id, v, nrm, list_max(list_transform(v, x -> abs(x))) AS mx FROM n),
+      q8 AS (SELECT vec_id, v, nrm,
+               CASE WHEN mx = 0 THEN list_transform(v, x -> 0.0)
+                    ELSE list_transform(v, x -> floor(x * 127.0 / mx + 0.5)) END AS qv
+             FROM qz),
+      qq AS (SELECT vec_id, qv,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])),
+                 (a, z) -> a + z)) AS qn
+             FROM q8),
+      p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(generate_series(1, greatest(len(q.qv), len(c.qv))),
+                  i -> q.qv[i] * c.qv[i])), (a, z) -> a + z)
+                / (q.qn * c.qn) AS qcos
+            FROM qq q, qq c WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+      r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qcos DESC, c_id) AS crnk FROM p),
+      cand AS (SELECT q_id, c_id, qcos FROM r1 WHERE crnk <= $QuantCand),
+      x AS (SELECT cand.q_id, cand.c_id, cand.qcos, $cosDuck AS cos
+            FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n c ON c.vec_id = cand.c_id),
+      r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM x)
+      SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, qcos AS quantized_cosine, cos AS cosine
+      FROM r2 WHERE rnk <= 5 ORDER BY q_id, rnk"""),
+      "SQ8 scalar-quantized scan + exact top-5 rerank (4x less scan I/O)"),
 
     "s05_cluster_norm_stats" -> QueryDef(clusterNormStats, Some(s"""$vecsDuckCte
       SELECT label, COUNT(*) AS n_vecs,

@@ -319,11 +319,7 @@ object TextQueries {
   private def weightedSample(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     withStats(docs(s, dir))
-      .withColumn("stop_ratio", col("stop_hits").cast(DoubleType) / col("n_tokens"))
-      .withColumn("quality_score",
-        least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) * 0.5 +
-          least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3 +
-          (lit(1.0) - col("n_punct").cast(DoubleType) / greatest(col("n_tokens"), lit(1L))) * 0.2)
+      .withColumn("quality_score", qualityScoreCol)
       .withColumn("x", concat(col("doc_id").cast(StringType), lit(":w")))
       .withColumn("bucket", expr(s"${DedupQueries.shingleHashSpark} % 1000"))
       .filter(col("bucket").cast(DoubleType) < col("quality_score") * 400.0)
@@ -378,6 +374,41 @@ object TextQueries {
       .assignShards(toks, "doc_id", "n_tokens", ShardTokens, ShardRanges, col("h64"))
       .select(col("doc_id"), col("h64"), col("n_tokens"), col("shard"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The t01/t13 composite quality score — one definition so the
+    * bucketing (t16) can never drift from the scoring (t01). */
+  private def qualityScoreCol: org.apache.spark.sql.Column =
+    least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) * 0.5 +
+      least(col("stop_hits").cast(DoubleType) / col("n_tokens") * 5.0, lit(1.0)) * 0.3 +
+      (lit(1.0) - col("n_punct").cast(DoubleType) / greatest(col("n_tokens"), lit(1L))) * 0.2
+
+  /** t16: CCNet-style quality bucketing — each language's corpus is cut
+    * into head/middle/tail terciles by the t01 quality score, the
+    * partition used to pick (or weight) training data by quality tier.
+    *
+    * Terciles come from `ntile(3)` over (score, doc_id) — a total order,
+    * so assignment is deterministic and both engines implement the same
+    * SQL-standard ntile split (first `n mod 3` tiles take the extra
+    * row). The window is per-language over the corpus — the t07 quota
+    * shape: one shuffle on `lang`, rows spill individually. At extreme
+    * per-language cardinality a production run swaps the exact ntile
+    * for approx-percentile thresholds; the tercile CONTRACT (which dock
+    * lands in which tier) is what this query pins. */
+  private def qualityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("quality_score"), col("doc_id"))
+    withStats(docs(s, dir))
+      .withColumn("quality_score", qualityScoreCol)
+      .withColumn("tile", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("tile") === 1, "tail")
+          .when(col("tile") === 2, "middle")
+          .otherwise("head"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality_score")).as("min_score"),
+        max(col("quality_score")).as("max_score"))
+      .orderBy(col("lang"), col("bucket"))
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -591,5 +622,26 @@ object TextQueries {
       SELECT doc_id, h64, n_tokens,
         CAST((cum - n_tokens) // $ShardTokens AS BIGINT) AS shard
       FROM c ORDER BY doc_id"""),
-      "token-budgeted training shard assignment (hierarchical prefix sum)"))
+      "token-budgeted training shard assignment (hierarchical prefix sum)"),
+
+    "t16_quality_buckets" -> QueryDef(qualityBuckets, Some(s"""$statsDuckCte,
+      q AS (
+        SELECT doc_id, lang,
+          LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
+            LEAST(CAST(stop_hits AS DOUBLE) / n_tokens * 5.0, 1.0) * 0.3 +
+            (1.0 - CAST(n_punct AS DOUBLE) / GREATEST(n_tokens, 1)) * 0.2
+            AS quality_score
+        FROM stats),
+      tiles AS (
+        SELECT lang, quality_score,
+          NTILE(3) OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS tile
+        FROM q),
+      b AS (
+        SELECT lang, quality_score,
+          CASE tile WHEN 1 THEN 'tail' WHEN 2 THEN 'middle' ELSE 'head' END AS bucket
+        FROM tiles)
+      SELECT lang, bucket, COUNT(*) AS n_docs,
+        MIN(quality_score) AS min_score, MAX(quality_score) AS max_score
+      FROM b GROUP BY lang, bucket ORDER BY lang, bucket"""),
+      "CCNet-style head/middle/tail quality terciles per language"))
 }

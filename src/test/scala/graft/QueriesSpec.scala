@@ -25,6 +25,77 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("s08 quantized rerank is dominated by s01 exact search per rank (candidate-subset)") {
+    // s08 reranks a quantized-scan candidate subset with the EXACT
+    // cosine, so at every rank its cosine can be at most s01's (global
+    // exact top-k). A violation means the rerank scored with the wrong
+    // vectors or the quantized candidate stage leaked extra pairs.
+    import org.apache.spark.sql.functions.col
+    def byRank(q: String): Map[(Long, Long), Double] =
+      SparkEntry.queries(q)(spark, sf)
+        .select(col("q_id"), col("rnk"), col("cosine"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = byRank("s01_ann_bruteforce")
+    val quant = byRank("s08_ann_quantized")
+    assert(quant.nonEmpty)
+    quant.foreach { case (key, cosQ) =>
+      val cosX = exact.getOrElse(key,
+        fail(s"s08 produced a (q_id, rnk) pair s01 lacks: $key"))
+      assert(cosQ <= cosX,
+        s"quantized rank ${key._2} for query ${key._1} BEATS exact: $cosQ > $cosX")
+    }
+  }
+
+  test("t16 quality terciles are balanced and monotone per language") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("t16_quality_buckets")(spark, sf)
+      .select(col("lang"), col("bucket"), col("n_docs"), col("min_score"), col("max_score"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val langs = rows.keySet.map(_._1)
+    assert(langs.nonEmpty)
+    langs.foreach { lang =>
+      val Seq(tail, mid, head) =
+        Seq("tail", "middle", "head").map(b => rows((lang, b)))
+      // ntile balance: tile sizes differ by at most one
+      val sizes = Seq(tail._1, mid._1, head._1)
+      assert(sizes.max - sizes.min <= 1, s"$lang terciles unbalanced: $sizes")
+      // monotone tiers: the (score, doc_id) total order puts every tail
+      // row before every middle row, so score ranges cannot interleave
+      assert(tail._3 <= mid._2, s"$lang: tail max ${tail._3} > middle min ${mid._2}")
+      assert(mid._3 <= head._2, s"$lang: middle max ${mid._3} > head min ${head._2}")
+    }
+  }
+
+  test("d10 dup-chunk counts are internally consistent") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("d10_chunk_dedup")(spark, sf)
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"), col("is_dup_heavy"))
+      .collect()
+    assert(rows.nonEmpty, "chunk dedup found no duplicated chunks at sf0.001")
+    rows.foreach { r =>
+      val (n, dup, heavy) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(dup >= 1 && dup <= n, s"doc ${r.getLong(0)}: dup=$dup outside [1, $n]")
+      assert(heavy == (dup * 100 >= n * 50), s"doc ${r.getLong(0)}: flag drifted from ratio")
+    }
+  }
+
+  test("m05 only reports video media with genuinely shared frames") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("m05_frame_dedup")(spark, sf)
+      .select(col("media_id"), col("n_frames"), col("n_shared_frames"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) % 3 == 2, s"media ${r.getLong(0)} is not a video (doc_id % 3 = 2)")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1))
+    }
+    // shared-ness is mutual: a frame shared by media A lives in >= 2
+    // media, so the report can never contain exactly one media
+    assert(rows.length != 1, "a shared frame needs at least two media")
+  }
+
   test("s07 multi-probe dominates s06 single-probe per rank (candidate-set containment)") {
     // s06 searches only the query's own cell — exactly s07's
     // probe_rank-1 cell — so s07's candidate set is a superset and its
