@@ -88,25 +88,6 @@ object ConnectedComponents {
       .filter(col("src") =!= col("dst"))
       .distinct()
 
-  /** One-time fixpoint validation: a converged edge set must be a
-    * forest of stars — no node appears as both a child (src) and a
-    * parent (dst), AND every child has exactly one parent (a two-parent
-    * child like {(x,r1),(x,r2)} has no chain yet still isn't a star).
-    * Guards the checksum against collisions. Both violation families
-    * are unioned into ONE job — this runs once per clustering, but a
-    * job is a full scheduler round-trip and the two checks share their
-    * input scan. */
-  private def isStarForest(edges: DataFrame): Boolean = {
-    val chains = edges.alias("a")
-      .join(edges.alias("b"), col("a.dst") === col("b.src"), "left_semi")
-      .select(lit(1).as("v"))
-    val multiParent = edges.groupBy(col("src"))
-      .agg(countDistinct(col("dst")).as("parents"))
-      .filter(col("parents") > 1)
-      .select(lit(1).as("v"))
-    chains.unionByName(multiParent).isEmpty
-  }
-
   /** @param pairs undirected edges as two numeric-id columns.
     *        Self-loops (a,a) carry no connectivity and are dropped: a
     *        vertex appearing ONLY in self-loops is omitted from the
@@ -146,7 +127,11 @@ object ConnectedComponents {
     try {
       var prev: (Long, java.math.BigDecimal, java.math.BigDecimal) = null
       var iter = 0
-      var done = edges.isEmpty // no edges: trivially converged
+      // No upfront emptiness probe: a nonempty edge set always contracts
+      // to a nonempty one (the component-minimum edge survives every
+      // rewrite), so the first round's observed count doubles as the
+      // empty-input check — one scheduler job saved per clustering.
+      var done = false
       while (!done && iter < maxIters) {
         // The convergence checksum rides the SAME job that materializes
         // the round: CollectMetrics evaluates while the cache (or
@@ -191,27 +176,53 @@ object ConnectedComponents {
           throw new IllegalStateException(
             "connected components: DECIMAL(38,0) checksum overflow — " +
             s"NULL sum over $cnt edges; cannot verify convergence")
-        done = prev != null && prev._1 == cnt &&
-          decEq(prev._2, sSrc) && decEq(prev._3, sDst)
+        done = cnt == 0 || (prev != null && prev._1 == cnt &&
+          decEq(prev._2, sSrc) && decEq(prev._3, sDst))
         prev = (cnt, sSrc, sDst)
         iter += 1
       }
       if (!done)
         throw new IllegalStateException(
           s"connected components did not converge in $maxIters rounds")
-      if (!isStarForest(edges))
-        throw new IllegalStateException(
-          "connected components: checksum converged on a non-star edge " +
-          "set (checksum collision); refusing to emit wrong labels")
       // Star forest → labels: children carry their root, roots carry
       // themselves. groupBy-min collapses the duplicate root rows.
       // localCheckpoint materializes the (small) label set into RDD
       // blocks so the finally block can release every round cache —
       // the result owes nothing to this operator's scratch state.
-      edges.select(col("src").as("doc"), col("dst").as("cluster"))
-        .unionByName(edges.select(col("dst").as("doc"), col("dst").as("cluster")))
-        .groupBy(col("doc")).agg(min(col("cluster")).as("cluster"))
+      //
+      // Fixpoint validation rides the SAME job (a second Observation):
+      // a converged edge set must be a forest of stars — no node may be
+      // both a child (an edge src) and a parent (an edge dst), and every
+      // child must have exactly one parent (a two-parent child like
+      // {(x,r1),(x,r2)} has no chain yet still isn't a star). This
+      // guards the checksum against collisions; fused here it costs
+      // per-group flags inside the label aggregation instead of the
+      // separate self-join job it used to run.
+      val forest = Observation()
+      val labels = edges
+        .select(col("src").as("doc"), col("dst").as("cluster"),
+          lit(true).as("is_child"))
+        .unionByName(edges.select(col("dst").as("doc"), col("dst").as("cluster"),
+          lit(false).as("is_child")))
+        .groupBy(col("doc"))
+        .agg(min(col("cluster")).as("cluster"),
+          countDistinct(when(col("is_child"), col("cluster"))).as("n_parents"),
+          max(col("is_child")).as("has_child"),
+          max(!col("is_child")).as("has_parent"))
+        .observe(forest, sum(when(
+            (col("has_child") && col("has_parent")) || col("n_parents") > 1,
+            1L).otherwise(0L)).as("violations"))
+        .select(col("doc"), col("cluster"))
         .localCheckpoint(eager = true)
+      val violations = forest.get.getOrElse("violations", null) match {
+        case null    => 0L // empty edge set: SUM over zero rows is NULL
+        case n: Long => n
+      }
+      if (violations > 0)
+        throw new IllegalStateException(
+          "connected components: checksum converged on a non-star edge " +
+          "set (checksum collision); refusing to emit wrong labels")
+      labels
     } finally {
       if (fresh != null) fresh.unpersist()
       if (pinned != null) pinned.unpersist()
