@@ -80,6 +80,34 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
       "a37 stats side is no longer replicated via explode over salts")
   }
 
+  test("d10 chunk dedup: raw text never reaches the digest shuffle") {
+    // The 100 TB property: chunks reduce to 16-byte digests at the scan
+    // projection, so the occurrence-count window and per-doc rollup
+    // shuffle (doc_id, digest) rows only. An Exchange whose output
+    // carries `text` means chunk strings (the corpus!) went over the
+    // network.
+    val text = PlanTestUtils.formatted(
+      queries("d10_chunk_dedup")(spark, sf).queryExecution)
+    val exchangeOutputs = text.linesIterator
+      .filter(_.contains("Exchange"))
+      .toSeq
+    assert(exchangeOutputs.nonEmpty, "expected shuffles in d10")
+    assert(!exchangeOutputs.exists(_.contains("text#")),
+      s"d10 shuffles raw text:\n${exchangeOutputs.mkString("\n")}")
+  }
+
+  test("s08 quantized ANN: query side broadcasts, no shuffle join, one embeddings-scan pair") {
+    // Same contract as s01: the query slice replicates (broadcast
+    // nested-loop), candidates stream through map-side. A SortMergeJoin
+    // would shuffle the whole corpus by a join key that doesn't exist.
+    val text = PlanTestUtils.formatted(
+      queries("s08_ann_quantized")(spark, sf).queryExecution)
+    assert(!text.contains("SortMergeJoin"),
+      "s08 planned a shuffle join; expected broadcast nested-loop")
+    assert(text.contains("BroadcastNestedLoopJoin"),
+      "s08 lost its broadcast query-side join")
+  }
+
   test("plan fingerprints: stable across rebuilds, distinct across queries, volatile-token-free") {
     // The bench artifact's `plans` map is only useful if the same
     // logical query always hashes identically: expression ids are a
