@@ -26,7 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "graft_gramhash" -> classOf[graft.functions.GramHash],
     "graft_minhash" -> classOf[graft.functions.MinHashPerms],
     "graft_simhash" -> classOf[graft.functions.SimHashFold],
-    "graft_hyperbands" -> classOf[graft.functions.HyperplaneBands])
+    "graft_hyperbands" -> classOf[graft.functions.HyperplaneBands],
+    "graft_bloom_agg" ->
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+    "graft_bloom_contains" ->
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.builders.foreach { case (name, builder) =>

@@ -119,6 +119,27 @@ object GraftFunctions {
       HyperplaneBands(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue,
         exprs(2).eval().asInstanceOf[Number].intValue)
+    }),
+    // Spark ships a production bloom filter pair for its own runtime
+    // row-filtering but registers it internal-only
+    // (FunctionRegistry.registerInternalExpression) — unreachable from
+    // user SQL. Re-exposing the SAME expressions under graft names
+    // (zero new sketch code) gives queries the ship-a-sketch-not-a-join
+    // prefilter shape (d11): graft_bloom_agg(xxhash64(x), estItems,
+    // numBits) builds a constant-size sketch with map-side partial
+    // merges; graft_bloom_contains(sketchScalarSubquery, xxhash64(x))
+    // probes it row-locally.
+    "graft_bloom_agg" -> (exprs => {
+      require(exprs.length == 3,
+        "graft_bloom_agg(hash64, est_items, num_bits) expects 3 arguments")
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+    }),
+    "graft_bloom_contains" -> (exprs => {
+      require(exprs.length == 2,
+        "graft_bloom_contains(bloom, hash64) expects 2 arguments")
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))
     }))
 
   def register(spark: SparkSession): Unit =

@@ -424,6 +424,58 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  private val BloomEstItems = 200000L
+  private val BloomNumBits  = 1L << 21 // 256 KiB sketch
+
+  /** d11: Bloom-filter ingest prefilter — d09's steady-state
+    * optimization at corpus scale: instead of joining every new batch
+    * against the (huge) digest index, the index side aggregates into a
+    * CONSTANT-SIZE bloom sketch (map-side partial merges — bit-OR is
+    * associative, so no row ever shuffles for it), the sketch ships to
+    * every executor as a scalar subquery, and the batch probes it
+    * row-locally. Only `maybe` rows — true dups plus a bounded false-
+    * positive trickle — pay the exact index join; a 99%-clean crawl
+    * batch skips ~99% of its join input.
+    *
+    * Uses Spark's own production sketch (the runtime row-filter
+    * BloomFilterAggregate, re-exposed by
+    * [[graft.functions.GraftFunctions]] — registered internal-only
+    * upstream). Sketch bits are engine-specific, so the oracle checks
+    * the CONTRACT, not the bits (the a15/a36 pattern): exact n_batch /
+    * n_true_dups hash-match, `no_false_negatives` must be literally
+    * TRUE (a bloom can never miss a member), and `fp_bounded` asserts
+    * the false-positive count stays under 5% of clean rows (+1 slack;
+    * integer cross-multiplication) — generous vs the ~0 expected at
+    * this fill factor, tight vs a broken sketch. */
+  private def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    docs(s, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16))).as("digest"))
+      .createOrReplaceTempView("graft_d11_digests")
+    s.sql(s"""
+      WITH idx AS (SELECT digest FROM graft_d11_digests WHERE doc_id % 10 != 0),
+      bf AS (SELECT graft_bloom_agg(xxhash64(digest), ${BloomEstItems}L, ${BloomNumBits}L) AS b
+             FROM idx),
+      batch AS (SELECT doc_id, digest FROM graft_d11_digests WHERE doc_id % 10 = 0),
+      probe AS (
+        SELECT doc_id, digest,
+               graft_bloom_contains((SELECT b FROM bf), xxhash64(digest)) AS maybe
+        FROM batch),
+      exact AS (SELECT DISTINCT digest FROM idx),
+      j AS (SELECT p.doc_id, p.maybe, (e.digest IS NOT NULL) AS is_dup
+            FROM probe p LEFT JOIN exact e ON p.digest = e.digest)
+      SELECT
+        COUNT(*) AS n_batch,
+        SUM(CASE WHEN is_dup THEN 1L ELSE 0L END) AS n_true_dups,
+        SUM(CASE WHEN is_dup AND NOT maybe THEN 1L ELSE 0L END) = 0L
+          AS no_false_negatives,
+        SUM(CASE WHEN maybe AND NOT is_dup THEN 1L ELSE 0L END) * 20L <=
+          SUM(CASE WHEN NOT is_dup THEN 1L ELSE 0L END) + 20L
+          AS fp_bounded
+      FROM j""")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_exact_dedup" -> QueryDef(exactDedup, Some("""
       SELECT total_docs, distinct_docs, total_docs - distinct_docs AS dups_removed
@@ -516,6 +568,21 @@ object DedupQueries {
         (n_dup_chunks * 100 >= n_chunks * 50) AS is_dup_heavy
       FROM d WHERE n_dup_chunks > 0 ORDER BY doc_id"""),
       "chunk-level (paragraph-analog) dedup: per-doc duplicated-chunk ratio"),
+
+    "d11_bloom_prefilter" -> QueryDef(bloomPrefilter, Some("""
+      WITH d AS (SELECT doc_id,
+        md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS digest
+        FROM documents),
+      idx AS (SELECT DISTINCT digest FROM d WHERE doc_id % 10 <> 0),
+      batch AS (SELECT doc_id, digest FROM d WHERE doc_id % 10 = 0),
+      j AS (SELECT b.doc_id, (i.digest IS NOT NULL) AS is_dup
+            FROM batch b LEFT JOIN idx i ON b.digest = i.digest)
+      SELECT COUNT(*) AS n_batch,
+        CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dups,
+        TRUE AS no_false_negatives,
+        TRUE AS fp_bounded
+      FROM j"""),
+      "bloom-sketch ingest prefilter: constant-size index shipped, probed row-locally"),
 
     "d05_simhash" -> QueryDef(simhash, Some(s"""$simhashDuckCte
       SELECT doc_id, simhash FROM sim ORDER BY doc_id"""),

@@ -96,6 +96,25 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.length != 1, "a shared frame needs at least two media")
   }
 
+  test("bloom pair: zero false negatives, rejects non-members (the d11 pruning premise)") {
+    graft.functions.GraftFunctions.register(spark)
+    spark.range(1000).selectExpr("CAST(id AS STRING) AS s")
+      .createOrReplaceTempView("graft_bloom_members")
+    val r = spark.sql("""
+      WITH bf AS (SELECT graft_bloom_agg(xxhash64(s), 10000L, 65536L) AS b
+                  FROM graft_bloom_members),
+      probe AS (SELECT id,
+                  graft_bloom_contains((SELECT b FROM bf), xxhash64(CAST(id AS STRING))) AS m
+                FROM range(3000))
+      SELECT SUM(CASE WHEN id < 1000 AND NOT m THEN 1L ELSE 0L END) AS false_negs,
+             SUM(CASE WHEN id >= 1000 AND m THEN 1L ELSE 0L END) AS false_pos,
+             SUM(CASE WHEN id >= 1000 THEN 1L ELSE 0L END) AS clean
+      FROM probe""").collect()(0)
+    assert(r.getLong(0) == 0, "bloom missed a member — impossible for a correct sketch")
+    assert(r.getLong(1) * 10 <= r.getLong(2),
+      s"bloom passed ${r.getLong(1)}/${r.getLong(2)} non-members; pruning premise broken")
+  }
+
   test("s07 multi-probe dominates s06 single-probe per rank (candidate-set containment)") {
     // s06 searches only the query's own cell — exactly s07's
     // probe_rank-1 cell — so s07's candidate set is a superset and its
