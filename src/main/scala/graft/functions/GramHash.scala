@@ -50,10 +50,10 @@ case class GramHash(child: Expression) extends UnaryExpression {
       s"graft_gramhash expects STRING, got ${child.dataType}")
 
   override def nullSafeEval(v: Any): Any =
-    GramHash.eval(v.asInstanceOf[UTF8String])
+    GramHash.hashGrams(v.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.GramHash.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramHash.hashGrams($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -68,8 +68,16 @@ object GramHash {
     * the length weight counts code points, matching
     * [[StringPolyHash.hash]] and the DuckDB `ascii()` twin exactly —
     * the composition identity `h(x ∘ y) = h(x)·131^|y| + h(y) (mod p)`
-    * needs `|y|` in fold steps, which are code points. */
-  def eval(text: UTF8String): ArrayData = {
+    * needs `|y|` in fold steps, which are code points.
+    *
+    * MUST NOT be named `eval`: the expression class inherits
+    * `eval(InternalRow)` from UnaryExpression, and scalac suppresses
+    * the companion's static forwarder when the name collides — the
+    * generated `graft.functions.GramHash.eval(utf8)` call then fails
+    * Janino compilation and every whole-stage containing this
+    * expression silently fell back to interpreted execution (found by
+    * chasing the `ERROR CodeGenerator` in d03's verify log, round 8). */
+  def hashGrams(text: UTF8String): ArrayData = {
     val str = text.toString
     val n = str.length
     var spaces = 0
