@@ -238,10 +238,22 @@ object AnalyticsQueries {
       .orderBy(col("event_type"))
   }
 
-  /** Set operations: INTERSECT / EXCEPT over per-type user-id sets. */
+  /** Set operations: INTERSECT / EXCEPT over per-type user-id sets.
+    *
+    * All three operands slice the same distinct (event_type, user_id)
+    * relation, so that base is built once — one scan, one shuffle —
+    * and memoized; the set operators then join cached slices (r8: the
+    * previous shape scanned + distinct'd `events` three times). The
+    * INTERSECT/EXCEPT operators themselves are the point of this query
+    * and stay. */
   private def setOps(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-    def users(t: String) = e.filter(col("event_type") === t).select(col("user_id")).distinct()
+    val pairs = PersistedAggregates.memo(s, "a17_type_users", dir) {
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "click", "error"))
+        .select(col("event_type"), col("user_id")).distinct()
+    }
+    def users(t: String) =
+      pairs.filter(col("event_type") === t).select(col("user_id"))
     val both = users("purchase").intersect(users("click"))
       .withColumn("set_name", lit("purchase_and_click"))
     val noErr = users("purchase").except(users("error"))

@@ -9,6 +9,39 @@ class QueriesSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  // Watch Spark's CodeGenerator logger while every registered query
+  // executes below. A Janino compile failure is SILENT in results
+  // (Spark falls back to interpreted execution, values stay correct)
+  // but it forfeits whole-stage codegen for the entire stage — round
+  // 8 found graft_gramhash had been falling back in every query that
+  // used it because a companion-object name collision suppressed the
+  // static forwarder its generated code called. This pin turns that
+  // class of perf regression into a test failure.
+  private val codegenErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private def attachCodegenWatcher(): Unit = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.{LoggerConfig, Property}
+    val watcher = new AbstractAppender(
+        "graft-codegen-watch", null, null, false, Array.empty[Property]) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        if (e.getLevel.isMoreSpecificThan(Level.ERROR))
+          codegenErrors.add(String.valueOf(e.getMessage.getFormattedMessage).take(300))
+    }
+    watcher.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cls = "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator"
+    val cfg = ctx.getConfiguration
+    cfg.addAppender(watcher)
+    val loggerCfg = new LoggerConfig(cls, Level.ERROR, true)
+    loggerCfg.addAppender(watcher, Level.ERROR, null)
+    cfg.addLogger(cls, loggerCfg)
+    ctx.updateLoggers()
+  }
+  attachCodegenWatcher()
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
@@ -23,6 +56,15 @@ class QueriesSpec extends SparkTestBase {
       assert(df.columns.nonEmpty)
       assert(df.count() >= 0)
     }
+  }
+
+  // Registered AFTER the per-query execution tests: asserts over
+  // everything they compiled.
+  test("no registered query silently loses whole-stage codegen (zero CodeGenerator errors)") {
+    val errs = codegenErrors.toArray(Array.empty[String])
+    assert(errs.isEmpty,
+      s"${errs.length} codegen compile failure(s) — interpreted fallback is a silent " +
+        s"perf regression:\n${errs.take(3).mkString("\n")}")
   }
 
   test("s08 quantized rerank is dominated by s01 exact search per rank (candidate-subset)") {
