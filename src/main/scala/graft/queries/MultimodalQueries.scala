@@ -80,6 +80,43 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** m06: the modality mix manifest — the artifact a multimodal
+    * training run actually signs off: per source, how many tokens each
+    * modality contributes (text by whitespace tokenization; image/
+    * audio/video by the m04 metadata-only estimators) and what fraction
+    * of the budget is non-text. ONE scan of `documents`, everything
+    * derived from metadata columns (the m03 pruning property: no
+    * payload is ever read), exact integer sums, one double division
+    * per share. */
+  private def mixManifest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val d = graft.Tables.documents(s, dir)
+      .withColumn("kind", expr(
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"))
+      .withColumn("w", expr("CAST(16 + doc_id % 113 AS BIGINT)"))
+      .withColumn("h", expr("CAST(16 + doc_id % 71 AS BIGINT)"))
+      .withColumn("dur", expr("CAST(n_chars * 10 AS BIGINT)"))
+      .withColumn("text_tokens", size(split(col("text"), " ")).cast(LongType))
+      // same exact integer ceil-division estimators as m04 (`div`, not `/`)
+      .withColumn("media_tokens", expr(
+        """CASE kind WHEN 'image' THEN ((w + 13) div 14) * ((h + 13) div 14)
+                     WHEN 'audio' THEN (dur + 79) div 80
+                     ELSE ((dur + 999) div 1000) * ((w + 27) div 28) * ((h + 27) div 28)
+           END"""))
+    d.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("text_tokens")).as("text_tokens"),
+        sum(when(col("kind") === "image", col("media_tokens")).otherwise(0L)).as("image_tokens"),
+        sum(when(col("kind") === "audio", col("media_tokens")).otherwise(0L)).as("audio_tokens"),
+        sum(when(col("kind") === "video", col("media_tokens")).otherwise(0L)).as("video_tokens"))
+      .withColumn("total_tokens",
+        col("text_tokens") + col("image_tokens") + col("audio_tokens") + col("video_tokens"))
+      .withColumn("media_share",
+        (col("total_tokens") - col("text_tokens")).cast(DoubleType) / col("total_tokens"))
+      .orderBy(col("source"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "m01_media_features" -> QueryDef(mediaFeatures, Some(s"""
       WITH m AS (
@@ -193,5 +230,36 @@ object MultimodalQueries {
       SELECT media_id, n_frames, n_shared_frames,
         ROUND(CAST(n_shared_frames AS DOUBLE) / n_frames, 4) AS shared_ratio
       FROM d WHERE n_shared_frames > 0 ORDER BY media_id"""),
-      "cross-video duplicate-frame detection over sampled-frame fingerprints"))
+      "cross-video duplicate-frame detection over sampled-frame fingerprints"),
+
+    "m06_mix_manifest" -> QueryDef(mixManifest, Some(s"""
+      WITH m AS (
+        SELECT source,
+          $kindDuck AS kind,
+          CAST(16 + doc_id % 113 AS BIGINT) AS w,
+          CAST(16 + doc_id % 71 AS BIGINT) AS h,
+          CAST(n_chars * 10 AS BIGINT) AS dur,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS text_tokens
+        FROM documents),
+      t AS (
+        SELECT source, kind, text_tokens,
+          CASE kind
+            WHEN 'image' THEN ((w + 13) // 14) * ((h + 13) // 14)
+            WHEN 'audio' THEN (dur + 79) // 80
+            ELSE ((dur + 999) // 1000) * ((w + 27) // 28) * ((h + 27) // 28)
+          END AS media_tokens
+        FROM m),
+      g AS (
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(text_tokens) AS BIGINT) AS text_tokens,
+          CAST(SUM(CASE WHEN kind = 'image' THEN media_tokens ELSE 0 END) AS BIGINT) AS image_tokens,
+          CAST(SUM(CASE WHEN kind = 'audio' THEN media_tokens ELSE 0 END) AS BIGINT) AS audio_tokens,
+          CAST(SUM(CASE WHEN kind = 'video' THEN media_tokens ELSE 0 END) AS BIGINT) AS video_tokens
+        FROM t GROUP BY source)
+      SELECT source, n_docs, text_tokens, image_tokens, audio_tokens, video_tokens,
+        text_tokens + image_tokens + audio_tokens + video_tokens AS total_tokens,
+        CAST(image_tokens + audio_tokens + video_tokens AS DOUBLE) /
+          (text_tokens + image_tokens + audio_tokens + video_tokens) AS media_share
+      FROM g ORDER BY source"""),
+      "per-source modality token mix manifest (metadata-only, one scan)"))
 }

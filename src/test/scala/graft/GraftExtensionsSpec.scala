@@ -49,6 +49,19 @@ class GraftExtensionsSpec extends graft.streaming.SparkTestBase {
       val gh = r.getSeq[Long](4)
       def m(s: String) = s.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % 1000000007L)
       assert(gh == Seq(m("a b c"), m("b c d")))
+      // The re-exposed bloom pair resolves through the same injection:
+      // members always hit, and a disjoint probe range mostly misses.
+      s2.range(100).selectExpr("xxhash64(CAST(id AS STRING)) AS h")
+        .createOrReplaceTempView("ext_bloom_in")
+      val bl = s2.sql(
+        """WITH bf AS (SELECT graft_bloom_agg(h, 1000L, 8192L) AS b FROM ext_bloom_in)
+           SELECT SUM(CASE WHEN graft_bloom_contains((SELECT b FROM bf),
+                             xxhash64(CAST(id AS STRING))) THEN 1L ELSE 0L END) AS hits,
+                  SUM(CASE WHEN id >= 100 AND graft_bloom_contains((SELECT b FROM bf),
+                             xxhash64(CAST(id AS STRING))) THEN 1L ELSE 0L END) AS fp
+           FROM range(1100)""").collect().head
+      assert(bl.getLong(0) >= 100L, "bloom missed a member via the extensions path")
+      assert(bl.getLong(1) * 5 <= 1000L, s"bloom FP rate broken: ${bl.getLong(1)}/1000")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
