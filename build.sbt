@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes to stdout VERBATIM instead of through sbt's
+// logger: with the default strategy every line gains an "[info] "
+// prefix, which made the driver's json.loads of Bench's result line
+// fail in rounds 1-7 (every BENCH_r*.json has "parsed": null) — the
+// artifact carried only a 2000-char raw-tail fragment.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -66,7 +66,32 @@ object Bench {
     val plans = results.map { case (k, _, _, f) => s"\"" + k + "\":\"" + f + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_iters":$detail,"plans":$plans,"sf":"$sfDir","iters":$iters,"stat":"median"}""")
+    // Output layout is driver-shaped (rounds 1-7 post-mortem): the
+    // harness keeps only the LAST ~2000 characters of the run's output
+    // and tries to json-parse the result line out of it. One giant line
+    // (medians + per-iteration + plans ≈ 10 KB) can therefore never
+    // parse from the artifact. So: full-detail lines print FIRST (live
+    // logs / local runs still get everything), and the LAST line is the
+    // compact driver-contract object — metric/value/unit/queries/sf —
+    // kept under the capture window by limiting the embedded per-query
+    // map to the slowest entries (the ones a perf reader needs; the
+    // complete map is the preceding `queries` line).
+    println(s"""{"detail":"query_iters","query_iters":$detail}""")
+    println(s"""{"detail":"plans","plans":$plans}""")
+    println(s"""{"detail":"queries_full","queries":$qs}""")
+    val MaxCompact = 1800
+    val slowFirst = results.filter(_._2 >= 0).sortBy(-_._2)
+    def compactLine(n: Int): String = {
+      val top = slowFirst.take(n)
+      val topQs = top.map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$topQs,""" +
+        s""""queries_shown":${top.length},"queries_total":${results.length},""" +
+        s""""sf":"$sfDir","iters":$iters,"stat":"median"}"""
+    }
+    val nFit = (slowFirst.length to 1 by -1)
+      .find(n => compactLine(n).length <= MaxCompact).getOrElse(1)
+    println(compactLine(nFit))
     spark.stop()
   }
 }
