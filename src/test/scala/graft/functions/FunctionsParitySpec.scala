@@ -76,6 +76,21 @@ class FunctionsParitySpec extends graft.streaming.SparkTestBase {
     }
   }
 
+  test("length() counts code points — Spark and DuckDB agree beyond the BMP") {
+    // Pins the cross-engine contract the t01/t02 char metrics lean on:
+    // Spark's `length` is UTF8String.numChars (UTF-8 sequences = code
+    // points), DuckDB's `length` is code points — verified 3 for
+    // '🦀ab' on both engines (🦀 = U+1F980, TWO UTF-16 units, so a
+    // code-UNIT length would report 4 and diverge). No remaining
+    // ASCII-only assumption in the length-based metrics.
+    val s = spark
+    val df = s.createDataFrame(
+      java.util.Arrays.asList(Row("🦀ab"), Row("水𝄞"), Row("")),
+      StructType(Seq(StructField("x", StringType))))
+    val got = df.select(expr("length(x)")).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(3, 2, 0), s"length() not code-point-counting: $got")
+  }
+
   test("graft_gramhash equals the composed form on astral-plane words") {
     val s = spark
     GraftFunctions.register(s)
