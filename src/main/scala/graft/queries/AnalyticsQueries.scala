@@ -225,6 +225,39 @@ object AnalyticsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** a38: MERGEABLE distinct-count sketches — the incremental shape
+    * a15's one-shot approx_count_distinct can't give: per-(type, day)
+    * HLL sketches (Datasketches `hll_sketch_agg`, a few KB each)
+    * union into per-type estimates WITHOUT rescanning raw ids. At
+    * 100 TB a deployment persists the daily sketches and answers any
+    * date-range distinct query by `hll_union_agg` over a handful of
+    * kilobyte blobs — this query runs exactly that two-level plan and
+    * contract-checks both paths against the exact count (integer
+    * cross-multiplied 5% bound ≈ 3× the lgK=12 rsd; sketch bits are
+    * engine-specific, so the oracle expects the booleans TRUE, the
+    * a15/a36 pattern). The exact side is its own scan: distinct
+    * counting is the one aggregate sketches cannot reproduce exactly,
+    * and it anchors the contract. */
+  private def hllMergeable(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+    val merged = e.groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy(col("event_type"))
+      .agg(expr("hll_union_agg(sk)").as("msk"), count(lit(1)).as("n_days"))
+      .select(col("event_type"), col("n_days"),
+        expr("hll_sketch_estimate(msk)").as("est_merged"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_direct"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        (abs(col("est_merged") - col("exact_users")) * 20 <= col("exact_users"))
+          .as("merged_within_5pct"),
+        (abs(col("est_direct") - col("exact_users")) * 20 <= col("exact_users"))
+          .as("direct_within_5pct"))
+      .orderBy(col("event_type"))
+  }
+
   /** Exact percentiles over the JSON-extracted int field. */
   private def valuePercentiles(s: SparkSession, dir: String): DataFrame = {
     val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast(IntegerType)
@@ -1128,5 +1161,15 @@ object AnalyticsQueries {
       FROM events e JOIN s2 USING (event_type)
       WHERE e.value > s2.mean_value * 2
       ORDER BY e.event_id"""),
-      "hot-key fact join via explicit salting (SkewJoin) — per-type value outliers"))
+      "hot-key fact join via explicit salting (SkewJoin) — per-type value outliers"),
+
+    "a38_hll_mergeable" -> QueryDef(hllMergeable, Some("""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events)
+      SELECT event_type,
+        CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        TRUE AS merged_within_5pct,
+        TRUE AS direct_within_5pct
+      FROM e GROUP BY event_type ORDER BY event_type"""),
+      "mergeable per-day HLL sketches unioned to range estimates (contract-checked)"))
 }

@@ -220,6 +220,43 @@ object SimilarityQueries {
         (col("n_queries") > 0).as("recall_measurable"))
   }
 
+  /** DuckDB twin of [[ivfAssigned]] (seeds → N×K scores → argmin-by-
+    * rank assignment) — shared verbatim by the s06/s07/s09 oracles so
+    * the cell model can never drift between them. */
+  private val ivfAsgDuckCte = """
+      seeds AS (SELECT vec_id AS s_id, v AS sv, nrm AS sn
+        FROM n WHERE vec_id % 47 = 0),
+      sc AS (
+        SELECT n.vec_id, s_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, len(n.v)), i -> n.v[i] * sv[i])), (a, z) -> a + z)
+            / (n.nrm * sn) AS scos
+        FROM n, seeds),
+      asg AS (
+        SELECT vec_id, s_id AS cell FROM (
+          SELECT vec_id, s_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
+          FROM sc) t WHERE rn = 1)"""
+
+  /** DuckDB twin of [[withQuantized]] — shared by the s08/s09 oracles. */
+  private val quantDuckCte = """
+      qz AS (SELECT vec_id, v, nrm, list_max(list_transform(v, x -> abs(x))) AS mx FROM n),
+      q8 AS (SELECT vec_id, v, nrm,
+               CASE WHEN mx = 0 THEN list_transform(v, x -> 0.0)
+                    ELSE list_transform(v, x -> floor(x * 127.0 / mx + 0.5)) END AS qv
+             FROM qz),
+      qq AS (SELECT vec_id, qv,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])),
+                 (a, z) -> a + z)) AS qn
+             FROM q8)"""
+
+  /** Quantized-dot cosine between aliases q and c over qq rows. */
+  private val qcosDuck = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(generate_series(1, greatest(len(q.qv), len(c.qv))),
+                  i -> q.qv[i] * c.qv[i])), (a, z) -> a + z)
+                / (q.qn * c.qn)"""
+
   /** DuckDB twin of [[graft.functions.HyperplaneBands]]: same LCG
     * regenerated inline (all BIGINT arithmetic), same sequential-fold
     * dot → identical signs. The hyperplane index is `k·len(v)+i`,
@@ -335,14 +372,20 @@ object SimilarityQueries {
     * Plan shape: same broadcast(queries) nested-loop + per-partition
     * top-k as s01 — quantization adds one row-local projection, the
     * rerank touches QuantCand rows/query. */
-  private def annQuantized(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
-      .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+  /** Symmetric per-vector max-abs int8 quantization columns (qv, qn)
+    * — shared by s08 (flat SQ8) and s09 (IVF+SQ8). Quantized values
+    * are small exact integers carried as floats, so `graft_dot` over
+    * them is exact integer arithmetic in double. */
+  private def withQuantized(df: DataFrame): DataFrame =
+    df.withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
       .withColumn("qv", expr(
         """CASE WHEN mx = CAST(0 AS FLOAT) THEN transform(v, x -> CAST(0 AS FLOAT))
            ELSE transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D
                                         / CAST(mx AS DOUBLE) + 0.5D) AS FLOAT)) END"""))
       .withColumn("qn", expr(s"sqrt(${dotSpark("qv", "qv")})"))
+
+  private def annQuantized(s: SparkSession, dir: String): DataFrame = {
+    val e = withQuantized(vecs(s, dir))
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("qn").as("qqn"),
         col("v").as("xqv"), col("nrm").as("xqn"))
@@ -359,6 +402,40 @@ object SimilarityQueries {
       .withColumn("rnk", row_number().over(wr).cast(LongType))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("c_id"), col("rnk"),
+        col("qcos").as("quantized_cosine"), col("cos").as("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** s09: IVF + SQ8 — the two production levers composed, the
+    * canonical shape of a FAISS-style IVF-SQ index: the s06 built
+    * index prunes the candidate set C×, the s08 quantization shrinks
+    * every in-cell candidate read 4×, and only the per-query top-
+    * [[QuantCand]] quantized survivors pay a full-precision dot. At
+    * 100 TB this is the search plan that actually runs: coarse cells
+    * bound the scan, byte codes bound the bandwidth, the rerank
+    * restores exact ordering on a constant-size set. All scores stay
+    * exact-deterministic (integer dots, IEEE-pinned quantization), so
+    * even the intermediate candidate stage hash-matches the oracle. */
+  private def annIvfQuantized(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cells = withQuantized(e).join(ivfAssigned(e), "vec_id")
+    val q = cells.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("cell"),
+        col("qv").as("qqv"), col("qn").as("qqn"),
+        col("v").as("xqv"), col("nrm").as("xqn"))
+    val c = cells.select(col("vec_id").as("c_id"), col("cell"),
+      col("qv").as("cqv"), col("qn").as("cqn"),
+      col("v").as("xcv"), col("nrm").as("xcn"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("c_id"))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    q.join(c, Seq("cell")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("qcos", expr(dotSpark("qqv", "cqv")) / (col("qqn") * col("cqn")))
+      .withColumn("cand_rnk", row_number().over(wq))
+      .filter(col("cand_rnk") <= QuantCand)
+      .withColumn("cos", expr(dotSpark("xqv", "xcv")) / (col("xqn") * col("xcn")))
+      .withColumn("rnk", row_number().over(wr).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("cell"), col("c_id"), col("rnk"),
         col("qcos").as("quantized_cosine"), col("cos").as("cosine"))
       .orderBy(col("q_id"), col("rnk"))
   }
@@ -473,19 +550,7 @@ object SimilarityQueries {
     }, "recall contract: pruned ANN paths measured against the exact baseline"),
 
     "s06_ann_ivf" -> QueryDef(annIvf, Some(s"""$vecsDuckCte,
-      seeds AS (SELECT vec_id AS s_id, v AS sv, nrm AS sn
-        FROM n WHERE vec_id % 47 = 0),
-      sc AS (
-        SELECT n.vec_id, s_id,
-          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(generate_series(1, len(n.v)), i -> n.v[i] * sv[i])), (a, z) -> a + z)
-            / (n.nrm * sn) AS scos
-        FROM n, seeds),
-      asg AS (
-        SELECT vec_id, s_id AS cell FROM (
-          SELECT vec_id, s_id,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
-          FROM sc) t WHERE rn = 1),
+      $ivfAsgDuckCte,
       cells AS (SELECT n.vec_id, n.label, n.v, n.nrm, asg.cell
                 FROM n JOIN asg ON n.vec_id = asg.vec_id),
       p AS (
@@ -498,19 +563,7 @@ object SimilarityQueries {
       "IVF ANN with a built index: seeded centroids, nearest-seed cells, in-cell top-k"),
 
     "s07_ann_ivf_multiprobe" -> QueryDef(annIvfMultiProbe, Some(s"""$vecsDuckCte,
-      seeds AS (SELECT vec_id AS s_id, v AS sv, nrm AS sn
-        FROM n WHERE vec_id % 47 = 0),
-      sc AS (
-        SELECT n.vec_id, s_id,
-          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(generate_series(1, len(n.v)), i -> n.v[i] * sv[i])), (a, z) -> a + z)
-            / (n.nrm * sn) AS scos
-        FROM n, seeds),
-      asg AS (
-        SELECT vec_id, s_id AS cell FROM (
-          SELECT vec_id, s_id,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
-          FROM sc) t WHERE rn = 1),
+      $ivfAsgDuckCte,
       cells AS (SELECT n.vec_id, n.v, n.nrm, asg.cell
                 FROM n JOIN asg ON n.vec_id = asg.vec_id),
       probes AS (
@@ -529,21 +582,8 @@ object SimilarityQueries {
       "IVF multi-probe: per-query top-2 cells searched, nProbe x in-cell cost"),
 
     "s08_ann_quantized" -> QueryDef(annQuantized, Some(s"""$vecsDuckCte,
-      qz AS (SELECT vec_id, v, nrm, list_max(list_transform(v, x -> abs(x))) AS mx FROM n),
-      q8 AS (SELECT vec_id, v, nrm,
-               CASE WHEN mx = 0 THEN list_transform(v, x -> 0.0)
-                    ELSE list_transform(v, x -> floor(x * 127.0 / mx + 0.5)) END AS qv
-             FROM qz),
-      qq AS (SELECT vec_id, qv,
-               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                 list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])),
-                 (a, z) -> a + z)) AS qn
-             FROM q8),
-      p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                list_transform(generate_series(1, greatest(len(q.qv), len(c.qv))),
-                  i -> q.qv[i] * c.qv[i])), (a, z) -> a + z)
-                / (q.qn * c.qn) AS qcos
+      $quantDuckCte,
+      p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, $qcosDuck AS qcos
             FROM qq q, qq c WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
       r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qcos DESC, c_id) AS crnk FROM p),
       cand AS (SELECT q_id, c_id, qcos FROM r1 WHERE crnk <= $QuantCand),
@@ -553,6 +593,24 @@ object SimilarityQueries {
       SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, qcos AS quantized_cosine, cos AS cosine
       FROM r2 WHERE rnk <= 5 ORDER BY q_id, rnk"""),
       "SQ8 scalar-quantized scan + exact top-5 rerank (4x less scan I/O)"),
+
+    "s09_ann_ivf_quantized" -> QueryDef(annIvfQuantized, Some(s"""$vecsDuckCte,
+      $ivfAsgDuckCte,
+      $quantDuckCte,
+      qcells AS (SELECT qq.vec_id, qq.qv, qq.qn, asg.cell
+                 FROM qq JOIN asg ON qq.vec_id = asg.vec_id),
+      p AS (SELECT q.vec_id AS q_id, q.cell AS cell, c.vec_id AS c_id, $qcosDuck AS qcos
+            FROM qcells q JOIN qcells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+            WHERE q.vec_id % 50 = 0),
+      r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qcos DESC, c_id) AS crnk FROM p),
+      cand AS (SELECT q_id, cell, c_id, qcos FROM r1 WHERE crnk <= $QuantCand),
+      x AS (SELECT cand.q_id, cand.cell, cand.c_id, cand.qcos, $cosDuck AS cos
+            FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n c ON c.vec_id = cand.c_id),
+      r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM x)
+      SELECT q_id, cell, c_id, CAST(rnk AS BIGINT) AS rnk,
+             qcos AS quantized_cosine, cos AS cosine
+      FROM r2 WHERE rnk <= 5 ORDER BY q_id, rnk"""),
+      "IVF + SQ8 composed: cell-pruned quantized scan, exact rerank (the FAISS-style plan)"),
 
     "s05_cluster_norm_stats" -> QueryDef(clusterNormStats, Some(s"""$vecsDuckCte
       SELECT label, COUNT(*) AS n_vecs,

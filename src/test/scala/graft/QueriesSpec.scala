@@ -157,6 +157,27 @@ class QueriesSpec extends SparkTestBase {
       s"bloom passed ${r.getLong(1)}/${r.getLong(2)} non-members; pruning premise broken")
   }
 
+  test("s09 IVF+SQ8 is dominated by s06 plain IVF per rank (quantized-candidate subset)") {
+    // s09 reranks a quantized-top-20 SUBSET of exactly s06's in-cell
+    // candidates with the exact cosine, so rank-r can never beat s06's
+    // rank-r; and both emit the same (q_id, rnk) key set (top-20 ⊇
+    // top-5 whenever the cell has candidates at all).
+    import org.apache.spark.sql.functions.col
+    def byRank(q: String): Map[(Long, Long), Double] =
+      SparkEntry.queries(q)(spark, sf)
+        .select(col("q_id"), col("rnk"), col("cosine"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = byRank("s06_ann_ivf")
+    val ivfq = byRank("s09_ann_ivf_quantized")
+    assert(ivfq.nonEmpty && ivfq.keySet == ivf.keySet,
+      s"s09/s06 key sets differ: ${(ivfq.keySet diff ivf.keySet) ++ (ivf.keySet diff ivfq.keySet)}")
+    ivfq.foreach { case (key, cos9) =>
+      assert(cos9 <= ivf(key),
+        s"IVF+SQ8 rank ${key._2} for query ${key._1} BEATS plain IVF: $cos9 > ${ivf(key)}")
+    }
+  }
+
   test("s07 multi-probe dominates s06 single-probe per rank (candidate-set containment)") {
     // s06 searches only the query's own cell — exactly s07's
     // probe_rank-1 cell — so s07's candidate set is a superset and its
