@@ -216,7 +216,7 @@ object DedupQueries {
     * `documents` three times. Jaccard over the hashed gram set equals
     * Jaccard over the grams themselves (mod 1e9+7 collisions, which the
     * oracle twin reproduces exactly). */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     collectCappedBuckets(
       signatures(s, dir, withGrams = true)
         .select(col("doc_id"), col("gh"), explode(array(bandKeyStructs: _*)).as("bk"))
@@ -240,7 +240,7 @@ object DedupQueries {
         round(col("jacc"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  private val JaccThreshold = 0.7 // LSH s-curve midpoint (4 bands × 4 rows)
+  private[graft] val JaccThreshold = 0.7 // LSH s-curve midpoint (4 bands × 4 rows)
   private val MaxCcIters    = 50
 
   /** DuckDB CTEs appended to [[bandsDuckCte]]: hashed gram sets (g) and

@@ -42,16 +42,14 @@ object TextQueries {
         CAST(len(list_filter(string_split(text, ' '), w -> list_contains($stopArrayDuck, w))) AS BIGINT) AS stop_hits
       FROM documents)"""
 
-  /** Per-document quality metrics + composite score. */
+  /** Per-document quality metrics + composite score ([[qualityScoreCol]]
+    * — the single definition t13/t16 share). */
   private def docQuality(s: SparkSession, dir: String): DataFrame =
     withStats(docs(s, dir))
       .withColumn("avg_token_len",
         (length(col("text")) - (col("n_tokens") - 1)).cast(DoubleType) / col("n_tokens"))
       .withColumn("stop_ratio", col("stop_hits").cast(DoubleType) / col("n_tokens"))
-      .withColumn("quality_score",
-        least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) * 0.5 +
-          least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3 +
-          (lit(1.0) - col("n_punct").cast(DoubleType) / greatest(col("n_tokens"), lit(1L))) * 0.2)
+      .withColumn("quality_score", qualityScoreCol)
       .select(col("doc_id"), col("n_tokens"), col("avg_token_len"), col("n_punct"),
         col("stop_hits"), col("stop_ratio"), col("quality_score"))
       .orderBy(col("doc_id"))
@@ -376,8 +374,11 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** The t01/t13 composite quality score — one definition so the
-    * bucketing (t16) can never drift from the scoring (t01). */
+  /** THE composite quality score — the one definition t01 (scoring),
+    * t13 (weighted sampling), and t16 (bucketing) all reference, so the
+    * reported score, the keep probability, and the tier assignment can
+    * never drift apart. `stop_hits/n_tokens*5.0` associates left —
+    * identical to the historical `stop_ratio * 5.0` form bit-for-bit. */
   private def qualityScoreCol: org.apache.spark.sql.Column =
     least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) * 0.5 +
       least(col("stop_hits").cast(DoubleType) / col("n_tokens") * 5.0, lit(1.0)) * 0.3 +

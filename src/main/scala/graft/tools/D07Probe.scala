@@ -26,10 +26,12 @@ object D07Probe {
       r
     }
 
-    // Mirrors DedupQueries.dedupClusters' upstream exactly (private
-    // there): d04 minus the output projection.
-    def pairs() = graft.SparkEntry.queries("d04_ngram_jaccard")(spark, sf)
-      .filter(col("jaccard") >= 0.7)
+    // The REAL d07 upstream (package-private seam): raw-jacc filter,
+    // no rounding, no d04 output sort — a d04-based approximation
+    // differed on both (rounded threshold admits jacc ∈ [0.69995, 0.7);
+    // the global orderBy adds a sort d07 never pays).
+    def pairs() = graft.queries.DedupQueries.jaccardPairs(spark, sf)
+      .filter(col("jacc") >= graft.queries.DedupQueries.JaccThreshold)
       .select(col("doc_a"), col("doc_b"))
 
     val full = graft.SparkEntry.queries("d07_dedup_clusters")

@@ -32,6 +32,23 @@ object PlanTestUtils {
   def formatted(qe: QueryExecution): String =
     qe.explainString(ExplainMode.fromString("formatted"))
 
+  /** The `Input [...]` attribute line of every Exchange node in the
+    * formatted detail section (initial-plan duplicate cut off). The
+    * tree header (`+- Exchange (15)`) never carries attributes — the
+    * detail block `"(15) Exchange"` is followed by its
+    * `Input [n]: [attr#id, ...]` line, which is where column-level
+    * assertions about what a shuffle carries must look. */
+  def exchangeInputs(qe: QueryExecution): Seq[String] = {
+    val t = formatted(qe)
+    val cut = t.indexOf("== Initial Plan ==")
+    val lines = (if (cut >= 0) t.substring(0, cut) else t).linesIterator.toVector
+    lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange\s*""") =>
+        lines.drop(i + 1).take(4).find(_.trim.startsWith("Input"))
+          .getOrElse(sys.error(s"no Input line after detail block '$l'"))
+    }
+  }
+
   /** Count of shuffle exchanges in the FINAL adaptive plan tree.
     *
     * Two rendering traps this helper absorbs: formatted mode prints the

@@ -83,17 +83,18 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
   test("d10 chunk dedup: raw text never reaches the digest shuffle") {
     // The 100 TB property: chunks reduce to 16-byte digests at the scan
     // projection, so the occurrence-count window and per-doc rollup
-    // shuffle (doc_id, digest) rows only. An Exchange whose output
-    // carries `text` means chunk strings (the corpus!) went over the
-    // network.
-    val text = PlanTestUtils.formatted(
+    // shuffle (doc_id, digest) rows only. An Exchange whose INPUT
+    // attribute list carries `text` or `words` means chunk strings (the
+    // corpus!) went over the network. Tree-header lines never carry
+    // attributes — the detail-block Input lines are the real check
+    // (PlanTestUtils.exchangeInputs).
+    val inputs = PlanTestUtils.exchangeInputs(
       queries("d10_chunk_dedup")(spark, sf).queryExecution)
-    val exchangeOutputs = text.linesIterator
-      .filter(_.contains("Exchange"))
-      .toSeq
-    assert(exchangeOutputs.nonEmpty, "expected shuffles in d10")
-    assert(!exchangeOutputs.exists(_.contains("text#")),
-      s"d10 shuffles raw text:\n${exchangeOutputs.mkString("\n")}")
+    assert(inputs.nonEmpty, "expected shuffles in d10")
+    // sanity that the attribute lines are non-trivial (the digest rides)
+    assert(inputs.exists(_.contains("#")), s"no attributes parsed: $inputs")
+    val leaky = inputs.filter(l => l.contains("text#") || l.contains("words#"))
+    assert(leaky.isEmpty, s"d10 shuffles raw text:\n${leaky.mkString("\n")}")
   }
 
   test("s08 quantized ANN: query side broadcasts, no shuffle join, one embeddings-scan pair") {
