@@ -24,7 +24,7 @@ object TextQueries {
   private val stopArrayDuck  = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Row-local doc metrics shared by several queries. */
-  private def withStats(df: DataFrame): DataFrame =
+  private[queries] def withStats(df: DataFrame): DataFrame =
     df.withColumn("words", split(col("text"), " "))
       .withColumn("n_tokens", size(col("words")).cast(LongType))
       .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")).cast(LongType))
@@ -33,7 +33,7 @@ object TextQueries {
       .withColumn("stop_hits",
         expr(s"size(filter(words, w -> array_contains($stopArraySpark, w)))").cast(LongType))
 
-  private val statsDuckCte = s"""
+  private[queries] val statsDuckCte = s"""
     WITH stats AS (
       SELECT doc_id, lang, source, text,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -379,7 +379,7 @@ object TextQueries {
     * reported score, the keep probability, and the tier assignment can
     * never drift apart. `stop_hits/n_tokens*5.0` associates left —
     * identical to the historical `stop_ratio * 5.0` form bit-for-bit. */
-  private def qualityScoreCol: org.apache.spark.sql.Column =
+  private[queries] def qualityScoreCol: org.apache.spark.sql.Column =
     least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) * 0.5 +
       least(col("stop_hits").cast(DoubleType) / col("n_tokens") * 5.0, lit(1.0)) * 0.3 +
       (lit(1.0) - col("n_punct").cast(DoubleType) / greatest(col("n_tokens"), lit(1L))) * 0.2

@@ -124,6 +124,31 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("d12 keeper is the max-quality member of its d07 cluster") {
+    import org.apache.spark.sql.functions.col
+    val members = SparkEntry.queries("d07_dedup_clusters")(spark, sf)
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val quality = SparkEntry.queries("t01_doc_quality")(spark, sf)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byCluster = members.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val keepers = SparkEntry.queries("d12_quality_survivors")(spark, sf)
+      .select(col("cluster_id"), col("n_members"), col("keeper_doc"), col("keeper_score"))
+      .collect()
+    assert(keepers.nonEmpty)
+    assert(keepers.map(_.getLong(0)).toSet == byCluster.keySet,
+      "d12 and d07 disagree on the cluster set")
+    keepers.foreach { r =>
+      val (cid, n, keeper, score) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val docs = byCluster(cid)
+      assert(docs.contains(keeper), s"cluster $cid keeper $keeper is not a member")
+      assert(n == docs.size, s"cluster $cid n_members $n != ${docs.size}")
+      val best = docs.map(quality).max
+      assert(score == best, s"cluster $cid keeper score $score != max member quality $best")
+    }
+  }
+
   test("m05 only reports video media with genuinely shared frames") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("m05_frame_dedup")(spark, sf)
