@@ -263,6 +263,21 @@ object DedupQueries {
         WHERE CAST(len(list_intersect(ga.gh, gb.gh)) AS DOUBLE) /
               (len(ga.gh) + len(gb.gh) - len(list_intersect(ga.gh, gb.gh))) >= $JaccThreshold)"""
 
+  /** Recursive-CTE labeling of the verified pairs: vp → lab(doc,
+    * cluster) with cluster = component minimum — the oracle twin of
+    * [[graft.operators.ConnectedComponents]], shared by d07/d12 so
+    * the two queries' cluster definitions can never diverge. Splice
+    * after [[verifiedPairsDuckCte]] under a `WITH RECURSIVE` prefix. */
+  private lazy val ccLabelsDuckCte = """
+      dedges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+                 UNION ALL SELECT doc_b, doc_a FROM vp),
+      dnodes AS (SELECT DISTINCT src AS doc FROM dedges),
+      reach AS (
+        SELECT doc, doc AS cluster FROM dnodes
+        UNION
+        SELECT e.dst AS doc, r.cluster FROM reach r JOIN dedges e ON e.src = r.doc),
+      lab AS (SELECT doc, MIN(cluster) AS cluster FROM reach GROUP BY doc)"""
+
   /** d07: dedup clusters — the step every dedup pipeline ends with:
     * group the verified near-dup pairs into connected components and
     * name each by its minimum doc_id (the canonical survivor; everything
@@ -438,18 +453,17 @@ object DedupQueries {
     * `max(struct(score, -doc_id))` — the s06 assignment pattern; only
     * (cluster, score, id) triples shuffle. */
   private def qualitySurvivors(s: SparkSession, dir: String): DataFrame = {
-    // Memoized per (session, dir) — the t11 pattern: repeated d12
-    // invocations in a long-lived session reuse one labels relation
-    // instead of re-running the whole LSH+CC pipeline (d07 itself stays
-    // un-memoized: its bench number measures the clustering, not a
-    // cache read).
-    val labels = PersistedAggregates.memo(s, "d12_cc_labels", dir) {
-      graft.operators.ConnectedComponents.run(
-        jaccardPairs(s, dir)
-          .filter(col("jacc") >= JaccThreshold)
-          .select(col("doc_a"), col("doc_b")),
-        "doc_a", "doc_b", MaxCcIters)
-    }
+    // NOT memoized (unlike t11's aggregate): ConnectedComponents.run
+    // returns labels materialized by localCheckpoint — executor-local
+    // blocks with no recompute path — so a session-long memo would turn
+    // an executor loss into a permanent "checkpoint block not found"
+    // for every later d12 call. Rebuilding per invocation keeps the
+    // retry path whole, exactly as d07 does.
+    val labels = graft.operators.ConnectedComponents.run(
+      jaccardPairs(s, dir)
+        .filter(col("jacc") >= JaccThreshold)
+        .select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b", MaxCcIters)
     val scored = TextQueries.withStats(docs(s, dir))
       .withColumn("quality_score", TextQueries.qualityScoreCol)
       .select(col("doc_id"), col("quality_score"))
@@ -553,14 +567,7 @@ object DedupQueries {
       val cte = bandsDuckCte.replaceFirst("WITH ", "WITH RECURSIVE ")
       s"""$cte,
       $verifiedPairsDuckCte,
-      dedges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
-                 UNION ALL SELECT doc_b, doc_a FROM vp),
-      dnodes AS (SELECT DISTINCT src AS doc FROM dedges),
-      reach AS (
-        SELECT doc, doc AS cluster FROM dnodes
-        UNION
-        SELECT e.dst AS doc, r.cluster FROM reach r JOIN dedges e ON e.src = r.doc),
-      lab AS (SELECT doc, MIN(cluster) AS cluster FROM reach GROUP BY doc)
+      $ccLabelsDuckCte
       SELECT doc AS doc_id, cluster AS cluster_id,
              COUNT(*) OVER (PARTITION BY cluster) AS n_members
       FROM lab ORDER BY doc_id"""
@@ -627,21 +634,10 @@ object DedupQueries {
       val statsCte = TextQueries.statsDuckCte.replaceFirst("WITH ", "")
       s"""$cte,
       $verifiedPairsDuckCte,
-      dedges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
-                 UNION ALL SELECT doc_b, doc_a FROM vp),
-      dnodes AS (SELECT DISTINCT src AS doc FROM dedges),
-      reach AS (
-        SELECT doc, doc AS cluster FROM dnodes
-        UNION
-        SELECT e.dst AS doc, r.cluster FROM reach r JOIN dedges e ON e.src = r.doc),
-      lab AS (SELECT doc, MIN(cluster) AS cluster FROM reach GROUP BY doc),
+      $ccLabelsDuckCte,
       $statsCte,
       q AS (
-        SELECT doc_id,
-          LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
-            LEAST(CAST(stop_hits AS DOUBLE) / n_tokens * 5.0, 1.0) * 0.3 +
-            (1.0 - CAST(n_punct AS DOUBLE) / GREATEST(n_tokens, 1)) * 0.2
-            AS quality_score
+        SELECT doc_id, ${TextQueries.qualityScoreDuck} AS quality_score
         FROM stats),
       j AS (SELECT lab.doc, lab.cluster, q.quality_score
             FROM lab JOIN q ON q.doc_id = lab.doc),

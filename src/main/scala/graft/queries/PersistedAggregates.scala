@@ -13,11 +13,20 @@ import scala.collection.concurrent.TrieMap
   * per (session, query, dir) caps that population at the number of
   * distinct persisted aggregates.
   *
-  * Sessions are WEAK keys: a dropped test/notebook session releases its
-  * entries with it. The memo hands back the same DataFrame object, so
-  * all invocations share one cached relation and Spark's cache manager
-  * sees one entry to evict under pressure (still soft — eviction safe,
-  * recompute lazy). */
+  * Entry lifetime is honest, not magical: the cached DataFrames hold
+  * strong references to their own SparkSession, so the WeakHashMap's
+  * weak keys alone can never collect an entry (the classic
+  * value-references-key trap) — instead every memo() call sweeps
+  * entries whose underlying SparkContext has stopped, which is when
+  * cached relations become unusable anyway. Population is bounded by
+  * (#live sessions × #distinct persisted aggregates).
+  *
+  * `build` must return a plan that can RECOMPUTE after cache eviction
+  * (a scan/aggregate over the source tables). Never memo a
+  * checkpoint-backed result: its "recompute" bottoms out at
+  * executor-local blocks, turning an executor loss into a permanent
+  * failure for the rest of the session (why d12 rebuilds its CC labels
+  * per call instead of using this). */
 private[queries] object PersistedAggregates {
 
   private val bySession =
@@ -28,6 +37,10 @@ private[queries] object PersistedAggregates {
     * callers pass a closed-over plan over the `dir` tables). */
   def memo(s: SparkSession, key: String, dir: String)(build: => DataFrame): DataFrame = {
     val perSession = bySession.synchronized {
+      val it = bySession.entrySet().iterator()
+      while (it.hasNext) {
+        if (it.next().getKey.sparkContext.isStopped) it.remove()
+      }
       bySession.computeIfAbsent(s, _ => TrieMap.empty)
     }
     perSession.getOrElseUpdate((key, dir), build.persist())

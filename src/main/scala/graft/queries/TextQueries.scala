@@ -42,6 +42,15 @@ object TextQueries {
         CAST(len(list_filter(string_split(text, ' '), w -> list_contains($stopArrayDuck, w))) AS BIGINT) AS stop_hits
       FROM documents)"""
 
+  /** DuckDB twin of [[qualityScoreCol]] over a `stats`-shaped relation
+    * (needs n_tokens/stop_hits/n_punct in scope) — the one SQL-side
+    * definition the t01/t13/t16/d12 oracles all splice, mirroring the
+    * single Spark-side definition. */
+  private[queries] val qualityScoreDuck =
+    """LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
+            LEAST(CAST(stop_hits AS DOUBLE) / n_tokens * 5.0, 1.0) * 0.3 +
+            (1.0 - CAST(n_punct AS DOUBLE) / GREATEST(n_tokens, 1)) * 0.2"""
+
   /** Per-document quality metrics + composite score ([[qualityScoreCol]]
     * — the single definition t13/t16 share). */
   private def docQuality(s: SparkSession, dir: String): DataFrame =
@@ -418,9 +427,7 @@ object TextQueries {
         CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
         n_punct, stop_hits,
         CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
-        LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
-              LEAST(CAST(stop_hits AS DOUBLE) / n_tokens * 5.0, 1.0) * 0.3 +
-              (1.0 - CAST(n_punct AS DOUBLE) / GREATEST(n_tokens, 1)) * 0.2 AS quality_score
+        $qualityScoreDuck AS quality_score
       FROM stats ORDER BY doc_id"""),
       "per-doc text quality metrics + score"),
 
@@ -573,10 +580,7 @@ object TextQueries {
     "t13_weighted_sample" -> QueryDef(weightedSample, Some(s"""$statsDuckCte,
       q AS (
         SELECT doc_id, lang, n_tokens, n_punct, stop_hits,
-          LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
-            LEAST(CAST(stop_hits AS DOUBLE) / n_tokens * 5.0, 1.0) * 0.3 +
-            (1.0 - CAST(n_punct AS DOUBLE) / GREATEST(n_tokens, 1)) * 0.2
-            AS quality_score,
+          $qualityScoreDuck AS quality_score,
           CAST(doc_id AS VARCHAR) || ':w' AS x
         FROM stats),
       h AS (
@@ -628,10 +632,7 @@ object TextQueries {
     "t16_quality_buckets" -> QueryDef(qualityBuckets, Some(s"""$statsDuckCte,
       q AS (
         SELECT doc_id, lang,
-          LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
-            LEAST(CAST(stop_hits AS DOUBLE) / n_tokens * 5.0, 1.0) * 0.3 +
-            (1.0 - CAST(n_punct AS DOUBLE) / GREATEST(n_tokens, 1)) * 0.2
-            AS quality_score
+          $qualityScoreDuck AS quality_score
         FROM stats),
       tiles AS (
         SELECT lang, quality_score,
