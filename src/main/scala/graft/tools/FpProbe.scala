@@ -1,0 +1,25 @@
+package graft.tools
+
+import graft.GraftSession
+
+/** Prints post-execution plan fingerprints for the given queries —
+  * run twice in separate JVMs and diff to catch run-varying tokens the
+  * [[PlanFingerprint]] normalizer misses (that is exactly how the
+  * lambda-identity leak in the m-family fingerprints was found, r8).
+  *
+  * Usage: runMain graft.tools.FpProbe <sfDir> <query ...>
+  */
+object FpProbe {
+  def main(args: Array[String]): Unit = {
+    val sf = args.head
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-fp-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    args.drop(1).foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      df.count() // AQE must finalize first
+      println(s"$name ${PlanFingerprint(df)}")
+    }
+    spark.stop()
+  }
+}

@@ -22,7 +22,12 @@ import org.apache.spark.sql.execution.ExplainMode
   *  - `plan_id=` tags and formatted-mode node numbers (`(12)`);
   *  - `Statistics(...)` on adaptive query stages — runtime byte/row
   *    counts that vary with shuffle compression, not plan shape;
-  *  - `file:` paths — so fingerprints compare across sf directories.
+  *  - `file:` paths — so fingerprints compare across sf directories;
+  *  - JVM lambda identities (`$$Lambda$2605/0x00007f...@643f8ebe`) in
+  *    typed-operator arguments (MapPartitions, SerializeFromObject) —
+  *    the counter, the hidden-class address, and the object hash all
+  *    differ every JVM launch while naming the same closure (this made
+  *    m01/m02/m05 fingerprints unstable run-to-run, r8).
   *
   * Callers must EXECUTE the DataFrame first (any action): under AQE the
   * pre-execution plan is `isFinalPlan=false` with no stage decisions —
@@ -43,6 +48,8 @@ object PlanFingerprint {
       .replaceAll("\\(\\d+\\)", "()")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
       .replaceAll("file:[^\\s\\],)]*", "file:_")
+      .replaceAll("\\$\\$?Lambda\\$?\\d*/0x[0-9a-fA-F]+", "\\$\\$Lambda_")
+      .replaceAll("@[0-9a-fA-F]{6,}", "@_")
 
   private def hash(s: String): String =
     MessageDigest.getInstance("MD5")

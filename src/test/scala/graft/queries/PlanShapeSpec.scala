@@ -134,6 +134,11 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
       normalize("Statistics(sizeInBytes=2.0 KiB)"))
     assert(normalize("InMemoryFileIndex[file:/root/testdata/sf0.001/x.parquet]") ==
       normalize("InMemoryFileIndex[file:/root/testdata/sf0.1/x.parquet]"))
+    // JVM lambda identity: counter, hidden-class address, and object
+    // hash all differ per launch while naming the same closure
+    assert(normalize(
+      "MediaPipeline$$$Lambda$2605/0x00007f1a94d88b58@643f8ebe, obj#43") ==
+      normalize("MediaPipeline$$$Lambda$2606/0x00007ff94cd887c0@6bbd4048, obj#43"))
     // but structure still distinguishes:
     assert(normalize("BroadcastHashJoin") != normalize("SortMergeJoin"))
   }
