@@ -94,6 +94,10 @@ final class ConsumerGroup private (
     * in bounded batches instead of one unbounded XPENDING read. */
   def autoClaim(newConsumer: String, minIdleMs: Long, start: String = "0-0",
       count: Int = 100): (String, Seq[String]) = synchronized {
+    // Redis requires COUNT > 0; count = 0 here would return the scan
+    // START as the next cursor without claiming — the documented
+    // loop-until-"0-0" caller would spin forever on it.
+    require(count > 0, s"autoClaim count must be positive, got $count")
     val now = clock.nowMs
     // Scan in msgid order from `start` (the PEL is a TreeMap, so the
     // seek is O(log PEL)) and stop once `count` eligible entries are

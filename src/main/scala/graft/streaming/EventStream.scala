@@ -26,8 +26,12 @@ object EventStream {
     stagingDirs.computeIfAbsent(sfDir, { _ =>
       import java.nio.file.{Files, Paths}
       val dir = Files.createTempDirectory("graft-events-stream")
+      // absolute target: a relative sfDir would otherwise resolve
+      // against the TEMP dir at read time — a dangling link and a
+      // silently empty stream (schema is supplied, so no error)
       val link = Files.createSymbolicLink(
-        dir.resolve("events.parquet"), Paths.get(s"$sfDir/events.parquet"))
+        dir.resolve("events.parquet"),
+        Paths.get(s"$sfDir/events.parquet").toAbsolutePath)
       // deleteOnExit runs in registration-reverse order: link, then the
       // (now empty) directory — registering only the dir would leak it.
       dir.toFile.deleteOnExit()
@@ -152,12 +156,20 @@ object EventStream {
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
       horizon: String = "30 minutes", watermark: String = "1 hour",
       joinType: String = "inner"): DataFrame = {
-    val c = clicks.select(col("user_id").as("c_user"),
-      col("ts").as("click_ts"), col("event_id").as("click_id"))
-      .withWatermark("click_ts", watermark)
-    val p = purchases.select(col("user_id").as("p_user"),
-      col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
-      .withWatermark("purchase_ts", watermark)
+    // ensureWatermark, not withWatermark: an input that already carries
+    // one (e.g. the output of dedupWithinWatermark — dedup-then-join is
+    // the documented at-least-once shape) keeps it; stacking a second
+    // watermark on a stateful operator's output is a query-start error.
+    // The rename precedes the check so the fresh watermark lands on the
+    // renamed column; a pre-existing one propagates through the alias.
+    val c = ensureWatermark(
+      clicks.select(col("user_id").as("c_user"),
+        col("ts").as("click_ts"), col("event_id").as("click_id")),
+      "click_ts", watermark)
+    val p = ensureWatermark(
+      purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("event_id").as("purchase_id")),
+      "purchase_ts", watermark)
     p.join(c,
       col("p_user") === col("c_user") &&
         col("click_ts") <= col("purchase_ts") &&

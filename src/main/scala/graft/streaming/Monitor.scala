@@ -46,13 +46,29 @@ final class Monitor(
     metrics.toSeq
   }
 
-  /** M5 driver loop (reference `monitor.py:186-193`). */
-  def cleanup(): Unit =
-    for {
+  /** Outcome of the last [[cleanup]] pass: (deadConsumer, claimed,
+    * lost) per rebalanced consumer. `lost > 0` is the reference's
+    * logged-error condition (`monitor.py:125-127`) — this library has
+    * no logging dependency, so the loss is surfaced as DATA instead of
+    * silently discarded: operators read it here or from cleanup()'s
+    * return value. */
+  private var lastCleanupResults: Seq[(String, Int, Int)] = Nil
+  def lastCleanup: Seq[(String, Int, Int)] = lastCleanupResults
+
+  /** M5 driver loop (reference `monitor.py:186-193`); returns one
+    * (deadConsumer, claimed, lost) row per rebalanced consumer. */
+  def cleanup(): Seq[(String, Int, Int)] = {
+    val results = for {
       (g, consumers) <- unhealthy.toSeq
       (tc, _) <- targets.get(g).toSeq
       dead <- consumers.reverse
-    } cleanupUnhealthyConsumer(g, dead, tc)
+    } yield {
+      val (claimed, lost) = cleanupUnhealthyConsumer(g, dead, tc)
+      (dead, claimed, lost)
+    }
+    lastCleanupResults = results
+    results
+  }
 
   /** M5: failure rebalance — list the dead consumer's PEL (G2), claim
     * for the target (M6), then delete the consumer (G3); lost>0 is the

@@ -109,7 +109,14 @@ final class StreamingScaler(logKey: String) {
   private def log = StreamLogRegistry.get(logKey)
 
   /** S1, offset-based. @param deliveredUpTo a resolved end offset of
-    * the running query (offset WAL entry or progress endOffset). */
+    * the running query (offset WAL entry or progress endOffset).
+    *
+    * Caveat (documented, not a defect of the PEL path): `pending`
+    * counts delivered-but-uncommitted ids still PRESENT in the log
+    * buffer, so a MAXLEN trim that drops delivered-but-uncommitted
+    * messages undercounts it — pair aggressive producer-side trimming
+    * with the PEL-based [[Scaler.collectMetrics]], whose pending is
+    * tracked independently of the buffer ([[ConsumerGroup]] state). */
   def collectMetrics(deliveredUpTo: String): (Int, Int) = {
     val acked = StreamLogRegistry.committedId(logKey)
     val backlog =

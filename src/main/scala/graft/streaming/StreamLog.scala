@@ -32,7 +32,11 @@ final class StreamLog(clock: Clock = SystemClock) {
       approximate: Boolean = true,
       macroNode: Int = 16): String = synchronized {
     val ms = math.max(clock.nowMs, lastMs)
-    val seq = if (ms == lastMs) lastSeq + 1 else 0L
+    val seq0 = if (ms == lastMs) lastSeq + 1 else 0L
+    // Redis forbids entry id 0-0 (the before-everything sentinel; our
+    // MsgId.Zero plays the same role, and cursors read STRICTLY after
+    // it) — a clock at 0 mints 0-1 first, never an undeliverable 0-0.
+    val seq = if (ms == 0L && seq0 == 0L) 1L else seq0
     lastMs = ms; lastSeq = seq
     val id = MsgId.format(ms, seq)
     buf += StreamMessage(id, content.map { case (k, v) => k -> String.valueOf(v) })

@@ -106,13 +106,26 @@ class StreamLogTable(logKey: String, batchSize: Int)
           new StreamLogMicroBatchStream(logKey, batchSize)
       }
     }
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // Reject non-canonical input at PLAN time: the writer reads columns
+    // positionally (row.getMap(1)), so a reordered/retyped frame would
+    // otherwise fail (or silently mis-read) executor-side mid-epoch.
+    val s = info.schema()
+    val ok = s.length == 2 &&
+      s(0).name == "msgid" && s(0).dataType == StringType &&
+      s(1).name == "content" && (s(1).dataType match {
+        case MapType(StringType, StringType, _) => true
+        case _ => false
+      })
+    require(ok, "stream-log sink expects (msgid STRING, content MAP<STRING,STRING>), " +
+      s"got ${s.map(f => s"${f.name} ${f.dataType.simpleString}").mkString("(", ", ", ")")}")
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toStreaming: StreamingWrite =
           new StreamLogStreamingWrite(logKey, info.queryId())
       }
     }
+  }
 }
 
 /** Offset = last-delivered stream id — the group cursor itself. Stable
@@ -217,7 +230,12 @@ object StreamLogWriterFactory extends StreamingDataWriterFactory {
         val m = row.getMap(1)
         val ks = m.keyArray(); val vs = m.valueArray()
         buf += Array.tabulate(m.numElements()) { i =>
-          ks.getUTF8String(i).toString -> vs.getUTF8String(i).toString
+          val k = ks.getUTF8String(i).toString
+          // MapType is valueContainsNull by default — Redis stringifies
+          // every field value, so a null here is caller error: fail
+          // with the key instead of an anonymous executor NPE.
+          require(!vs.isNullAt(i), s"stream-log sink: null content value for key '$k'")
+          k -> vs.getUTF8String(i).toString
         }
       }
       override def commit(): WriterCommitMessage = StreamLogCommit(buf.toArray)

@@ -57,12 +57,27 @@ object StreamingPel {
       // would make the engine schedule timeout batches forever (and
       // processAllAvailable would never quiesce). The next real command
       // for this consumer re-arms the timer below.
+      //
+      // A consumer that went idle with NOTHING pending is DONE — drop
+      // its state entirely. Without the remove, every consumer key ever
+      // seen (the library's own default ids are pid+thread — high churn)
+      // is checkpointed forever: linear state growth with consumer
+      // churn. A reappearing consumer starts fresh, which is exactly
+      // how Redis treats a consumer recreated after DELCONSUMER.
       val timesMax =
         if (st.pending.isEmpty) 0 else st.pending.valuesIterator.map(_.timesDelivered).max
+      if (st.pending.isEmpty) state.remove()
       return Iterator.single(
         PelSnapshot(consumer, st.pending.size, timesMax, st.lastActivityMs, idle = true))
     }
-    commands.toSeq.sortBy(c => (c.atMs, c.msgid)).foreach { c =>
+    // Sort key carries an action rank so a deliver and its ack landing
+    // in one micro-batch with the SAME ms timestamp apply in causal
+    // order (deliver, then ack). Without it the post-shuffle arrival
+    // order decided: ack-before-deliver removed nothing and then
+    // re-inserted the entry — wedged pending forever, no ack coming.
+    commands.toSeq
+      .sortBy(c => (c.atMs, c.msgid, if (c.action == "deliver") 0 else 1))
+      .foreach { c =>
       c.action match {
         case "deliver" =>
           val times = st.pending.get(c.msgid).map(_.timesDelivered + 1).getOrElse(1)
@@ -99,7 +114,7 @@ object StreamingPel {
   }
 
   /** Batch-mode M1-style rollup over the latest snapshots. */
-  def groupSummary(spark: SparkSession, snapshots: Dataset[PelSnapshot]): DataFrame = {
+  def groupSummary(snapshots: Dataset[PelSnapshot]): DataFrame = {
     import org.apache.spark.sql.functions._
     snapshots.groupBy()
       .agg(count(lit(1)).as("consumers"),

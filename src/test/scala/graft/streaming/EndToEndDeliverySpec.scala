@@ -89,7 +89,7 @@ class EndToEndDeliverySpec extends SparkTestBase {
           late.map(id => PelCommand("c0", id, "ack", 4001L))): _*)
       q.processAllAvailable()
       assert(latest() == Map("c0" -> ((0, 0)), "c1" -> ((0, 0))), s"drained PEL: ${latest()}")
-      val summary = StreamingPel.groupSummary(s,
+      val summary = StreamingPel.groupSummary(
         latest().toSeq.map { case (c, (p, t)) => PelSnapshot(c, p, t, 0L) }.toDS())
         .collect().head
       assert(summary.getLong(0) == 2 && summary.getLong(1) == 0L,

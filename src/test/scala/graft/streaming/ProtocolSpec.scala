@@ -33,6 +33,15 @@ class ProtocolSpec extends AnyFunSuite {
     assert(ids == ids.sorted(MsgId.ordering))
   }
 
+  test("a clock at 0 never mints the 0-0 sentinel (Redis forbids it; cursors skip it)") {
+    val log = new StreamLog(new ManualClock(0L))
+    val first = log.add(Map("i" -> "x"))
+    assert(first == "0-1", s"first id of a ms=0 stream must be 0-1, got $first")
+    // deliverability: a fresh group's strictly-after-0-0 cursor sees it
+    val g = ConsumerGroup.create(log, "grp-zero", new ManualClock(0L))
+    assert(g.readNew("c", 10).map(_.msgid) == Seq(first))
+  }
+
   // --- Producer (test_producer.py:16-56) ---
 
   test("XADD grows XLEN; values are stringified") {
@@ -170,6 +179,9 @@ class ProtocolSpec extends AnyFunSuite {
     val all = (got1 ++ got2 ++ got3)
     assert(all == all.sorted(MsgId.ordering), "claims must advance in msgid order")
     assert(g.pendingOf("alive").size == 5 && g.pendingOf("dead").isEmpty)
+    // Redis requires COUNT > 0: count = 0 would return the scan start
+    // as the cursor without progress — an infinite caller loop.
+    intercept[IllegalArgumentException](g.autoClaim("alive", 1000, count = 0))
     assert(g.pendingOf("alive").map(_.timesDelivered).forall(_ == 2))
   }
 

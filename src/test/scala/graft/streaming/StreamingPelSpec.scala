@@ -89,4 +89,19 @@ class StreamingPelSpec extends SparkTestBase {
     val out = StreamingPel.attach(s, cmds).collect()
     assert(out.toSeq == Seq(PelSnapshot("c1", 1, 1, 3L)))
   }
+
+  test("same-ms deliver+ack in one batch applies causally: entry acked, not wedged") {
+    // ms-granularity clocks make equal atMs routine for fast consumers.
+    // The sort key's action rank must order deliver before ack — the
+    // post-shuffle arrival order previously decided, and ack-first
+    // re-inserted the entry as pending-forever (no ack ever coming).
+    val s = spark
+    import s.implicits._
+    val sameMs = Seq(
+      PelCommand("c1", "5-0", "ack", 10L),      // deliberately ack FIRST
+      PelCommand("c1", "5-0", "deliver", 10L)).toDS()
+    val out = StreamingPel.attach(s, sameMs).collect()
+    assert(out.toSeq == Seq(PelSnapshot("c1", 0, 0, 10L)),
+      s"same-ms deliver+ack must leave nothing pending: ${out.toSeq}")
+  }
 }
