@@ -78,11 +78,14 @@ object GramHash {
     * expression silently fell back to interpreted execution (found by
     * chasing the `ERROR CodeGenerator` in d03's verify log, round 8). */
   def hashGrams(text: UTF8String): ArrayData = {
-    val str = text.toString
-    val n = str.length
+    // Decode code points straight from the UTF-8 bytes — no toString,
+    // no char[] copy (this loop is the dedup pipeline's CPU bill).
+    // The space separator is the single byte 0x20, which can never be
+    // confused with a continuation byte (those are >= 0x80).
+    val n = text.numBytes
     var spaces = 0
     var k = 0
-    while (k < n) { if (str.charAt(k) == ' ') spaces += 1; k += 1 }
+    while (k < n) { if (text.getByte(k) == 0x20) spaces += 1; k += 1 }
     val nWords = spaces + 1
 
     if (nWords < 3) {
@@ -91,9 +94,17 @@ object GramHash {
       var a = 0L
       var i = 0
       while (i < n) {
-        val cp = str.codePointAt(i)
+        val b0 = text.getByte(i) & 0xFF
+        var cp = 0
+        var len = 1
+        if (b0 < 0x80) cp = b0
+        else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+        else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+        else { cp = b0 & 0x07; len = 4 }
+        var j = 1
+        while (j < len) { cp = (cp << 6) | (text.getByte(i + j) & 0x3F); j += 1 }
         a = (a * 131 + cp) % P
-        i += Character.charCount(cp)
+        i += len
       }
       return new GenericArrayData(Array(a))
     }
@@ -109,14 +120,23 @@ object GramHash {
     var pw = 1L
     var i = 0
     while (i < n) {
-      val cp = str.codePointAt(i)
-      if (cp == ' ') {
+      val b0 = text.getByte(i) & 0xFF
+      if (b0 == 0x20) {
         wh(w) = a; wp(w) = pw; w += 1; a = 0L; pw = 1L
+        i += 1
       } else {
+        var cp = 0
+        var len = 1
+        if (b0 < 0x80) cp = b0
+        else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+        else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+        else { cp = b0 & 0x07; len = 4 }
+        var j = 1
+        while (j < len) { cp = (cp << 6) | (text.getByte(i + j) & 0x3F); j += 1 }
         a = (a * 131 + cp) % P
         pw = (pw * 131L) % P
+        i += len
       }
-      i += Character.charCount(cp)
     }
     wh(w) = a; wp(w) = pw
 

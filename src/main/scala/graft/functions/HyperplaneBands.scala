@@ -34,11 +34,17 @@ case class HyperplaneBands(child: Expression, bands: Int, bits: Int)
   }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType | DoubleType, _) if bands > 0 && bits > 0 && bits <= 63 =>
+    // bands·bits <= 4096: hyperplane index k·dim+i must stay far below
+    // Long.MaxValue / 1103515245 (~8.4e9) or the LCG multiply wraps and
+    // the components silently diverge from the oracle's exact
+    // arithmetic — with k < 4096 even million-dimensional vectors keep
+    // k·dim+i < 4.1e9. (The sibling bound: MinHashPerms caps nperms.)
+    case ArrayType(FloatType | DoubleType, _)
+        if bands > 0 && bits > 0 && bits <= 63 && bands.toLong * bits <= 4096 =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"graft_hyperbands expects ARRAY<FLOAT|DOUBLE> and 0 < bits <= 63, " +
-        s"got (${child.dataType}, bands=$bands, bits=$bits)")
+      s"graft_hyperbands expects ARRAY<FLOAT|DOUBLE>, 0 < bits <= 63, " +
+        s"and bands*bits <= 4096, got (${child.dataType}, bands=$bands, bits=$bits)")
   }
 
   /** NULL on a null element — a partial signature would silently put
@@ -61,9 +67,14 @@ case class HyperplaneBands(child: Expression, bands: Int, bits: Int)
 object HyperplaneBands {
   /** Hot loop shared by interpreted eval and codegen: `bands·bits`
     * dots of `v` against LCG-generated hyperplanes, sequential double
-    * accumulation. Returns null on a null element. */
+    * accumulation. Returns null on a null element — and on an EMPTY
+    * vector: every dot of a zero-length vector is 0, so empties would
+    * all share the all-zero signature and collide into one hot bucket
+    * with each other (the corrupt-data-must-not-look-like-a-duplicate
+    * policy of MinHashPerms/SimHashFold, applied here). */
   def compute(a: ArrayData, bands: Int, bits: Int, isFloat: Boolean): GenericArrayData = {
     val n = a.numElements()
+    if (n == 0) return null
     val out = new Array[Long](bands)
     var k = 0
     var b = 0

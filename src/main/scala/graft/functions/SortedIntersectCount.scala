@@ -59,6 +59,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       else if (x > y) j += 1
       else { c += 1L; i += 1; j += 1 }
     }
+    // The null contract must hold for elements PAST the shorter side's
+    // exhaustion too: array_sort places nulls LAST, so trailing
+    // positions are exactly where corrupt elements land — returning a
+    // count here would be the plausible-but-wrong similarity the NULL
+    // policy exists to prevent.
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    while (j < m) { if (b.isNullAt(j)) return null; j += 1 }
     c
   }
 
@@ -81,6 +88,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
           long $y = $b.getLong($j);
           if ($x < $y) { $i++; } else if ($x > $y) { $j++; } else { $c++; $i++; $j++; }
         }
+        // trailing-null sweep of the unexhausted side (nulls sort last)
+        while (!${ev.isNull} && $i < $n) { if ($a.isNullAt($i)) { ${ev.isNull} = true; } $i++; }
+        while (!${ev.isNull} && $j < $m) { if ($b.isNullAt($j)) { ${ev.isNull} = true; } $j++; }
         if (!${ev.isNull}) { ${ev.value} = $c; }
       """
     })

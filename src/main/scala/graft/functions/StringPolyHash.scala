@@ -45,19 +45,30 @@ case class StringPolyHash(child: Expression) extends UnaryExpression {
 }
 
 object StringPolyHash {
-  /** Static hot loop, callable from generated code. Advances by code
-    * point (`Character.charCount`) so astral-plane characters fold as
-    * one step, matching DuckDB's per-character `ascii()` model; on the
-    * BMP fast path `charCount` is 1 and this is the plain char loop. */
+  /** Static hot loop, callable from generated code. Decodes code
+    * points STRAIGHT FROM THE UTF-8 BYTES of the UnsafeRow-backed
+    * string — zero per-row allocation (the previous `toString` +
+    * `codePointAt` form paid a full byte[]→char[] decode and String
+    * allocation per value, in the loop whose scaladoc calls it the
+    * dedup pipeline's CPU bill). One fold step per code point, ASCII
+    * fast path one byte; astral characters decode as single 4-byte
+    * sequences — no surrogate recombination at all. */
   def hash(s: UTF8String): Long = {
-    val str = s.toString
+    val n = s.numBytes
     var a = 0L
     var i = 0
-    val n = str.length
     while (i < n) {
-      val cp = str.codePointAt(i)
+      val b0 = s.getByte(i) & 0xFF
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+      else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+      else { cp = b0 & 0x07; len = 4 }
+      var j = 1
+      while (j < len) { cp = (cp << 6) | (s.getByte(i + j) & 0x3F); j += 1 }
       a = (a * 131 + cp) % 1000000007L
-      i += Character.charCount(cp)
+      i += len
     }
     a
   }

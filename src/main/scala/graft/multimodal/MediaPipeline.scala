@@ -198,13 +198,18 @@ object MediaPipeline {
   def sampleFrames(media: Dataset[MediaRecord]): Dataset[SampledFrame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
+      // One digest instance per RECORD, reset per frame: getInstance
+      // inside the frame loop would pay a JCA provider lookup +
+      // allocation per 32-byte slice (~8k lookups per MB of video),
+      // dwarfing the hashing itself.
+      val digest = java.security.MessageDigest.getInstance("MD5")
       val nFrames = (m.bytes.length + FrameBytes - 1) / FrameBytes
       (0 until nFrames by FrameStride).map { idx =>
         val from = idx * FrameBytes
         val until = math.min(from + FrameBytes, m.bytes.length)
-        val md = java.security.MessageDigest.getInstance("MD5")
-          .digest(java.util.Arrays.copyOfRange(m.bytes, from, until))
-        SampledFrame(m.media_id, idx, md.map("%02x".format(_)).mkString)
+        digest.reset()
+        digest.update(m.bytes, from, until - from)
+        SampledFrame(m.media_id, idx, digest.digest().map("%02x".format(_)).mkString)
       }
     }
   }

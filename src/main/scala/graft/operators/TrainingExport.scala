@@ -48,6 +48,17 @@ object TrainingExport {
   def assignShards(docs: DataFrame, idCol: String, tokenCol: String,
       shardTokens: Long, numRanges: Int, hash: Column): DataFrame = {
     require(shardTokens > 0 && numRanges > 0)
+    // withColumn silently REPLACES same-named caller columns: a
+    // re-sharding run whose input already carries `shard` (a previous
+    // export) or scratch names would have its data destroyed and
+    // dropped. `h64` alone is permitted — callers passing a
+    // pre-computed hash COLUMN named h64 (the portable-hash pattern,
+    // t15) re-derive it identically.
+    val reserved = Seq("shard", "__range", "__cum_in_range", "__offset")
+    val clash = docs.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"assignShards input already has column(s) ${clash.mkString(", ")} — " +
+        "rename them first; they would be silently overwritten/dropped")
     val h = hash
     val rangeId = pmod(h, lit(numRanges.toLong))
     val inRange = Window.partitionBy(col("__range"))

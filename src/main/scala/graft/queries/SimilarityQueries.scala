@@ -489,7 +489,7 @@ object SimilarityQueries {
         .mkString(" UNION ALL ")
       s"""$vecsDuckCte,
       sig AS (SELECT vec_id, label, $sigCols FROM n
-              WHERE len(list_filter(v, e -> e IS NULL)) = 0),
+              WHERE len(list_filter(v, e -> e IS NULL)) = 0 AND len(v) > 0),
       bands AS ($bandRows),
       bsz AS (SELECT label, b, bv, COUNT(*) AS c FROM bands GROUP BY label, b, bv),
       cand AS (
@@ -511,7 +511,7 @@ object SimilarityQueries {
         .mkString(" UNION ALL ")
       s"""$vecsDuckCte,
       sig AS (SELECT vec_id, label, $sigCols FROM n
-              WHERE len(list_filter(v, e -> e IS NULL)) = 0),
+              WHERE len(list_filter(v, e -> e IS NULL)) = 0 AND len(v) > 0),
       bands AS ($bandRows),
       bsz AS (SELECT label, b, bv, COUNT(*) AS c FROM bands GROUP BY label, b, bv),
       cand AS (
