@@ -100,7 +100,9 @@ object GramHash {
         if (b0 < 0x80) cp = b0
         else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
         else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
-        else { cp = b0 & 0x07; len = 4 }
+        else if ((b0 & 0xF8) == 0xF0) { cp = b0 & 0x07; len = 4 }
+        else cp = b0 // stray continuation / invalid lead: one step
+        if (i + len > n) len = n - i // truncated tail: stay in bounds
         var j = 1
         while (j < len) { cp = (cp << 6) | (text.getByte(i + j) & 0x3F); j += 1 }
         a = (a * 131 + cp) % P
@@ -130,7 +132,9 @@ object GramHash {
         if (b0 < 0x80) cp = b0
         else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
         else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
-        else { cp = b0 & 0x07; len = 4 }
+        else if ((b0 & 0xF8) == 0xF0) { cp = b0 & 0x07; len = 4 }
+        else cp = b0 // stray continuation / invalid lead: one step
+        if (i + len > n) len = n - i // truncated tail: stay in bounds
         var j = 1
         while (j < len) { cp = (cp << 6) | (text.getByte(i + j) & 0x3F); j += 1 }
         a = (a * 131 + cp) % P

@@ -52,7 +52,11 @@ object StringPolyHash {
     * allocation per value, in the loop whose scaladoc calls it the
     * dedup pipeline's CPU bill). One fold step per code point, ASCII
     * fast path one byte; astral characters decode as single 4-byte
-    * sequences — no surrogate recombination at all. */
+    * sequences — no surrogate recombination at all. Malformed input
+    * (stray continuation bytes, truncated tails — SQL-exposed strings
+    * aren't guaranteed valid UTF-8, and getByte is an unchecked
+    * Platform read) steps one byte / clamps to the buffer:
+    * deterministic hash, never an out-of-bounds read. */
   def hash(s: UTF8String): Long = {
     val n = s.numBytes
     var a = 0L
@@ -64,7 +68,9 @@ object StringPolyHash {
       if (b0 < 0x80) cp = b0
       else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
       else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
-      else { cp = b0 & 0x07; len = 4 }
+      else if ((b0 & 0xF8) == 0xF0) { cp = b0 & 0x07; len = 4 }
+      else cp = b0 // stray continuation / invalid lead: one step, no tail read
+      if (i + len > n) len = n - i // truncated tail: never read past the buffer
       var j = 1
       while (j < len) { cp = (cp << 6) | (s.getByte(i + j) & 0x3F); j += 1 }
       a = (a * 131 + cp) % 1000000007L

@@ -476,8 +476,11 @@ object DedupQueries {
       .orderBy(col("cluster_id"))
   }
 
-  private val BloomEstItems = 200000L
-  private val BloomNumBits  = 1L << 21 // 256 KiB sketch
+  private val BloomBitsPerItem = 10L   // ~0.8% fp at the optimal k — 6× headroom on the 5% contract
+  private val BloomMinBits     = 1L << 21 // 256 KiB floor (tiny corpora)
+  private val BloomMaxBits     = 1L << 27 // 16 MiB cap — stays broadcast-friendly
+  private def pow2Ceil(v: Long): Long =
+    java.lang.Long.highestOneBit(math.max(1L, v - 1L)) << 1
 
   /** d11: Bloom-filter ingest prefilter — d09's steady-state
     * optimization at corpus scale: instead of joining every new batch
@@ -498,16 +501,32 @@ object DedupQueries {
     * TRUE (a bloom can never miss a member), and `fp_bounded` asserts
     * the false-positive count stays under 5% of clean rows (+1 slack;
     * integer cross-multiplication) — generous vs the ~0 expected at
-    * this fill factor, tight vs a broken sketch. */
+    * this fill factor, tight vs a broken sketch.
+    *
+    * Sketch sizing is DERIVED FROM THE INPUT, not hard-coded: a fixed
+    * sketch silently blows the 5% contract once distinct digests
+    * outgrow it. BloomFilterAggregate needs foldable size arguments, so
+    * the index row count is taken first via a one-row COUNT(*) planning
+    * action (the AQE-statistics pattern — doc_id-only scan, column
+    * pruning drops `text`; NOT a data collect) and the bits scale at
+    * [[BloomBitsPerItem]]/item up to a broadcast-friendly
+    * [[BloomMaxBits]] cap (~13M items at full headroom). Beyond the
+    * cap the honest scale-out path is partitioned blooms (shard the
+    * index by digest prefix, one sketch per shard), not a bigger
+    * single sketch. */
   private def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     docs(s, dir)
       .select(col("doc_id"),
         md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16))).as("digest"))
       .createOrReplaceTempView("graft_d11_digests")
+    val nIdx = math.max(1L,
+      s.sql("SELECT COUNT(*) FROM graft_d11_digests WHERE doc_id % 10 != 0").head().getLong(0))
+    val numBits = math.min(BloomMaxBits,
+      math.max(BloomMinBits, pow2Ceil(nIdx * BloomBitsPerItem)))
     s.sql(s"""
       WITH idx AS (SELECT digest FROM graft_d11_digests WHERE doc_id % 10 != 0),
-      bf AS (SELECT graft_bloom_agg(xxhash64(digest), ${BloomEstItems}L, ${BloomNumBits}L) AS b
+      bf AS (SELECT graft_bloom_agg(xxhash64(digest), ${nIdx}L, ${numBits}L) AS b
              FROM idx),
       batch AS (SELECT doc_id, digest FROM graft_d11_digests WHERE doc_id % 10 = 0),
       probe AS (

@@ -232,6 +232,32 @@ class FunctionsParitySpec extends graft.streaming.SparkTestBase {
     assert(rows.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
+  test("malformed UTF-8 decodes in-bounds and deterministically (stray continuations, truncated tails)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // SQL-exposed functions see whatever bytes arrive; getByte is an
+    // unchecked Platform read, so the decoder must never step past
+    // numBytes. Contract (pinned by hand below): stray continuation or
+    // invalid lead = one fold step of its raw byte value; a truncated
+    // multi-byte tail clamps to the remaining bytes.
+    def h(bytes: Int*): Long =
+      StringPolyHash.hash(UTF8String.fromBytes(bytes.map(_.toByte).toArray))
+    assert(h(0x80) == 128L) // lone continuation byte
+    assert(h(0xFF) == 255L) // invalid lead (0xF8-0xFF)
+    assert(h(0x41, 0xF0) == 65L * 131 + 0) // 4-byte lead truncated at end
+    assert(h(0xE4, 0xB8) == ((0x04 << 6) | 0x38).toLong) // 3-byte lead, one continuation
+    // gramhash self-consistency: a 3-word doc has exactly one trigram —
+    // the whole text — so both decoders must agree on malformed bytes.
+    def grams(bytes: Int*): Seq[Long] = {
+      val u = UTF8String.fromBytes(bytes.map(_.toByte).toArray)
+      val arr = GramHash.hashGrams(u)
+      (0 until arr.numElements()).map(arr.getLong)
+    }
+    val doc = Seq(0x61, 0x20, 0x62, 0x20, 0x80, 0xF0) // "a b <80><F0>"
+    assert(grams(doc: _*) == Seq(h(doc: _*)))
+    val short = Seq(0x61, 0xFF, 0x20, 0xE4) // 2 words -> whole-text fallback
+    assert(grams(short: _*) == Seq(h(short: _*)))
+  }
+
   test("graft_dot nulls on ragged or null-element input") {
     val s = spark
     GraftFunctions.register(s)

@@ -25,4 +25,28 @@ class SkewJoinSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(planText.contains("__salt"), s"salt column absent from plan:\n$planText")
   }
+
+  test("content-salted join equals the plain join and spreads distinct hot rows") {
+    val s = spark
+    import s.implicits._
+    val skewed = s.range(10000)
+      .select((when(col("id") % 10 =!= 0, 7L).otherwise(col("id") % 100)).as("k"),
+        col("id").as("payload"))
+    val dim = s.range(100).select(col("id").as("k"), concat(lit("d"), col("id")).as("attr"))
+
+    val plain = skewed.join(dim, "k")
+      .select("k", "payload", "attr").collect().toSet
+    val salted = SkewJoin.contentSaltedJoin(skewed, dim, "k", numSalts = 8)
+      .select("k", "payload", "attr").collect().toSet
+    assert(salted == plain)
+
+    // salt is a pure function of row content: the hot key's 9000
+    // distinct payloads must land on every salt value, and recomputing
+    // the salt expression yields identical routing (retry model).
+    val saltCol = pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*), lit(8L)).cast("int")
+    val saltsUsed = skewed.filter(col("k") === 7)
+      .select(saltCol.as("s")).distinct().collect().map(_.getInt(0)).toSet
+    assert(saltsUsed == (0 until 8).toSet,
+      s"content salt failed to spread distinct hot rows: $saltsUsed")
+  }
 }
