@@ -30,8 +30,16 @@ object SimilarityQueries {
     * same sequential-double accumulation as the DuckDB oracle. */
   private def dotSpark(a: String, b: String): String = s"graft_dot($a, $b)"
 
+  // Declared BEFORE every val that interpolates them: object vals
+  // initialize in declaration order, and a forward reference from a
+  // string-building val silently interpolates null into the SQL (the
+  // r9 k-means twin shipped `v[i] * null` that way — caught only by
+  // the oracle gate).
+  private val LloydRounds = 2
+  private val IvfScaleSql = "1048576.0" // 2^20 — float×2^20 is exact in double
+
   /** (vec_id, label, v FLOAT[], nrm) — normalized working set. */
-  private def vecs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def vecs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
@@ -220,23 +228,65 @@ object SimilarityQueries {
         (col("n_queries") > 0).as("recall_measurable"))
   }
 
-  /** DuckDB twin of [[ivfAssigned]] (seeds → N×K scores → argmin-by-
-    * rank assignment) — shared verbatim by the s06/s07/s09 oracles so
-    * the cell model can never drift between them. */
-  private val ivfAsgDuckCte = """
+  /** DuckDB twin of [[ivfCentroids]] + [[ivfAssigned]]: the same two
+    * unrolled Lloyd rounds (seeds → assign → integerized component
+    * means → assign → means), then the final N×K scores (`sc`, which
+    * s07's probes also read) and nearest-cell assignment (`asg`) —
+    * shared verbatim by the s06/s07/s09 oracles so the cell model can
+    * never drift between them. Components integerize at 2^20 before
+    * summing (exact integer arithmetic, immune to float summation
+    * order) and the mean casts through REAL exactly as the Spark side
+    * does, so the fitted centroids are bit-identical across engines. */
+  private val ivfAsgDuckCte: String = {
+    // One Lloyd round as CTE text: score vectors against `prev`
+    // (s_id, sv DOUBLE[], sn), assign by (cos DESC, s_id), rebuild
+    // centroids as per-cell integerized component means.
+    def round(prev: String, k: Int): String = s"""
+      sc$k AS (
+        SELECT n.vec_id, s_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, len(n.v)), i -> n.v[i] * sv[i])), (a, z) -> a + z)
+            / (n.nrm * sn) AS scos
+        FROM n, $prev),
+      asg$k AS (
+        SELECT vec_id, s_id AS cell FROM (
+          SELECT vec_id, s_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
+          FROM sc$k) t WHERE rn = 1),
+      cm$k AS (
+        SELECT cell, i AS pos,
+          SUM(CAST(floor(n.v[i] * $IvfScaleSql + 0.5) AS BIGINT)) AS sx,
+          COUNT(*) AS cnt
+        FROM asg$k JOIN n USING (vec_id),
+             UNNEST(generate_series(1, len(n.v))) AS t(i)
+        GROUP BY cell, i),
+      ct$k AS (
+        SELECT cell AS s_id,
+          list(CAST(CAST(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) / $IvfScaleSql AS REAL)
+               AS DOUBLE) ORDER BY pos) AS sv
+        FROM cm$k GROUP BY cell),
+      cn$k AS (
+        SELECT s_id, sv,
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, len(sv)), i -> sv[i] * sv[i])), (a, z) -> a + z)) AS sn
+        FROM ct$k)"""
+    s"""
       seeds AS (SELECT vec_id AS s_id, v AS sv, nrm AS sn
         FROM n WHERE vec_id % 47 = 0),
+      ${round("seeds", 0)},
+      ${round("cn0", 1)},
       sc AS (
         SELECT n.vec_id, s_id,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(generate_series(1, len(n.v)), i -> n.v[i] * sv[i])), (a, z) -> a + z)
             / (n.nrm * sn) AS scos
-        FROM n, seeds),
+        FROM n, cn1),
       asg AS (
         SELECT vec_id, s_id AS cell FROM (
           SELECT vec_id, s_id,
             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
           FROM sc) t WHERE rn = 1)"""
+  }
 
   /** DuckDB twin of [[withQuantized]] — shared by the s08/s09 oracles. */
   private val quantDuckCte = """
@@ -275,29 +325,85 @@ object SimilarityQueries {
 
   /** s06: IVF with a BUILT index — s02 trusts the data's `label` as its
     * cell; here the index is constructed: K deterministically seeded
-    * centroids (`vec_id % 47 == 0` — in production, a k-means fit),
-    * every vector assigned to its nearest seed by cosine, queries
-    * scored only against their own cell. The assignment is one
-    * broadcast(K seeds) nested-loop scan + a map-side-combinable
-    * argmax (max of a (cos, -seed) struct — lexicographic, ties to the
-    * LOWEST seed id), never a shuffle of the N×K scored pairs: the
-    * shape that holds when N is 10¹⁰ and K is 10⁴. */
-  /** Deterministically seeded centroids (`vec_id % 47 == 0`) — the s06
-    * "k-means fit" stand-in, shared with s07. */
-  private def ivfSeeds(e: DataFrame): DataFrame =
+    * centroids (`vec_id % 47 == 0`) refined by [[LloydRounds]] Lloyd
+    * k-means rounds ([[ivfCentroids]]), every vector assigned to its
+    * nearest fitted centroid by cosine, queries scored only against
+    * their own cell. The assignment is one broadcast(K centroids)
+    * nested-loop scan + a map-side-combinable argmax (max of a
+    * (cos, -seed) struct — lexicographic, ties to the LOWEST seed id),
+    * never a shuffle of the N×K scored pairs: the shape that holds
+    * when N is 10¹⁰ and K is 10⁴. */
+  private[graft] def ivfSeeds(e: DataFrame): DataFrame =
     e.filter(col("vec_id") % 47 === 0)
       .select(col("vec_id").as("s_id"), col("v").as("sv"), col("nrm").as("sn"))
 
-  /** Nearest-seed cell per vector (the built IVF index): broadcast(K
-    * seeds) nested-loop scan + map-side-combinable argmax (max of a
+  /** Deterministic spherical k-means fit: [[ivfSeeds]] refined by
+    * [[LloydRounds]] Lloyd rounds. Each round is (a) the same
+    * shuffle-free broadcast-argmax assignment the final index uses,
+    * then (b) per-cell component means, computed as EXACT integer sums:
+    * each float component integerizes at 2^20 (a power of two, so the
+    * double multiply is exact; floor(·+0.5) is deterministic IEEE in
+    * both engines), integer partials combine map-side in any order
+    * without float-summation drift, and the mean divides once and casts
+    * through FLOAT — both engines land on bit-identical centroids, so
+    * even this iterative fit stays hash-checkable. The 2^20 scale holds
+    * exact for ~10^11 unit-scale vectors per cell before the BIGINT sum
+    * would saturate.
+    *
+    * Scale shape: assignment never shuffles N×K scores (argmax combines
+    * map-side); the component-mean shuffle carries only K·D integer
+    * partials per map task (posexplode feeds a partial hash aggregate);
+    * centroid reassembly is a K·D → K rows sort_array. A cell whose
+    * seed attracts no vectors simply drops out (the FAISS convention).
+    *
+    * The round's argmax CARRIES `v` (`first(v)` — every row of a
+    * vec_id group holds the same vector, so first() is deterministic)
+    * instead of re-joining `e` afterwards: one shuffle per round, not
+    * three. The returned K-row frame is `localCheckpoint`ed (the d07
+    * lineage-truncation pattern): every query references the index
+    * from multiple join branches, and without truncation each branch
+    * would re-run the whole fit. In production the fit runs once at
+    * index-BUILD time and the centroids persist; the checkpoint is the
+    * in-query analog of that build/serve split. */
+  private[graft] def ivfCentroids(e: DataFrame): DataFrame = {
+    var cent = ivfSeeds(e)
+    for (_ <- 1 to LloydRounds) {
+      cent = e.join(broadcast(cent))
+        .withColumn("scos", expr(dotSpark("v", "sv")) / (col("nrm") * col("sn")))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("scos"), (-col("s_id")).as("neg"))).as("m"),
+          first(col("v")).as("v"))
+        .select((-col("m.neg")).as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .withColumn("xi", expr(
+          s"CAST(floor(CAST(x AS DOUBLE) * ${IvfScaleSql}D + 0.5D) AS BIGINT)"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("xi")).as("sx"), count(lit(1)).as("cnt"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("sx"), col("cnt")))).as("cs"))
+        .select(col("cell").as("s_id"),
+          expr(s"""transform(cs, c ->
+            CAST(CAST(c.sx AS DOUBLE) / CAST(c.cnt AS DOUBLE) / ${IvfScaleSql}D AS FLOAT))""")
+            .as("sv"))
+        .withColumn("sn", expr(s"sqrt(${dotSpark("sv", "sv")})"))
+    }
+    cent.localCheckpoint()
+  }
+
+  /** Nearest-centroid cell per vector: broadcast(K centroids)
+    * nested-loop scan + map-side-combinable argmax (max of a
     * (cos, -seed) struct — lexicographic, ties to the LOWEST seed id).
-    * The N×K scored pairs never shuffle. Shared by s06/s07. */
-  private def ivfAssigned(e: DataFrame): DataFrame =
-    e.join(broadcast(ivfSeeds(e)))
+    * The N×K scored pairs never shuffle. Shared by the fit rounds and
+    * the final index. */
+  private[graft] def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
+    e.join(broadcast(cent))
       .withColumn("scos", expr(dotSpark("v", "sv")) / (col("nrm") * col("sn")))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("scos"), (-col("s_id")).as("neg"))).as("m"))
       .select(col("vec_id"), (-col("m.neg")).as("cell"))
+
+  /** Final fitted-index assignment — shared by s06/s07/s09. */
+  private[graft] def ivfAssigned(e: DataFrame): DataFrame =
+    assignCells(e, ivfCentroids(e))
 
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
@@ -331,12 +437,15 @@ object SimilarityQueries {
     * dedup step is needed before the per-query top-k. */
   private def annIvfMultiProbe(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val c = e.join(ivfAssigned(e), "vec_id")
+    // ONE fit shared by assignment and probes (ivfCentroids
+    // checkpoints, so a second call would run a second fit).
+    val cent = ivfCentroids(e)
+    val c = e.join(assignCells(e, cent), "vec_id")
       .select(col("vec_id").as("c_id"), col("cell"),
         col("v").as("cv"), col("nrm").as("cn"))
     val wp = Window.partitionBy(col("vec_id")).orderBy(col("scos").desc, col("s_id"))
     val probes = e.filter(col("vec_id") % 50 === 0)
-      .join(broadcast(ivfSeeds(e)))
+      .join(broadcast(cent))
       .withColumn("scos", expr(dotSpark("v", "sv")) / (col("nrm") * col("sn")))
       .withColumn("probe_rank", row_number().over(wp).cast(LongType))
       .filter(col("probe_rank") <= 2)
@@ -560,7 +669,7 @@ object SimilarityQueries {
       r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM p)
       SELECT q_id, cell, c_id, CAST(rnk AS BIGINT) AS rnk, cos AS cosine
       FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""),
-      "IVF ANN with a built index: seeded centroids, nearest-seed cells, in-cell top-k"),
+      "IVF ANN with a built index: Lloyd-fitted centroids, nearest-cell assignment, in-cell top-k"),
 
     "s07_ann_ivf_multiprobe" -> QueryDef(annIvfMultiProbe, Some(s"""$vecsDuckCte,
       $ivfAsgDuckCte,

@@ -203,6 +203,25 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("Lloyd-fitted IVF centroids beat the raw seeds on mean in-cell cosine") {
+    // The k-means objective: a Lloyd round re-centers each cell on its
+    // members' mean, so the fitted index must bind vectors to their
+    // cells more tightly than the raw vec_id%47 seeds do. A fit that
+    // regressed to (or broke) the seeds fails this strict inequality.
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityQueries
+    val e = SimilarityQueries.vecs(spark, sf)
+    def meanInCellCos(cent: org.apache.spark.sql.DataFrame): Double =
+      e.join(SimilarityQueries.assignCells(e, cent), "vec_id")
+        .join(cent, col("cell") === col("s_id"))
+        .select((expr("graft_dot(v, sv)") / (col("nrm") * col("sn"))).as("c"))
+        .agg(avg(col("c"))).head().getDouble(0)
+    val seedObj = meanInCellCos(SimilarityQueries.ivfSeeds(e))
+    val fitObj = meanInCellCos(SimilarityQueries.ivfCentroids(e))
+    assert(fitObj > seedObj,
+      s"fitted centroids did not improve the objective: $fitObj <= $seedObj")
+  }
+
   test("s07 multi-probe dominates s06 single-probe per rank (candidate-set containment)") {
     // s06 searches only the query's own cell — exactly s07's
     // probe_rank-1 cell — so s07's candidate set is a superset and its
