@@ -79,6 +79,54 @@ class StreamingPelSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("idle timeout removes churned consumers' state; the store keeps only live keys") {
+    // The reference library's default consumer ids are pid+thread —
+    // high churn. Every churned key checkpointed forever is linear
+    // state growth; the timeout branch drops a consumer that went idle
+    // with nothing pending. Asserted against the CHECKPOINT itself via
+    // the state data source, not against emitted snapshots.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val ckpt = java.nio.file.Files.createTempDirectory("pel-churn-ckpt").toString
+    val input = MemoryStream[PelCommand]
+    val q = StreamingPel.attach(s, input.toDS(), idleTimeoutMs = 300L)
+      .writeStream.format("memory").queryName("pel_churn").outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+
+    def pollUntil(cond: => Boolean, timeoutMs: Long = 30000): Boolean = {
+      val deadline = System.currentTimeMillis + timeoutMs
+      while (System.currentTimeMillis < deadline) {
+        if (cond) return true
+        Thread.sleep(100)
+      }
+      false
+    }
+
+    try {
+      // 4 churning consumers fully drain (deliver+ack); 1 live consumer
+      // goes idle WITH a pending entry — its state must survive.
+      (1 to 4).foreach { i =>
+        input.addData(
+          PelCommand(s"churn$i", "1-0", "deliver", 1000L + i),
+          PelCommand(s"churn$i", "1-0", "ack", 2000L + i))
+      }
+      input.addData(PelCommand("live", "9-9", "deliver", 1500L))
+      val allIdle = pollUntil(s.sql(
+        "SELECT COUNT(DISTINCT consumer) FROM pel_churn WHERE idle = true")
+        .head().getLong(0) == 5)
+      assert(allIdle, "not every consumer reached its idle timeout")
+    } finally q.stop()
+
+    val keys = s.read.format("statestore").load(ckpt)
+      .selectExpr("key.value AS consumer").collect().map(_.getString(0)).toSet
+    assert(keys == Set("live"),
+      s"churned consumers must leave no state behind; store holds: $keys")
+  }
+
   test("state machine also runs in plain batch mode (same code path)") {
     val s = spark
     import s.implicits._
