@@ -421,6 +421,57 @@ object TextQueries {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  /** t17: approx-percentile quality terciles — t16's documented 100 TB
+    * alternative made real. t16's exact ntile shuffles and totally
+    * orders every document of a language through one window; at extreme
+    * per-language cardinality the production cut is two approx-
+    * percentile THRESHOLDS (mergeable Greenwald-Khanna partition
+    * sketches — no total order, no per-language window) and a
+    * row-local bucket comparison. The plan is WINDOW-FREE by
+    * construction (pinned in PlanShapeSpec): one partial-aggregable
+    * sketch pass, the K-language threshold table broadcast back, one
+    * counting aggregate.
+    *
+    * GK threshold values are engine-specific, so the oracle checks the
+    * a36-style CONTRACT, not the values: per language the exact n_docs
+    * hash-matches, and each cut's feasible rank interval
+    * [count(<t)+1, count(≤t)] must intersect [p−2ε, p+2ε]·N (tie-safe:
+    * a tie group straddling a cut legitimately moves whole to one side
+    * of a threshold bucket — the documented semantic difference from
+    * ntile, which splits ties by doc_id). The DuckDB twin expects
+    * literal TRUE, so a sketch regression fails the hash gate. */
+  private def qualityBucketsApprox(s: SparkSession, dir: String): DataFrame = {
+    val acc = 1000
+    val eps = 2.0 / acc
+    val base = withStats(docs(s, dir))
+      .withColumn("quality_score", qualityScoreCol)
+      .select(col("lang"), col("quality_score"))
+    val th = base.groupBy(col("lang"))
+      .agg(expr(s"approx_percentile(quality_score, array(${1.0 / 3}, ${2.0 / 3}), $acc)").as("ap"))
+      .select(col("lang"), element_at(col("ap"), 1).as("t1"), element_at(col("ap"), 2).as("t2"))
+    base.join(broadcast(th), "lang")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("quality_score") < col("t1"), 1L).otherwise(0L)).as("lt1"),
+        sum(when(col("quality_score") <= col("t1"), 1L).otherwise(0L)).as("le1"),
+        sum(when(col("quality_score") < col("t2"), 1L).otherwise(0L)).as("lt2"),
+        sum(when(col("quality_score") <= col("t2"), 1L).otherwise(0L)).as("le2"),
+        max(col("t1")).as("t1x"), max(col("t2")).as("t2x"))
+      .select(col("lang"), col("n_docs"),
+        // ±1 beyond the ε band: GK's exact-regime rank is ceil(p·n),
+        // up to 1 above p·n — at small per-language n (218 en docs at
+        // sf0.01) that integer rounding alone exceeds ε·n = 0.44, so
+        // the band must carry the rounding slack to be scale-invariant
+        // (at production n the ε term dominates and the +1 vanishes).
+        ((col("lt1") + 1 <= (lit(1.0 / 3) + eps) * col("n_docs") + 1) &&
+          (col("le1") >= (lit(1.0 / 3) - eps) * col("n_docs") - 1)).as("tail_cut_ok"),
+        ((col("lt2") + 1 <= (lit(2.0 / 3) + eps) * col("n_docs") + 1) &&
+          (col("le2") >= (lit(2.0 / 3) - eps) * col("n_docs") - 1)).as("head_cut_ok"),
+        (col("t1x") <= col("t2x")).as("cuts_monotone"))
+      .orderBy(col("lang"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_doc_quality" -> QueryDef(docQuality, Some(s"""$statsDuckCte
       SELECT doc_id, n_tokens,
@@ -645,5 +696,11 @@ object TextQueries {
       SELECT lang, bucket, COUNT(*) AS n_docs,
         MIN(quality_score) AS min_score, MAX(quality_score) AS max_score
       FROM b GROUP BY lang, bucket ORDER BY lang, bucket"""),
-      "CCNet-style head/middle/tail quality terciles per language"))
+      "CCNet-style head/middle/tail quality terciles per language"),
+
+    "t17_quality_buckets_approx" -> QueryDef(qualityBucketsApprox, Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+        TRUE AS tail_cut_ok, TRUE AS head_cut_ok, TRUE AS cuts_monotone
+      FROM documents GROUP BY lang ORDER BY lang"""),
+      "window-free approx-percentile quality terciles (GK sketch cuts, rank-contract-checked)"))
 }

@@ -109,6 +109,21 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
       "s08 lost its broadcast query-side join")
   }
 
+  test("t17 approx terciles: window-free — GK sketch aggregate plus broadcast thresholds") {
+    // t17 exists BECAUSE t16's exact ntile totally orders each language
+    // through one window. Its plan must never contain a Window (a
+    // refactor that 'simplifies' back to ntile keeps values green and
+    // breaks only here), and the threshold table must come back as a
+    // broadcast, not a shuffle join on lang.
+    val text = PlanTestUtils.formatted(
+      queries("t17_quality_buckets_approx")(spark, sf).queryExecution)
+    assert(!text.contains("Window"),
+      s"t17 planned a Window; the approx path must not total-order:\n$text")
+    assert(text.contains("approx_percentile"), "t17 lost its GK sketch aggregate")
+    assert(!text.contains("SortMergeJoin"),
+      "t17 shuffle-joins the K-language threshold table; expected broadcast")
+  }
+
   test("plan fingerprints: stable across rebuilds, distinct across queries, volatile-token-free") {
     // The bench artifact's `plans` map is only useful if the same
     // logical query always hashes identically: expression ids are a
