@@ -44,6 +44,14 @@ final case class SampledFrame(
     frame_idx: Int,
     frame_md5: String)
 
+/** One chromaprint-style audio sub-fingerprint (packed band-energy
+  * derivative bits over [[MediaPipeline.AudioPackFrames]] consecutive
+  * frame transitions). */
+final case class AudioSubFp(
+    media_id: Long,
+    kind: String,
+    subfp: Long)
+
 /** Multimodal ingestion/feature pipeline.
   *
   * The container ships no image/audio codecs, so [[StubCodec]] is a
@@ -210,6 +218,70 @@ object MediaPipeline {
         digest.reset()
         digest.update(m.bytes, from, until - from)
         SampledFrame(m.media_id, idx, digest.digest().map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
+  val AudioFrameBytes = 64 // audio fingerprint: bytes per frame
+  val AudioBands      = 8  // energy bands per frame (8 bytes each)
+  val AudioPackFrames = 4  // frame transitions packed per sub-fingerprint
+  val MinAudioBytes   = AudioFrameBytes * 6 // >= 2 sub-fingerprints
+
+  /** Chromaprint-style audio-track sub-fingerprints over the
+    * stub-decoded byte stream — the Haitsma-Kalker construction in
+    * exact integer arithmetic: the stream splits into
+    * [[AudioFrameBytes]] frames, each frame yields [[AudioBands]] band
+    * "energies" (unsigned-byte sums — the stub codec's stand-in for
+    * FFT band magnitudes), each frame TRANSITION yields one bit per
+    * band (1 iff the band's energy rose — the sign-of-derivative rule
+    * real audio fingerprinters quantize with, robust to volume/offset
+    * changes), and [[AudioPackFrames]] consecutive transitions pack
+    * into one 32-bit sub-fingerprint. Matching is position-independent
+    * (a trimmed or re-containered copy still shares sub-fingerprints).
+    *
+    * Runs over audio files AND video soundtracks — the cross-media
+    * case (an audio rip of a video) is what audio fingerprinting
+    * exists for; the "demux audio track" step is the stub (payload
+    * bytes pass through), everything downstream is the real pipeline.
+    * Same per-partition batch shape as [[extractFeatures]]; payloads
+    * die at this projection — only (media_id, kind, subfp) rows ever
+    * shuffle (the d10/m05 property). */
+  def audioSubFingerprints(media: Dataset[MediaRecord]): Dataset[AudioSubFp] = {
+    import media.sparkSession.implicits._
+    media.filter(m => m.kind == "audio" || m.kind == "video").flatMap { m =>
+      val n = m.bytes.length
+      if (n < MinAudioBytes) Iterator.empty
+      else {
+        val nFrames = n / AudioFrameBytes
+        val bandBytes = AudioFrameBytes / AudioBands
+        val e = Array.ofDim[Long](nFrames, AudioBands)
+        var f = 0
+        while (f < nFrames) {
+          var b = 0
+          while (b < AudioBands) {
+            val off = f * AudioFrameBytes + b * bandBytes
+            var s = 0L
+            var j = 0
+            while (j < bandBytes) { s += m.bytes(off + j) & 0xff; j += 1 }
+            e(f)(b) = s
+            b += 1
+          }
+          f += 1
+        }
+        val nTrans = nFrames - 1
+        val bits = new Array[Long](nTrans)
+        var t = 0
+        while (t < nTrans) {
+          var bv = 0L
+          var b = 0
+          while (b < AudioBands) { if (e(t + 1)(b) > e(t)(b)) bv |= 1L << b; b += 1 }
+          bits(t) = bv
+          t += 1
+        }
+        (0 to nTrans - AudioPackFrames).iterator.map { i =>
+          AudioSubFp(m.media_id, m.kind,
+            bits(i) | (bits(i + 1) << 8) | (bits(i + 2) << 16) | (bits(i + 3) << 24))
+        }
       }
     }
   }

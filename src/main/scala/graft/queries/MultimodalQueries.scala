@@ -117,6 +117,49 @@ object MultimodalQueries {
       .orderBy(col("source"))
   }
 
+  private val AudioMinShared = 2
+
+  /** m07: cross-media audio near-dup pairs — m05 dedups video frames;
+    * this catches audio re-uploads: the same audio track in a
+    * different container (an audio rip of a video, a re-encoded audio
+    * file) shares chromaprint-style sub-fingerprints
+    * ([[graft.multimodal.MediaPipeline.audioSubFingerprints]]) even
+    * when the files differ byte-wise, because the fingerprint
+    * quantizes band-energy DERIVATIVE SIGNS, not bytes, and matches
+    * position-independently.
+    *
+    * Scale shape: the d10/m05 digest property — payloads die at the
+    * fingerprint projection; only (media_id, kind, subfp) rows
+    * shuffle. Candidate pairs come from the shared capped-bucket
+    * expansion (cap BEFORE collect — a degenerate sub-fingerprint
+    * shared by thousands of media spills, then drops, instead of
+    * materializing one giant pair array), the d03 shape on a subfp
+    * key. The per-media fingerprint counts join back only onto the
+    * few surviving pairs. */
+  private def audioNearDup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val fps = MediaPipeline.audioSubFingerprints(MediaPipeline.load(s, dir)).toDF()
+      .select(col("media_id"), col("kind"), col("subfp")).distinct()
+    val counts = fps.groupBy(col("media_id")).agg(count(lit(1)).as("nfp"))
+    val pairs = DedupQueries.collectCappedBuckets(
+        fps.select(col("subfp"), struct(col("media_id"), col("kind")).as("m")),
+        Seq("subfp"), col("m"))
+      .select(explode(expr(DedupQueries.pairExpansion(
+        "x.media_id AS media_a, x.kind AS kind_a, y.media_id AS media_b, y.kind AS kind_b")))
+        .as("p"))
+      .groupBy(col("p.media_a").as("media_a"), col("p.kind_a").as("kind_a"),
+        col("p.media_b").as("media_b"), col("p.kind_b").as("kind_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= AudioMinShared)
+    pairs
+      .join(counts.select(col("media_id").as("media_a"), col("nfp").as("nfp_a")), "media_a")
+      .join(counts.select(col("media_id").as("media_b"), col("nfp").as("nfp_b")), "media_b")
+      .select(col("media_a"), col("kind_a"), col("media_b"), col("kind_b"), col("n_shared"),
+        round(col("n_shared").cast(DoubleType) / least(col("nfp_a"), col("nfp_b")), 4)
+          .as("overlap"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "m01_media_features" -> QueryDef(mediaFeatures, Some(s"""
       WITH m AS (
@@ -261,5 +304,44 @@ object MultimodalQueries {
         CAST(image_tokens + audio_tokens + video_tokens AS DOUBLE) /
           (text_tokens + image_tokens + audio_tokens + video_tokens) AS media_share
       FROM g ORDER BY source"""),
-      "per-source modality token mix manifest (metadata-only, one scan)"))
+      "per-source modality token mix manifest (metadata-only, one scan)"),
+
+    "m07_audio_neardup" -> QueryDef(audioNearDup, Some("""
+      WITH a AS (SELECT doc_id AS media_id,
+                   ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind, text
+                 FROM documents WHERE doc_id % 3 IN (1, 2)),
+      fr AS (SELECT media_id, kind, text,
+               UNNEST(generate_series(0, CAST(length(text) // 64 AS INT) - 1)) AS f
+             FROM a WHERE length(text) >= 384),
+      en AS (SELECT media_id, kind, f, b,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, 8),
+                   j -> CAST(ascii(substr(text, CAST(f * 64 + b * 8 + j AS INT), 1)) AS BIGINT))),
+                 (x, y) -> x + y) AS e
+             FROM fr, UNNEST(generate_series(0, 7)) AS t(b)),
+      bits AS (SELECT e1.media_id, e1.kind, e1.f,
+                 CAST(SUM(CASE WHEN e2.e > e1.e THEN 1 << e1.b ELSE 0 END) AS BIGINT) AS bv
+               FROM en e1 JOIN en e2
+                 ON e1.media_id = e2.media_id AND e2.f = e1.f + 1 AND e1.b = e2.b
+               GROUP BY 1, 2, 3),
+      sub AS (SELECT b0.media_id, b0.kind,
+                b0.bv + b1.bv * 256 + b2.bv * 65536 + b3.bv * 16777216 AS subfp
+              FROM bits b0
+              JOIN bits b1 ON b1.media_id = b0.media_id AND b1.f = b0.f + 1
+              JOIN bits b2 ON b2.media_id = b0.media_id AND b2.f = b0.f + 2
+              JOIN bits b3 ON b3.media_id = b0.media_id AND b3.f = b0.f + 3),
+      ds AS (SELECT DISTINCT media_id, kind, subfp FROM sub),
+      cnt AS (SELECT media_id, COUNT(*) AS nfp FROM ds GROUP BY 1),
+      bsz AS (SELECT subfp, COUNT(*) AS c FROM ds GROUP BY 1),
+      p AS (SELECT x.media_id AS media_a, x.kind AS kind_a,
+                   y.media_id AS media_b, y.kind AS kind_b, COUNT(*) AS n_shared
+            FROM ds x JOIN ds y ON x.subfp = y.subfp AND x.media_id < y.media_id
+            JOIN bsz s ON s.subfp = x.subfp AND s.c <= 64
+            GROUP BY 1, 2, 3, 4)
+      SELECT media_a, kind_a, media_b, kind_b, n_shared,
+        ROUND(CAST(n_shared AS DOUBLE) / LEAST(ca.nfp, cb.nfp), 4) AS overlap
+      FROM p JOIN cnt ca ON ca.media_id = media_a JOIN cnt cb ON cb.media_id = media_b
+      WHERE n_shared >= 2
+      ORDER BY media_a, media_b"""),
+      "cross-media audio near-dup pairs (chromaprint-style band-derivative sub-fingerprints)"))
 }

@@ -163,6 +163,27 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.length != 1, "a shared frame needs at least two media")
   }
 
+  test("m07 audio near-dup pairs are well-formed (ordered, audio-bearing kinds, bounded overlap)") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("m07_audio_neardup")(spark, sf)
+      .select(col("media_a"), col("kind_a"), col("media_b"), col("kind_b"),
+        col("n_shared"), col("overlap"))
+      .collect()
+    // sf0.001 may legitimately have no audio near-dups; every emitted
+    // row must still satisfy the pair contract.
+    rows.foreach { r =>
+      val (a, ka, b, kb) = (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))
+      assert(a < b, s"pair not ordered: $a >= $b")
+      assert(Set("audio", "video")(ka) && Set("audio", "video")(kb),
+        s"non-audio-bearing kind in pair: $ka/$kb")
+      assert(ka == (if (a % 3 == 1) "audio" else "video"), s"kind_a drifted for media $a")
+      assert(kb == (if (b % 3 == 1) "audio" else "video"), s"kind_b drifted for media $b")
+      assert(r.getLong(4) >= 2, s"pair below MinShared: ${r.getLong(4)}")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0,
+        s"overlap outside (0, 1]: ${r.getDouble(5)}")
+    }
+  }
+
   test("bloom pair: zero false negatives, rejects non-members (the d11 pruning premise)") {
     graft.functions.GraftFunctions.register(spark)
     spark.range(1000).selectExpr("CAST(id AS STRING) AS s")
