@@ -43,6 +43,12 @@ object GraftSession {
     * is the cluster's total core count (executors × cores). */
   def recommended(builder: SparkSession.Builder, parallelism: Int): SparkSession.Builder =
     builder
+      // The library's extension point (native functions + the
+      // CapCollectBuckets hot-bucket guard): the recommended session
+      // carries it so user-shaped collect-then-filter SQL is capped
+      // without any imperative setup. Static conf — must be present
+      // at first-session creation.
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", math.max(parallelism, 1).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -439,6 +439,39 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** d13: boilerplate-chunk sharer groups — for every 16-word chunk
+    * digest appearing 2..[[MaxBucket]] times, the sorted member list
+    * (who shares this header/license block — the provenance drill-down
+    * d10's per-doc rollup can't answer).
+    *
+    * Written DELIBERATELY in the natural-but-hazardous user shape —
+    * `groupBy(ch).agg(collect_list(doc_id)) → filter(size BETWEEN)` —
+    * NOT via [[collectCappedBuckets]]: this query exists to exercise
+    * the [[graft.plans.CapCollectBuckets]] optimizer rule on real
+    * user-shaped SQL. The rule must rewrite it to cap-before-collect
+    * (count in a spillable window, drop oversized groups, THEN
+    * collect), which PlanShapeSpec pins; every other library query
+    * hand-writes the capped shape. Without the rule, one degenerate
+    * boilerplate chunk shared by millions of docs materializes a
+    * million-element array in a single aggregation buffer before the
+    * size filter can discard it. */
+  private def chunkSharers(s: SparkSession, dir: String): DataFrame = {
+    val chunks = docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, CAST((size(words) + ${ChunkWords - 1}) div $ChunkWords AS INT)),
+            i -> md5(concat_ws(' ', slice(words, (i - 1) * $ChunkWords + 1, $ChunkWords))))"""))
+        .as("ch"))
+    chunks
+      .groupBy(col("ch"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) >= 2 && size(col("docs")) <= MaxBucket)
+      .select(col("ch"), size(col("docs")).as("n_copies"),
+        element_at(col("docs"), 1).as("min_doc"),
+        element_at(col("docs"), -1).as("max_doc"))
+      .orderBy(col("ch"))
+  }
+
   /** d12: QUALITY-based survivor selection — the survivor rule
     * production pipelines actually apply: within each near-dup cluster
     * (d07's connected components) keep the HIGHEST-QUALITY member (the
@@ -669,6 +702,19 @@ object DedupQueries {
              quality_score AS keeper_score
       FROM r WHERE rn = 1 ORDER BY cluster_id"""
     }, "per-cluster survivor by QUALITY (argmax of the t01 score), not min-id"),
+
+    "d13_chunk_sharers" -> QueryDef(chunkSharers, Some(s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      c AS (SELECT doc_id,
+              md5(array_to_string(
+                words[(i - 1) * $ChunkWords + 1 : (i - 1) * $ChunkWords + $ChunkWords], ' ')) AS ch
+            FROM w, UNNEST(generate_series(1,
+              CAST((len(words) + ${ChunkWords - 1}) // $ChunkWords AS INT))) AS t(i)),
+      g AS (SELECT ch, COUNT(*) AS n_copies, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+            FROM c GROUP BY ch)
+      SELECT ch, CAST(n_copies AS INT) AS n_copies, min_doc, max_doc
+      FROM g WHERE n_copies BETWEEN 2 AND $MaxBucket ORDER BY ch"""),
+      "shared-chunk sharer groups, user-shaped collect->filter (CapCollectBuckets rewrite target)"),
 
     "d05_simhash" -> QueryDef(simhash, Some(s"""$simhashDuckCte
       SELECT doc_id, simhash FROM sim ORDER BY doc_id"""),

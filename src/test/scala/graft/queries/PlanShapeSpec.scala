@@ -124,6 +124,23 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
       "t17 shuffle-joins the K-language threshold table; expected broadcast")
   }
 
+  test("d13: CapCollectBuckets rewrote the user-shaped collect->filter(size) to cap-before-collect") {
+    // d13 is written groupBy(ch).agg(collect_list).filter(size BETWEEN)
+    // on purpose — the registered proof that the injected optimizer
+    // rule fires on real user-shaped SQL, not just in its unit tests.
+    // The rewritten plan carries the rule's count-window alias and the
+    // collect aggregate sits ABOVE the capping window, so the oversized
+    // group is dropped before any array exists.
+    val plan = queries("d13_chunk_sharers")(spark, sf).queryExecution.optimizedPlan
+    assert(plan.toString.contains("graft_bucket_n"),
+      s"CapCollectBuckets did not fire on d13:\n$plan")
+    val cappedAggs = plan.collect {
+      case a: Aggregate if a.child.collectFirst { case w: LWindow => w }.isDefined => a
+    }
+    assert(cappedAggs.nonEmpty,
+      s"d13 collect aggregate is not above the capping window:\n$plan")
+  }
+
   test("plan fingerprints: stable across rebuilds, distinct across queries, volatile-token-free") {
     // The bench artifact's `plans` map is only useful if the same
     // logical query always hashes identically: expression ids are a

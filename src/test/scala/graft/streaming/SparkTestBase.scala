@@ -12,6 +12,9 @@ object SparkTestBase {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    // same extension point the driver-facing GraftSession carries, so
+    // plan tests see the plans users get (CapCollectBuckets included)
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "false")
