@@ -359,13 +359,20 @@ object SimilarityQueries {
     * The round's argmax CARRIES `v` (`first(v)` — every row of a
     * vec_id group holds the same vector, so first() is deterministic)
     * instead of re-joining `e` afterwards: one shuffle per round, not
-    * three. The returned K-row frame is `localCheckpoint`ed (the d07
-    * lineage-truncation pattern): every query references the index
-    * from multiple join branches, and without truncation each branch
-    * would re-run the whole fit. In production the fit runs once at
-    * index-BUILD time and the centroids persist; the checkpoint is the
-    * in-query analog of that build/serve split. */
-  private[graft] def ivfCentroids(e: DataFrame): DataFrame = {
+    * three. The fitted K-row frame is memoized via
+    * [[PersistedAggregates.memo]]: every query references the index
+    * from multiple join branches and s06/s07/s09 share the same index,
+    * so without it each branch of each call would re-run the whole
+    * fit. persist(), NOT localCheckpoint: the cached rows keep their
+    * full recompute lineage (a scan-rooted plan), so cache eviction or
+    * executor loss re-fits instead of failing — the memo contract d12's
+    * checkpoint-backed labels cannot meet. This is the in-query analog
+    * of the production build/serve split (fit once, serve many). */
+  private[graft] def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.memo(s, "ivf_centroids", dir) { fitCentroids(vecs(s, dir)) }
+
+  /** The raw 2-round fit plan (unmemoized — see [[ivfCentroids]]). */
+  private[graft] def fitCentroids(e: DataFrame): DataFrame = {
     var cent = ivfSeeds(e)
     for (_ <- 1 to LloydRounds) {
       cent = e.join(broadcast(cent))
@@ -386,7 +393,7 @@ object SimilarityQueries {
             .as("sv"))
         .withColumn("sn", expr(s"sqrt(${dotSpark("sv", "sv")})"))
     }
-    cent.localCheckpoint()
+    cent
   }
 
   /** Nearest-centroid cell per vector: broadcast(K centroids)
@@ -402,12 +409,12 @@ object SimilarityQueries {
       .select(col("vec_id"), (-col("m.neg")).as("cell"))
 
   /** Final fitted-index assignment — shared by s06/s07/s09. */
-  private[graft] def ivfAssigned(e: DataFrame): DataFrame =
-    assignCells(e, ivfCentroids(e))
+  private[graft] def ivfAssigned(s: SparkSession, dir: String, e: DataFrame): DataFrame =
+    assignCells(e, ivfCentroids(s, dir))
 
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val cells = e.join(ivfAssigned(e), "vec_id")
+    val cells = e.join(ivfAssigned(s, dir, e), "vec_id")
     val q = cells.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("cell"),
         col("v").as("qv"), col("nrm").as("qn"))
@@ -437,9 +444,9 @@ object SimilarityQueries {
     * dedup step is needed before the per-query top-k. */
   private def annIvfMultiProbe(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    // ONE fit shared by assignment and probes (ivfCentroids
-    // checkpoints, so a second call would run a second fit).
-    val cent = ivfCentroids(e)
+    // ONE memoized fit shared by assignment and probes (and, via the
+    // session memo, by s06/s09).
+    val cent = ivfCentroids(s, dir)
     val c = e.join(assignCells(e, cent), "vec_id")
       .select(col("vec_id").as("c_id"), col("cell"),
         col("v").as("cv"), col("nrm").as("cn"))
@@ -527,7 +534,7 @@ object SimilarityQueries {
     * even the intermediate candidate stage hash-matches the oracle. */
   private def annIvfQuantized(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val cells = withQuantized(e).join(ivfAssigned(e), "vec_id")
+    val cells = withQuantized(e).join(ivfAssigned(s, dir, e), "vec_id")
     val q = cells.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("cell"),
         col("qv").as("qqv"), col("qn").as("qqn"),

@@ -13,11 +13,10 @@ object KmProbe {
     val e = graft.queries.SimilarityQueries.vecs(spark, sf)
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
-      val cent = graft.queries.SimilarityQueries.ivfCentroids(e) // eager checkpoint
-      val k = cent.count()
+      val k = graft.queries.SimilarityQueries.fitCentroids(e).count() // unmemoized fit
       println(f"[fit] run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s (cells $k, vecs ${e.count()})")
     }
-    val cent = graft.queries.SimilarityQueries.ivfCentroids(e)
+    val cent = graft.queries.SimilarityQueries.ivfCentroids(spark, sf)
     cent.select(col("s_id"), col("sn"),
         expr("CAST(sv[0] AS DOUBLE)").as("c0"), expr("CAST(sv[1] AS DOUBLE)").as("c1"))
       .orderBy(col("s_id")).limit(3)

@@ -238,7 +238,7 @@ class QueriesSpec extends SparkTestBase {
         .select((expr("graft_dot(v, sv)") / (col("nrm") * col("sn"))).as("c"))
         .agg(avg(col("c"))).head().getDouble(0)
     val seedObj = meanInCellCos(SimilarityQueries.ivfSeeds(e))
-    val fitObj = meanInCellCos(SimilarityQueries.ivfCentroids(e))
+    val fitObj = meanInCellCos(SimilarityQueries.ivfCentroids(spark, sf))
     assert(fitObj > seedObj,
       s"fitted centroids did not improve the objective: $fitObj <= $seedObj")
   }
