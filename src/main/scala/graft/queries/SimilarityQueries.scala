@@ -578,6 +578,48 @@ object SimilarityQueries {
         col("norm_checksum_u").cast(DoubleType) / col("n_vecs") / 1e6)
       .orderBy(col("label"))
 
+  // Corpus-calibrated: this synthetic corpus's strongest embedding
+  // pairs sit at cosine 0.33-0.47 (measured, s04 scaladoc), so the
+  // published SemDeDup thresholds (~0.95 on real near-dup embeddings)
+  // would select nothing; 0.3 exercises the operator on real pairs.
+  private val SemDedupTau = 0.3
+
+  /** s10: SemDeDup — semantic deduplication within the FITTED IVF
+    * cells (Abbas et al. 2023, public): embeddings whose cosine
+    * exceeds τ inside the same k-means cell are semantic duplicates;
+    * each drops in favor of its lowest-id close neighbor (the d08
+    * pairwise-greedy keep rule, applied in embedding space). This is
+    * the semantic cousin of d01-d13's lexical passes: re-phrasings
+    * and translations that share no n-grams still land in one cell
+    * with high cosine.
+    *
+    * Scale shape: the whole point of running SemDeDup inside cells is
+    * that the fitted index ([[ivfCentroids]] — shared, memoized)
+    * BOUNDS the quadratic pair term: pairs form per cell (one shuffle
+    * on cell id), never across the corpus, and K scales with N to
+    * keep E[|cell|] constant — the paper's own cost model. Output is
+    * the drop list with provenance (keeper, max cosine, close-
+    * neighbor count); cosines are raw doubles (bit-identical
+    * cross-engine, the s01 rule). */
+  private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cells = e.join(ivfAssigned(s, dir, e), "vec_id")
+    val a = cells.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = cells.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", expr(dotSpark("va", "vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= SemDedupTau)
+      .groupBy(col("cell"), col("id_b"))
+      .agg(min(col("id_a")).as("keeper"), max(col("cos")).as("max_cos"),
+        count(lit(1)).as("n_close"))
+      .select(col("id_b").as("vec_id"), col("cell"), col("keeper"),
+        col("max_cos"), col("n_close"))
+      .orderBy(col("vec_id"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(annBruteForce, Some(s"""$vecsDuckCte,
       p AS (
@@ -727,6 +769,19 @@ object SimilarityQueries {
              qcos AS quantized_cosine, cos AS cosine
       FROM r2 WHERE rnk <= 5 ORDER BY q_id, rnk"""),
       "IVF + SQ8 composed: cell-pruned quantized scan, exact rerank (the FAISS-style plan)"),
+
+    "s10_semantic_dedup" -> QueryDef(semanticDedup, Some(s"""$vecsDuckCte,
+      $ivfAsgDuckCte,
+      cells AS (SELECT n.vec_id, n.v, n.nrm, asg.cell
+                FROM n JOIN asg ON n.vec_id = asg.vec_id),
+      p AS (
+        SELECT q.cell AS cell, q.vec_id AS id_a, c.vec_id AS id_b, $cosDuck AS cos
+        FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id < c.vec_id),
+      d AS (SELECT cell, id_b, MIN(id_a) AS keeper, MAX(cos) AS max_cos, COUNT(*) AS n_close
+            FROM p WHERE cos >= CAST($SemDedupTau AS DOUBLE) GROUP BY cell, id_b)
+      SELECT id_b AS vec_id, cell, keeper, max_cos, CAST(n_close AS BIGINT) AS n_close
+      FROM d ORDER BY vec_id"""),
+      "SemDeDup: semantic dedup within fitted IVF cells (drop list with keeper provenance)"),
 
     "s05_cluster_norm_stats" -> QueryDef(clusterNormStats, Some(s"""$vecsDuckCte
       SELECT label, COUNT(*) AS n_vecs,

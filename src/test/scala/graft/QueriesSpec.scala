@@ -243,6 +243,36 @@ class QueriesSpec extends SparkTestBase {
       s"fitted centroids did not improve the objective: $fitObj <= $seedObj")
   }
 
+  test("s10 SemDeDup drop list is well-formed (keeper precedes, threshold held, within-cell)") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.SimilarityQueries
+    val e = SimilarityQueries.vecs(spark, sf)
+    val cellOf = SimilarityQueries.ivfAssigned(spark, sf, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("s10_semantic_dedup")(spark, sf)
+      .select(col("vec_id"), col("cell"), col("keeper"), col("max_cos"), col("n_close"))
+      .collect()
+    assert(rows.nonEmpty, "SemDeDup found no semantic duplicates at sf0.001")
+    rows.foreach { r =>
+      val (v, cell, keeper) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(keeper < v, s"keeper $keeper does not precede dropped $v")
+      assert(cellOf(v) == cell && cellOf(keeper) == cell,
+        s"drop pair ($keeper, $v) not within cell $cell")
+      assert(r.getDouble(3) >= 0.3, s"max_cos below tau: ${r.getDouble(3)}")
+      assert(r.getLong(4) >= 1)
+    }
+    // keepers are never themselves dropped in favor of a LATER id —
+    // min-id greedy means a dropped vec's keeper either survives or
+    // was dropped for an even earlier keeper
+    val droppedSet = rows.map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      if (droppedSet(r.getLong(2))) {
+        val keeperRow = rows.find(_.getLong(0) == r.getLong(2)).get
+        assert(keeperRow.getLong(2) < r.getLong(2))
+      }
+    }
+  }
+
   test("s07 multi-probe dominates s06 single-probe per rank (candidate-set containment)") {
     // s06 searches only the query's own cell — exactly s07's
     // probe_rank-1 cell — so s07's candidate set is a superset and its
