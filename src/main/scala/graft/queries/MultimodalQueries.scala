@@ -138,8 +138,14 @@ object MultimodalQueries {
     * few surviving pairs. */
   private def audioNearDup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
-    val fps = MediaPipeline.audioSubFingerprints(MediaPipeline.load(s, dir)).toDF()
-      .select(col("media_id"), col("kind"), col("subfp")).distinct()
+    // read twice (per-media counts, bucket expansion) — persisted
+    // once so the fingerprint flatMap runs a single pass (a36/a18
+    // pattern); recompute lineage is the scan-rooted pipeline, safe
+    // for the memo contract
+    val fps = PersistedAggregates.memo(s, "m07_fps", dir) {
+      MediaPipeline.audioSubFingerprints(MediaPipeline.load(s, dir)).toDF()
+        .select(col("media_id"), col("kind"), col("subfp")).distinct()
+    }
     val counts = fps.groupBy(col("media_id")).agg(count(lit(1)).as("nfp"))
     val pairs = DedupQueries.collectCappedBuckets(
         fps.select(col("subfp"), struct(col("media_id"), col("kind")).as("m")),

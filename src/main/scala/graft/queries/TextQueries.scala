@@ -443,9 +443,13 @@ object TextQueries {
   private def qualityBucketsApprox(s: SparkSession, dir: String): DataFrame = {
     val acc = 1000
     val eps = 2.0 / acc
-    val base = withStats(docs(s, dir))
-      .withColumn("quality_score", qualityScoreCol)
-      .select(col("lang"), col("quality_score"))
+    // read twice (sketch pass, then counting pass) — persisted once,
+    // the a36/a18 pattern, not a double scan of documents
+    val base = PersistedAggregates.memo(s, "t17_scores", dir) {
+      withStats(docs(s, dir))
+        .withColumn("quality_score", qualityScoreCol)
+        .select(col("lang"), col("quality_score"))
+    }
     val th = base.groupBy(col("lang"))
       .agg(expr(s"approx_percentile(quality_score, array(${1.0 / 3}, ${2.0 / 3}), $acc)").as("ap"))
       .select(col("lang"), element_at(col("ap"), 1).as("t1"), element_at(col("ap"), 2).as("t2"))

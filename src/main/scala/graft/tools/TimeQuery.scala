@@ -9,15 +9,11 @@ object TimeQuery {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, name) = args.take(2)
     val n = if (args.length > 2) args(2).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    // The driver session, not a bespoke builder: timings must measure
+    // the plans Bench/Verify run — including the injected extensions
+    // (d13's CapCollectBuckets rewrite exists only with them).
+    val spark = graft.GraftSession.local(cpus, "graft-timequery")
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     (1 to n).foreach { i =>
