@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.scalatest.funsuite.AnyFunSuite
+import RespCodec._
+
+/** Golden-byte tests of the RESP2 codec against the public protocol
+  * spec — no server needed: commands are byte-exact, replies decode
+  * incrementally over every possible TCP fragmentation point. */
+class RespCodecSpec extends AnyFunSuite {
+
+  private def bytes(s: String): Array[Byte] = s.getBytes(UTF_8)
+
+  test("commands encode as RESP arrays of bulk strings (spec golden bytes)") {
+    assert(new String(encodeStrings(Seq("PING")), UTF_8) == "*1\r\n$4\r\nPING\r\n")
+    assert(new String(encodeStrings(StreamCommands.xadd(
+      "s", scala.collection.immutable.ListMap("k" -> "v"))), UTF_8) ==
+      "*5\r\n$4\r\nXADD\r\n$1\r\ns\r\n$1\r\n*\r\n$1\r\nk\r\n$1\r\nv\r\n")
+    assert(new String(encodeStrings(StreamCommands.xack("s", "g", Seq("1-0", "1-1"))), UTF_8) ==
+      "*5\r\n$4\r\nXACK\r\n$1\r\ns\r\n$1\r\ng\r\n$3\r\n1-0\r\n$3\r\n1-1\r\n")
+  }
+
+  test("command builders carry the reference's exact argument shapes") {
+    assert(StreamCommands.xadd("st", Map("a" -> "1"), maxlen = Some(1000)) ==
+      Seq("XADD", "st", "MAXLEN", "~", "1000", "*", "a", "1"))
+    assert(StreamCommands.xreadgroup("g", "c", "st", count = 5, blockMs = 2000) ==
+      Seq("XREADGROUP", "GROUP", "g", "c", "COUNT", "5", "BLOCK", "2000", "STREAMS", "st", ">"))
+    assert(StreamCommands.xreadgroup("g", "c", "st", 5, 0, newOnly = false).last == "0")
+    assert(StreamCommands.xpendingRange("st", "g") ==
+      Seq("XPENDING", "st", "g", "-", "+", "100"))
+    assert(StreamCommands.xclaim("st", "g", "c", 60000, Seq("9-1")) ==
+      Seq("XCLAIM", "st", "g", "c", "60000", "9-1"))
+    assert(StreamCommands.xautoclaim("st", "g", "c", 60000, "0-0", 10) ==
+      Seq("XAUTOCLAIM", "st", "g", "c", "60000", "0-0", "COUNT", "10"))
+    assert(StreamCommands.xgroupCreate("st", "g") ==
+      Seq("XGROUP", "CREATE", "st", "g", "$", "MKSTREAM"))
+    assert(StreamCommands.xtrimMaxlen("st", 500, approximate = true) ==
+      Seq("XTRIM", "st", "MAXLEN", "~", "500"))
+  }
+
+  test("all five reply types decode (incl. nulls and binary-safe bulks)") {
+    assert(decode(bytes("+OK\r\n")) == Some((SimpleReply("OK"), 5)))
+    assert(decode(bytes("-ERR no such key\r\n")) == Some((ErrorReply("ERR no such key"), 18)))
+    assert(decode(bytes(":42\r\n")) == Some((IntReply(42L), 5)))
+    assert(decode(bytes(":-7\r\n")) == Some((IntReply(-7L), 5)))
+    val Some((BulkReply(Some(b)), 11)) = decode(bytes("$5\r\nhello\r\n")): @unchecked
+    assert(new String(b, UTF_8) == "hello")
+    assert(decode(bytes("$-1\r\n")) == Some((BulkReply(None), 5)))
+    assert(decode(bytes("*-1\r\n")) == Some((ArrayReply(None), 5)))
+    // binary-safe: the payload CONTAINS \r\n and must not terminate early
+    val Some((BulkReply(Some(bin)), _)) = decode(bytes("$4\r\na\r\nb\r\n")): @unchecked
+    assert(bin.toSeq == "a\r\nb".getBytes(UTF_8).toSeq)
+    // empty array and nesting
+    assert(decode(bytes("*0\r\n")) == Some((ArrayReply(Some(Vector())), 4)))
+    val Some((ArrayReply(Some(Vector(IntReply(1), ArrayReply(Some(inner))))), _)) =
+      decode(bytes("*2\r\n:1\r\n*1\r\n+a\r\n")): @unchecked
+    assert(inner == Vector(SimpleReply("a")))
+  }
+
+  test("incremental decode returns None at EVERY partial prefix, then parses whole") {
+    // An XREADGROUP-shaped nested reply; any prefix must yield None
+    // (the TCP fragmentation contract), never a wrong parse or throw.
+    val full = bytes(
+      "*1\r\n" +                              // 1 stream block
+        "*2\r\n$2\r\nst\r\n" +                //   [name,
+        "*2\r\n" +                            //    2 entries
+          "*2\r\n$3\r\n1-0\r\n*2\r\n$1\r\nk\r\n$2\r\nv1\r\n" +
+          "*2\r\n$3\r\n1-1\r\n*2\r\n$1\r\nk\r\n$2\r\nv2\r\n")
+    (1 until full.length).foreach { cut =>
+      assert(decode(java.util.Arrays.copyOfRange(full, 0, cut)).isEmpty,
+        s"prefix of $cut bytes wrongly decoded")
+    }
+    val Some((reply, consumed)) = decode(full): @unchecked
+    assert(consumed == full.length)
+    val parsed = parseXRead(reply)
+    assert(parsed == Seq("st" -> Seq(
+      StreamMessage("1-0", Map("k" -> "v1")),
+      StreamMessage("1-1", Map("k" -> "v2")))))
+  }
+
+  test("decode consumes exactly one reply — pipelined replies read sequentially") {
+    val two = bytes(":1\r\n+OK\r\n")
+    val Some((IntReply(1), n1)) = decode(two): @unchecked
+    val Some((SimpleReply("OK"), n2)) = decode(two, n1): @unchecked
+    assert(n2 == two.length)
+  }
+
+  test("XREAD null reply (block timeout) parses to empty; trimmed XCLAIM entry to empty map") {
+    assert(parseXRead(ArrayReply(None)) == Seq.empty)
+    val trimmed = ArrayReply(Some(Vector(
+      BulkReply(Some(bytes("7-0"))), ArrayReply(None))))
+    assert(parseEntry(trimmed) == StreamMessage("7-0", Map.empty))
+  }
+
+  test("command encode → decode round-trips through the entry parser") {
+    // Simulate the server echoing an entry shaped like what xadd sent:
+    // build the RESP bytes a server would reply to XRANGE with.
+    val entry = bytes(
+      "*2\r\n$4\r\n42-0\r\n*4\r\n$4\r\nuser\r\n$5\r\nalice\r\n$3\r\nact\r\n$5\r\nlogin\r\n")
+    val Some((r, _)) = decode(entry): @unchecked
+    assert(parseEntry(r) == StreamMessage("42-0", Map("user" -> "alice", "act" -> "login")))
+  }
+}
