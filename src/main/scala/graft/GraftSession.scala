@@ -40,15 +40,22 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   /** Apply the recommended configuration to a builder. `parallelism`
-    * is the cluster's total core count (executors × cores). */
-  def recommended(builder: SparkSession.Builder, parallelism: Int): SparkSession.Builder =
+    * is the cluster's total core count (executors × cores).
+    * `extraExtensions`: a deployment's OWN SparkSessionExtensions
+    * class names (Delta, Iceberg, …) — `spark.sql.extensions` accepts
+    * a comma-separated list, and setting it here would otherwise
+    * clobber anything the caller configured on the builder earlier
+    * (builders have no getter to merge against). */
+  def recommended(builder: SparkSession.Builder, parallelism: Int,
+      extraExtensions: Seq[String] = Nil): SparkSession.Builder =
     builder
       // The library's extension point (native functions + the
       // CapCollectBuckets hot-bucket guard): the recommended session
       // carries it so user-shaped collect-then-filter SQL is capped
       // without any imperative setup. Static conf — must be present
       // at first-session creation.
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.extensions",
+        ("graft.GraftExtensions" +: extraExtensions).mkString(","))
       .config("spark.sql.shuffle.partitions", math.max(parallelism, 1).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

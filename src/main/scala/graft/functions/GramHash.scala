@@ -103,10 +103,17 @@ object GramHash {
         else if ((b0 & 0xF8) == 0xF0) { cp = b0 & 0x07; len = 4 }
         else cp = b0 // stray continuation / invalid lead: one step
         if (i + len > n) len = n - i // truncated tail: stay in bounds
+        // Consume only GENUINE continuation bytes (0x80-0xBF): a
+        // malformed lead must never swallow a following ASCII byte —
+        // in the word loop below that byte can be the 0x20 separator,
+        // and swallowing it desyncs this decode from the byte-level
+        // space pre-count (zero-filled word slots, wrong trigrams).
         var j = 1
-        while (j < len) { cp = (cp << 6) | (text.getByte(i + j) & 0x3F); j += 1 }
+        while (j < len && (text.getByte(i + j) & 0xC0) == 0x80) {
+          cp = (cp << 6) | (text.getByte(i + j) & 0x3F); j += 1
+        }
         a = (a * 131 + cp) % P
-        i += len
+        i += j
       }
       return new GenericArrayData(Array(a))
     }
@@ -135,11 +142,15 @@ object GramHash {
         else if ((b0 & 0xF8) == 0xF0) { cp = b0 & 0x07; len = 4 }
         else cp = b0 // stray continuation / invalid lead: one step
         if (i + len > n) len = n - i // truncated tail: stay in bounds
+        // genuine continuations only — never swallow a 0x20 separator
+        // after a malformed lead (see the fallback loop's comment)
         var j = 1
-        while (j < len) { cp = (cp << 6) | (text.getByte(i + j) & 0x3F); j += 1 }
+        while (j < len && (text.getByte(i + j) & 0xC0) == 0x80) {
+          cp = (cp << 6) | (text.getByte(i + j) & 0x3F); j += 1
+        }
         a = (a * 131 + cp) % P
         pw = (pw * 131L) % P
-        i += len
+        i += j
       }
     }
     wh(w) = a; wp(w) = pw

@@ -71,10 +71,15 @@ object StringPolyHash {
       else if ((b0 & 0xF8) == 0xF0) { cp = b0 & 0x07; len = 4 }
       else cp = b0 // stray continuation / invalid lead: one step, no tail read
       if (i + len > n) len = n - i // truncated tail: never read past the buffer
+      // genuine continuation bytes only: a malformed lead must not
+      // swallow following ASCII — GramHash splits words on 0x20 with
+      // this same rule, and the two decoders must agree byte-for-byte
       var j = 1
-      while (j < len) { cp = (cp << 6) | (s.getByte(i + j) & 0x3F); j += 1 }
+      while (j < len && (s.getByte(i + j) & 0xC0) == 0x80) {
+        cp = (cp << 6) | (s.getByte(i + j) & 0x3F); j += 1
+      }
       a = (a * 131 + cp) % 1000000007L
-      i += len
+      i += j
     }
     a
   }

@@ -54,10 +54,14 @@ object SkewJoin {
     */
   def contentSaltedJoin(skewed: DataFrame, other: DataFrame, key: String, numSalts: Int): DataFrame = {
     require(numSalts > 0, s"numSalts must be positive: $numSalts")
-    val saltCol = pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*),
-      lit(numSalts.toLong)).cast("int")
-    joinSalted(skewed, other, key, numSalts, saltCol)
+    joinSalted(skewed, other, key, numSalts, contentSalt(skewed, numSalts))
   }
+
+  /** The content-salt expression [[contentSaltedJoin]] routes by —
+    * exposed (not inlined) so the retry-model test pins the REAL
+    * expression rather than a hand-copied twin of it. */
+  private[operators] def contentSalt(skewed: DataFrame, numSalts: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*), lit(numSalts.toLong)).cast("int")
 
   private def joinSalted(skewed: DataFrame, other: DataFrame, key: String,
       numSalts: Int, saltCol: org.apache.spark.sql.Column): DataFrame = {

@@ -48,7 +48,7 @@ object DedupQueries {
     * would otherwise expand O(k²) pairs; mass-duplicate content is the
     * exact-dedup pass's job (d01), not near-dup LSH's. Mirrored in the
     * DuckDB oracles so results stay hash-identical. */
-  private val MaxBucket = 64
+  private[queries] val MaxBucket = 64
 
   /** Cap-BEFORE-collect bucket aggregation shared by every LSH family
     * (d03/d04/d06/s03): count bucket sizes with a per-key window, drop
@@ -538,15 +538,18 @@ object DedupQueries {
     *
     * Sketch sizing is DERIVED FROM THE INPUT, not hard-coded: a fixed
     * sketch silently blows the 5% contract once distinct digests
-    * outgrow it. BloomFilterAggregate needs foldable size arguments, so
-    * the index row count is taken first via a one-row COUNT(*) planning
-    * action (the AQE-statistics pattern — doc_id-only scan, column
-    * pruning drops `text`; NOT a data collect) and the bits scale at
-    * [[BloomBitsPerItem]]/item up to a broadcast-friendly
-    * [[BloomMaxBits]] cap (~13M items at full headroom). Beyond the
-    * cap the honest scale-out path is partitioned blooms (shard the
-    * index by digest prefix, one sketch per shard), not a bigger
-    * single sketch. */
+    * outgrow it. BloomFilterAggregate needs foldable size arguments,
+    * so the index's DISTINCT-digest count is estimated first via a
+    * one-row approx_count_distinct planning action (map-side HLL
+    * partials, one pass — the AQE-statistics pattern, NOT a data
+    * collect; a plain COUNT(*) would overprovision by the duplicate
+    * factor, and d11's whole premise is a duplicate-heavy corpus) and
+    * the bits scale at [[BloomBitsPerItem]]/item up to a
+    * broadcast-friendly [[BloomMaxBits]] cap (~13M items at full
+    * headroom; the HLL's ~5% rsd is immaterial against the 6×
+    * bits-per-item headroom). Beyond the cap the honest scale-out
+    * path is partitioned blooms (shard the index by digest prefix,
+    * one sketch per shard), not a bigger single sketch. */
   private def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     docs(s, dir)
@@ -554,7 +557,8 @@ object DedupQueries {
         md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16))).as("digest"))
       .createOrReplaceTempView("graft_d11_digests")
     val nIdx = math.max(1L,
-      s.sql("SELECT COUNT(*) FROM graft_d11_digests WHERE doc_id % 10 != 0").head().getLong(0))
+      s.sql("SELECT approx_count_distinct(digest) FROM graft_d11_digests WHERE doc_id % 10 != 0")
+        .head().getLong(0))
     val numBits = math.min(BloomMaxBits,
       math.max(BloomMinBits, pow2Ceil(nIdx * BloomBitsPerItem)))
     s.sql(s"""

@@ -312,7 +312,7 @@ object MultimodalQueries {
       FROM g ORDER BY source"""),
       "per-source modality token mix manifest (metadata-only, one scan)"),
 
-    "m07_audio_neardup" -> QueryDef(audioNearDup, Some("""
+    "m07_audio_neardup" -> QueryDef(audioNearDup, Some(s"""
       WITH a AS (SELECT doc_id AS media_id,
                    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind, text
                  FROM documents WHERE doc_id % 3 IN (1, 2)),
@@ -342,12 +342,12 @@ object MultimodalQueries {
       p AS (SELECT x.media_id AS media_a, x.kind AS kind_a,
                    y.media_id AS media_b, y.kind AS kind_b, COUNT(*) AS n_shared
             FROM ds x JOIN ds y ON x.subfp = y.subfp AND x.media_id < y.media_id
-            JOIN bsz s ON s.subfp = x.subfp AND s.c <= 64
+            JOIN bsz s ON s.subfp = x.subfp AND s.c <= ${DedupQueries.MaxBucket}
             GROUP BY 1, 2, 3, 4)
       SELECT media_a, kind_a, media_b, kind_b, n_shared,
         ROUND(CAST(n_shared AS DOUBLE) / LEAST(ca.nfp, cb.nfp), 4) AS overlap
       FROM p JOIN cnt ca ON ca.media_id = media_a JOIN cnt cb ON cb.media_id = media_b
-      WHERE n_shared >= 2
+      WHERE n_shared >= $AudioMinShared
       ORDER BY media_a, media_b"""),
       "cross-media audio near-dup pairs (chromaprint-style band-derivative sub-fingerprints)"))
 }

@@ -270,17 +270,23 @@ object SimilarityQueries {
           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(generate_series(1, len(sv)), i -> sv[i] * sv[i])), (a, z) -> a + z)) AS sn
         FROM ct$k)"""
+    // Unrolled FROM LloydRounds — one source of truth with the Spark
+    // fit loop; a constant bump regenerates the twin instead of
+    // silently desyncing it from fitCentroids.
+    val rounds = (0 until LloydRounds)
+      .map(k => round(if (k == 0) "seeds" else s"cn${k - 1}", k))
+      .mkString(",")
+    val fitted = s"cn${LloydRounds - 1}"
     s"""
       seeds AS (SELECT vec_id AS s_id, v AS sv, nrm AS sn
         FROM n WHERE vec_id % 47 = 0),
-      ${round("seeds", 0)},
-      ${round("cn0", 1)},
+      $rounds,
       sc AS (
         SELECT n.vec_id, s_id,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(generate_series(1, len(n.v)), i -> n.v[i] * sv[i])), (a, z) -> a + z)
             / (n.nrm * sn) AS scos
-        FROM n, cn1),
+        FROM n, $fitted),
       asg AS (
         SELECT vec_id, s_id AS cell FROM (
           SELECT vec_id, s_id,

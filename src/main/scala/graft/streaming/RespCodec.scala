@@ -79,6 +79,7 @@ object RespCodec {
       case '$' =>
         line(from + 1).flatMap { case (lenStr, next) =>
           val len = lenStr.toInt
+          require(len >= -1, s"malformed bulk length: $len")
           if (len == -1) Some((BulkReply(None), next))
           else if (next + len + 2 > buf.length) None // payload + CRLF not yet arrived
           else {
@@ -90,6 +91,7 @@ object RespCodec {
       case '*' =>
         line(from + 1).flatMap { case (nStr, next0) =>
           val n = nStr.toInt
+          require(n >= -1, s"malformed array length: $n")
           if (n == -1) Some((ArrayReply(None), next0))
           else {
             var at = next0
@@ -147,11 +149,14 @@ object RespCodec {
 object StreamCommands {
 
   /** XADD with the reference's optional approximate MAXLEN trim
-    * (`producer.py:44-48`: `maxlen=…, approximate=True`). */
-  def xadd(stream: String, fields: Map[String, String],
+    * (`producer.py:44-48`: `maxlen=…, approximate=True`). Fields are
+    * a Seq, not a Map: Redis stores XADD field order verbatim in the
+    * entry, and the reference producer writes insertion-ordered dict
+    * fields — a hash-ordered Map would reorder 5+ fields on the wire. */
+  def xadd(stream: String, fields: Seq[(String, String)],
       maxlen: Option[Long] = None, id: String = "*"): Seq[String] = {
     val trim = maxlen.toSeq.flatMap(m => Seq("MAXLEN", "~", m.toString))
-    Seq("XADD", stream) ++ trim ++ Seq(id) ++ fields.toSeq.flatMap(kv => Seq(kv._1, kv._2))
+    Seq("XADD", stream) ++ trim ++ Seq(id) ++ fields.flatMap(kv => Seq(kv._1, kv._2))
   }
 
   /** XREADGROUP (`consumer.py:146-151`: COUNT + BLOCK + `>` or `0`). */

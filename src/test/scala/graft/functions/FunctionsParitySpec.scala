@@ -256,6 +256,13 @@ class FunctionsParitySpec extends graft.streaming.SparkTestBase {
     assert(grams(doc: _*) == Seq(h(doc: _*)))
     val short = Seq(0x61, 0xFF, 0x20, 0xE4) // 2 words -> whole-text fallback
     assert(grams(short: _*) == Seq(h(short: _*)))
+    // A malformed 4-byte lead RIGHT BEFORE a space separator: the lead
+    // must not swallow the 0x20 (only genuine continuation bytes are
+    // consumed), or the word decode desyncs from the byte-level space
+    // pre-count and emits zero-filled word slots. 4 words -> 2 trigrams,
+    // each equal to the strhash of its exact byte slice.
+    val sep = Seq(0x61, 0x20, 0xF0, 0x20, 0x62, 0x20, 0x63) // "a <F0> b c"
+    assert(grams(sep: _*) == Seq(h(sep.slice(0, 5): _*), h(sep.slice(2, 7): _*)))
   }
 
   test("graft_dot nulls on ragged or null-element input") {

@@ -42,10 +42,11 @@ class SkewJoinSpec extends SparkTestBase {
 
     // salt is a pure function of row content: the hot key's 9000
     // distinct payloads must land on every salt value, and recomputing
-    // the salt expression yields identical routing (retry model).
-    val saltCol = pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*), lit(8L)).cast("int")
+    // the IMPLEMENTATION's salt expression yields identical routing
+    // (retry model) — SkewJoin.contentSalt, not a hand-copied twin.
     val saltsUsed = skewed.filter(col("k") === 7)
-      .select(saltCol.as("s")).distinct().collect().map(_.getInt(0)).toSet
+      .select(SkewJoin.contentSalt(skewed, 8).as("s"))
+      .distinct().collect().map(_.getInt(0)).toSet
     assert(saltsUsed == (0 until 8).toSet,
       s"content salt failed to spread distinct hot rows: $saltsUsed")
   }

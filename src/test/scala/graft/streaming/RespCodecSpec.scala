@@ -13,16 +13,19 @@ class RespCodecSpec extends AnyFunSuite {
 
   test("commands encode as RESP arrays of bulk strings (spec golden bytes)") {
     assert(new String(encodeStrings(Seq("PING")), UTF_8) == "*1\r\n$4\r\nPING\r\n")
-    assert(new String(encodeStrings(StreamCommands.xadd(
-      "s", scala.collection.immutable.ListMap("k" -> "v"))), UTF_8) ==
+    assert(new String(encodeStrings(StreamCommands.xadd("s", Seq("k" -> "v"))), UTF_8) ==
       "*5\r\n$4\r\nXADD\r\n$1\r\ns\r\n$1\r\n*\r\n$1\r\nk\r\n$1\r\nv\r\n")
     assert(new String(encodeStrings(StreamCommands.xack("s", "g", Seq("1-0", "1-1"))), UTF_8) ==
       "*5\r\n$4\r\nXACK\r\n$1\r\ns\r\n$1\r\ng\r\n$3\r\n1-0\r\n$3\r\n1-1\r\n")
   }
 
   test("command builders carry the reference's exact argument shapes") {
-    assert(StreamCommands.xadd("st", Map("a" -> "1"), maxlen = Some(1000)) ==
+    assert(StreamCommands.xadd("st", Seq("a" -> "1"), maxlen = Some(1000)) ==
       Seq("XADD", "st", "MAXLEN", "~", "1000", "*", "a", "1"))
+    // field order is wire order (Redis stores it verbatim): 5 fields
+    // stay exactly as given, where a hash-ordered Map would scramble
+    val fields = Seq("e" -> "5", "a" -> "1", "d" -> "4", "b" -> "2", "c" -> "3")
+    assert(StreamCommands.xadd("st", fields).drop(3) == fields.flatMap(kv => Seq(kv._1, kv._2)))
     assert(StreamCommands.xreadgroup("g", "c", "st", count = 5, blockMs = 2000) ==
       Seq("XREADGROUP", "GROUP", "g", "c", "COUNT", "5", "BLOCK", "2000", "STREAMS", "st", ">"))
     assert(StreamCommands.xreadgroup("g", "c", "st", 5, 0, newOnly = false).last == "0")
@@ -55,6 +58,13 @@ class RespCodecSpec extends AnyFunSuite {
     val Some((ArrayReply(Some(Vector(IntReply(1), ArrayReply(Some(inner))))), _)) =
       decode(bytes("*2\r\n:1\r\n*1\r\n+a\r\n")): @unchecked
     assert(inner == Vector(SimpleReply("a")))
+  }
+
+  test("malformed negative counts throw instead of silently parsing") {
+    // only -1 is a valid negative count (RESP null); -2 etc. must not
+    // decode as an empty value and desynchronize the reply stream
+    intercept[IllegalArgumentException](decode(bytes("*-2\r\n")))
+    intercept[IllegalArgumentException](decode(bytes("$-5\r\n")))
   }
 
   test("incremental decode returns None at EVERY partial prefix, then parses whole") {
