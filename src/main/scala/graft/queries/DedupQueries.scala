@@ -552,10 +552,14 @@ object DedupQueries {
     * one sketch per shard), not a bigger single sketch. */
   private def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    docs(s, dir)
-      .select(col("doc_id"),
-        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16))).as("digest"))
-      .createOrReplaceTempView("graft_d11_digests")
+    // The (doc_id, digest) projection feeds the sizing estimate AND
+    // three query legs (idx, batch, exact) — memoized-persisted so the
+    // md5-over-text pass runs once per session (a36/a18 pattern).
+    PersistedAggregates.memo(s, "d11_digests", dir) {
+      docs(s, dir)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16))).as("digest"))
+    }.createOrReplaceTempView("graft_d11_digests")
     val nIdx = math.max(1L,
       s.sql("SELECT approx_count_distinct(digest) FROM graft_d11_digests WHERE doc_id % 10 != 0")
         .head().getLong(0))
