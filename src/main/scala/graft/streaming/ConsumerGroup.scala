@@ -72,6 +72,11 @@ final class ConsumerGroup private (
     * (guard against stealing in-flight work, `monitor.py:65-68`); resets
     * the delivery clock and bumps `times_delivered`. Returns claimed ids. */
   def claim(ids: Seq[String], newConsumer: String, minIdleMs: Long): Seq[String] = synchronized {
+    // Redis XCLAIM auto-creates the claiming consumer in the group
+    // (it appears in XINFO CONSUMERS immediately, before it ever
+    // reads) — without the touch, a monitor that rebalanced onto a
+    // fresh consumer wouldn't see the new owner in its own report.
+    touch(newConsumer)
     val now = clock.nowMs
     ids.flatMap { id =>
       pel.get(id) match {
@@ -98,6 +103,7 @@ final class ConsumerGroup private (
     // START as the next cursor without claiming — the documented
     // loop-until-"0-0" caller would spin forever on it.
     require(count > 0, s"autoClaim count must be positive, got $count")
+    touch(newConsumer) // XAUTOCLAIM auto-creates the consumer, as XCLAIM does
     val now = clock.nowMs
     // Scan in msgid order from `start` (the PEL is a TreeMap, so the
     // seek is O(log PEL)) and stop once `count` eligible entries are

@@ -60,6 +60,33 @@ object RespCodec {
   def encodeStrings(args: Seq[String]): Array[Byte] =
     encode(args.map(_.getBytes(UTF_8)))
 
+  /** Encode a reply — the server half of the wire ([[RespLoopback]]);
+    * exact inverse of [[decode]] for every reply shape. */
+  def encodeReply(r: Reply): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def go(x: Reply): Unit = x match {
+      case SimpleReply(s) =>
+        out.write('+'); out.write(s.getBytes(UTF_8)); out.write(Crlf)
+      case ErrorReply(m) =>
+        out.write('-'); out.write(m.getBytes(UTF_8)); out.write(Crlf)
+      case IntReply(v) =>
+        out.write(':'); out.write(v.toString.getBytes(UTF_8)); out.write(Crlf)
+      case BulkReply(None) => out.write("$-1\r\n".getBytes(UTF_8))
+      case BulkReply(Some(b)) =>
+        out.write('$'); out.write(b.length.toString.getBytes(UTF_8)); out.write(Crlf)
+        out.write(b); out.write(Crlf)
+      case ArrayReply(None) => out.write("*-1\r\n".getBytes(UTF_8))
+      case ArrayReply(Some(items)) =>
+        out.write('*'); out.write(items.length.toString.getBytes(UTF_8)); out.write(Crlf)
+        items.foreach(go)
+    }
+    go(r)
+    out.toByteArray
+  }
+
+  /** A bulk-string reply from text. */
+  def bulk(s: String): Reply = BulkReply(Some(s.getBytes(UTF_8)))
+
   /** Incremental decode: one reply starting at `from`. Returns the
     * reply and the index just past it, or None when the buffer does
     * not yet hold a complete reply (read more bytes and retry — the
