@@ -102,6 +102,47 @@ class RespCodecSpec extends AnyFunSuite {
     assert(parseEntry(trimmed) == StreamMessage("7-0", Map.empty))
   }
 
+  test("property: arbitrary reply trees round-trip encodeReply -> decode exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def check(prop: Prop): Unit = { // the MonitorScalerSpec harness
+      val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+      assert(res.passed, res.status.toString)
+    }
+    // Binary-safe bulks (any bytes incl. \r\n), nested arrays to depth
+    // 3, nulls — decode(encodeReply(r)) must return r and consume
+    // every byte.
+    val genLeaf: Gen[Reply] = Gen.oneOf(
+      Gen.alphaNumStr.map(SimpleReply),
+      Gen.alphaNumStr.map(s => ErrorReply(s"ERR $s")),
+      Gen.choose(Long.MinValue, Long.MaxValue).map(IntReply),
+      Gen.const(BulkReply(None)),
+      Gen.const(ArrayReply(None)),
+      Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(b => BulkReply(Some(b))))
+    def genReply(depth: Int): Gen[Reply] =
+      if (depth == 0) genLeaf
+      else Gen.frequency(
+        3 -> genLeaf,
+        2 -> Gen.choose(0, 4).flatMap(n =>
+          Gen.containerOfN[Vector, Reply](n, genReply(depth - 1))
+            .map(v => ArrayReply(Some(v)))))
+    // structural equality helper: BulkReply holds Array[Byte], whose
+    // == is reference equality — compare byte content explicitly
+    def same(a: Reply, b: Reply): Boolean = (a, b) match {
+      case (BulkReply(Some(x)), BulkReply(Some(y))) => x.toSeq == y.toSeq
+      case (ArrayReply(Some(x)), ArrayReply(Some(y))) =>
+        x.length == y.length && x.zip(y).forall((same _).tupled)
+      case _ => a == b
+    }
+    check(Prop.forAll(genReply(3)) { r =>
+      val wire = encodeReply(r)
+      decode(wire) match {
+        case Some((back, consumed)) => consumed == wire.length && same(back, r)
+        case None                   => false
+      }
+    })
+  }
+
   test("command encode → decode round-trips through the entry parser") {
     // Simulate the server echoing an entry shaped like what xadd sent:
     // build the RESP bytes a server would reply to XRANGE with.
