@@ -472,6 +472,44 @@ object DedupQueries {
       .orderBy(col("ch"))
   }
 
+  /** d14: sliding-window exact-substring dedup — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * public) guarantee adapted to digests: ANY passage of ≥
+    * [[ChunkWords]] words shared between two documents contains at
+    * least one aligned [[ChunkWords]]-word sliding window, so digesting
+    * every window at stride 1 detects every such copy exactly — no
+    * probabilistic s-curve, and unlike d10's FIXED chunk grid it
+    * catches copies at arbitrary word offsets (a quoted paragraph
+    * rarely lands on a 16-word boundary). The paper uses a suffix
+    * array; the windowed-digest form is the standard distributed
+    * adaptation and gives the same ≥W-word detection guarantee at
+    * n·W hashing cost per doc (vs the grid's n — the honest price of
+    * offset-independence, paid row-locally before any shuffle).
+    *
+    * Scale shape is d10's: window strings die at the md5 projection
+    * (only 16 B digests shuffle), within-doc repeats collapse with a
+    * DISTINCT, the cross-doc count is a spillable window over the
+    * digest partition, and the per-doc rollup is the last shuffle. */
+  private def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    val wins = docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= ChunkWords)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(words) - ${ChunkWords - 1}),
+            i -> md5(concat_ws(' ', slice(words, i, $ChunkWords))))""")).as("wh"))
+      .distinct()
+    wins
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("wh"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared_windows"))
+      .filter(col("n_shared_windows") > 0)
+      .select(col("doc_id"), col("n_windows"), col("n_shared_windows"),
+        round(col("n_shared_windows").cast(DoubleType) / col("n_windows"), 4)
+          .as("shared_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d12: QUALITY-based survivor selection — the survivor rule
     * production pipelines actually apply: within each near-dup cluster
     * (d07's connected components) keep the HIGHEST-QUALITY member (the
@@ -723,6 +761,21 @@ object DedupQueries {
       SELECT ch, CAST(n_copies AS INT) AS n_copies, min_doc, max_doc
       FROM g WHERE n_copies BETWEEN 2 AND $MaxBucket ORDER BY ch"""),
       "shared-chunk sharer groups, user-shaped collect->filter (CapCollectBuckets rewrite target)"),
+
+    "d14_substring_dedup" -> QueryDef(substringDedup, Some(s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      sw AS (SELECT DISTINCT doc_id,
+               md5(array_to_string(words[i : i + ${ChunkWords - 1}], ' ')) AS wh
+             FROM w, UNNEST(generate_series(1, len(words) - ${ChunkWords - 1})) AS t(i)
+             WHERE len(words) >= $ChunkWords),
+      o AS (SELECT doc_id, wh, COUNT(*) OVER (PARTITION BY wh) AS n_docs FROM sw),
+      d AS (SELECT doc_id, COUNT(*) AS n_windows,
+              CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_windows
+            FROM o GROUP BY doc_id)
+      SELECT doc_id, n_windows, n_shared_windows,
+        ROUND(CAST(n_shared_windows AS DOUBLE) / n_windows, 4) AS shared_ratio
+      FROM d WHERE n_shared_windows > 0 ORDER BY doc_id"""),
+      "sliding-window exact-substring dedup (Lee et al. guarantee: any >=16-word shared passage detected)"),
 
     "d05_simhash" -> QueryDef(simhash, Some(s"""$simhashDuckCte
       SELECT doc_id, simhash FROM sim ORDER BY doc_id"""),

@@ -97,6 +97,18 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     assert(leaky.isEmpty, s"d10 shuffles raw text:\n${leaky.mkString("\n")}")
   }
 
+  test("d14 substring dedup: raw text never reaches the digest shuffle (d10 property, sliding form)") {
+    // Stride-1 windows make the digest projection 16x heavier than
+    // d10's grid — all of it row-local. The scale contract is that
+    // ONLY 16-byte digests shuffle; an Exchange input carrying text or
+    // words means window strings (16x the corpus!) went over the wire.
+    val inputs = PlanTestUtils.exchangeInputs(
+      queries("d14_substring_dedup")(spark, sf).queryExecution)
+    assert(inputs.nonEmpty, "expected shuffles in d14")
+    val leaky = inputs.filter(l => l.contains("text#") || l.contains("words#"))
+    assert(leaky.isEmpty, s"d14 shuffles raw text:\n${leaky.mkString("\n")}")
+  }
+
   test("s08 quantized ANN: query side broadcasts, no shuffle join, one embeddings-scan pair") {
     // Same contract as s01: the query slice replicates (broadcast
     // nested-loop), candidates stream through map-side. A SortMergeJoin
