@@ -414,13 +414,20 @@ object SimilarityQueries {
       .agg(max(struct(col("scos"), (-col("s_id")).as("neg"))).as("m"))
       .select(col("vec_id"), (-col("m.neg")).as("cell"))
 
-  /** Final fitted-index assignment — shared by s06/s07/s09. */
-  private[graft] def ivfAssigned(s: SparkSession, dir: String, e: DataFrame): DataFrame =
-    assignCells(e, ivfCentroids(s, dir))
+  /** Final fitted-index assignment — shared by s06/s07/s09/s10, each
+    * of which references it from BOTH sides of a self-join. Memoized
+    * like the centroids (the (vec_id, cell) frame is the index's
+    * posting-list side; persist keeps the scan-rooted recompute
+    * lineage), so the N×K argmax runs once per session instead of
+    * twice per query. */
+  private[graft] def ivfAssigned(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.memo(s, "ivf_cells", dir) {
+      assignCells(vecs(s, dir), ivfCentroids(s, dir))
+    }
 
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val cells = e.join(ivfAssigned(s, dir, e), "vec_id")
+    val cells = e.join(ivfAssigned(s, dir), "vec_id")
     val q = cells.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("cell"),
         col("v").as("qv"), col("nrm").as("qn"))
@@ -453,7 +460,7 @@ object SimilarityQueries {
     // ONE memoized fit shared by assignment and probes (and, via the
     // session memo, by s06/s09).
     val cent = ivfCentroids(s, dir)
-    val c = e.join(assignCells(e, cent), "vec_id")
+    val c = e.join(ivfAssigned(s, dir), "vec_id")
       .select(col("vec_id").as("c_id"), col("cell"),
         col("v").as("cv"), col("nrm").as("cn"))
     val wp = Window.partitionBy(col("vec_id")).orderBy(col("scos").desc, col("s_id"))
@@ -540,7 +547,7 @@ object SimilarityQueries {
     * even the intermediate candidate stage hash-matches the oracle. */
   private def annIvfQuantized(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val cells = withQuantized(e).join(ivfAssigned(s, dir, e), "vec_id")
+    val cells = withQuantized(e).join(ivfAssigned(s, dir), "vec_id")
     val q = cells.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("cell"),
         col("qv").as("qqv"), col("qn").as("qqn"),
@@ -609,7 +616,7 @@ object SimilarityQueries {
     * cross-engine, the s01 rule). */
   private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val cells = e.join(ivfAssigned(s, dir, e), "vec_id")
+    val cells = e.join(ivfAssigned(s, dir), "vec_id")
     val a = cells.select(col("cell"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = cells.select(col("cell"), col("vec_id").as("id_b"),

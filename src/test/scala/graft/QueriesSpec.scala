@@ -247,7 +247,7 @@ class QueriesSpec extends SparkTestBase {
     import org.apache.spark.sql.functions.col
     import graft.queries.SimilarityQueries
     val e = SimilarityQueries.vecs(spark, sf)
-    val cellOf = SimilarityQueries.ivfAssigned(spark, sf, e)
+    val cellOf = SimilarityQueries.ivfAssigned(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val rows = SparkEntry.queries("s10_semantic_dedup")(spark, sf)
       .select(col("vec_id"), col("cell"), col("keeper"), col("max_cos"), col("n_close"))
