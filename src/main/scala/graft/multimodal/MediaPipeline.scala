@@ -52,6 +52,13 @@ final case class AudioSubFp(
     kind: String,
     subfp: Long)
 
+/** An image's 64-bit aHash as 8 bands of 8 bits (banded for the d06
+  * pigeonhole candidate generation; the full hash is the bands'
+  * concatenation). */
+final case class ImageAHash(
+    media_id: Long,
+    bands: Seq[Long])
+
 /** Multimodal ingestion/feature pipeline.
   *
   * The container ships no image/audio codecs, so [[StubCodec]] is a
@@ -283,6 +290,43 @@ object MediaPipeline {
             bits(i) | (bits(i + 1) << 8) | (bits(i + 2) << 16) | (bits(i + 3) << 24))
         }
       }
+    }
+  }
+
+  val AHashBlocks = 64 // aHash grid: 64 block-mean bits (the classic 8x8)
+  val AHashBands  = 8  // 8 bands x 8 bits — pigeonhole-complete for hamming <= 7
+
+  /** Average-hash (aHash) perceptual fingerprint over the stub-decoded
+    * byte stream — the classic 8×8 block-mean construction in EXACT
+    * integer arithmetic: the stream splits into [[AHashBlocks]] blocks
+    * (boundaries `floor(n·b/64)` — exact for any length), and bit b is
+    * 1 iff the block's mean exceeds the global mean, evaluated as the
+    * cross-multiplication `block_sum·n > total_sum·block_len` so no
+    * division ever rounds. Bits pack into [[AHashBands]] 8-bit bands
+    * (never one 64-bit value: bit 63 would set the BIGINT sign, and
+    * the band form is what the d06-style pigeonhole candidate join
+    * needs anyway — any pair at hamming ≤ 7 shares at least one band
+    * exactly). Same per-partition batch shape as [[extractFeatures]];
+    * only (media_id, 8×8-byte bands) rows ever leave the projection. */
+  def imageAHash(media: Dataset[MediaRecord]): Dataset[ImageAHash] = {
+    import media.sparkSession.implicits._
+    media.filter(m => m.kind == "image" && m.bytes.length >= AHashBlocks).map { m =>
+      val n = m.bytes.length.toLong
+      var tsum = 0L
+      var i = 0
+      while (i < m.bytes.length) { tsum += m.bytes(i) & 0xff; i += 1 }
+      val bands = new Array[Long](AHashBands)
+      var b = 0
+      while (b < AHashBlocks) {
+        val from = (n * b / AHashBlocks).toInt
+        val until = (n * (b + 1) / AHashBlocks).toInt
+        var bsum = 0L
+        var j = from
+        while (j < until) { bsum += m.bytes(j) & 0xff; j += 1 }
+        if (bsum * n > tsum * (until - from)) bands(b / 8) |= 1L << (b % 8)
+        b += 1
+      }
+      ImageAHash(m.media_id, bands.toSeq)
     }
   }
 

@@ -166,6 +166,43 @@ object MultimodalQueries {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  private val MaxImageHamming = 16L
+
+  /** m08: image perceptual-hash near-dup pairs — completes the
+    * modality dedup triptych (m05 video frames, m07 audio tracks):
+    * re-encoded/watermarked image copies differ byte-wise but share
+    * block-mean structure, the classic aHash signal
+    * ([[graft.multimodal.MediaPipeline.imageAHash]] — exact integer
+    * arithmetic, so the hash itself is cross-engine hash-checkable).
+    *
+    * Candidates come from the d06 pigeonhole shape on the 8×8-bit
+    * bands: any pair at hamming ≤ 7 shares a band EXACTLY (guaranteed
+    * recall); beyond 7 the band join is the standard LSH s-curve
+    * sample. Survivors verify the full 64-bit hamming row-locally
+    * (zip_with + bit_count over the band arrays riding the buckets —
+    * the s03 carry pattern, one scan) and keep pairs at ≤
+    * [[MaxImageHamming]] — 4σ below the ~32 a random pair scores.
+    * Payloads die at the aHash projection: only (media_id, 8 bands)
+    * rows shuffle. */
+  private def imageNearDup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val ah = MediaPipeline.imageAHash(MediaPipeline.load(s, dir)).toDF()
+    DedupQueries.collectCappedBuckets(
+        ah.select(posexplode(col("bands")).as(Seq("band", "bv")),
+          struct(col("media_id"), col("bands")).as("m")),
+        Seq("band", "bv"), col("m"))
+      .select(explode(expr(DedupQueries.pairExpansion(
+        "x.media_id AS media_a, x.bands AS ba, y.media_id AS media_b, y.bands AS bb"))).as("p"))
+      .select(col("p.media_a").as("media_a"), col("p.media_b").as("media_b"),
+        expr("""aggregate(zip_with(p.ba, p.bb, (x, y) -> bit_count(x ^ y)),
+                0, (acc, h) -> acc + h)""").cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= MaxImageHamming)
+      .select(col("media_a"), col("media_b"), col("hamming"),
+        (lit(1.0) - col("hamming").cast(DoubleType) / 64.0).as("similarity"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "m01_media_features" -> QueryDef(mediaFeatures, Some(s"""
       WITH m AS (
@@ -349,5 +386,49 @@ object MultimodalQueries {
       FROM p JOIN cnt ca ON ca.media_id = media_a JOIN cnt cb ON cb.media_id = media_b
       WHERE n_shared >= $AudioMinShared
       ORDER BY media_a, media_b"""),
-      "cross-media audio near-dup pairs (chromaprint-style band-derivative sub-fingerprints)"))
+      "cross-media audio near-dup pairs (chromaprint-style band-derivative sub-fingerprints)"),
+
+    "m08_image_neardup" -> QueryDef(imageNearDup, Some(s"""
+      WITH img AS (SELECT doc_id AS media_id, text, length(text) AS n
+                   FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 64),
+      tot AS (SELECT media_id, text, n,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, CAST(n AS INT)),
+                    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (a, c) -> a + c) AS tsum
+              FROM img),
+      blocks AS (
+        SELECT media_id, b,
+          CAST(n * (b + 1) // 64 - n * b // 64 AS BIGINT) AS blen,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(CAST(n * b // 64 + 1 AS INT),
+                                           CAST(n * (b + 1) // 64 AS INT)),
+              i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (a, c) -> a + c) AS bsum,
+          tsum, n
+        FROM tot, UNNEST(generate_series(0, 63)) AS t(b)),
+      bits AS (SELECT media_id, b,
+                 CASE WHEN bsum * n > tsum * blen THEN 1 ELSE 0 END AS bit
+               FROM blocks),
+      bands AS (
+        SELECT media_id, CAST(b // 8 AS INT) AS band,
+          CAST(SUM(bit * (1::BIGINT << (b % 8))) AS BIGINT) AS bv
+        FROM bits GROUP BY 1, 2),
+      bsz AS (SELECT band, bv, COUNT(*) AS c FROM bands GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id
+        JOIN bsz s ON s.band = a.band AND s.bv = a.bv
+          AND s.c BETWEEN 2 AND ${DedupQueries.MaxBucket}),
+      p AS (
+        SELECT media_a, media_b,
+          CAST(SUM(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+        FROM cand
+        JOIN bands x ON x.media_id = media_a
+        JOIN bands y ON y.media_id = media_b AND y.band = x.band
+        GROUP BY media_a, media_b)
+      SELECT media_a, media_b, hamming,
+        1.0 - CAST(hamming AS DOUBLE) / 64.0 AS similarity
+      FROM p WHERE hamming <= $MaxImageHamming
+      ORDER BY media_a, media_b"""),
+      "image perceptual-hash (aHash) near-dup pairs, pigeonhole-banded, exact-hamming verified"))
 }

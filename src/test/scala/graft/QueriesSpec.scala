@@ -184,6 +184,20 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("m08 image near-dup pairs are well-formed (images only, hamming bound, ordered)") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("m08_image_neardup")(spark, sf)
+      .select(col("media_a"), col("media_b"), col("hamming"), col("similarity"))
+      .collect()
+    rows.foreach { r =>
+      val (a, b, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a < b, s"pair not ordered: $a >= $b")
+      assert(a % 3 == 0 && b % 3 == 0, s"non-image media in pair: $a/$b")
+      assert(h >= 0 && h <= 16, s"hamming outside [0, 16]: $h")
+      assert(r.getDouble(3) == 1.0 - h / 64.0, "similarity drifted from hamming")
+    }
+  }
+
   test("bloom pair: zero false negatives, rejects non-members (the d11 pruning premise)") {
     graft.functions.GraftFunctions.register(spark)
     spark.range(1000).selectExpr("CAST(id AS STRING) AS s")
