@@ -323,7 +323,13 @@ object MediaPipeline {
         var bsum = 0L
         var j = from
         while (j < until) { bsum += m.bytes(j) & 0xff; j += 1 }
-        if (bsum * n > tsum * (until - from)) bands(b / 8) |= 1L << (b % 8)
+        // BigInt: the Long products overflow for payloads past
+        // ~1.5 GiB (tsum·blen ≈ 4n²), silently flipping bits; 64
+        // BigInt compares per image are noise next to summing the
+        // payload. The SQL twin's BIGINT multiply would instead error
+        // loudly there — wrong-bits is the failure mode to prevent.
+        if (BigInt(bsum) * n > BigInt(tsum) * (until - from))
+          bands(b / 8) |= 1L << (b % 8)
         b += 1
       }
       ImageAHash(m.media_id, bands.toSeq)

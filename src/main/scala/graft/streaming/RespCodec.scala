@@ -61,14 +61,21 @@ object RespCodec {
     encode(args.map(_.getBytes(UTF_8)))
 
   /** Encode a reply — the server half of the wire ([[RespLoopback]]);
-    * exact inverse of [[decode]] for every reply shape. */
+    * exact inverse of [[decode]] for every VALID reply shape. Simple
+    * and error strings are line-framed by the protocol, so embedded
+    * CR/LF (reachable through error messages that quote wire input —
+    * the classic RESP response-injection vector) are replaced with
+    * spaces rather than corrupting the framing; Redis itself forbids
+    * newlines in these types. */
   def encodeReply(r: Reply): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
+    def line(s: String): Array[Byte] =
+      s.map(c => if (c == '\r' || c == '\n') ' ' else c).getBytes(UTF_8)
     def go(x: Reply): Unit = x match {
       case SimpleReply(s) =>
-        out.write('+'); out.write(s.getBytes(UTF_8)); out.write(Crlf)
+        out.write('+'); out.write(line(s)); out.write(Crlf)
       case ErrorReply(m) =>
-        out.write('-'); out.write(m.getBytes(UTF_8)); out.write(Crlf)
+        out.write('-'); out.write(line(m)); out.write(Crlf)
       case IntReply(v) =>
         out.write(':'); out.write(v.toString.getBytes(UTF_8)); out.write(Crlf)
       case BulkReply(None) => out.write("$-1\r\n".getBytes(UTF_8))
@@ -212,8 +219,12 @@ object StreamCommands {
     Seq("XAUTOCLAIM", stream, group, consumer, minIdleMs.toString,
       start, "COUNT", count.toString)
 
-  /** XGROUP CREATE with MKSTREAM (`common.py:28-31`). */
-  def xgroupCreate(stream: String, group: String, startId: String = "$"): Seq[String] =
+  /** XGROUP CREATE with MKSTREAM. The default start id is `0-0` —
+    * deliver from the beginning — because that is what the reference
+    * client sends (`common.py:28-31`: `id="0-0", mkstream=True`; its
+    * own docstring quotes the `$` form and then deliberately uses
+    * `0-0`). */
+  def xgroupCreate(stream: String, group: String, startId: String = "0-0"): Seq[String] =
     Seq("XGROUP", "CREATE", stream, group, startId, "MKSTREAM")
 
   def xgroupDelConsumer(stream: String, group: String, consumer: String): Seq[String] =

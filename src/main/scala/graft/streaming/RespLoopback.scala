@@ -27,7 +27,15 @@ final class RespLoopback(clock: Clock = SystemClock) {
   private def logOf(stream: String): StreamLog =
     synchronized(logs.getOrElseUpdate(stream, new StreamLog(clock)))
 
+  /** Only XGROUP CREATE creates; every other group command on a
+    * missing group answers Redis's NOGROUP error — auto-creating here
+    * would turn a typo'd group name into silent phantom state. */
   private def groupOf(stream: String, group: String): ConsumerGroup = synchronized {
+    groups.getOrElse((stream, group),
+      sys.error(s"NOGROUP No such consumer group '$group' for key name '$stream'"))
+  }
+
+  private def createGroup(stream: String, group: String): ConsumerGroup = synchronized {
     groups.getOrElseUpdate((stream, group),
       ConsumerGroup.create(logOf(stream), group, clock))
   }
@@ -41,10 +49,15 @@ final class RespLoopback(clock: Clock = SystemClock) {
     }
 
   /** Execute one parsed command. Protocol errors come back as RESP
-    * errors (`-ERR …`), never as exceptions across the wire boundary. */
+    * errors, never as exceptions across the wire boundary; messages
+    * that already carry a Redis error code (NOGROUP) keep it as their
+    * prefix, everything else gets the generic ERR. */
   def execute(args: Seq[String]): Reply =
     try dispatch(args)
-    catch { case e: Exception => ErrorReply(s"ERR ${e.getMessage}") }
+    catch { case e: Exception =>
+      val m = String.valueOf(e.getMessage)
+      ErrorReply(if (m.startsWith("NOGROUP")) m else s"ERR $m")
+    }
 
   private def entryReply(m: StreamMessage): Reply =
     ArrayReply(Some(Vector(bulk(m.msgid),
@@ -59,32 +72,44 @@ final class RespLoopback(clock: Clock = SystemClock) {
 
   private def dispatch(args: Seq[String]): Reply = args.head.toUpperCase match {
     case "XADD" =>
-      // XADD stream [MAXLEN ~ n] id field value …
+      // XADD stream [MAXLEN [~] n] id field value … — both the
+      // approximate ('~') and the exact trim forms are legal Redis.
       val stream = args(1)
-      val (maxlen, rest) =
-        if (args(2).equalsIgnoreCase("MAXLEN"))
-          (Some(args(4).toInt), args.drop(5)) // args(3) is the '~'
-        else (None, args.drop(2))
+      val (maxlen, approx, rest) =
+        if (args(2).equalsIgnoreCase("MAXLEN")) {
+          if (args(3) == "~") (Some(args(4).toInt), true, args.drop(5))
+          else (Some(args(3).toInt), false, args.drop(4))
+        } else (None, true, args.drop(2))
       require(rest.head == "*", "only auto ids ('*') are supported")
       val fields = rest.tail.grouped(2).map { case Seq(f, v) => f -> v }.toSeq
       // ListMap preserves wire field order (the xadd builder contract)
       val id = logOf(stream).add(
-        scala.collection.immutable.ListMap(fields: _*), maxlen)
+        scala.collection.immutable.ListMap(fields: _*), maxlen, approximate = approx)
       bulk(id)
 
     case "XLEN" => IntReply(logOf(args(1)).len.toLong)
 
     case "XREADGROUP" =>
-      // XREADGROUP GROUP g c COUNT n BLOCK ms STREAMS s (>|0)
+      // XREADGROUP GROUP g c [COUNT n] [BLOCK ms] STREAMS s (>|0) —
+      // COUNT and BLOCK are optional clauses, parsed positionally from
+      // their keywords rather than by fixed offsets (BLOCK is accepted
+      // and ignored: a loopback answers immediately).
+      require(args(1).equalsIgnoreCase("GROUP"), "expected GROUP clause")
       val (g, c) = (args(2), args(3))
-      val count = args(5).toInt // args(6-7) = BLOCK ms, ignored
-      val stream = args(9)
-      val msgs = args(10) match {
+      val upper = args.map(_.toUpperCase)
+      val count = upper.indexOf("COUNT") match {
+        case -1 => Int.MaxValue
+        case i  => args(i + 1).toInt
+      }
+      val si = upper.indexOf("STREAMS")
+      require(si > 0 && args.length == si + 3, "expected STREAMS <key> <id>")
+      val stream = args(si + 1)
+      val msgs = args(si + 2) match {
         case ">" => groupOf(stream, g).readNew(c, count)
         case "0" => groupOf(stream, g).readOwn(c)
         case other => sys.error(s"unsupported XREADGROUP id: $other")
       }
-      if (msgs.isEmpty && args(10) == ">") ArrayReply(None) // Redis nil on no data
+      if (msgs.isEmpty && args(si + 2) == ">") ArrayReply(None) // Redis nil on no data
       else ArrayReply(Some(Vector(ArrayReply(Some(Vector(
         bulk(stream), ArrayReply(Some(msgs.toVector.map(entryReply)))))))))
 
@@ -121,11 +146,19 @@ final class RespLoopback(clock: Clock = SystemClock) {
         ArrayReply(Some(ids.toVector.map(entryById(log, _)))))))
 
     case "XGROUP" => args(1).toUpperCase match {
-      case "CREATE"      => groupOf(args(2), args(3)); SimpleReply("OK")
+      case "CREATE" =>
+        // The library's ConsumerGroup always starts at 0-0 (the
+        // reference's own choice, `common.py:28-31`); the '$' form
+        // would need a from-now cursor it deliberately lacks.
+        require(args(4) == "0-0" || args(4) == "0",
+          s"only start id 0-0 is supported (the reference's form), got ${args(4)}")
+        createGroup(args(2), args(3)); SimpleReply("OK")
       case "DELCONSUMER" => IntReply(groupOf(args(2), args(3)).delConsumer(args(4)).toLong)
       case "DESTROY" =>
-        synchronized(groups.remove((args(2), args(3)))).foreach(_.destroy())
-        IntReply(1L)
+        // Redis replies with the number of groups destroyed: 1 or 0.
+        val removed = synchronized(groups.remove((args(2), args(3))))
+        removed.foreach(_.destroy())
+        IntReply(if (removed.isDefined) 1L else 0L)
       case other => ErrorReply(s"ERR unknown XGROUP subcommand: $other")
     }
 

@@ -35,8 +35,10 @@ class RespCodecSpec extends AnyFunSuite {
       Seq("XCLAIM", "st", "g", "c", "60000", "9-1"))
     assert(StreamCommands.xautoclaim("st", "g", "c", 60000, "0-0", 10) ==
       Seq("XAUTOCLAIM", "st", "g", "c", "60000", "0-0", "COUNT", "10"))
+    // start id 0-0, NOT '$': the reference client creates groups
+    // from-beginning (common.py:28-31), despite quoting the '$' form
     assert(StreamCommands.xgroupCreate("st", "g") ==
-      Seq("XGROUP", "CREATE", "st", "g", "$", "MKSTREAM"))
+      Seq("XGROUP", "CREATE", "st", "g", "0-0", "MKSTREAM"))
     assert(StreamCommands.xtrimMaxlen("st", 500, approximate = true) ==
       Seq("XTRIM", "st", "MAXLEN", "~", "500"))
   }

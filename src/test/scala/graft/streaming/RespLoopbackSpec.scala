@@ -126,4 +126,39 @@ class RespLoopbackSpec extends AnyFunSuite {
     val Some((e2, _)) = decode(lb.call(":42\r\n".getBytes)): @unchecked
     assert(e2.isInstanceOf[ErrorReply])
   }
+
+  test("group commands on a missing group answer NOGROUP; only CREATE creates; DESTROY reports 0/1") {
+    val lb = new RespLoopback(new ManualClock(0))
+    lb.call(encodeStrings(StreamCommands.xadd("s", Seq("k" -> "v"))))
+    // XREADGROUP before CREATE: Redis's NOGROUP, and no phantom group state
+    val Some((err, _)) = decode(lb.call(encodeStrings(
+      StreamCommands.xreadgroup("nope", "c", "s", 10, 0)))): @unchecked
+    err match {
+      case ErrorReply(m) => assert(m.startsWith("NOGROUP"), s"wrong error: $m")
+      case other         => fail(s"expected NOGROUP error, got $other")
+    }
+    assert(lb.execute(StreamCommands.xack("s", "nope", Seq("1-1")))
+      .isInstanceOf[ErrorReply])
+    // destroying a group that never existed reports 0, as Redis does
+    assert(lb.execute(StreamCommands.xgroupDestroy("s", "nope")) == IntReply(0))
+    lb.execute(StreamCommands.xgroupCreate("s", "g"))
+    assert(lb.execute(StreamCommands.xgroupDestroy("s", "g")) == IntReply(1))
+  }
+
+  test("XADD exact MAXLEN form trims exactly; error text with CRLF cannot desync the wire") {
+    val clock = new ManualClock(5)
+    val lb = new RespLoopback(clock)
+    (1 to 5).foreach { i =>
+      clock.advance(1)
+      // exact trim form: MAXLEN 3 with no '~'
+      lb.execute(Seq("XADD", "x", "MAXLEN", "3", "*", "v", i.toString))
+    }
+    assert(lb.execute(StreamCommands.xlen("x")) == IntReply(3))
+    // response-injection probe: the quoted command name carries CRLF;
+    // the reply must decode as ONE error with no stray bytes after it
+    val wireBytes = lb.call(encodeStrings(Seq("BAD\r\nCMD")))
+    val Some((reply, consumed)) = decode(wireBytes): @unchecked
+    assert(consumed == wireBytes.length, "stray bytes after error reply (injection)")
+    assert(reply.isInstanceOf[ErrorReply])
+  }
 }
