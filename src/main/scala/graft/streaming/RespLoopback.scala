@@ -27,6 +27,11 @@ final class RespLoopback(clock: Clock = SystemClock) {
   private def logOf(stream: String): StreamLog =
     synchronized(logs.getOrElseUpdate(stream, new StreamLog(clock)))
 
+  /** The backing log of a stream — the handoff point to the DSv2
+    * source: register it with [[StreamLogRegistry]] and wire-produced
+    * entries flow straight into a Structured Streaming query. */
+  def streamLog(stream: String): StreamLog = logOf(stream)
+
   /** Only XGROUP CREATE creates; every other group command on a
     * missing group answers Redis's NOGROUP error — auto-creating here
     * would turn a typo'd group name into silent phantom state. */

@@ -119,6 +119,43 @@ class RespLoopbackSpec extends AnyFunSuite {
     assert(wire(lb, StreamCommands.xlen("t")) == IntReply(1))
   }
 
+  test("wire-produced entries flow into a Structured Streaming query (loopback -> DSv2 source)") {
+    // The two halves joined: a client XADDs over wire bytes, the
+    // loopback's backing log registers with the DSv2 source, and a
+    // Structured Streaming query consumes the same entries — ingest by
+    // protocol, process by engine, with nothing hand-copied between.
+    val s = graft.streaming.SparkTestBase.session
+    val clock = new ManualClock(1700000000000L)
+    val lb = new RespLoopback(clock)
+    (1 to 5).foreach { i =>
+      clock.advance(1)
+      wire(lb, StreamCommands.xadd("pipe", Seq("i" -> i.toString)))
+    }
+    val key = StreamLogRegistry.register(lb.streamLog("pipe"))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = s.readStream
+      .format("graft.streaming.StreamLogSourceProvider")
+      .option("log", key).option("batchSize", "10")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen ++= df.collect().map(_.getMap[String, String](1)("i")) }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // produce MORE over the wire mid-query: the next micro-batch picks it up
+      clock.advance(1)
+      wire(lb, StreamCommands.xadd("pipe", Seq("i" -> "6")))
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toSeq) == (1 to 6).map(_.toString))
+    } finally {
+      q.stop()
+      StreamLogRegistry.unregister(key)
+    }
+  }
+
   test("unknown commands and malformed bytes answer RESP errors, not exceptions") {
     val lb = new RespLoopback(new ManualClock(0))
     val Some((e1, _)) = decode(lb.call(encodeStrings(Seq("GET", "k")))): @unchecked
