@@ -61,6 +61,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "134217728")
+      // Streaming state at scale: the default HDFS-backed provider
+      // keeps every key on-heap per executor; RocksDB checkpoints
+      // incrementally and spills off-heap — the provider a production
+      // PEL (consumer-count-bounded but churn-heavy state) needs.
+      // Batch queries ignore it; StreamingPelSpec pins the state
+      // machine end-to-end under this provider.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
 

@@ -127,6 +127,60 @@ class StreamingPelSpec extends SparkTestBase {
       s"churned consumers must leave no state behind; store holds: $keys")
   }
 
+  test("PEL state machine runs under the RocksDB state store (the 100 TB provider)") {
+    // The default HDFSBackedStateStore keeps every key on-heap — at
+    // production consumer counts the store must be RocksDB
+    // (incremental checkpoints, off-heap, spill-free). The state
+    // machine must be provider-agnostic; this pins it end-to-end on
+    // RocksDB including the idle-timeout remove path.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("pel-rocksdb-ckpt").toString
+    val input = MemoryStream[PelCommand]
+    // providerClass is a session conf captured at query START (a
+    // writeStream option would not carry it); restored in finally.
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(confKey)
+    s.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = StreamingPel.attach(s, input.toDS())
+      .writeStream.format("memory").queryName("pel_rocks").outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(
+        PelCommand("r1", "1-0", "deliver", 1000),
+        PelCommand("r1", "1-1", "deliver", 1001),
+        PelCommand("r2", "2-0", "deliver", 1002))
+      q.processAllAvailable()
+      input.addData(PelCommand("r1", "1-0", "ack", 2000))
+      q.processAllAvailable()
+      val rows = s.sql(
+        """SELECT consumer, pendingCount FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY consumer ORDER BY lastActivityMs DESC) rn
+           FROM pel_rocks) WHERE rn = 1 ORDER BY consumer""").collect()
+      assert(rows.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+        Seq(("r1", 1), ("r2", 1)))
+      // the checkpoint must actually contain RocksDB artifacts, not
+      // the default provider's delta files
+      val stateDir = java.nio.file.Paths.get(ckpt, "state")
+      val rocks = java.nio.file.Files.walk(stateDir).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      var sawRocks = false
+      while (rocks.hasNext) {
+        val p = rocks.next().toString
+        if (p.contains(".zip") || p.contains("rocksdb") || p.endsWith(".sst")) sawRocks = true
+      }
+      assert(sawRocks, s"no RocksDB artifacts under $stateDir — provider option ignored?")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None    => s.conf.unset(confKey)
+      }
+    }
+  }
+
   test("state machine also runs in plain batch mode (same code path)") {
     val s = spark
     import s.implicits._
