@@ -44,14 +44,16 @@ final class ConsumerGroup private (
     * id-only tombstones (empty content), matching Redis's nil-fields
     * reply — the caller can still ack them, so a trim can never wedge a
     * consumer behind unackable ghosts. */
-  def readOwn(consumer: String): Seq[StreamMessage] = synchronized {
+  def readOwn(consumer: String, count: Int = Int.MaxValue): Seq[StreamMessage] = synchronized {
     touch(consumer)
     val owned = pel.valuesIterator.filter(_.consumer == consumer).map(_.msgid).toSet
     val live = log.all.filter(m => owned.contains(m.msgid))
     val liveIds = live.map(_.msgid).toSet
     val ghosts = (owned -- liveIds).toSeq.sorted(MsgId.ordering)
       .map(id => StreamMessage(id, Map.empty))
-    (live ++ ghosts).sortBy(m => MsgId.parse(m.msgid))
+    // Redis applies COUNT to PEL re-reads too — a recovering consumer
+    // paces its redelivery with the same batch size as fresh reads.
+    (live ++ ghosts).sortBy(m => MsgId.parse(m.msgid)).take(count)
   }
 
   /** G2/C5: XPENDING_RANGE — up to `count` PEL entries of one consumer

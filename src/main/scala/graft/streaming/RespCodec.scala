@@ -2,16 +2,15 @@ package graft.streaming
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** RESP2 wire codec + Streams command builders — the piece a
-  * production deployment needs between this library and a live Redis
-  * (VERDICT "what's missing #1": the reference speaks TCP via
-  * redis-py, `redis_streams/common.py:13-18`; no server exists in this
-  * sandbox, so the SOCKET stays out of scope — but the protocol layer
-  * does not need one). The codec is transport-agnostic: bytes in,
-  * bytes out, incremental decode over partial buffers (TCP delivers
-  * fragments), so it is fully unit-tested against the public protocol
-  * spec's golden byte sequences (redis.io protocol-spec; RESP2, which
-  * every server version speaks).
+/** RESP2 wire codec + Streams command builders — the layer between
+  * this library and the wire (the reference speaks TCP via redis-py,
+  * `redis_streams/common.py:13-18`; [[RespServer]] is our server half,
+  * [[RespClient]] the client half). The codec is transport-agnostic:
+  * bytes in, bytes out, incremental decode over partial buffers (TCP
+  * delivers fragments), so it is fully unit-tested against the public
+  * protocol spec's golden byte sequences (redis.io protocol-spec;
+  * RESP2, which every server version speaks) and then reused verbatim
+  * by the socket loop.
   *
   * Commands are RESP arrays of bulk strings; replies are the five
   * RESP2 types. [[StreamCommands]] builds exactly the command set the
@@ -94,11 +93,22 @@ object RespCodec {
   /** A bulk-string reply from text. */
   def bulk(s: String): Reply = BulkReply(Some(s.getBytes(UTF_8)))
 
+  /** Nesting bound for [[decode]]: a buffer of repeated `*1\r\n`
+    * frames would otherwise recurse once per level and overflow the
+    * stack — a remote-crash vector once the codec sits behind a real
+    * socket. Redis's own protocol nests at most a few levels; 64 is
+    * generous for every legal Streams reply. */
+  val MaxDepth = 64
+
   /** Incremental decode: one reply starting at `from`. Returns the
     * reply and the index just past it, or None when the buffer does
     * not yet hold a complete reply (read more bytes and retry — the
     * TCP-fragmentation contract). Malformed input throws. */
-  def decode(buf: Array[Byte], from: Int = 0): Option[(Reply, Int)] = {
+  def decode(buf: Array[Byte], from: Int = 0): Option[(Reply, Int)] =
+    decodeBounded(buf, from, 0)
+
+  private def decodeBounded(buf: Array[Byte], from: Int, depth: Int): Option[(Reply, Int)] = {
+    require(depth < MaxDepth, s"RESP nesting exceeds $MaxDepth levels")
     if (from >= buf.length) return None
     def line(start: Int): Option[(String, Int)] = {
       var i = start
@@ -132,7 +142,7 @@ object RespCodec {
             val items = Vector.newBuilder[Reply]
             var i = 0
             while (i < n) {
-              decode(buf, at) match {
+              decodeBounded(buf, at, depth + 1) match {
                 case Some((r, nxt)) => items += r; at = nxt; i += 1
                 case None           => return None // an element is incomplete
               }

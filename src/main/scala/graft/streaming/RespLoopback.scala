@@ -5,11 +5,11 @@ import RespCodec._
 
 /** In-process RESP endpoint: decode a command off the wire, execute it
   * against the library's own [[StreamLog]]/[[ConsumerGroup]], encode
-  * the reply — the full protocol path minus the TCP socket (which the
-  * sandbox cannot open: no server exists; SURVEY §2.2). A production
-  * deployment swaps [[call]]'s byte arrays for a socket channel and
-  * nothing else changes; the tests drive produce→consume→ack→claim
-  * cycles entirely through wire bytes.
+  * the reply. [[RespServer]] wraps this in a real localhost TCP accept
+  * loop — the full client-socket-server path the reference runs on
+  * (`common.py:13-18`) — while the in-process [[call]] form keeps the
+  * protocol tests transport-free and fast; the tests drive
+  * produce→consume→ack→claim cycles through both.
   *
   * Semantics notes:
   *  - BLOCK is accepted and ignored — a loopback answers immediately;
@@ -45,13 +45,16 @@ final class RespLoopback(clock: Clock = SystemClock) {
       ConsumerGroup.create(logOf(stream), group, clock))
   }
 
-  /** One request→reply exchange on wire bytes. */
+  /** One request→reply exchange on wire bytes. Decode failures (unknown
+    * type byte, bad lengths, non-bulk array elements) answer a RESP
+    * error like every other protocol fault — never a JVM exception,
+    * which behind a socket would kill the connection handler. */
   def call(request: Array[Byte]): Array[Byte] =
-    RespCodec.decode(request) match {
-      case Some((ArrayReply(Some(parts)), _)) =>
-        encodeReply(execute(parts.map(_.text)))
-      case _ => encodeReply(ErrorReply("ERR malformed command"))
-    }
+    encodeReply(
+      try RespCodec.decode(request) match {
+        case Some((ArrayReply(Some(parts)), _)) => execute(parts.map(_.text))
+        case _ => ErrorReply("ERR malformed command")
+      } catch { case _: Exception => ErrorReply("ERR malformed command") })
 
   /** Execute one parsed command. Protocol errors come back as RESP
     * errors, never as exceptions across the wire boundary; messages
@@ -86,6 +89,10 @@ final class RespLoopback(clock: Clock = SystemClock) {
           else (Some(args(3).toInt), false, args.drop(4))
         } else (None, true, args.drop(2))
       require(rest.head == "*", "only auto ids ('*') are supported")
+      // Redis rejects XADD with no field-value pairs, and an odd list
+      // would otherwise crash the grouped-pairs match below.
+      require(rest.tail.nonEmpty && rest.tail.length % 2 == 0,
+        "wrong number of arguments for 'xadd' command")
       val fields = rest.tail.grouped(2).map { case Seq(f, v) => f -> v }.toSeq
       // ListMap preserves wire field order (the xadd builder contract)
       val id = logOf(stream).add(
@@ -96,25 +103,30 @@ final class RespLoopback(clock: Clock = SystemClock) {
 
     case "XREADGROUP" =>
       // XREADGROUP GROUP g c [COUNT n] [BLOCK ms] STREAMS s (>|0) —
-      // COUNT and BLOCK are optional clauses, parsed positionally from
-      // their keywords rather than by fixed offsets (BLOCK is accepted
-      // and ignored: a loopback answers immediately).
+      // optional clauses are consumed positionally after the fixed
+      // GROUP g c prefix (Redis treats those three positions as opaque
+      // names: a consumer literally called "count" must not bind the
+      // COUNT clause). BLOCK is accepted and ignored: a loopback
+      // answers immediately.
       require(args(1).equalsIgnoreCase("GROUP"), "expected GROUP clause")
       val (g, c) = (args(2), args(3))
-      val upper = args.map(_.toUpperCase)
-      val count = upper.indexOf("COUNT") match {
-        case -1 => Int.MaxValue
-        case i  => args(i + 1).toInt
+      var count = Int.MaxValue
+      var i = 4
+      var done = false
+      while (!done && i < args.length) args(i).toUpperCase match {
+        case "COUNT" => count = args(i + 1).toInt; i += 2
+        case "BLOCK" => args(i + 1).toLong; i += 2 // validated, ignored
+        case "STREAMS" => done = true
+        case other => sys.error(s"syntax error near '$other'")
       }
-      val si = upper.indexOf("STREAMS")
-      require(si > 0 && args.length == si + 3, "expected STREAMS <key> <id>")
-      val stream = args(si + 1)
-      val msgs = args(si + 2) match {
+      require(done && args.length == i + 3, "expected STREAMS <key> <id>")
+      val stream = args(i + 1)
+      val msgs = args(i + 2) match {
         case ">" => groupOf(stream, g).readNew(c, count)
-        case "0" => groupOf(stream, g).readOwn(c)
+        case "0" => groupOf(stream, g).readOwn(c, count)
         case other => sys.error(s"unsupported XREADGROUP id: $other")
       }
-      if (msgs.isEmpty && args(si + 2) == ">") ArrayReply(None) // Redis nil on no data
+      if (msgs.isEmpty && args(i + 2) == ">") ArrayReply(None) // Redis nil on no data
       else ArrayReply(Some(Vector(ArrayReply(Some(Vector(
         bulk(stream), ArrayReply(Some(msgs.toVector.map(entryReply)))))))))
 
@@ -190,9 +202,14 @@ final class RespLoopback(clock: Clock = SystemClock) {
     case "XDEL"  => IntReply(logOf(args(1)).delete(args.drop(2): _*).toLong)
 
     case "XTRIM" =>
-      // XTRIM s MAXLEN [~] n
-      val n = args.last.toInt
-      IntReply(logOf(args(1)).trim(n).toLong)
+      // XTRIM s MAXLEN [~] n — MAXLEN is the only supported strategy;
+      // MINID (or anything else) must fail loudly, not silently trim
+      // to the wrong semantics.
+      require(args(2).equalsIgnoreCase("MAXLEN"),
+        s"unsupported trim strategy: ${args(2)} (only MAXLEN)")
+      require(args.length == 4 || (args.length == 5 && args(3) == "~"),
+        "expected XTRIM <key> MAXLEN [~] <n>")
+      IntReply(logOf(args(1)).trim(args.last.toInt).toLong)
 
     case other => ErrorReply(s"ERR unknown command: $other")
   }
