@@ -98,8 +98,16 @@ object Bench {
       val top = slowFirst.take(n)
       val topQs = top.map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+      // min rides along per shown query (r9 verdict): a partially
+      // polluted run (2 of 3 iterations slow) misleads the median but
+      // not the min, so median≫min flags contention without even
+      // reading the slow_iters arrays. Kept as a parallel map — the
+      // driver contract wants plain numbers in "queries".
+      val topMins = top.map { case (k, _, ts, _) =>
+        s"\"" + k + "\":" + fmt(if (ts.nonEmpty) ts.min else -1.0) }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$topQs,""" +
-        s""""queries_shown":${top.length},"queries_total":${results.length},""" +
+        s""""mins":$topMins,"queries_shown":${top.length},"queries_total":${results.length},""" +
         s""""sf":"$sfDir","iters":$iters,"stat":"median"}"""
     }
     val MaxTail = 1900 // combined budget, with margin under the 2000-char window
