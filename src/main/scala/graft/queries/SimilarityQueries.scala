@@ -37,6 +37,8 @@ object SimilarityQueries {
   // the oracle gate).
   private val LloydRounds = 2
   private val IvfScaleSql = "1048576.0" // 2^20 — float×2^20 is exact in double
+  private[graft] val PqM = 4        // PQ subspaces (64-dim → 4×16, derived per-row)
+  private val PqSeedMod = 43        // codebook seeds per subspace: vec_id % 43 == 0
 
   /** (vec_id, label, v FLOAT[], nrm) — normalized working set. */
   private[graft] def vecs(s: SparkSession, dir: String): DataFrame = {
@@ -569,6 +571,186 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  // ---- s11 product quantization (PQ) ----
+
+  /** Sequential-fold squared L2 distance: the three dots are each a
+    * deterministic left-to-right fold ([[graft.functions.FloatDotProduct]])
+    * and the combination is one fixed expression, so both engines land
+    * on the identical double. */
+  private def l2Spark(a: String, b: String): String =
+    s"(${dotSpark(a, a)} - 2.0D * ${dotSpark(a, b)} + ${dotSpark(b, b)})"
+
+  /** DuckDB twin of [[l2Spark]] over DOUBLE lists `a`, `b`. */
+  private def l2Duck(a: String, b: String): String = {
+    def d(x: String, y: String) = s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, len($x)), i -> $x[i] * $y[i])), (acc, z) -> acc + z)"""
+    s"(${d(a, a)} - 2.0 * ${d(a, b)} + ${d(b, b)})"
+  }
+
+  /** (vec_id, sub, sv) subvector decomposition into [[PqM]] contiguous
+    * subspaces. Boundaries derive from each row's ACTUAL vector length
+    * (`floor(j·D/m)` — the same formula the DuckDB twin evaluates), so a
+    * dimensionality change diverges nowhere. One scan, row-local. */
+  private def subvecs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("v"))
+      .withColumn("lo", expr(s"CAST(floor(CAST(sub * size(v) AS DOUBLE) / ${PqM}.0D) AS INT)"))
+      .withColumn("hi", expr(s"CAST(floor(CAST((sub + 1) * size(v) AS DOUBLE) / ${PqM}.0D) AS INT)"))
+      .select(col("vec_id"), col("sub"), expr("slice(v, lo + 1, hi - lo)").as("sv"))
+
+  /** Per-subspace k-means codebook fit (the PQ training step, Jégou et
+    * al. 2011): within each of the [[PqM]] subspaces, deterministic
+    * seeds (`vec_id % PqSeedMod == 0`) refined by [[LloydRounds]] Lloyd
+    * rounds under squared-L2 — PQ's metric, unlike the IVF fit's cosine.
+    * Same exactness discipline as [[fitCentroids]]: assignment is a
+    * broadcast(m·k codewords) + map-side argmin (ties to the lowest
+    * codeword id), component means are exact 2^20-integerized sums cast
+    * through FLOAT, so codebooks are bit-identical cross-engine. All m
+    * subspaces train in ONE frame keyed by `sub` — m parallel k-means
+    * for the price of one plan. */
+  private[graft] def fitCodebooks(e: DataFrame): DataFrame = {
+    val sv = subvecs(e)
+    var cb = sv.filter(col("vec_id") % PqSeedMod === 0)
+      .select(col("sub"), col("vec_id").as("s_id"), col("sv").as("cw"))
+    for (_ <- 1 to LloydRounds) {
+      cb = sv.join(broadcast(cb), Seq("sub"))
+        .withColumn("d2", expr(l2Spark("sv", "cw")))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(max(struct((-col("d2")).as("nd"), (-col("s_id")).as("neg"))).as("m"),
+          first(col("sv")).as("sv"))
+        .select(col("sub"), (-col("m.neg")).as("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .withColumn("xi", expr(
+          s"CAST(floor(CAST(x AS DOUBLE) * ${IvfScaleSql}D + 0.5D) AS BIGINT)"))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(col("xi")).as("sx"), count(lit(1)).as("cnt"))
+        .groupBy(col("sub"), col("code"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("sx"), col("cnt")))).as("cs"))
+        .select(col("sub"), col("code").as("s_id"),
+          expr(s"""transform(cs, c ->
+            CAST(CAST(c.sx AS DOUBLE) / CAST(c.cnt AS DOUBLE) / ${IvfScaleSql}D AS FLOAT))""")
+            .as("cw"))
+    }
+    cb
+  }
+
+  /** Fitted PQ codebooks, memoized per session like [[ivfCentroids]]
+    * (m·k rows; persist keeps the scan-rooted recompute lineage). */
+  private[graft] def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.memo(s, "pq_codebooks", dir) { fitCodebooks(vecs(s, dir)) }
+
+  /** PQ encoding: (vec_id, sub, code) — each subvector's nearest
+    * codeword by squared-L2, ties to the lowest codeword id. This is
+    * the m-bytes-per-vector representation that makes 100 TB of vectors
+    * RAM-resident (64 dims × 4 B → m=4 codes); the broadcast-argmin
+    * shape never shuffles the N×k scored pairs. Memoized: s11 reads it
+    * as the candidate corpus, the spec reads it for the contract. */
+  private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.memo(s, "pq_codes", dir) {
+      subvecs(vecs(s, dir)).join(broadcast(pqCodebooks(s, dir)), Seq("sub"))
+        .withColumn("d2", expr(l2Spark("sv", "cw")))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(max(struct((-col("d2")).as("nd"), (-col("s_id")).as("neg"))).as("m"))
+        .select(col("vec_id"), col("sub"), (-col("m.neg")).as("code"))
+    }
+
+  /** s11: product quantization with an ADC scan — the third leg of the
+    * FAISS triad (s06 IVF prunes the scan, s08 SQ8 shrinks the read,
+    * s11 PQ shrinks the STORE: m codes per vector instead of D values).
+    *
+    * The scan is genuinely asymmetric-distance (Jégou et al. 2011):
+    * each query precomputes a lookup table of per-(subspace, codeword)
+    * partial squared-L2 distances against the RAW query subvector —
+    * Q·m·k tiny-dim distance computations — and candidate scoring is
+    * then pure table lookup + fold: join codes to the broadcast LUT on
+    * (sub, code), sum the m partials per (query, candidate) in fixed
+    * subspace order (sort_array + sequential fold — deterministic
+    * cross-engine, not a float-sum race). No vector arithmetic touches
+    * any candidate: the shape that scans a trillion codes from RAM.
+    * The top-[[QuantCand]] ADC candidates per query then pay one exact
+    * full-precision rerank (the s08 shape), restoring true cosine
+    * order on a constant-size set; the output carries the ADC distance
+    * next to the exact cosine, quantifying the approximation per rank. */
+  private def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cb = pqCodebooks(s, dir)
+    val lut = subvecs(e.filter(col("vec_id") % 50 === 0))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id").as("q_id"), col("sub"), col("s_id").as("code"),
+        expr(l2Spark("sv", "cw")).as("pd"))
+    val scores = pqCodes(s, dir)
+      .select(col("vec_id").as("c_id"), col("sub"), col("code"))
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("pd")))).as("ps"))
+      .withColumn("adc", expr("aggregate(ps, CAST(0.0 AS DOUBLE), (a, p) -> a + p.pd)"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("c_id"))
+    val cand = scores.withColumn("cand_rnk", row_number().over(wq))
+      .filter(col("cand_rnk") <= QuantCand)
+      .select(col("q_id"), col("c_id"), col("adc"))
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    broadcast(cand).join(q, Seq("q_id")).join(c, Seq("c_id"))
+      .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(wr).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("c_id"), col("rnk"),
+        col("adc").as("adc_dist"), col("cos").as("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** DuckDB twin of the PQ fit + encode + ADC scan — unrolled from
+    * [[LloydRounds]] exactly like [[ivfAsgDuckCte]], so a constant bump
+    * regenerates the twin instead of desyncing it. Ends with `pcodes`
+    * (the encoding) and `pcb` (the fitted codebooks). */
+  private val pqDuckCte: String = {
+    def round(prev: String, k: Int): String = s"""
+      psc$k AS (
+        SELECT p.vec_id, p.sub, s_id, ${l2Duck("p.sv", "cw")} AS d2
+        FROM psv p JOIN $prev c ON p.sub = c.sub),
+      pasg$k AS (
+        SELECT vec_id, sub, s_id AS code FROM (
+          SELECT vec_id, sub, s_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, s_id ASC) AS rn
+          FROM psc$k) t WHERE rn = 1),
+      pcm$k AS (
+        SELECT a.sub AS sub, a.code AS code, i AS pos,
+          SUM(CAST(floor(p.sv[i] * $IvfScaleSql + 0.5) AS BIGINT)) AS sx,
+          COUNT(*) AS cnt
+        FROM pasg$k a JOIN psv p ON p.vec_id = a.vec_id AND p.sub = a.sub,
+             UNNEST(generate_series(1, len(p.sv))) AS t(i)
+        GROUP BY a.sub, a.code, i),
+      pcb$k AS (
+        SELECT sub, code AS s_id,
+          list(CAST(CAST(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) / $IvfScaleSql AS REAL)
+               AS DOUBLE) ORDER BY pos) AS cw
+        FROM pcm$k GROUP BY sub, code)"""
+    val rounds = (0 until LloydRounds)
+      .map(k => round(if (k == 0) "pseeds" else s"pcb${k - 1}", k))
+      .mkString(",")
+    val fitted = s"pcb${LloydRounds - 1}"
+    s"""
+      psv AS (
+        SELECT vec_id, j AS sub,
+          list_transform(generate_series(
+            CAST(floor(CAST(j * len(v) AS DOUBLE) / ${PqM}.0) AS BIGINT) + 1,
+            CAST(floor(CAST((j + 1) * len(v) AS DOUBLE) / ${PqM}.0) AS BIGINT)),
+            i -> v[i]) AS sv
+        FROM n, UNNEST(generate_series(0, ${PqM - 1})) AS t(j)),
+      pseeds AS (SELECT sub, vec_id AS s_id, sv AS cw
+                 FROM psv WHERE vec_id % $PqSeedMod = 0),
+      $rounds,
+      pcb AS (SELECT sub, s_id, cw FROM $fitted),
+      pfsc AS (
+        SELECT p.vec_id, p.sub, s_id, ${l2Duck("p.sv", "cw")} AS d2
+        FROM psv p JOIN pcb c ON p.sub = c.sub),
+      pcodes AS (
+        SELECT vec_id, sub, s_id AS code FROM (
+          SELECT vec_id, sub, s_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, s_id ASC) AS rn
+          FROM pfsc) t WHERE rn = 1)"""
+  }
+
   /** s05: embedding sanity report — per-cluster vector counts and L2
     * norm extrema, plus an EXACT distribution checksum. Min/max of the
     * fold-computed norms are raw doubles (bit-identical across engines);
@@ -795,6 +977,31 @@ object SimilarityQueries {
       SELECT id_b AS vec_id, cell, keeper, max_cos, CAST(n_close AS BIGINT) AS n_close
       FROM d ORDER BY vec_id"""),
       "SemDeDup: semantic dedup within fitted IVF cells (drop list with keeper provenance)"),
+
+    "s11_ann_pq" -> QueryDef(annPq, Some(s"""$vecsDuckCte,
+      $pqDuckCte,
+      plut AS (
+        SELECT p.vec_id AS q_id, p.sub, s_id AS code, ${l2Duck("p.sv", "cw")} AS pd
+        FROM psv p JOIN pcb c ON p.sub = c.sub
+        WHERE p.vec_id % 50 = 0),
+      padc AS (
+        SELECT q_id, c.vec_id AS c_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pd ORDER BY c.sub)),
+            (acc, z) -> acc + z) AS adc
+        FROM pcodes c JOIN plut l ON l.sub = c.sub AND l.code = c.code
+          AND l.q_id <> c.vec_id
+        GROUP BY q_id, c.vec_id),
+      pr1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc ASC, c_id) AS crnk
+              FROM padc),
+      pcand AS (SELECT q_id, c_id, adc FROM pr1 WHERE crnk <= $QuantCand),
+      px AS (SELECT pcand.q_id, pcand.c_id, pcand.adc, $cosDuck AS cos
+             FROM pcand JOIN n q ON q.vec_id = pcand.q_id
+                        JOIN n c ON c.vec_id = pcand.c_id),
+      pr2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+              FROM px)
+      SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, adc AS adc_dist, cos AS cosine
+      FROM pr2 WHERE rnk <= 5 ORDER BY q_id, rnk"""),
+      "PQ with ADC scan: per-subspace Lloyd codebooks, LUT lookup scoring, exact rerank"),
 
     "s05_cluster_norm_stats" -> QueryDef(clusterNormStats, Some(s"""$vecsDuckCte
       SELECT label, COUNT(*) AS n_vecs,

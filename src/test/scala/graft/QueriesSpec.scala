@@ -287,6 +287,79 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("s11 PQ rerank is dominated by s01 exact search per rank; recall contract vs s08") {
+    // Dominance is a theorem: s11 reranks a PQ-ADC candidate SUBSET
+    // with the exact cosine, so at every rank its cosine is at most
+    // s01's (global exact top-k over the full candidate set). The
+    // recall leg is the honest memory-for-recall contract: PQ stores
+    // PqM codes per vector where SQ8 stores D bytes (16x less here),
+    // so s08's recall may exceed s11's — what must hold is that the
+    // PQ path still FINDS true neighbors (recall measurable and
+    // nonzero), i.e. the codebooks quantize the corpus, not noise.
+    import org.apache.spark.sql.functions.col
+    def pairs(q: String): Set[(Long, Long)] =
+      SparkEntry.queries(q)(spark, sf)
+        .select(col("q_id"), col("c_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def byRank(q: String): Map[(Long, Long), Double] =
+      SparkEntry.queries(q)(spark, sf)
+        .select(col("q_id"), col("rnk"), col("cosine"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = byRank("s01_ann_bruteforce")
+    val pq = byRank("s11_ann_pq")
+    assert(pq.nonEmpty)
+    pq.foreach { case (key, cosP) =>
+      val cosX = exact.getOrElse(key,
+        fail(s"s11 produced a (q_id, rnk) pair s01 lacks: $key"))
+      assert(cosP <= cosX,
+        s"PQ rank ${key._2} for query ${key._1} BEATS exact: $cosP > $cosX")
+    }
+    val truth = pairs("s01_ann_bruteforce")
+    val recallPq = pairs("s11_ann_pq").count(truth).toDouble / truth.size
+    val recallSq = pairs("s08_ann_quantized").count(truth).toDouble / truth.size
+    assert(truth.nonEmpty && recallPq > 0.0,
+      s"PQ recall@5 not measurable or zero: $recallPq")
+    info(f"recall@5: s11 PQ (${graft.queries.SimilarityQueries.PqM} codes/vec) " +
+      f"$recallPq%.3f vs s08 SQ8 (D bytes/vec) $recallSq%.3f")
+  }
+
+  test("Lloyd-fitted PQ codebooks beat the raw seeds on quantization error") {
+    // Per-subspace Lloyd: re-centering each codeword cell on its
+    // members' mean cannot increase the summed squared-L2 assignment
+    // error; on real data the improvement is strict. A fit that
+    // regressed to (or broke) the seed codebooks fails here.
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityQueries
+    val e = SimilarityQueries.vecs(spark, sf)
+    def quantErr(cb: org.apache.spark.sql.DataFrame): Double = {
+      val sv = e.select(col("vec_id"),
+          explode(sequence(lit(0), lit(SimilarityQueries.PqM - 1))).as("sub"), col("v"))
+        .withColumn("lo", expr(
+          s"CAST(floor(CAST(sub * size(v) AS DOUBLE) / ${SimilarityQueries.PqM}.0D) AS INT)"))
+        .withColumn("hi", expr(
+          s"CAST(floor(CAST((sub + 1) * size(v) AS DOUBLE) / ${SimilarityQueries.PqM}.0D) AS INT)"))
+        .select(col("vec_id"), col("sub"), expr("slice(v, lo + 1, hi - lo)").as("sv"))
+      sv.join(broadcast(cb), Seq("sub"))
+        .withColumn("d2", expr(
+          "graft_dot(sv, sv) - 2.0D * graft_dot(sv, cw) + graft_dot(cw, cw)"))
+        .groupBy(col("vec_id"), col("sub")).agg(min(col("d2")).as("d2"))
+        .agg(sum(col("d2"))).head().getDouble(0)
+    }
+    val seeds = e.filter(col("vec_id") % 43 === 0)
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(SimilarityQueries.PqM - 1))).as("sub"), col("v"))
+      .withColumn("lo", expr(
+        s"CAST(floor(CAST(sub * size(v) AS DOUBLE) / ${SimilarityQueries.PqM}.0D) AS INT)"))
+      .withColumn("hi", expr(
+        s"CAST(floor(CAST((sub + 1) * size(v) AS DOUBLE) / ${SimilarityQueries.PqM}.0D) AS INT)"))
+      .select(col("sub"), col("vec_id").as("s_id"), expr("slice(v, lo + 1, hi - lo)").as("cw"))
+    val seedErr = quantErr(seeds)
+    val fitErr = quantErr(SimilarityQueries.pqCodebooks(spark, sf))
+    assert(fitErr < seedErr,
+      s"fitted PQ codebooks did not improve quantization error: $fitErr >= $seedErr")
+  }
+
   test("s07 multi-probe dominates s06 single-probe per rank (candidate-set containment)") {
     // s06 searches only the query's own cell — exactly s07's
     // probe_rank-1 cell — so s07's candidate set is a superset and its
