@@ -476,6 +476,103 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  // ---- t18 bigram-LM quality filter ----
+  //
+  // CCNet's actual filter (Wenzek et al. 2019, public): score every
+  // document by a language model TRAINED ON A HIGH-QUALITY STRATUM and
+  // bucket by perplexity per language — t16/t17 bucket by a heuristic
+  // score; this is the model-based half. The LM is a per-language
+  // add-one-smoothed bigram model: P(w2|w1) = (c(w1 w2)+1)/(c(w1·)+V),
+  // trained on each language's head quality tercile (the t16 cut).
+  //
+  // Cross-engine exactness: a per-bigram ln() would have to hash-match
+  // between the JVM and DuckDB's libm — not IEEE-mandated. Instead every
+  // log-probability is built from L(n) = floor(ln(n)·2^20 + 0.5) over
+  // INTEGER counts only: probed exhaustively (tools/LnProbe) — the JVM
+  // and DuckDB agree on every n ≤ 5·10^6, far past any count these SFs
+  // produce, and both libms are sub-ulp so a flip needs ln(n)·2^20
+  // within ~4e-9 of a half-integer (~1e-8/dictinct-count risk at larger
+  // n). A doc's score sums the exact integers lp = L(c2+1) − L(c1+V),
+  // so partial aggregation reorders nothing, and the one double
+  // division per doc (sum/B/2^20) is IEEE-deterministic.
+  private val LmScale = "1048576.0" // 2^20, the IvfScaleSql constant's twin
+
+  /** Integerized log of a positive integer SQL expression — identical
+    * text evaluates identically in both engines (see header note). */
+  private def ilogSql(n: String): String =
+    s"CAST(floor(ln(CAST($n AS DOUBLE)) * ${LmScale}D + 0.5D) AS BIGINT)"
+
+  private def ilogDuck(n: String): String =
+    s"CAST(floor(ln(CAST($n AS DOUBLE)) * $LmScale + 0.5) AS BIGINT)"
+
+  /** t18: the plan keeps document text OUT of every shuffle — the
+    * stratum window ranks a projected (doc_id, lang, score) frame, and
+    * the explode happens scan-side, so only gram-level tuples and
+    * (gram, count) aggregates ever move:
+    *
+    *  1. head stratum: t16's exact ntile cut over (quality_score,
+    *     doc_id) — on the narrow projection, not the documents;
+    *  2. training counts: head-doc bigrams → c2 = count per (lang, w1,
+    *     w2) (one (gram, count) shuffle, memoized — read three ways);
+    *     c1 (context totals) and V (bigram vocabulary) RE-AGGREGATE c2
+    *     — no second pass over the corpus;
+    *  3. scoring: every doc's bigrams left-join c2 on the gram and c1
+    *     on the context (unseen grams fall back to the smoothing
+    *     floor), fold to one exact integer sum per doc;
+    *  4. bucketing: per-language perplexity terciles via ntile over the
+    *     doc-level (avg_logprob, doc_id) — post-aggregation rows.
+    *
+    * Docs with fewer than 2 tokens have no bigrams and are excluded
+    * (CCNet scores sentences, which always have context). Buckets:
+    * "head" = highest avg log-prob = lowest perplexity = most LM-like. */
+  private def lmQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val scored = withStats(docs(s, dir))
+      .withColumn("quality_score", qualityScoreCol)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+    val wq = Window.partitionBy(col("lang")).orderBy(col("quality_score"), col("doc_id"))
+    val headIds = scored.withColumn("tile", ntile(3).over(wq))
+      .filter(col("tile") === 3).select(col("doc_id"))
+    val grams = docs(s, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("""transform(sequence(1, size(ws) - 1),
+          i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))""")).as("g"))
+      .select(col("doc_id"), col("lang"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val c2 = PersistedAggregates.memo(s, "t18_c2", dir) {
+      grams.join(headIds, "doc_id")
+        .groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n2"))
+    }
+    val c1 = c2.groupBy(col("lang"), col("w1")).agg(sum(col("n2")).as("n1"))
+    val vocab = c2.select(col("lang"), col("w1").as("w"))
+      .union(c2.select(col("lang"), col("w2").as("w")))
+      .distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("v"))
+    val perDoc = grams
+      .join(c2, Seq("lang", "w1", "w2"), "left")
+      .join(c1, Seq("lang", "w1"), "left")
+      .join(broadcast(vocab), Seq("lang"))
+      .withColumn("lp_u",
+        expr(ilogSql("COALESCE(n2, 0) + 1")) -
+          expr(ilogSql("GREATEST(COALESCE(n1, 0) + v, 1)")))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_u")).as("sum_u"))
+      .withColumn("avg_logprob",
+        col("sum_u").cast(DoubleType) / col("n_bigrams") / lit(1048576.0))
+    val wb = Window.partitionBy(col("lang")).orderBy(col("avg_logprob"), col("doc_id"))
+    perDoc.withColumn("tile", ntile(3).over(wb))
+      .withColumn("bucket",
+        when(col("tile") === 1, "tail")
+          .when(col("tile") === 2, "middle")
+          .otherwise("head"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("avg_logprob")).as("min_logprob"),
+        max(col("avg_logprob")).as("max_logprob"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_doc_quality" -> QueryDef(docQuality, Some(s"""$statsDuckCte
       SELECT doc_id, n_tokens,
@@ -706,5 +803,44 @@ object TextQueries {
       SELECT lang, COUNT(*) AS n_docs,
         TRUE AS tail_cut_ok, TRUE AS head_cut_ok, TRUE AS cuts_monotone
       FROM documents GROUP BY lang ORDER BY lang"""),
-      "window-free approx-percentile quality terciles (GK sketch cuts, rank-contract-checked)"))
+      "window-free approx-percentile quality terciles (GK sketch cuts, rank-contract-checked)"),
+
+    "t18_lm_quality_filter" -> QueryDef(lmQualityFilter, Some(s"""$statsDuckCte,
+      scored AS (SELECT doc_id, lang, $qualityScoreDuck AS q FROM stats),
+      tiles AS (SELECT doc_id,
+                  NTILE(3) OVER (PARTITION BY lang ORDER BY q, doc_id) AS tile
+                FROM scored),
+      hd AS (SELECT doc_id FROM tiles WHERE tile = 3),
+      wrds AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      grams AS (
+        SELECT doc_id, lang, ws[i] AS w1, ws[i + 1] AS w2
+        FROM wrds, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2),
+      tg AS (SELECT g.lang, g.w1, g.w2 FROM grams g JOIN hd ON g.doc_id = hd.doc_id),
+      c2 AS (SELECT lang, w1, w2, COUNT(*) AS n2 FROM tg GROUP BY lang, w1, w2),
+      c1 AS (SELECT lang, w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY lang, w1),
+      vv AS (SELECT lang, COUNT(*) AS v FROM (
+               SELECT lang, w1 AS w FROM c2 UNION SELECT lang, w2 FROM c2) u
+             GROUP BY lang),
+      sg AS (SELECT g.doc_id, g.lang,
+               ${ilogDuck("COALESCE(n2, 0) + 1")}
+                 - ${ilogDuck("GREATEST(COALESCE(n1, 0) + v, 1)")} AS lp_u
+             FROM grams g
+             LEFT JOIN c2 ON c2.lang = g.lang AND c2.w1 = g.w1 AND c2.w2 = g.w2
+             LEFT JOIN c1 ON c1.lang = g.lang AND c1.w1 = g.w1
+             JOIN vv ON vv.lang = g.lang),
+      ds AS (SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+               CAST(SUM(lp_u) AS BIGINT) AS sum_u
+             FROM sg GROUP BY doc_id, lang),
+      sc AS (SELECT doc_id, lang,
+               CAST(sum_u AS DOUBLE) / n_bigrams / $LmScale AS alp
+             FROM ds),
+      bk AS (SELECT lang, doc_id, alp,
+               NTILE(3) OVER (PARTITION BY lang ORDER BY alp, doc_id) AS tile
+             FROM sc)
+      SELECT lang,
+        CASE tile WHEN 1 THEN 'tail' WHEN 2 THEN 'middle' ELSE 'head' END AS bucket,
+        COUNT(*) AS n_docs, MIN(alp) AS min_logprob, MAX(alp) AS max_logprob
+      FROM bk GROUP BY 1, 2 ORDER BY lang, bucket"""),
+      "bigram-LM quality filter: add-one-smoothed LM trained on the head quality tercile, perplexity terciles per language"))
 }

@@ -136,6 +136,20 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
       "t17 shuffle-joins the K-language threshold table; expected broadcast")
   }
 
+  test("t18 LM filter: raw text never shuffles — only gram tuples and (gram, count) rows move") {
+    // The LM's scale contract: the stratum window ranks a projected
+    // (doc_id, lang, score) frame and the bigram explode is scan-side,
+    // so document text stays in its scan partition end-to-end. An
+    // Exchange input carrying `text` or `ws` means whole documents (the
+    // corpus!) rode a shuffle the design promised to avoid.
+    val inputs = PlanTestUtils.exchangeInputs(
+      queries("t18_lm_quality_filter")(spark, sf).queryExecution)
+    assert(inputs.nonEmpty, "expected shuffles in t18")
+    assert(inputs.exists(_.contains("#")), s"no attributes parsed: $inputs")
+    val leaky = inputs.filter(l => l.contains("text#") || l.contains("ws#"))
+    assert(leaky.isEmpty, s"t18 shuffles raw text:\n${leaky.mkString("\n")}")
+  }
+
   test("d13: CapCollectBuckets rewrote the user-shaped collect->filter(size) to cap-before-collect") {
     // d13 is written groupBy(ch).agg(collect_list).filter(size BETWEEN)
     // on purpose — the registered proof that the injected optimizer
