@@ -626,6 +626,97 @@ object DedupQueries {
       FROM j""")
   }
 
+  // ---- d15 unified drop-list manifest ----
+
+  /** d15: the pipeline's END ARTIFACT — one verdict per document/asset,
+    * merged from every dedup family with provenance. This is the file a
+    * training run actually consumes daily: the per-family queries
+    * (d08 lexical pairs, d12 quality clusters, m05/m07/m08 media
+    * near-dups, s10 semantic cells) each emit SIGNALS; the manifest
+    * resolves them into one decision per item under a fixed priority
+    * order (strongest/cheapest lexical evidence first, then cluster-
+    * quality refinement, then modality-specific detectors):
+    *
+    *   1 lexical_neardup     (d08: Jaccard-verified pair, min-id keeper)
+    *   2 quality_cluster     (d12: CC cluster, argmax-quality keeper)
+    *   3 video_frame_overlap (m05: ≥half of sampled frames shared;
+    *                          no pairwise keeper — keeper = -1)
+    *   4 audio_neardup       (m07: ≥2 shared sub-fingerprints)
+    *   5 image_neardup       (m08: aHash hamming ≤ 16)
+    *
+    * Embeddings are a separate id domain (`vec_id`), carried as
+    * item_type 'embedding' with the s10 drop rule. `n_signals` counts
+    * the independent drop signals for a document (the s10 close-
+    * neighbor count for an embedding) — the audit column that says how
+    * contested a verdict is. Keepers use -1, not NULL, so the manifest
+    * is total (every item gets exactly one row, verdict keep|drop).
+    *
+    * Scale shape: pure multi-source union + per-item argmin — every
+    * branch is a family query already audited for 100 TB; the merge
+    * adds one (item_id) aggregate over the drop candidates (a small
+    * fraction of the corpus) and one left join per id domain. The
+    * priority pick is `min(struct(priority, reason, keeper))` — a
+    * map-side-combinable argmin, the M4 pattern, never a window. */
+  private def dropManifest(s: SparkSession, dir: String): DataFrame = {
+    val vp = jaccardPairs(s, dir).filter(col("jacc") >= JaccThreshold)
+    val lexical = vp.groupBy(col("doc_b")).agg(min(col("doc_a")).as("keeper"))
+      .select(col("doc_b").as("item_id"), col("keeper"),
+        lit("lexical_neardup").as("reason"), lit(1).as("priority"))
+    // CC labels rebuilt per call (the d12 rule: localCheckpoint-backed
+    // labels must never be session-memoized)
+    val labels = graft.operators.ConnectedComponents.run(
+      vp.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b", MaxCcIters)
+    val scored = TextQueries.withStats(docs(s, dir))
+      .withColumn("quality_score", TextQueries.qualityScoreCol)
+      .select(col("doc_id"), col("quality_score"))
+    val clusterKeepers = labels.join(scored, labels("doc") === scored("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("quality_score").as("q"), (-col("doc_id")).as("negid"))).as("m"))
+      .select(col("cluster"), (-col("m.negid")).as("keeper"))
+    val quality = labels.join(clusterKeepers, "cluster")
+      .filter(col("doc") =!= col("keeper"))
+      .select(col("doc").as("item_id"), col("keeper"),
+        lit("quality_cluster").as("reason"), lit(2).as("priority"))
+    val frame = MultimodalQueries.frameDedup(s, dir)
+      .filter(col("n_shared_frames") * 2 >= col("n_frames"))
+      .select(col("media_id").as("item_id"), lit(-1L).as("keeper"),
+        lit("video_frame_overlap").as("reason"), lit(3).as("priority"))
+    val audio = MultimodalQueries.audioNearDup(s, dir)
+      .groupBy(col("media_b")).agg(min(col("media_a")).as("keeper"))
+      .select(col("media_b").as("item_id"), col("keeper"),
+        lit("audio_neardup").as("reason"), lit(4).as("priority"))
+    val image = MultimodalQueries.imageNearDup(s, dir)
+      .groupBy(col("media_b")).agg(min(col("media_a")).as("keeper"))
+      .select(col("media_b").as("item_id"), col("keeper"),
+        lit("image_neardup").as("reason"), lit(5).as("priority"))
+    val signals = lexical.unionByName(quality).unionByName(frame)
+      .unionByName(audio).unionByName(image)
+    val decisions = signals
+      .groupBy(col("item_id"))
+      .agg(min(struct(col("priority"), col("reason"), col("keeper"))).as("m"),
+        count(lit(1)).as("n_signals"))
+    val docManifest = docs(s, dir).select(col("doc_id").as("item_id"))
+      .join(decisions, Seq("item_id"), "left")
+      .select(lit("document").as("item_type"), col("item_id"),
+        when(col("m").isNull, "keep").otherwise("drop").as("verdict"),
+        coalesce(col("m.reason"), lit("none")).as("reason"),
+        coalesce(col("m.keeper"), lit(-1L)).as("keeper"),
+        coalesce(col("n_signals"), lit(0L)).as("n_signals"))
+    val semDrops = SimilarityQueries.semanticDedup(s, dir)
+      .select(col("vec_id").as("item_id"), col("keeper"),
+        lit("semantic_neardup").as("reason"), col("n_close"))
+    val vecManifest = SimilarityQueries.vecs(s, dir)
+      .select(col("vec_id").as("item_id"))
+      .join(semDrops, Seq("item_id"), "left")
+      .select(lit("embedding").as("item_type"), col("item_id"),
+        when(col("reason").isNull, "keep").otherwise("drop").as("verdict"),
+        coalesce(col("reason"), lit("none")).as("reason"),
+        coalesce(col("keeper"), lit(-1L)).as("keeper"),
+        coalesce(col("n_close"), lit(0L)).as("n_signals"))
+    docManifest.unionByName(vecManifest)
+      .orderBy(col("item_type"), col("item_id"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_exact_dedup" -> QueryDef(exactDedup, Some("""
       SELECT total_docs, distinct_docs, total_docs - distinct_docs AS dups_removed
@@ -776,6 +867,79 @@ object DedupQueries {
         ROUND(CAST(n_shared_windows AS DOUBLE) / n_windows, 4) AS shared_ratio
       FROM d WHERE n_shared_windows > 0 ORDER BY doc_id"""),
       "sliding-window exact-substring dedup (Lee et al. guarantee: any >=16-word shared passage detected)"),
+
+    "d15_drop_manifest" -> QueryDef(dropManifest, Some {
+      // The manifest twin SPLICES the per-family oracle chains verbatim
+      // (d: bands/vp/lab, t: stats, s: v/n/asg/sdrop, m: m05/m07/m08)
+      // — one WITH RECURSIVE, so the manifest's drop sets are by
+      // construction the same relations the family oracles check.
+      val cte = bandsDuckCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+      val statsCte = TextQueries.statsDuckCte.replaceFirst("WITH ", "")
+      val vecsCte = SimilarityQueries.vecsDuckCte.replaceFirst("WITH ", "")
+      s"""$cte,
+      $verifiedPairsDuckCte,
+      $ccLabelsDuckCte,
+      $statsCte,
+      $vecsCte,
+      ${SimilarityQueries.ivfAsgDuckCte},
+      ${SimilarityQueries.semDedupDuckCte},
+      ${MultimodalQueries.m05DuckCte},
+      ${MultimodalQueries.m07DuckCte},
+      ${MultimodalQueries.m08DuckCte},
+      lexd AS (SELECT doc_b AS item_id, MIN(doc_a) AS keeper,
+                      'lexical_neardup' AS reason, 1 AS priority
+               FROM vp GROUP BY doc_b),
+      qk AS (SELECT cluster, doc AS keeper FROM (
+               SELECT lab.cluster, lab.doc,
+                 ROW_NUMBER() OVER (PARTITION BY lab.cluster
+                                    ORDER BY q.quality_score DESC, lab.doc) AS rn
+               FROM lab JOIN (SELECT doc_id, ${TextQueries.qualityScoreDuck} AS quality_score
+                              FROM stats) q ON q.doc_id = lab.doc) t
+             WHERE rn = 1),
+      quald AS (SELECT lab.doc AS item_id, qk.keeper,
+                       'quality_cluster' AS reason, 2 AS priority
+                FROM lab JOIN qk ON qk.cluster = lab.cluster
+                WHERE lab.doc <> qk.keeper),
+      framed AS (SELECT media_id AS item_id, CAST(-1 AS BIGINT) AS keeper,
+                        'video_frame_overlap' AS reason, 3 AS priority
+                 FROM m05d WHERE n_shared_frames * 2 >= n_frames),
+      audiod AS (SELECT media_b AS item_id, MIN(media_a) AS keeper,
+                        'audio_neardup' AS reason, 4 AS priority
+                 FROM m07p WHERE n_shared >= ${MultimodalQueries.AudioMinShared}
+                 GROUP BY media_b),
+      imaged AS (SELECT media_b AS item_id, MIN(media_a) AS keeper,
+                        'image_neardup' AS reason, 5 AS priority
+                 FROM m08p WHERE hamming <= ${MultimodalQueries.MaxImageHamming}
+                 GROUP BY media_b),
+      sigs AS (SELECT * FROM lexd UNION ALL SELECT * FROM quald
+               UNION ALL SELECT * FROM framed UNION ALL SELECT * FROM audiod
+               UNION ALL SELECT * FROM imaged),
+      dcs AS (SELECT item_id, MIN(priority) AS pr, COUNT(*) AS n_signals
+              FROM sigs GROUP BY item_id),
+      dd AS (SELECT dcs.item_id, sg.reason, sg.keeper, dcs.n_signals
+             FROM dcs JOIN sigs sg
+               ON sg.item_id = dcs.item_id AND sg.priority = dcs.pr),
+      docm AS (
+        SELECT 'document' AS item_type, doc_id AS item_id,
+          CASE WHEN dd.item_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+          COALESCE(dd.reason, 'none') AS reason,
+          COALESCE(dd.keeper, -1) AS keeper,
+          COALESCE(dd.n_signals, 0) AS n_signals
+        FROM documents LEFT JOIN dd ON dd.item_id = doc_id),
+      vecm AS (
+        SELECT 'embedding' AS item_type, n.vec_id AS item_id,
+          CASE WHEN sdrop.id_b IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+          CASE WHEN sdrop.id_b IS NULL THEN 'none'
+               ELSE 'semantic_neardup' END AS reason,
+          COALESCE(sdrop.keeper, -1) AS keeper,
+          COALESCE(sdrop.n_close, 0) AS n_signals
+        FROM n LEFT JOIN sdrop ON sdrop.id_b = n.vec_id)
+      SELECT item_type, item_id, verdict, reason,
+             CAST(keeper AS BIGINT) AS keeper,
+             CAST(n_signals AS BIGINT) AS n_signals
+      FROM (SELECT * FROM docm UNION ALL SELECT * FROM vecm) u
+      ORDER BY item_type, item_id"""
+    }, "unified drop-list manifest: one provenance-carrying verdict per document/asset/embedding, priority-merged from d08/d12/m05/m07/m08/s10"),
 
     "d05_simhash" -> QueryDef(simhash, Some(s"""$simhashDuckCte
       SELECT doc_id, simhash FROM sim ORDER BY doc_id"""),

@@ -64,7 +64,7 @@ object MultimodalQueries {
     * cross-media occurrence count is a window over the digest partition
     * (spillable rows, the d10 shape), and the rollup is the last
     * shuffle. */
-  private def frameDedup(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def frameDedup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DoubleType
     val frames = MediaPipeline.sampleFrames(MediaPipeline.load(s, dir)).toDF()
@@ -117,7 +117,7 @@ object MultimodalQueries {
       .orderBy(col("source"))
   }
 
-  private val AudioMinShared = 2
+  private[queries] val AudioMinShared = 2
 
   /** m07: cross-media audio near-dup pairs — m05 dedups video frames;
     * this catches audio re-uploads: the same audio track in a
@@ -136,7 +136,7 @@ object MultimodalQueries {
     * materializing one giant pair array), the d03 shape on a subfp
     * key. The per-media fingerprint counts join back only onto the
     * few surviving pairs. */
-  private def audioNearDup(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def audioNearDup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
     // read twice (per-media counts, bucket expansion) — persisted
     // once so the fingerprint flatMap runs a single pass (a36/a18
@@ -166,7 +166,7 @@ object MultimodalQueries {
       .orderBy(col("media_a"), col("media_b"))
   }
 
-  private val MaxImageHamming = 16L
+  private[queries] val MaxImageHamming = 16L
 
   /** m08: image perceptual-hash near-dup pairs — completes the
     * modality dedup triptych (m05 video frames, m07 audio tracks):
@@ -184,7 +184,7 @@ object MultimodalQueries {
     * [[MaxImageHamming]] — 4σ below the ~32 a random pair scores.
     * Payloads die at the aHash projection: only (media_id, 8 bands)
     * rows shuffle. */
-  private def imageNearDup(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def imageNearDup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val ah = MediaPipeline.imageAHash(MediaPipeline.load(s, dir)).toDF()
     DedupQueries.collectCappedBuckets(
@@ -202,6 +202,108 @@ object MultimodalQueries {
         (lit(1.0) - col("hamming").cast(DoubleType) / 64.0).as("similarity"))
       .orderBy(col("media_a"), col("media_b"))
   }
+
+  // ---- shared per-family oracle CTEs ----
+  //
+  // The m05/m07/m08 twins are single chains ending in a named relation
+  // (m05d / m07p / m08p) so the d15 drop-list manifest can splice the
+  // SAME text the per-query oracles run — the family semantics can
+  // never drift between a query and the manifest that unions it. CTE
+  // names are m-prefixed: the manifest's WITH also contains the d-family
+  // (bands/vp/lab), t-family (stats), and s-family (v/n/asg) chains.
+
+  /** DuckDB twin chain of [[frameDedup]] up to the per-media rollup
+    * `m05d(media_id, n_frames, n_shared_frames)`. */
+  private[queries] val m05DuckCte = """
+      m05v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+      m05f AS (SELECT doc_id AS media_id,
+              UNNEST(generate_series(0, CAST((length(text) + 31) // 32 AS INT) - 1, 4)) AS frame_idx,
+              text
+            FROM m05v),
+      m05h AS (SELECT DISTINCT media_id,
+              md5(substr(text, CAST(frame_idx AS INT) * 32 + 1, 32)) AS fh
+            FROM m05f),
+      m05o AS (SELECT media_id, fh, COUNT(*) OVER (PARTITION BY fh) AS n_media FROM m05h),
+      m05d AS (SELECT media_id, COUNT(*) AS n_frames,
+              CAST(SUM(CASE WHEN n_media >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_frames
+            FROM m05o GROUP BY media_id)"""
+
+  /** DuckDB twin chain of [[audioNearDup]] up to the unfiltered shared-
+    * fingerprint pairs `m07p(media_a, kind_a, media_b, kind_b,
+    * n_shared)` plus per-media counts `m07cnt(media_id, nfp)`. */
+  private[queries] val m07DuckCte = s"""
+      m07a AS (SELECT doc_id AS media_id,
+                   ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind, text
+                 FROM documents WHERE doc_id % 3 IN (1, 2)),
+      m07fr AS (SELECT media_id, kind, text,
+               UNNEST(generate_series(0, CAST(length(text) // 64 AS INT) - 1)) AS f
+             FROM m07a WHERE length(text) >= 384),
+      m07en AS (SELECT media_id, kind, f, b,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, 8),
+                   j -> CAST(ascii(substr(text, CAST(f * 64 + b * 8 + j AS INT), 1)) AS BIGINT))),
+                 (x, y) -> x + y) AS e
+             FROM m07fr, UNNEST(generate_series(0, 7)) AS t(b)),
+      m07bits AS (SELECT e1.media_id, e1.kind, e1.f,
+                 CAST(SUM(CASE WHEN e2.e > e1.e THEN 1 << e1.b ELSE 0 END) AS BIGINT) AS bv
+               FROM m07en e1 JOIN m07en e2
+                 ON e1.media_id = e2.media_id AND e2.f = e1.f + 1 AND e1.b = e2.b
+               GROUP BY 1, 2, 3),
+      m07sub AS (SELECT b0.media_id, b0.kind,
+                b0.bv + b1.bv * 256 + b2.bv * 65536 + b3.bv * 16777216 AS subfp
+              FROM m07bits b0
+              JOIN m07bits b1 ON b1.media_id = b0.media_id AND b1.f = b0.f + 1
+              JOIN m07bits b2 ON b2.media_id = b0.media_id AND b2.f = b0.f + 2
+              JOIN m07bits b3 ON b3.media_id = b0.media_id AND b3.f = b0.f + 3),
+      m07ds AS (SELECT DISTINCT media_id, kind, subfp FROM m07sub),
+      m07cnt AS (SELECT media_id, COUNT(*) AS nfp FROM m07ds GROUP BY 1),
+      m07bsz AS (SELECT subfp, COUNT(*) AS c FROM m07ds GROUP BY 1),
+      m07p AS (SELECT x.media_id AS media_a, x.kind AS kind_a,
+                   y.media_id AS media_b, y.kind AS kind_b, COUNT(*) AS n_shared
+            FROM m07ds x JOIN m07ds y ON x.subfp = y.subfp AND x.media_id < y.media_id
+            JOIN m07bsz s ON s.subfp = x.subfp AND s.c <= ${DedupQueries.MaxBucket}
+            GROUP BY 1, 2, 3, 4)"""
+
+  /** DuckDB twin chain of [[imageNearDup]] up to the exact-hamming
+    * verified pairs `m08p(media_a, media_b, hamming)` (unfiltered). */
+  private[queries] val m08DuckCte = s"""
+      m08img AS (SELECT doc_id AS media_id, text, length(text) AS n
+                   FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 64),
+      m08tot AS (SELECT media_id, text, n,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, CAST(n AS INT)),
+                    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (a, c) -> a + c) AS tsum
+              FROM m08img),
+      m08blocks AS (
+        SELECT media_id, b,
+          CAST(n * (b + 1) // 64 - n * b // 64 AS BIGINT) AS blen,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(CAST(n * b // 64 + 1 AS INT),
+                                           CAST(n * (b + 1) // 64 AS INT)),
+              i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (a, c) -> a + c) AS bsum,
+          tsum, n
+        FROM m08tot, UNNEST(generate_series(0, 63)) AS t(b)),
+      m08bits AS (SELECT media_id, b,
+                 CASE WHEN bsum * n > tsum * blen THEN 1 ELSE 0 END AS bit
+               FROM m08blocks),
+      m08bands AS (
+        SELECT media_id, CAST(b // 8 AS INT) AS band,
+          CAST(SUM(bit * (1::BIGINT << (b % 8))) AS BIGINT) AS bv
+        FROM m08bits GROUP BY 1, 2),
+      m08bsz AS (SELECT band, bv, COUNT(*) AS c FROM m08bands GROUP BY 1, 2),
+      m08cand AS (
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+        FROM m08bands a JOIN m08bands b
+          ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id
+        JOIN m08bsz s ON s.band = a.band AND s.bv = a.bv
+          AND s.c BETWEEN 2 AND ${DedupQueries.MaxBucket}),
+      m08p AS (
+        SELECT media_a, media_b,
+          CAST(SUM(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+        FROM m08cand
+        JOIN m08bands x ON x.media_id = media_a
+        JOIN m08bands y ON y.media_id = media_b AND y.band = x.band
+        GROUP BY media_a, media_b)"""
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "m01_media_features" -> QueryDef(mediaFeatures, Some(s"""
@@ -300,22 +402,11 @@ object MultimodalQueries {
       FROM m GROUP BY kind ORDER BY kind"""),
       "metadata-only scan (payload column never read)"),
 
-    "m05_frame_dedup" -> QueryDef(frameDedup, Some("""
-      WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
-      f AS (SELECT doc_id AS media_id,
-              UNNEST(generate_series(0, CAST((length(text) + 31) // 32 AS INT) - 1, 4)) AS frame_idx,
-              text
-            FROM v),
-      h AS (SELECT DISTINCT media_id,
-              md5(substr(text, CAST(frame_idx AS INT) * 32 + 1, 32)) AS fh
-            FROM f),
-      o AS (SELECT media_id, fh, COUNT(*) OVER (PARTITION BY fh) AS n_media FROM h),
-      d AS (SELECT media_id, COUNT(*) AS n_frames,
-              CAST(SUM(CASE WHEN n_media >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_frames
-            FROM o GROUP BY media_id)
+    "m05_frame_dedup" -> QueryDef(frameDedup, Some(s"""
+      WITH $m05DuckCte
       SELECT media_id, n_frames, n_shared_frames,
         ROUND(CAST(n_shared_frames AS DOUBLE) / n_frames, 4) AS shared_ratio
-      FROM d WHERE n_shared_frames > 0 ORDER BY media_id"""),
+      FROM m05d WHERE n_shared_frames > 0 ORDER BY media_id"""),
       "cross-video duplicate-frame detection over sampled-frame fingerprints"),
 
     "m06_mix_manifest" -> QueryDef(mixManifest, Some(s"""
@@ -350,85 +441,20 @@ object MultimodalQueries {
       "per-source modality token mix manifest (metadata-only, one scan)"),
 
     "m07_audio_neardup" -> QueryDef(audioNearDup, Some(s"""
-      WITH a AS (SELECT doc_id AS media_id,
-                   ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind, text
-                 FROM documents WHERE doc_id % 3 IN (1, 2)),
-      fr AS (SELECT media_id, kind, text,
-               UNNEST(generate_series(0, CAST(length(text) // 64 AS INT) - 1)) AS f
-             FROM a WHERE length(text) >= 384),
-      en AS (SELECT media_id, kind, f, b,
-               list_reduce(list_prepend(CAST(0 AS BIGINT),
-                 list_transform(generate_series(1, 8),
-                   j -> CAST(ascii(substr(text, CAST(f * 64 + b * 8 + j AS INT), 1)) AS BIGINT))),
-                 (x, y) -> x + y) AS e
-             FROM fr, UNNEST(generate_series(0, 7)) AS t(b)),
-      bits AS (SELECT e1.media_id, e1.kind, e1.f,
-                 CAST(SUM(CASE WHEN e2.e > e1.e THEN 1 << e1.b ELSE 0 END) AS BIGINT) AS bv
-               FROM en e1 JOIN en e2
-                 ON e1.media_id = e2.media_id AND e2.f = e1.f + 1 AND e1.b = e2.b
-               GROUP BY 1, 2, 3),
-      sub AS (SELECT b0.media_id, b0.kind,
-                b0.bv + b1.bv * 256 + b2.bv * 65536 + b3.bv * 16777216 AS subfp
-              FROM bits b0
-              JOIN bits b1 ON b1.media_id = b0.media_id AND b1.f = b0.f + 1
-              JOIN bits b2 ON b2.media_id = b0.media_id AND b2.f = b0.f + 2
-              JOIN bits b3 ON b3.media_id = b0.media_id AND b3.f = b0.f + 3),
-      ds AS (SELECT DISTINCT media_id, kind, subfp FROM sub),
-      cnt AS (SELECT media_id, COUNT(*) AS nfp FROM ds GROUP BY 1),
-      bsz AS (SELECT subfp, COUNT(*) AS c FROM ds GROUP BY 1),
-      p AS (SELECT x.media_id AS media_a, x.kind AS kind_a,
-                   y.media_id AS media_b, y.kind AS kind_b, COUNT(*) AS n_shared
-            FROM ds x JOIN ds y ON x.subfp = y.subfp AND x.media_id < y.media_id
-            JOIN bsz s ON s.subfp = x.subfp AND s.c <= ${DedupQueries.MaxBucket}
-            GROUP BY 1, 2, 3, 4)
+      WITH $m07DuckCte
       SELECT media_a, kind_a, media_b, kind_b, n_shared,
         ROUND(CAST(n_shared AS DOUBLE) / LEAST(ca.nfp, cb.nfp), 4) AS overlap
-      FROM p JOIN cnt ca ON ca.media_id = media_a JOIN cnt cb ON cb.media_id = media_b
+      FROM m07p JOIN m07cnt ca ON ca.media_id = media_a
+                JOIN m07cnt cb ON cb.media_id = media_b
       WHERE n_shared >= $AudioMinShared
       ORDER BY media_a, media_b"""),
       "cross-media audio near-dup pairs (chromaprint-style band-derivative sub-fingerprints)"),
 
     "m08_image_neardup" -> QueryDef(imageNearDup, Some(s"""
-      WITH img AS (SELECT doc_id AS media_id, text, length(text) AS n
-                   FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 64),
-      tot AS (SELECT media_id, text, n,
-                list_reduce(list_prepend(CAST(0 AS BIGINT),
-                  list_transform(generate_series(1, CAST(n AS INT)),
-                    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (a, c) -> a + c) AS tsum
-              FROM img),
-      blocks AS (
-        SELECT media_id, b,
-          CAST(n * (b + 1) // 64 - n * b // 64 AS BIGINT) AS blen,
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(generate_series(CAST(n * b // 64 + 1 AS INT),
-                                           CAST(n * (b + 1) // 64 AS INT)),
-              i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (a, c) -> a + c) AS bsum,
-          tsum, n
-        FROM tot, UNNEST(generate_series(0, 63)) AS t(b)),
-      bits AS (SELECT media_id, b,
-                 CASE WHEN bsum * n > tsum * blen THEN 1 ELSE 0 END AS bit
-               FROM blocks),
-      bands AS (
-        SELECT media_id, CAST(b // 8 AS INT) AS band,
-          CAST(SUM(bit * (1::BIGINT << (b % 8))) AS BIGINT) AS bv
-        FROM bits GROUP BY 1, 2),
-      bsz AS (SELECT band, bv, COUNT(*) AS c FROM bands GROUP BY 1, 2),
-      cand AS (
-        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id
-        JOIN bsz s ON s.band = a.band AND s.bv = a.bv
-          AND s.c BETWEEN 2 AND ${DedupQueries.MaxBucket}),
-      p AS (
-        SELECT media_a, media_b,
-          CAST(SUM(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
-        FROM cand
-        JOIN bands x ON x.media_id = media_a
-        JOIN bands y ON y.media_id = media_b AND y.band = x.band
-        GROUP BY media_a, media_b)
+      WITH $m08DuckCte
       SELECT media_a, media_b, hamming,
         1.0 - CAST(hamming AS DOUBLE) / 64.0 AS similarity
-      FROM p WHERE hamming <= $MaxImageHamming
+      FROM m08p WHERE hamming <= $MaxImageHamming
       ORDER BY media_a, media_b"""),
       "image perceptual-hash (aHash) near-dup pairs, pigeonhole-banded, exact-hamming verified"))
 }

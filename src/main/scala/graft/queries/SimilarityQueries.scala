@@ -48,7 +48,7 @@ object SimilarityQueries {
       .withColumn("nrm", expr(s"sqrt(${dotSpark("v", "v")})"))
   }
 
-  private val vecsDuckCte = """
+  private[queries] val vecsDuckCte = """
     WITH v AS (
       SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
@@ -239,7 +239,7 @@ object SimilarityQueries {
     * summing (exact integer arithmetic, immune to float summation
     * order) and the mean casts through REAL exactly as the Spark side
     * does, so the fitted centroids are bit-identical across engines. */
-  private val ivfAsgDuckCte: String = {
+  private[queries] val ivfAsgDuckCte: String = {
     // One Lloyd round as CTE text: score vectors against `prev`
     // (s_id, sv DOUBLE[], sn), assign by (cos DESC, s_id), rebuild
     // centroids as per-cell integerized component means.
@@ -777,7 +777,7 @@ object SimilarityQueries {
   // pairs sit at cosine 0.33-0.47 (measured, s04 scaladoc), so the
   // published SemDeDup thresholds (~0.95 on real near-dup embeddings)
   // would select nothing; 0.3 exercises the operator on real pairs.
-  private val SemDedupTau = 0.3
+  private[queries] val SemDedupTau = 0.3
 
   /** s10: SemDeDup — semantic deduplication within the FITTED IVF
     * cells (Abbas et al. 2023, public): embeddings whose cosine
@@ -796,7 +796,7 @@ object SimilarityQueries {
     * the drop list with provenance (keeper, max cosine, close-
     * neighbor count); cosines are raw doubles (bit-identical
     * cross-engine, the s01 rule). */
-  private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val cells = e.join(ivfAssigned(s, dir), "vec_id")
     val a = cells.select(col("cell"), col("vec_id").as("id_a"),
@@ -814,6 +814,24 @@ object SimilarityQueries {
         col("max_cos"), col("n_close"))
       .orderBy(col("vec_id"))
   }
+
+  /** DuckDB twin chain of [[semanticDedup]] up to the drop list
+    * `sdrop(cell, id_b, keeper, max_cos, n_close)` — sd-prefixed so
+    * d15's composed manifest WITH can splice it next to the d-family
+    * (bands/vp/lab) and m-family (m05/m07/m08) chains without name
+    * collisions. Splice after [[vecsDuckCte]] (needs `n`) and
+    * [[ivfAsgDuckCte]] (needs `asg`). Shared by the s10 oracle and the
+    * d15 manifest oracle so the drop rule can never drift between them. */
+  private[queries] val semDedupDuckCte: String = s"""
+      sdcells AS (SELECT n.vec_id, n.v, n.nrm, asg.cell
+                  FROM n JOIN asg ON n.vec_id = asg.vec_id),
+      sdp AS (
+        SELECT q.cell AS cell, q.vec_id AS id_a, c.vec_id AS id_b, $cosDuck AS cos
+        FROM sdcells q JOIN sdcells c ON q.cell = c.cell AND q.vec_id < c.vec_id),
+      sdrop AS (SELECT cell, id_b, MIN(id_a) AS keeper, MAX(cos) AS max_cos,
+                       COUNT(*) AS n_close
+                FROM sdp WHERE cos >= CAST($SemDedupTau AS DOUBLE)
+                GROUP BY cell, id_b)"""
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef(annBruteForce, Some(s"""$vecsDuckCte,
@@ -967,15 +985,9 @@ object SimilarityQueries {
 
     "s10_semantic_dedup" -> QueryDef(semanticDedup, Some(s"""$vecsDuckCte,
       $ivfAsgDuckCte,
-      cells AS (SELECT n.vec_id, n.v, n.nrm, asg.cell
-                FROM n JOIN asg ON n.vec_id = asg.vec_id),
-      p AS (
-        SELECT q.cell AS cell, q.vec_id AS id_a, c.vec_id AS id_b, $cosDuck AS cos
-        FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id < c.vec_id),
-      d AS (SELECT cell, id_b, MIN(id_a) AS keeper, MAX(cos) AS max_cos, COUNT(*) AS n_close
-            FROM p WHERE cos >= CAST($SemDedupTau AS DOUBLE) GROUP BY cell, id_b)
+      $semDedupDuckCte
       SELECT id_b AS vec_id, cell, keeper, max_cos, CAST(n_close AS BIGINT) AS n_close
-      FROM d ORDER BY vec_id"""),
+      FROM sdrop ORDER BY vec_id"""),
       "SemDeDup: semantic dedup within fitted IVF cells (drop list with keeper provenance)"),
 
     "s11_ann_pq" -> QueryDef(annPq, Some(s"""$vecsDuckCte,

@@ -38,10 +38,23 @@ object PlanTestUtils {
     * detail block `"(15) Exchange"` is followed by its
     * `Input [n]: [attr#id, ...]` line, which is where column-level
     * assertions about what a shuffle carries must look. */
+  /** Index of the OUTER plan's initial-plan marker, or -1. The outer
+    * marker sits at column 0 (`== Initial Plan ==`, or `+- == Initial
+    * Plan ==` when the root AdaptiveSparkPlan is executed); a
+    * memoized/persisted subplan embeds its own cached AdaptiveSparkPlan
+    * whose markers are always INDENTED inside the outer tree, BEFORE
+    * the outer detail blocks — a substring cut at one of those throws
+    * away every outer Exchange detail (how the t18 plan test went
+    * vacuous once QueriesSpec had populated the t18_c2 memo), while
+    * missing the `+- ` form double-counts the outer initial plan (the
+    * d09 bucketing regression of the first fix attempt). */
+  private def outerInitialPlanCut(lines: Vector[String]): Int =
+    lines.indexWhere(_.matches("""(\+\- )?== Initial Plan ==\s*"""))
+
   def exchangeInputs(qe: QueryExecution): Seq[String] = {
-    val t = formatted(qe)
-    val cut = t.indexOf("== Initial Plan ==")
-    val lines = (if (cut >= 0) t.substring(0, cut) else t).linesIterator.toVector
+    val all = formatted(qe).linesIterator.toVector
+    val cut = outerInitialPlanCut(all)
+    val lines = if (cut >= 0) all.take(cut) else all
     lines.zipWithIndex.collect {
       case (l, i) if l.matches("""\(\d+\) Exchange\s*""") =>
         lines.drop(i + 1).take(4).find(_.trim.startsWith("Input"))
@@ -61,9 +74,9 @@ object PlanTestUtils {
     * node headers, excluding reuse (`ReusedExchange` reads an existing
     * shuffle; it does not move data again). */
   def finalPlanExchanges(qe: QueryExecution): Int = {
-    val t = formatted(qe)
-    val cut = t.indexOf("== Initial Plan ==")
-    val finalTree = if (cut >= 0) t.substring(0, cut) else t
+    val all = formatted(qe).linesIterator.toVector
+    val cut = outerInitialPlanCut(all)
+    val finalTree = (if (cut >= 0) all.take(cut) else all).mkString("\n")
     "(?<!Reused)Exchange \\(\\d+\\)".r.findAllIn(finalTree).size
   }
 }

@@ -360,6 +360,47 @@ class QueriesSpec extends SparkTestBase {
       s"fitted PQ codebooks did not improve quantization error: $fitErr >= $seedErr")
   }
 
+  test("d15 manifest is total, keepers precede where the rule says so, priority merge holds") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("d15_drop_manifest")(spark, sf)
+      .select(col("item_type"), col("item_id"), col("verdict"), col("reason"),
+        col("keeper"), col("n_signals"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    // total: exactly one verdict per document and per embedding
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    val nVecs = graft.queries.SimilarityQueries.vecs(spark, sf).count()
+    assert(rows.count(_._1 == "document") == nDocs, "manifest not total over documents")
+    assert(rows.count(_._1 == "embedding") == nVecs, "manifest not total over embeddings")
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length, "duplicate items")
+    val drops = rows.filter(_._3 == "drop")
+    assert(drops.nonEmpty, "no drops at sf0.001 — every family found candidates before")
+    drops.foreach { case (t, id, _, reason, keeper, nSig) =>
+      assert(reason != "none" && nSig >= 1, s"drop ($t,$id) lacks provenance")
+      reason match {
+        case "lexical_neardup" | "semantic_neardup" | "audio_neardup" | "image_neardup" =>
+          assert(keeper >= 0 && keeper < id, s"($t,$id,$reason): keeper $keeper !< item")
+        case "quality_cluster" =>
+          assert(keeper >= 0 && keeper != id, s"($t,$id): quality keeper is the item itself")
+        case "video_frame_overlap" =>
+          assert(keeper == -1L, s"($t,$id): frame-overlap signal has no pairwise keeper")
+        case other => fail(s"unknown reason $other")
+      }
+    }
+    rows.filter(_._3 == "keep").foreach { case (t, id, _, reason, keeper, nSig) =>
+      assert(reason == "none" && keeper == -1L && nSig == 0L, s"keep ($t,$id) carries drop fields")
+    }
+    // priority: every d08 lexical drop candidate must surface with the
+    // top-priority reason, even where d12/m-family also flagged it
+    val lexDrops = graft.queries.DedupQueries.jaccardPairs(spark, sf)
+      .filter(col("jacc") >= graft.queries.DedupQueries.JaccThreshold)
+      .select(col("doc_b")).distinct().collect().map(_.getLong(0)).toSet
+    val manifested = drops.filter(d => d._1 == "document" && lexDrops(d._2))
+    assert(manifested.nonEmpty && manifested.forall(_._4 == "lexical_neardup"),
+      "a lexical drop candidate lost the priority merge")
+  }
+
   test("s07 multi-probe dominates s06 single-probe per rank (candidate-set containment)") {
     // s06 searches only the query's own cell — exactly s07's
     // probe_rank-1 cell — so s07's candidate set is a superset and its
