@@ -32,6 +32,12 @@ final class RespLoopback(clock: Clock = SystemClock) {
     * entries flow straight into a Structured Streaming query. */
   def streamLog(stream: String): StreamLog = logOf(stream)
 
+  /** The live group created by a wire XGROUP CREATE, if any — the
+    * handoff point to the control plane: a [[Monitor]] built over it
+    * sweeps/rebalances the same PEL that wire XREADGROUP/XACK mutate. */
+  def consumerGroup(stream: String, group: String): Option[ConsumerGroup] =
+    synchronized(groups.get((stream, group)))
+
   /** Only XGROUP CREATE creates; every other group command on a
     * missing group answers Redis's NOGROUP error — auto-creating here
     * would turn a typo'd group name into silent phantom state. */
