@@ -216,23 +216,38 @@ object DedupQueries {
     * `documents` three times. Jaccard over the hashed gram set equals
     * Jaccard over the grams themselves (mod 1e9+7 collisions, which the
     * oracle twin reproduces exactly). */
+  /** Verified candidate pairs (doc_a, doc_b, n_inter, n_union, jacc) —
+    * the LSH family's shared upstream, memoized per session: d04 reads
+    * it once, d07/d08/d12 each rebuild it per call, and d15 references
+    * it from TWO branches (drop list + CC edges), so without the memo
+    * one d15 invocation ran the whole signature→band→bucket→Jaccard
+    * pipeline twice (measured: d15 2.2 s → the pairs pass is ~0.2-0.4 s
+    * of every caller). The frame is scan-rooted (signatures → buckets →
+    * pair expansion), so persist() keeps a full recompute path — the
+    * memo contract d12's checkpoint-backed LABELS can never meet; the
+    * labels stay rebuild-per-call, only their EDGE INPUT is cached.
+    * Gram arrays (ga/gb) die here: no caller needs them, and caching
+    * per-pair gram sets would multiply the entry's footprint. */
   private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    collectCappedBuckets(
-      signatures(s, dir, withGrams = true)
-        .select(col("doc_id"), col("gh"), explode(array(bandKeyStructs: _*)).as("bk"))
-        .select(col("bk.b").as("b"), col("bk.bkey").as("bkey"),
-          struct(col("doc_id"), col("gh")).as("dg")),
-      Seq("b", "bkey"), col("dg"))
-      .select(explode(expr(pairExpansion(
-        "x.doc_id AS doc_a, y.doc_id AS doc_b, x.gh AS ga, y.gh AS gb"))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.ga"), col("p.gb")).distinct()
-      // native sorted-merge count, not size(array_intersect): the gram
-      // sets arrive sorted (array_sort(collect_set)) and this runs once
-      // per candidate PAIR — see graft.functions.SortedIntersectCount
-      .withColumn("n_inter", expr("graft_sorted_icount(ga, gb)"))
-      .withColumn("n_union",
-        (size(col("ga")) + size(col("gb"))).cast(LongType) - col("n_inter"))
-      .withColumn("jacc", col("n_inter").cast(DoubleType) / col("n_union"))
+    PersistedAggregates.memo(s, "jacc_pairs", dir) {
+      collectCappedBuckets(
+        signatures(s, dir, withGrams = true)
+          .select(col("doc_id"), col("gh"), explode(array(bandKeyStructs: _*)).as("bk"))
+          .select(col("bk.b").as("b"), col("bk.bkey").as("bkey"),
+            struct(col("doc_id"), col("gh")).as("dg")),
+        Seq("b", "bkey"), col("dg"))
+        .select(explode(expr(pairExpansion(
+          "x.doc_id AS doc_a, y.doc_id AS doc_b, x.gh AS ga, y.gh AS gb"))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"), col("p.ga"), col("p.gb")).distinct()
+        // native sorted-merge count, not size(array_intersect): the gram
+        // sets arrive sorted (array_sort(collect_set)) and this runs once
+        // per candidate PAIR — see graft.functions.SortedIntersectCount
+        .withColumn("n_inter", expr("graft_sorted_icount(ga, gb)"))
+        .withColumn("n_union",
+          (size(col("ga")) + size(col("gb"))).cast(LongType) - col("n_inter"))
+        .withColumn("jacc", col("n_inter").cast(DoubleType) / col("n_union"))
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"), col("jacc"))
+    }
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(s, dir)
