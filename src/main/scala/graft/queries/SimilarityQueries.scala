@@ -293,7 +293,8 @@ object SimilarityQueries {
         SELECT vec_id, s_id AS cell FROM (
           SELECT vec_id, s_id,
             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
-          FROM sc) t WHERE rn = 1)"""
+          FROM sc) t WHERE rn = 1),
+      fitc AS (SELECT s_id, sv, sn FROM $fitted)"""
   }
 
   /** DuckDB twin of [[withQuantized]] — shared by the s08/s09 oracles. */
@@ -637,19 +638,54 @@ object SimilarityQueries {
   private[graft] def pqCodebooks(s: SparkSession, dir: String): DataFrame =
     PersistedAggregates.memo(s, "pq_codebooks", dir) { fitCodebooks(vecs(s, dir)) }
 
-  /** PQ encoding: (vec_id, sub, code) — each subvector's nearest
-    * codeword by squared-L2, ties to the lowest codeword id. This is
-    * the m-bytes-per-vector representation that makes 100 TB of vectors
-    * RAM-resident (64 dims × 4 B → m=4 codes); the broadcast-argmin
-    * shape never shuffles the N×k scored pairs. Memoized: s11 reads it
-    * as the candidate corpus, the spec reads it for the contract. */
+  /** PQ encode: each subvector of `e` (vec_id, v) to its nearest
+    * codeword of `cb` by squared-L2, ties to the lowest codeword id —
+    * the broadcast-argmin shape that never shuffles the N×k scored
+    * pairs. Shared by s11 (raw vectors) and s12 (IVF residuals). */
+  private def pqEncode(e: DataFrame, cb: DataFrame): DataFrame =
+    subvecs(e).join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", expr(l2Spark("sv", "cw")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(max(struct((-col("d2")).as("nd"), (-col("s_id")).as("neg"))).as("m"))
+      .select(col("vec_id"), col("sub"), (-col("m.neg")).as("code"))
+
+  /** PQ encoding: (vec_id, sub, code) — the m-bytes-per-vector
+    * representation that makes 100 TB of vectors RAM-resident (64 dims
+    * × 4 B → m=4 codes). Memoized: s11 reads it as the candidate
+    * corpus, the spec reads it for the contract. */
   private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
     PersistedAggregates.memo(s, "pq_codes", dir) {
-      subvecs(vecs(s, dir)).join(broadcast(pqCodebooks(s, dir)), Seq("sub"))
-        .withColumn("d2", expr(l2Spark("sv", "cw")))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(max(struct((-col("d2")).as("nd"), (-col("s_id")).as("neg"))).as("m"))
-        .select(col("vec_id"), col("sub"), (-col("m.neg")).as("code"))
+      pqEncode(vecs(s, dir), pqCodebooks(s, dir))
+    }
+
+  /** Per-vector IVF residuals (vec_id, cell, v = x − centroid(cell)) —
+    * the quantity FAISS's IVFPQ actually encodes: within a cell the
+    * residuals are centered near zero, so the same per-subspace
+    * codebook budget spends its codewords on the fine structure the
+    * coarse quantizer left behind. The float subtraction is one
+    * correctly-rounded IEEE op per component (both engines identical).
+    * Row-local after two memoized broadcast joins; memoized because the
+    * fit, the encode and the query LUT all read it. */
+  private[graft] def ivfResiduals(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.memo(s, "ivfpq_residuals", dir) {
+      vecs(s, dir).join(ivfAssigned(s, dir), "vec_id")
+        .join(broadcast(ivfCentroids(s, dir)), col("cell") === col("s_id"))
+        .select(col("vec_id"), col("cell"),
+          expr("zip_with(v, sv, (x, y) -> CAST(x - y AS FLOAT))").as("v"))
+    }
+
+  /** Residual-space PQ codebooks — same deterministic fit as
+    * [[pqCodebooks]], trained on [[ivfResiduals]]. */
+  private[graft] def ivfPqCodebooks(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.memo(s, "ivfpq_codebooks", dir) {
+      fitCodebooks(ivfResiduals(s, dir).select(col("vec_id"), col("v")))
+    }
+
+  /** Residual PQ encoding (vec_id, sub, code). */
+  private[graft] def ivfPqCodes(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.memo(s, "ivfpq_codes", dir) {
+      pqEncode(ivfResiduals(s, dir).select(col("vec_id"), col("v")),
+        ivfPqCodebooks(s, dir))
     }
 
   /** s11: product quantization with an ADC scan — the third leg of the
@@ -699,57 +735,116 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** DuckDB twin of the PQ fit + encode + ADC scan — unrolled from
-    * [[LloydRounds]] exactly like [[ivfAsgDuckCte]], so a constant bump
-    * regenerates the twin instead of desyncing it. Ends with `pcodes`
-    * (the encoding) and `pcb` (the fitted codebooks). */
-  private val pqDuckCte: String = {
+  /** s12: IVF + PQ composed with RESIDUAL encoding — the full FAISS
+    * IVFPQ shape, the index layout that actually serves trillion-vector
+    * search: the coarse quantizer (the s06 fitted cells) bounds the
+    * scan to one cell, the fine quantizer stores m residual codes per
+    * vector (the s11 memory budget spent on what the coarse step left
+    * behind — within a cell, q − x = q_res − x_res exactly, so ADC over
+    * residuals approximates the same distances at far lower
+    * quantization error than flat PQ), and the scan itself is the s11
+    * ADC: per-query LUT against the RAW query residual, candidate
+    * scoring by lookup + fixed-order fold, exact rerank on the
+    * top-[[QuantCand]]. Single-probe (the query's own cell — s07's
+    * multi-probe lever composes orthogonally).
+    *
+    * Scale shape: cells and codebooks broadcast (bounded by K and m·k);
+    * the only corpus-width movement is codes joining the broadcast
+    * query-cell slice — m longs per candidate, no vectors. */
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val res = ivfResiduals(s, dir)
+    val cb = ivfPqCodebooks(s, dir)
+    val lut = subvecs(res.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("v")))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id").as("q_id"), col("sub"), col("s_id").as("code"),
+        expr(l2Spark("sv", "cw")).as("pd"))
+    val qcell = res.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val scores = ivfPqCodes(s, dir)
+      .join(res.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id").as("c_id"), col("cell"), col("sub"), col("code"))
+      .join(broadcast(qcell), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("cell"), col("c_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("pd")))).as("ps"))
+      .withColumn("adc", expr("aggregate(ps, CAST(0.0 AS DOUBLE), (a, p) -> a + p.pd)"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("c_id"))
+    val cand = scores.withColumn("cand_rnk", row_number().over(wq))
+      .filter(col("cand_rnk") <= QuantCand)
+      .select(col("q_id"), col("cell"), col("c_id"), col("adc"))
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    broadcast(cand).join(q, Seq("q_id")).join(c, Seq("c_id"))
+      .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(wr).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("cell"), col("c_id"), col("rnk"),
+        col("adc").as("adc_dist"), col("cos").as("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** DuckDB twin of the PQ fit + encode — unrolled from [[LloydRounds]]
+    * exactly like [[ivfAsgDuckCte]], so a constant bump regenerates the
+    * twin instead of desyncing it. Parameterized over the source
+    * relation (`src`: (vec_id, v DOUBLE[])) and a CTE-name prefix so
+    * s11 (raw vectors, prefix `p`) and s12 (IVF residuals, prefix `r`)
+    * share one chain definition. Ends with `${pfx}codes` (the
+    * encoding), `${pfx}cb` (the fitted codebooks), and `${pfx}sv` (the
+    * subvector decomposition, reused by the LUT CTEs). */
+  private def pqFitDuckChain(src: String, pfx: String): String = {
     def round(prev: String, k: Int): String = s"""
-      psc$k AS (
+      ${pfx}sc$k AS (
         SELECT p.vec_id, p.sub, s_id, ${l2Duck("p.sv", "cw")} AS d2
-        FROM psv p JOIN $prev c ON p.sub = c.sub),
-      pasg$k AS (
+        FROM ${pfx}sv p JOIN $prev c ON p.sub = c.sub),
+      ${pfx}asg$k AS (
         SELECT vec_id, sub, s_id AS code FROM (
           SELECT vec_id, sub, s_id,
             ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, s_id ASC) AS rn
-          FROM psc$k) t WHERE rn = 1),
-      pcm$k AS (
+          FROM ${pfx}sc$k) t WHERE rn = 1),
+      ${pfx}cm$k AS (
         SELECT a.sub AS sub, a.code AS code, i AS pos,
           SUM(CAST(floor(p.sv[i] * $IvfScaleSql + 0.5) AS BIGINT)) AS sx,
           COUNT(*) AS cnt
-        FROM pasg$k a JOIN psv p ON p.vec_id = a.vec_id AND p.sub = a.sub,
+        FROM ${pfx}asg$k a JOIN ${pfx}sv p ON p.vec_id = a.vec_id AND p.sub = a.sub,
              UNNEST(generate_series(1, len(p.sv))) AS t(i)
         GROUP BY a.sub, a.code, i),
-      pcb$k AS (
+      ${pfx}cb$k AS (
         SELECT sub, code AS s_id,
           list(CAST(CAST(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) / $IvfScaleSql AS REAL)
                AS DOUBLE) ORDER BY pos) AS cw
-        FROM pcm$k GROUP BY sub, code)"""
+        FROM ${pfx}cm$k GROUP BY sub, code)"""
     val rounds = (0 until LloydRounds)
-      .map(k => round(if (k == 0) "pseeds" else s"pcb${k - 1}", k))
+      .map(k => round(if (k == 0) s"${pfx}seeds" else s"${pfx}cb${k - 1}", k))
       .mkString(",")
-    val fitted = s"pcb${LloydRounds - 1}"
+    val fitted = s"${pfx}cb${LloydRounds - 1}"
     s"""
-      psv AS (
+      ${pfx}sv AS (
         SELECT vec_id, j AS sub,
           list_transform(generate_series(
             CAST(floor(CAST(j * len(v) AS DOUBLE) / ${PqM}.0) AS BIGINT) + 1,
             CAST(floor(CAST((j + 1) * len(v) AS DOUBLE) / ${PqM}.0) AS BIGINT)),
             i -> v[i]) AS sv
-        FROM n, UNNEST(generate_series(0, ${PqM - 1})) AS t(j)),
-      pseeds AS (SELECT sub, vec_id AS s_id, sv AS cw
-                 FROM psv WHERE vec_id % $PqSeedMod = 0),
+        FROM $src, UNNEST(generate_series(0, ${PqM - 1})) AS t(j)),
+      ${pfx}seeds AS (SELECT sub, vec_id AS s_id, sv AS cw
+                 FROM ${pfx}sv WHERE vec_id % $PqSeedMod = 0),
       $rounds,
-      pcb AS (SELECT sub, s_id, cw FROM $fitted),
-      pfsc AS (
+      ${pfx}cb AS (SELECT sub, s_id, cw FROM $fitted),
+      ${pfx}fsc AS (
         SELECT p.vec_id, p.sub, s_id, ${l2Duck("p.sv", "cw")} AS d2
-        FROM psv p JOIN pcb c ON p.sub = c.sub),
-      pcodes AS (
+        FROM ${pfx}sv p JOIN ${pfx}cb c ON p.sub = c.sub),
+      ${pfx}codes AS (
         SELECT vec_id, sub, s_id AS code FROM (
           SELECT vec_id, sub, s_id,
             ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, s_id ASC) AS rn
-          FROM pfsc) t WHERE rn = 1)"""
+          FROM ${pfx}fsc) t WHERE rn = 1)"""
   }
+
+  /** The s11 instance of [[pqFitDuckChain]]: raw vectors, `p` prefix. */
+  private val pqDuckCte: String = pqFitDuckChain("n", "p")
 
   /** s05: embedding sanity report — per-cluster vector counts and L2
     * norm extrema, plus an EXACT distribution checksum. Min/max of the
@@ -1014,6 +1109,41 @@ object SimilarityQueries {
       SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, adc AS adc_dist, cos AS cosine
       FROM pr2 WHERE rnk <= 5 ORDER BY q_id, rnk"""),
       "PQ with ADC scan: per-subspace Lloyd codebooks, LUT lookup scoring, exact rerank"),
+
+    "s12_ann_ivfpq" -> QueryDef(annIvfPq, Some(s"""$vecsDuckCte,
+      $ivfAsgDuckCte,
+      rsd AS (
+        SELECT n.vec_id, a.cell,
+          list_transform(generate_series(1, len(n.v)),
+            i -> CAST(CAST(n.v[i] - f.sv[i] AS REAL) AS DOUBLE)) AS v
+        FROM n JOIN asg a ON n.vec_id = a.vec_id
+        JOIN fitc f ON f.s_id = a.cell),
+      ${pqFitDuckChain("rsd", "r")},
+      rlut AS (
+        SELECT p.vec_id AS q_id, p.sub, s_id AS code, ${l2Duck("p.sv", "cw")} AS pd
+        FROM rsv p JOIN rcb c ON p.sub = c.sub
+        WHERE p.vec_id % 50 = 0),
+      rqc AS (SELECT vec_id AS q_id, cell FROM asg WHERE vec_id % 50 = 0),
+      radc AS (
+        SELECT l.q_id, a.cell, c.vec_id AS c_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pd ORDER BY c.sub)),
+            (acc, z) -> acc + z) AS adc
+        FROM rcodes c
+        JOIN asg a ON a.vec_id = c.vec_id
+        JOIN rqc q ON q.cell = a.cell AND q.q_id <> c.vec_id
+        JOIN rlut l ON l.q_id = q.q_id AND l.sub = c.sub AND l.code = c.code
+        GROUP BY l.q_id, a.cell, c.vec_id),
+      rr1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc ASC, c_id) AS crnk
+              FROM radc),
+      rcand AS (SELECT q_id, cell, c_id, adc FROM rr1 WHERE crnk <= $QuantCand),
+      rx AS (SELECT rcand.q_id, rcand.cell, rcand.c_id, rcand.adc, $cosDuck AS cos
+             FROM rcand JOIN n q ON q.vec_id = rcand.q_id
+                        JOIN n c ON c.vec_id = rcand.c_id),
+      rr2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+              FROM rx)
+      SELECT q_id, cell, c_id, CAST(rnk AS BIGINT) AS rnk, adc AS adc_dist, cos AS cosine
+      FROM rr2 WHERE rnk <= 5 ORDER BY q_id, rnk"""),
+      "IVFPQ composed: cell-pruned ADC scan over residual PQ codes, exact rerank (the trillion-vector index layout)"),
 
     "s05_cluster_norm_stats" -> QueryDef(clusterNormStats, Some(s"""$vecsDuckCte
       SELECT label, COUNT(*) AS n_vecs,

@@ -401,6 +401,58 @@ class QueriesSpec extends SparkTestBase {
       "a lexical drop candidate lost the priority merge")
   }
 
+  test("s12 IVFPQ is dominated by s06 plain IVF per rank; residual codes beat flat PQ on distortion") {
+    // Dominance is the s09 theorem in PQ clothing: s12 reranks an
+    // ADC-top-20 SUBSET of exactly s06's in-cell candidates with the
+    // exact cosine, so rank-r can never beat s06's rank-r, and both
+    // emit the same (q_id, rnk) key set. The distortion leg is WHY
+    // residual encoding exists: the coarse quantizer absorbs the
+    // between-cell variance, so the same m×k codebook budget spent on
+    // residuals must reconstruct x = centroid + codeword with less
+    // total squared error than flat PQ's x = codeword.
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityQueries
+    def byRank(q: String): Map[(Long, Long), Double] =
+      SparkEntry.queries(q)(spark, sf)
+        .select(col("q_id"), col("rnk"), col("cosine"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = byRank("s06_ann_ivf")
+    val ivfpq = byRank("s12_ann_ivfpq")
+    assert(ivfpq.nonEmpty && ivfpq.keySet == ivf.keySet,
+      s"s12/s06 key sets differ: ${(ivfpq.keySet diff ivf.keySet) ++ (ivf.keySet diff ivfpq.keySet)}")
+    ivfpq.foreach { case (key, cos12) =>
+      assert(cos12 <= ivf(key),
+        s"IVFPQ rank ${key._2} for query ${key._1} BEATS plain IVF: $cos12 > ${ivf(key)}")
+    }
+    // total squared reconstruction error of each scheme's codes
+    def distortion(e: org.apache.spark.sql.DataFrame,
+        cb: org.apache.spark.sql.DataFrame): Double = {
+      val pq = graft.queries.SimilarityQueries
+      e.select(col("vec_id"),
+          explode(sequence(lit(0), lit(pq.PqM - 1))).as("sub"), col("v"))
+        .withColumn("lo", expr(
+          s"CAST(floor(CAST(sub * size(v) AS DOUBLE) / ${pq.PqM}.0D) AS INT)"))
+        .withColumn("hi", expr(
+          s"CAST(floor(CAST((sub + 1) * size(v) AS DOUBLE) / ${pq.PqM}.0D) AS INT)"))
+        .select(col("vec_id"), col("sub"), expr("slice(v, lo + 1, hi - lo)").as("sv"))
+        .join(broadcast(cb), Seq("sub"))
+        .withColumn("d2", expr(
+          "graft_dot(sv, sv) - 2.0D * graft_dot(sv, cw) + graft_dot(cw, cw)"))
+        .groupBy(col("vec_id"), col("sub")).agg(min(col("d2")).as("d2"))
+        .agg(sum(col("d2"))).head().getDouble(0)
+    }
+    val flat = distortion(SimilarityQueries.vecs(spark, sf),
+      SimilarityQueries.pqCodebooks(spark, sf))
+    val residual = distortion(
+      SimilarityQueries.ivfResiduals(spark, sf).select(col("vec_id"), col("v")),
+      SimilarityQueries.ivfPqCodebooks(spark, sf))
+    assert(residual < flat,
+      s"residual PQ did not reduce distortion: $residual >= $flat")
+    info(f"PQ distortion: flat $flat%.1f vs residual $residual%.1f " +
+      f"(${(1 - residual / flat) * 100}%.0f%% lower)")
+  }
+
   test("s07 multi-probe dominates s06 single-probe per rank (candidate-set containment)") {
     // s06 searches only the query's own cell — exactly s07's
     // probe_rank-1 cell — so s07's candidate set is a superset and its

@@ -121,6 +121,20 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
       "s08 lost its broadcast query-side join")
   }
 
+  test("s11 PQ: every join broadcasts — codebooks, LUT, rerank; no shuffle join anywhere") {
+    // The ADC promise: codebooks (m·k rows) and the per-query LUT
+    // (Q·m·k rows) are bounded small by construction, and the rerank
+    // candidate set is Q·QuantCand — every join side that replicates is
+    // one of those. A SortMergeJoin would mean the corpus got shuffled
+    // by a key the scan already co-locates, or the LUT lost its
+    // broadcast (candidate scoring degrading from lookup to shuffle).
+    val text = PlanTestUtils.formatted(
+      queries("s11_ann_pq")(spark, sf).queryExecution)
+    assert(!text.contains("SortMergeJoin"),
+      s"s11 planned a shuffle join:\n$text")
+    assert(text.contains("BroadcastHashJoin"), "s11 lost its broadcast joins")
+  }
+
   test("t17 approx terciles: window-free — GK sketch aggregate plus broadcast thresholds") {
     // t17 exists BECAUSE t16's exact ntile totally orders each language
     // through one window. Its plan must never contain a Window (a
