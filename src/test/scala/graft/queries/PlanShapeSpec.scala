@@ -164,6 +164,20 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     assert(leaky.isEmpty, s"t18 shuffles raw text:\n${leaky.mkString("\n")}")
   }
 
+  test("d15 manifest: no shuffle carries document text — every family reduced it scan-side") {
+    // d15 unions five families that all read `documents`; the manifest
+    // inherits their scale contracts only if each one still reduces
+    // text to signatures/digests/fingerprints BEFORE its first
+    // exchange. One regressed branch (e.g. a refactor moving the
+    // quality projection above the stratum shuffle) would ship the
+    // corpus over the network inside an otherwise-green query.
+    val inputs = PlanTestUtils.exchangeInputs(
+      queries("d15_drop_manifest")(spark, sf).queryExecution)
+    assert(inputs.nonEmpty, "expected shuffles in d15")
+    val leaky = inputs.filter(l => l.contains("text#") || l.contains("words#") || l.contains("ws#"))
+    assert(leaky.isEmpty, s"d15 shuffles raw text:\n${leaky.mkString("\n")}")
+  }
+
   test("d13: CapCollectBuckets rewrote the user-shaped collect->filter(size) to cap-before-collect") {
     // d13 is written groupBy(ch).agg(collect_list).filter(size BETWEEN)
     // on purpose — the registered proof that the injected optimizer
