@@ -111,6 +111,32 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("t18 LM perplexity terciles are balanced and monotone per language") {
+    // The t16 structural contract carried to the model-based filter:
+    // ntile balance (tile sizes within 1) and non-interleaving score
+    // ranges — tail's max avg log-prob never exceeds middle's min, etc.
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("t18_lm_quality_filter")(spark, sf)
+      .select(col("lang"), col("bucket"), col("n_docs"),
+        col("min_logprob"), col("max_logprob"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val langs = rows.keySet.map(_._1)
+    assert(langs.nonEmpty)
+    langs.foreach { lang =>
+      val Seq(tail, mid, head) =
+        Seq("tail", "middle", "head").map(b => rows((lang, b)))
+      val sizes = Seq(tail._1, mid._1, head._1)
+      assert(sizes.max - sizes.min <= 1, s"$lang LM terciles unbalanced: $sizes")
+      assert(tail._3 <= mid._2, s"$lang: tail max ${tail._3} > middle min ${mid._2}")
+      assert(mid._3 <= head._2, s"$lang: middle max ${mid._3} > head min ${head._2}")
+      // a trained LM separates quality: the head tercile must sit at a
+      // strictly higher avg log-prob (lower perplexity) than the tail
+      assert(head._2 > tail._2, s"$lang: LM failed to separate head from tail")
+    }
+  }
+
   test("d10 dup-chunk counts are internally consistent") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("d10_chunk_dedup")(spark, sf)
