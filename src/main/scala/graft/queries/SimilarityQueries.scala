@@ -787,6 +787,72 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** s13: MULTI-PROBE IVFPQ — s07's recall lever composed onto s12,
+    * which together form the search path FAISS actually runs: each
+    * query probes its top-2 coarse cells, and because IVFPQ encodes
+    * RESIDUALS, the query must re-center PER PROBED CELL (q − c_j is a
+    * different vector in each cell j) — so the ADC lookup table is
+    * keyed (query, cell, subspace, codeword), Q·nProbe·m·k entries,
+    * still broadcast-bounded. ADC distances stay comparable across a
+    * query's probes (each approximates the same ‖q − x‖²), so one
+    * global top-[[QuantCand]] per query spans both cells, then the
+    * exact rerank restores true order.
+    *
+    * Dominance note (why the spec pins s01-dominance + measured recall,
+    * not s12-dominance): the ADC top-20 over TWO cells is not a
+    * superset of the own-cell ADC top-20 — probe-2 candidates can push
+    * an own-cell candidate past the cutoff — so per-rank dominance over
+    * s12 is not a theorem, unlike s07-over-s06 where scoring was exact.
+    * What is provable: every emitted (q, rnk) reranks a candidate
+    * subset exactly, so s01's global top-k dominates per rank. */
+  private def annIvfPqMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cent = ivfCentroids(s, dir)
+    val cb = ivfPqCodebooks(s, dir)
+    val wp = Window.partitionBy(col("vec_id")).orderBy(col("scos").desc, col("s_id"))
+    // top-2 probed cells per query, centroid components riding so the
+    // per-cell query residual is one row-local zip_with
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .join(broadcast(cent))
+      .withColumn("scos", expr(dotSpark("v", "sv")) / (col("nrm") * col("sn")))
+      .withColumn("probe_rank", row_number().over(wp).cast(LongType))
+      .filter(col("probe_rank") <= 2)
+      .select(col("vec_id").as("q_id"), col("s_id").as("cell"), col("probe_rank"),
+        expr("zip_with(v, sv, (x, y) -> CAST(x - y AS FLOAT))").as("v"))
+    val lut = probes
+      .select(col("q_id"), col("cell"), col("probe_rank"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("v"))
+      .withColumn("lo", expr(s"CAST(floor(CAST(sub * size(v) AS DOUBLE) / ${PqM}.0D) AS INT)"))
+      .withColumn("hi", expr(s"CAST(floor(CAST((sub + 1) * size(v) AS DOUBLE) / ${PqM}.0D) AS INT)"))
+      .select(col("q_id"), col("cell"), col("probe_rank"), col("sub"),
+        expr("slice(v, lo + 1, hi - lo)").as("sv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("q_id"), col("cell"), col("probe_rank"), col("sub"),
+        col("s_id").as("code"), expr(l2Spark("sv", "cw")).as("pd"))
+    val scores = ivfPqCodes(s, dir)
+      .join(ivfResiduals(s, dir).select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id").as("c_id"), col("cell"), col("sub"), col("code"))
+      .join(broadcast(lut), Seq("cell", "sub", "code"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("cell"), col("probe_rank"), col("c_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("pd")))).as("ps"))
+      .withColumn("adc", expr("aggregate(ps, CAST(0.0 AS DOUBLE), (a, p) -> a + p.pd)"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("c_id"))
+    val cand = scores.withColumn("cand_rnk", row_number().over(wq))
+      .filter(col("cand_rnk") <= QuantCand)
+      .select(col("q_id"), col("cell"), col("probe_rank"), col("c_id"), col("adc"))
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    broadcast(cand).join(q, Seq("q_id")).join(c, Seq("c_id"))
+      .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(wr).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("cell"), col("probe_rank"), col("c_id"), col("rnk"),
+        col("adc").as("adc_dist"), col("cos").as("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** DuckDB twin of the PQ fit + encode — unrolled from [[LloydRounds]]
     * exactly like [[ivfAsgDuckCte]], so a constant bump regenerates the
     * twin instead of desyncing it. Parameterized over the source
@@ -1144,6 +1210,60 @@ object SimilarityQueries {
       SELECT q_id, cell, c_id, CAST(rnk AS BIGINT) AS rnk, adc AS adc_dist, cos AS cosine
       FROM rr2 WHERE rnk <= 5 ORDER BY q_id, rnk"""),
       "IVFPQ composed: cell-pruned ADC scan over residual PQ codes, exact rerank (the trillion-vector index layout)"),
+
+    "s13_ann_ivfpq_multiprobe" -> QueryDef(annIvfPqMultiProbe, Some(s"""$vecsDuckCte,
+      $ivfAsgDuckCte,
+      rsd AS (
+        SELECT n.vec_id, a.cell,
+          list_transform(generate_series(1, len(n.v)),
+            i -> CAST(CAST(n.v[i] - f.sv[i] AS REAL) AS DOUBLE)) AS v
+        FROM n JOIN asg a ON n.vec_id = a.vec_id
+        JOIN fitc f ON f.s_id = a.cell),
+      ${pqFitDuckChain("rsd", "r")},
+      mpq AS (
+        SELECT vec_id AS q_id, s_id AS cell, CAST(rn AS BIGINT) AS probe_rank FROM (
+          SELECT vec_id, s_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
+          FROM sc WHERE vec_id % 50 = 0) t WHERE rn <= 2),
+      mqr AS (
+        SELECT p.q_id, p.cell, p.probe_rank,
+          list_transform(generate_series(1, len(n.v)),
+            i -> CAST(CAST(n.v[i] - f.sv[i] AS REAL) AS DOUBLE)) AS v
+        FROM mpq p JOIN n ON n.vec_id = p.q_id
+        JOIN fitc f ON f.s_id = p.cell),
+      mqsv AS (
+        SELECT q_id, cell, probe_rank, j AS sub,
+          list_transform(generate_series(
+            CAST(floor(CAST(j * len(v) AS DOUBLE) / ${PqM}.0) AS BIGINT) + 1,
+            CAST(floor(CAST((j + 1) * len(v) AS DOUBLE) / ${PqM}.0) AS BIGINT)),
+            i -> v[i]) AS sv
+        FROM mqr, UNNEST(generate_series(0, ${PqM - 1})) AS t(j)),
+      mlut AS (
+        SELECT q_id, cell, probe_rank, p.sub, s_id AS code,
+               ${l2Duck("p.sv", "cw")} AS pd
+        FROM mqsv p JOIN rcb c ON p.sub = c.sub),
+      madc AS (
+        SELECT l.q_id, a.cell, l.probe_rank, c.vec_id AS c_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pd ORDER BY c.sub)),
+            (acc, z) -> acc + z) AS adc
+        FROM rcodes c
+        JOIN asg a ON a.vec_id = c.vec_id
+        JOIN mlut l ON l.cell = a.cell AND l.q_id <> c.vec_id
+          AND l.sub = c.sub AND l.code = c.code
+        GROUP BY l.q_id, a.cell, l.probe_rank, c.vec_id),
+      mr1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc ASC, c_id) AS crnk
+              FROM madc),
+      mcand AS (SELECT q_id, cell, probe_rank, c_id, adc FROM mr1 WHERE crnk <= $QuantCand),
+      mx AS (SELECT mcand.q_id, mcand.cell, mcand.probe_rank, mcand.c_id, mcand.adc,
+                    $cosDuck AS cos
+             FROM mcand JOIN n q ON q.vec_id = mcand.q_id
+                        JOIN n c ON c.vec_id = mcand.c_id),
+      mr2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+              FROM mx)
+      SELECT q_id, cell, probe_rank, c_id, CAST(rnk AS BIGINT) AS rnk,
+             adc AS adc_dist, cos AS cosine
+      FROM mr2 WHERE rnk <= 5 ORDER BY q_id, rnk"""),
+      "multi-probe IVFPQ: per-probe query residuals, cross-cell ADC top-k, exact rerank (the full FAISS search path)"),
 
     "s05_cluster_norm_stats" -> QueryDef(clusterNormStats, Some(s"""$vecsDuckCte
       SELECT label, COUNT(*) AS n_vecs,
