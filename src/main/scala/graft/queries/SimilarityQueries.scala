@@ -38,7 +38,7 @@ object SimilarityQueries {
   private val LloydRounds = 2
   private val IvfScaleSql = "1048576.0" // 2^20 — float×2^20 is exact in double
   private[graft] val PqM = 4        // PQ subspaces (64-dim → 4×16, derived per-row)
-  private val PqSeedMod = 43        // codebook seeds per subspace: vec_id % 43 == 0
+  private[graft] val PqSeedMod = 43 // codebook seeds per subspace: vec_id % 43 == 0
 
   /** (vec_id, label, v FLOAT[], nrm) — normalized working set. */
   private[graft] def vecs(s: SparkSession, dir: String): DataFrame = {
@@ -588,15 +588,21 @@ object SimilarityQueries {
     s"(${d(a, a)} - 2.0 * ${d(a, b)} + ${d(b, b)})"
   }
 
-  /** (vec_id, sub, sv) subvector decomposition into [[PqM]] contiguous
-    * subspaces. Boundaries derive from each row's ACTUAL vector length
-    * (`floor(j·D/m)` — the same formula the DuckDB twin evaluates), so a
-    * dimensionality change diverges nowhere. One scan, row-local. */
-  private def subvecs(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("v"))
+  /** (keys…, sub, sv) subvector decomposition of a `v` column into
+    * [[PqM]] contiguous subspaces. Boundaries derive from each row's
+    * ACTUAL vector length (`floor(j·D/m)` — the same formula the
+    * DuckDB twin evaluates via [[subvecDuck]]), so a dimensionality
+    * change diverges nowhere. One scan, row-local. THE single
+    * boundary definition: the fit, the encode, every LUT, and the
+    * spec's distortion probes all call this — a boundary change can
+    * never desync them. */
+  private[graft] def subvecs(e: DataFrame, keys: Seq[String] = Seq("vec_id")): DataFrame =
+    e.select(keys.map(col) ++ Seq(
+        explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("v")): _*)
       .withColumn("lo", expr(s"CAST(floor(CAST(sub * size(v) AS DOUBLE) / ${PqM}.0D) AS INT)"))
       .withColumn("hi", expr(s"CAST(floor(CAST((sub + 1) * size(v) AS DOUBLE) / ${PqM}.0D) AS INT)"))
-      .select(col("vec_id"), col("sub"), expr("slice(v, lo + 1, hi - lo)").as("sv"))
+      .select(keys.map(col) ++ Seq(
+        col("sub"), expr("slice(v, lo + 1, hi - lo)").as("sv")): _*)
 
   /** Per-subspace k-means codebook fit (the PQ training step, Jégou et
     * al. 2011): within each of the [[PqM]] subspaces, deterministic
@@ -688,6 +694,25 @@ object SimilarityQueries {
         ivfPqCodebooks(s, dir))
     }
 
+  /** Exact top-5 rerank of an ADC candidate set `cand(q_id, carry…,
+    * c_id, adc)`: raw vectors joined back on both roles, true cosine
+    * order restored per query, ADC distance carried beside the exact
+    * cosine. THE single rerank tail of s11/s12/s13 — the s01-dominance
+    * theorems their specs pin hold because every PQ query reranks
+    * through this one definition (same tie-break, same cutoff). */
+  private def exactRerank(cand: DataFrame, e: DataFrame, carry: Seq[String]): DataFrame = {
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    broadcast(cand).join(q, Seq("q_id")).join(c, Seq("c_id"))
+      .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(wr).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select(Seq(col("q_id")) ++ carry.map(col) ++ Seq(col("c_id"), col("rnk"),
+        col("adc").as("adc_dist"), col("cos").as("cosine")): _*)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** s11: product quantization with an ADC scan — the third leg of the
     * FAISS triad (s06 IVF prunes the scan, s08 SQ8 shrinks the read,
     * s11 PQ shrinks the STORE: m codes per vector instead of D values).
@@ -723,16 +748,7 @@ object SimilarityQueries {
     val cand = scores.withColumn("cand_rnk", row_number().over(wq))
       .filter(col("cand_rnk") <= QuantCand)
       .select(col("q_id"), col("c_id"), col("adc"))
-    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    broadcast(cand).join(q, Seq("q_id")).join(c, Seq("c_id"))
-      .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
-      .withColumn("rnk", row_number().over(wr).cast(LongType))
-      .filter(col("rnk") <= 5)
-      .select(col("q_id"), col("c_id"), col("rnk"),
-        col("adc").as("adc_dist"), col("cos").as("cosine"))
-      .orderBy(col("q_id"), col("rnk"))
+    exactRerank(cand, e, Seq.empty)
   }
 
   /** s12: IVF + PQ composed with RESIDUAL encoding — the full FAISS
@@ -775,16 +791,7 @@ object SimilarityQueries {
     val cand = scores.withColumn("cand_rnk", row_number().over(wq))
       .filter(col("cand_rnk") <= QuantCand)
       .select(col("q_id"), col("cell"), col("c_id"), col("adc"))
-    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    broadcast(cand).join(q, Seq("q_id")).join(c, Seq("c_id"))
-      .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
-      .withColumn("rnk", row_number().over(wr).cast(LongType))
-      .filter(col("rnk") <= 5)
-      .select(col("q_id"), col("cell"), col("c_id"), col("rnk"),
-        col("adc").as("adc_dist"), col("cos").as("cosine"))
-      .orderBy(col("q_id"), col("rnk"))
+    exactRerank(cand, e, Seq("cell"))
   }
 
   /** s13: MULTI-PROBE IVFPQ — s07's recall lever composed onto s12,
@@ -819,13 +826,7 @@ object SimilarityQueries {
       .filter(col("probe_rank") <= 2)
       .select(col("vec_id").as("q_id"), col("s_id").as("cell"), col("probe_rank"),
         expr("zip_with(v, sv, (x, y) -> CAST(x - y AS FLOAT))").as("v"))
-    val lut = probes
-      .select(col("q_id"), col("cell"), col("probe_rank"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("v"))
-      .withColumn("lo", expr(s"CAST(floor(CAST(sub * size(v) AS DOUBLE) / ${PqM}.0D) AS INT)"))
-      .withColumn("hi", expr(s"CAST(floor(CAST((sub + 1) * size(v) AS DOUBLE) / ${PqM}.0D) AS INT)"))
-      .select(col("q_id"), col("cell"), col("probe_rank"), col("sub"),
-        expr("slice(v, lo + 1, hi - lo)").as("sv"))
+    val lut = subvecs(probes, Seq("q_id", "cell", "probe_rank"))
       .join(broadcast(cb), Seq("sub"))
       .select(col("q_id"), col("cell"), col("probe_rank"), col("sub"),
         col("s_id").as("code"), expr(l2Spark("sv", "cw")).as("pd"))
@@ -841,16 +842,7 @@ object SimilarityQueries {
     val cand = scores.withColumn("cand_rnk", row_number().over(wq))
       .filter(col("cand_rnk") <= QuantCand)
       .select(col("q_id"), col("cell"), col("probe_rank"), col("c_id"), col("adc"))
-    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    broadcast(cand).join(q, Seq("q_id")).join(c, Seq("c_id"))
-      .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
-      .withColumn("rnk", row_number().over(wr).cast(LongType))
-      .filter(col("rnk") <= 5)
-      .select(col("q_id"), col("cell"), col("probe_rank"), col("c_id"), col("rnk"),
-        col("adc").as("adc_dist"), col("cos").as("cosine"))
-      .orderBy(col("q_id"), col("rnk"))
+    exactRerank(cand, e, Seq("cell", "probe_rank"))
   }
 
   /** DuckDB twin of the PQ fit + encode — unrolled from [[LloydRounds]]
@@ -861,6 +853,28 @@ object SimilarityQueries {
     * share one chain definition. Ends with `${pfx}codes` (the
     * encoding), `${pfx}cb` (the fitted codebooks), and `${pfx}sv` (the
     * subvector decomposition, reused by the LUT CTEs). */
+  /** DuckDB subvector decomposition of `src`'s `v` column, keyed by
+    * `keys` — THE single SQL-side boundary definition (twin of
+    * [[subvecs]]), spliced by the fit chain and every LUT CTE. */
+  private def subvecDuck(keys: String, src: String): String = s"""
+        SELECT $keys, j AS sub,
+          list_transform(generate_series(
+            CAST(floor(CAST(j * len(v) AS DOUBLE) / ${PqM}.0) AS BIGINT) + 1,
+            CAST(floor(CAST((j + 1) * len(v) AS DOUBLE) / ${PqM}.0) AS BIGINT)),
+            i -> v[i]) AS sv
+        FROM $src, UNNEST(generate_series(0, ${PqM - 1})) AS t(j)"""
+
+  /** DuckDB twin of [[ivfResiduals]] (`rsd(vec_id, cell, v)`) — one
+    * definition shared by the s12 and s13 oracles; splice after
+    * [[ivfAsgDuckCte]] (needs `asg` and `fitc`). */
+  private val rsdDuckCte: String = """
+      rsd AS (
+        SELECT n.vec_id, a.cell,
+          list_transform(generate_series(1, len(n.v)),
+            i -> CAST(CAST(n.v[i] - f.sv[i] AS REAL) AS DOUBLE)) AS v
+        FROM n JOIN asg a ON n.vec_id = a.vec_id
+        JOIN fitc f ON f.s_id = a.cell)"""
+
   private def pqFitDuckChain(src: String, pfx: String): String = {
     def round(prev: String, k: Int): String = s"""
       ${pfx}sc$k AS (
@@ -888,13 +902,7 @@ object SimilarityQueries {
       .mkString(",")
     val fitted = s"${pfx}cb${LloydRounds - 1}"
     s"""
-      ${pfx}sv AS (
-        SELECT vec_id, j AS sub,
-          list_transform(generate_series(
-            CAST(floor(CAST(j * len(v) AS DOUBLE) / ${PqM}.0) AS BIGINT) + 1,
-            CAST(floor(CAST((j + 1) * len(v) AS DOUBLE) / ${PqM}.0) AS BIGINT)),
-            i -> v[i]) AS sv
-        FROM $src, UNNEST(generate_series(0, ${PqM - 1})) AS t(j)),
+      ${pfx}sv AS (${subvecDuck("vec_id", src)}),
       ${pfx}seeds AS (SELECT sub, vec_id AS s_id, sv AS cw
                  FROM ${pfx}sv WHERE vec_id % $PqSeedMod = 0),
       $rounds,
@@ -1178,12 +1186,7 @@ object SimilarityQueries {
 
     "s12_ann_ivfpq" -> QueryDef(annIvfPq, Some(s"""$vecsDuckCte,
       $ivfAsgDuckCte,
-      rsd AS (
-        SELECT n.vec_id, a.cell,
-          list_transform(generate_series(1, len(n.v)),
-            i -> CAST(CAST(n.v[i] - f.sv[i] AS REAL) AS DOUBLE)) AS v
-        FROM n JOIN asg a ON n.vec_id = a.vec_id
-        JOIN fitc f ON f.s_id = a.cell),
+      $rsdDuckCte,
       ${pqFitDuckChain("rsd", "r")},
       rlut AS (
         SELECT p.vec_id AS q_id, p.sub, s_id AS code, ${l2Duck("p.sv", "cw")} AS pd
@@ -1213,12 +1216,7 @@ object SimilarityQueries {
 
     "s13_ann_ivfpq_multiprobe" -> QueryDef(annIvfPqMultiProbe, Some(s"""$vecsDuckCte,
       $ivfAsgDuckCte,
-      rsd AS (
-        SELECT n.vec_id, a.cell,
-          list_transform(generate_series(1, len(n.v)),
-            i -> CAST(CAST(n.v[i] - f.sv[i] AS REAL) AS DOUBLE)) AS v
-        FROM n JOIN asg a ON n.vec_id = a.vec_id
-        JOIN fitc f ON f.s_id = a.cell),
+      $rsdDuckCte,
       ${pqFitDuckChain("rsd", "r")},
       mpq AS (
         SELECT vec_id AS q_id, s_id AS cell, CAST(rn AS BIGINT) AS probe_rank FROM (
@@ -1231,13 +1229,7 @@ object SimilarityQueries {
             i -> CAST(CAST(n.v[i] - f.sv[i] AS REAL) AS DOUBLE)) AS v
         FROM mpq p JOIN n ON n.vec_id = p.q_id
         JOIN fitc f ON f.s_id = p.cell),
-      mqsv AS (
-        SELECT q_id, cell, probe_rank, j AS sub,
-          list_transform(generate_series(
-            CAST(floor(CAST(j * len(v) AS DOUBLE) / ${PqM}.0) AS BIGINT) + 1,
-            CAST(floor(CAST((j + 1) * len(v) AS DOUBLE) / ${PqM}.0) AS BIGINT)),
-            i -> v[i]) AS sv
-        FROM mqr, UNNEST(generate_series(0, ${PqM - 1})) AS t(j)),
+      mqsv AS (${subvecDuck("q_id, cell, probe_rank", "mqr")}),
       mlut AS (
         SELECT q_id, cell, probe_rank, p.sub, s_id AS code,
                ${l2Duck("p.sv", "cw")} AS pd

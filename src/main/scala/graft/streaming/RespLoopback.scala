@@ -120,7 +120,14 @@ final class RespLoopback(clock: Clock = SystemClock) {
       var i = 4
       var done = false
       while (!done && i < args.length) args(i).toUpperCase match {
-        case "COUNT" => count = args(i + 1).toInt; i += 2
+        // Redis: COUNT 0 disables the limit (t_stream.c checks
+        // `count && entries >= count`), it does NOT mean "zero rows" —
+        // a consumer configured with COUNT 0 must drain, not spin.
+        case "COUNT" =>
+          val n = args(i + 1).toInt
+          require(n >= 0, "COUNT must be >= 0")
+          count = if (n == 0) Int.MaxValue else n
+          i += 2
         case "BLOCK" => args(i + 1).toLong; i += 2 // validated, ignored
         case "STREAMS" => done = true
         case other => sys.error(s"syntax error near '$other'")

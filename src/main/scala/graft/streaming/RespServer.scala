@@ -44,10 +44,20 @@ final class RespServer(val loopback: RespLoopback = new RespLoopback())
     while (running.get) {
       try {
         val sock = server.accept()
-        connections.synchronized(connections += sock)
-        val t = new Thread(() => handle(sock), s"resp-conn-${sock.getPort}")
-        t.setDaemon(true)
-        t.start()
+        // Registration re-checks `running` INSIDE the lock close() also
+        // takes: a connection accepted in the accept()/close() window
+        // would otherwise register after close() cleared the set and
+        // keep its handler thread serving a shut-down engine.
+        val admitted = connections.synchronized {
+          if (running.get) { connections += sock; true } else false
+        }
+        if (admitted) {
+          val t = new Thread(() => handle(sock), s"resp-conn-${sock.getPort}")
+          t.setDaemon(true)
+          t.start()
+        } else {
+          try sock.close() catch { case _: Exception => () }
+        }
       } catch {
         case _: SocketException => () // server closed — loop exits via flag
         case _: Exception       => ()
@@ -58,7 +68,17 @@ final class RespServer(val loopback: RespLoopback = new RespLoopback())
   acceptor.start()
 
   /** One connection's lifetime: accumulate fragments, decode every
-    * complete command in the buffer, execute, reply, compact. */
+    * complete command in the buffer, execute, reply, compact.
+    *
+    * The receive buffer is HARD-CAPPED at [[RespServer.MaxFrameBytes]]
+    * (Redis's proto-max-bulk-len analog): a client streaming a huge
+    * length header and trickling elements must exhaust its cap, answer
+    * one ERR and lose the connection — never grow the heap until OOM
+    * (the same remote-crash class the decoder's nesting bound closes).
+    * Within the cap the per-fragment re-append/re-decode is O(n²) in
+    * the worst case — bounded at cap² bytes touched, accepted for this
+    * accept-loop's scale; a production front-end would length-prefix
+    * off the bulk headers before buffering. */
   private def handle(sock: Socket): Unit = {
     val in = sock.getInputStream
     val out = new BufferedOutputStream(sock.getOutputStream)
@@ -69,6 +89,12 @@ final class RespServer(val loopback: RespLoopback = new RespLoopback())
       while (open) {
         val n = in.read(chunk)
         if (n < 0) open = false
+        else if (buf.length + n > RespServer.MaxFrameBytes) {
+          out.write(encodeReply(ErrorReply(
+            s"ERR frame exceeds ${RespServer.MaxFrameBytes} bytes")))
+          out.flush()
+          open = false
+        }
         else {
           buf = buf ++ java.util.Arrays.copyOfRange(chunk, 0, n)
           var at = 0
@@ -106,11 +132,20 @@ final class RespServer(val loopback: RespLoopback = new RespLoopback())
 
   override def close(): Unit = if (running.compareAndSet(true, false)) {
     try server.close() catch { case _: Exception => () }
+    // `running` is already false, so the acceptor's locked admission
+    // check (above) refuses any connection racing this cleanup.
     connections.synchronized {
       connections.foreach(s => try s.close() catch { case _: Exception => () })
       connections.clear()
     }
   }
+}
+
+object RespServer {
+  /** Hard cap on one connection's buffered frame bytes — Redis's
+    * proto-max-bulk-len analog (512 MiB there; 8 MiB here, generous
+    * for stream commands whose values are message fields). */
+  val MaxFrameBytes: Int = 8 * 1024 * 1024
 }
 
 /** Minimal blocking RESP client — the role redis-py plays for the
@@ -149,10 +184,21 @@ final class RespClient(host: String, port: Int) extends AutoCloseable {
     readReply()
   }
 
+  /** Whether the peer has closed: probes with one read. A byte that
+    * arrives instead of EOF (an unread pipelined reply's first byte)
+    * is APPENDED to the decode buffer, not swallowed — the next
+    * readReply stays frame-aligned — and the probe timeout is restored
+    * afterwards so a later blocking readReply doesn't inherit a 2 s
+    * SocketTimeoutException. */
   def isClosedByServer: Boolean = {
-    // a server-side close surfaces as EOF on the next read
-    try { sock.setSoTimeout(2000); in.read() < 0 }
+    val prev = try sock.getSoTimeout catch { case _: Exception => 0 }
+    try {
+      sock.setSoTimeout(2000)
+      val b = in.read()
+      if (b >= 0) { buf = buf :+ b.toByte; false } else true
+    }
     catch { case _: Exception => false }
+    finally { try sock.setSoTimeout(prev) catch { case _: Exception => () } }
   }
 
   override def close(): Unit = try sock.close() catch { case _: Exception => () }

@@ -354,34 +354,18 @@ class QueriesSpec extends SparkTestBase {
     // Per-subspace Lloyd: re-centering each codeword cell on its
     // members' mean cannot increase the summed squared-L2 assignment
     // error; on real data the improvement is strict. A fit that
-    // regressed to (or broke) the seed codebooks fails here.
+    // regressed to (or broke) the seed codebooks fails here. The
+    // subspace decomposition and seed modulus come from
+    // SimilarityQueries itself — the test measures the REAL fit, not a
+    // re-implementation that could drift.
     import org.apache.spark.sql.functions._
     import graft.queries.SimilarityQueries
     val e = SimilarityQueries.vecs(spark, sf)
-    def quantErr(cb: org.apache.spark.sql.DataFrame): Double = {
-      val sv = e.select(col("vec_id"),
-          explode(sequence(lit(0), lit(SimilarityQueries.PqM - 1))).as("sub"), col("v"))
-        .withColumn("lo", expr(
-          s"CAST(floor(CAST(sub * size(v) AS DOUBLE) / ${SimilarityQueries.PqM}.0D) AS INT)"))
-        .withColumn("hi", expr(
-          s"CAST(floor(CAST((sub + 1) * size(v) AS DOUBLE) / ${SimilarityQueries.PqM}.0D) AS INT)"))
-        .select(col("vec_id"), col("sub"), expr("slice(v, lo + 1, hi - lo)").as("sv"))
-      sv.join(broadcast(cb), Seq("sub"))
-        .withColumn("d2", expr(
-          "graft_dot(sv, sv) - 2.0D * graft_dot(sv, cw) + graft_dot(cw, cw)"))
-        .groupBy(col("vec_id"), col("sub")).agg(min(col("d2")).as("d2"))
-        .agg(sum(col("d2"))).head().getDouble(0)
-    }
-    val seeds = e.filter(col("vec_id") % 43 === 0)
-      .select(col("vec_id"),
-        explode(sequence(lit(0), lit(SimilarityQueries.PqM - 1))).as("sub"), col("v"))
-      .withColumn("lo", expr(
-        s"CAST(floor(CAST(sub * size(v) AS DOUBLE) / ${SimilarityQueries.PqM}.0D) AS INT)"))
-      .withColumn("hi", expr(
-        s"CAST(floor(CAST((sub + 1) * size(v) AS DOUBLE) / ${SimilarityQueries.PqM}.0D) AS INT)"))
-      .select(col("sub"), col("vec_id").as("s_id"), expr("slice(v, lo + 1, hi - lo)").as("cw"))
-    val seedErr = quantErr(seeds)
-    val fitErr = quantErr(SimilarityQueries.pqCodebooks(spark, sf))
+    val seeds = SimilarityQueries
+      .subvecs(e.filter(col("vec_id") % SimilarityQueries.PqSeedMod === 0))
+      .select(col("sub"), col("vec_id").as("s_id"), col("sv").as("cw"))
+    val seedErr = QueriesSpec.pqDistortion(e, seeds)
+    val fitErr = QueriesSpec.pqDistortion(e, SimilarityQueries.pqCodebooks(spark, sf))
     assert(fitErr < seedErr,
       s"fitted PQ codebooks did not improve quantization error: $fitErr >= $seedErr")
   }
@@ -451,26 +435,9 @@ class QueriesSpec extends SparkTestBase {
       assert(cos12 <= ivf(key),
         s"IVFPQ rank ${key._2} for query ${key._1} BEATS plain IVF: $cos12 > ${ivf(key)}")
     }
-    // total squared reconstruction error of each scheme's codes
-    def distortion(e: org.apache.spark.sql.DataFrame,
-        cb: org.apache.spark.sql.DataFrame): Double = {
-      val pq = graft.queries.SimilarityQueries
-      e.select(col("vec_id"),
-          explode(sequence(lit(0), lit(pq.PqM - 1))).as("sub"), col("v"))
-        .withColumn("lo", expr(
-          s"CAST(floor(CAST(sub * size(v) AS DOUBLE) / ${pq.PqM}.0D) AS INT)"))
-        .withColumn("hi", expr(
-          s"CAST(floor(CAST((sub + 1) * size(v) AS DOUBLE) / ${pq.PqM}.0D) AS INT)"))
-        .select(col("vec_id"), col("sub"), expr("slice(v, lo + 1, hi - lo)").as("sv"))
-        .join(broadcast(cb), Seq("sub"))
-        .withColumn("d2", expr(
-          "graft_dot(sv, sv) - 2.0D * graft_dot(sv, cw) + graft_dot(cw, cw)"))
-        .groupBy(col("vec_id"), col("sub")).agg(min(col("d2")).as("d2"))
-        .agg(sum(col("d2"))).head().getDouble(0)
-    }
-    val flat = distortion(SimilarityQueries.vecs(spark, sf),
+    val flat = QueriesSpec.pqDistortion(SimilarityQueries.vecs(spark, sf),
       SimilarityQueries.pqCodebooks(spark, sf))
-    val residual = distortion(
+    val residual = QueriesSpec.pqDistortion(
       SimilarityQueries.ivfResiduals(spark, sf).select(col("vec_id"), col("v")),
       SimilarityQueries.ivfPqCodebooks(spark, sf))
     assert(residual < flat,
@@ -539,5 +506,22 @@ class QueriesSpec extends SparkTestBase {
       assert(cos7 >= cos6,
         s"multi-probe rank ${key._2} for query ${key._1} got WORSE: $cos7 < $cos6")
     }
+  }
+}
+
+object QueriesSpec {
+  /** Total squared quantization error of codebooks `cb` over `e`
+    * (vec_id, v): each subvector's distance to its nearest codeword,
+    * summed. Uses SimilarityQueries' OWN subspace decomposition so the
+    * probe can never drift from the decomposition it measures. */
+  private[graft] def pqDistortion(vecsDf: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame): Double = {
+    import org.apache.spark.sql.functions._
+    graft.queries.SimilarityQueries.subvecs(vecsDf)
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", expr(
+        "graft_dot(sv, sv) - 2.0D * graft_dot(sv, cw) + graft_dot(cw, cw)"))
+      .groupBy(col("vec_id"), col("sub")).agg(min(col("d2")).as("d2"))
+      .agg(sum(col("d2"))).head().getDouble(0)
   }
 }
