@@ -146,6 +146,16 @@ class RespServerSpec extends AnyFunSuite {
       val own = parseXRead(ok(client.call(
         Seq("XREADGROUP", "GROUP", "g", "count", "COUNT", "2", "STREAMS", "s", "0"))))
       assert(own.head._2.length == 2)
+      // COUNT 0 = no limit (Redis checks `count && entries >= count`),
+      // never an empty read — a consumer configured with 0 must drain
+      val all = parseXRead(ok(client.call(
+        Seq("XREADGROUP", "GROUP", "g", "count", "COUNT", "0", "STREAMS", "s", "0"))))
+      assert(all.head._2.length == 5)
+      client.call(Seq("XREADGROUP", "GROUP", "g", "count", "COUNT", "-1",
+        "STREAMS", "s", "0")) match {
+        case _: ErrorReply => ()
+        case other         => fail(s"negative COUNT must error, got $other")
+      }
     }
   }
 
