@@ -766,7 +766,14 @@ object SimilarityQueries {
     *
     * Scale shape: cells and codebooks broadcast (bounded by K and m·k);
     * the only corpus-width movement is codes joining the broadcast
-    * query-cell slice — m longs per candidate, no vectors. */
+    * query-cell slice — m longs per candidate, no vectors.
+    *
+    * Small-SF cost is FIXED overhead, not data: measured 11 jobs ×
+    * ~260 ms/job warm at sf0.1 ([[graft.tools.JobCountProbe]]) — each
+    * broadcast build is its own job and the per-job cost is scheduler +
+    * broadcast latency, independent of N. At production scale those
+    * same 11 jobs amortize over the actual scan; contorting the plan to
+    * merge them would trade the 100 TB shape for a toy-SF win. */
   private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val res = ivfResiduals(s, dir)
