@@ -523,7 +523,13 @@ object TextQueries {
     *     doc-level (avg_logprob, doc_id) — post-aggregation rows.
     *
     * Docs with fewer than 2 tokens have no bigrams and are excluded
-    * (CCNet scores sentences, which always have context). Buckets:
+    * (CCNet scores sentences, which always have context). A language
+    * whose head tercile yields ZERO training bigrams (every head doc
+    * under 2 tokens) has no model — V is undefined — so ALL its docs
+    * drop out of scoring at the inner vocab join below; the DuckDB twin
+    * inner-joins vv identically, so the exclusion is cross-engine
+    * consistent and deliberate: scoring against an untrained LM would
+    * bucket by the smoothing floor alone, i.e. by noise. Buckets:
     * "head" = highest avg log-prob = lowest perplexity = most LM-like. */
   private def lmQualityFilter(s: SparkSession, dir: String): DataFrame = {
     val scored = withStats(docs(s, dir))

@@ -45,6 +45,10 @@ final class ConsumerGroup private (
     * reply — the caller can still ack them, so a trim can never wedge a
     * consumer behind unackable ghosts. */
   def readOwn(consumer: String, count: Int = Int.MaxValue): Seq[StreamMessage] = synchronized {
+    // Wire COUNT 0 means "no limit" and the loopback maps it before
+    // calling here, but direct API callers get the same contract:
+    // count <= 0 = unlimited, never take(negative) = silently empty.
+    val limit = if (count <= 0) Int.MaxValue else count
     touch(consumer)
     val owned = pel.valuesIterator.filter(_.consumer == consumer).map(_.msgid).toSet
     val live = log.all.filter(m => owned.contains(m.msgid))
@@ -53,7 +57,7 @@ final class ConsumerGroup private (
       .map(id => StreamMessage(id, Map.empty))
     // Redis applies COUNT to PEL re-reads too — a recovering consumer
     // paces its redelivery with the same batch size as fresh reads.
-    (live ++ ghosts).sortBy(m => MsgId.parse(m.msgid)).take(count)
+    (live ++ ghosts).sortBy(m => MsgId.parse(m.msgid)).take(limit)
   }
 
   /** G2/C5: XPENDING_RANGE — up to `count` PEL entries of one consumer

@@ -213,10 +213,17 @@ object StreamCommands {
   def xack(stream: String, group: String, ids: Seq[String]): Seq[String] =
     Seq("XACK", stream, group) ++ ids
 
-  /** XPENDING range form (`common.py:66-71`). */
+  /** XPENDING range form, optionally filtered to one consumer — the
+    * trailing consumername redis-py appends (`common.py:66-73`). */
   def xpendingRange(stream: String, group: String,
-      min: String = "-", max: String = "+", count: Int = 100): Seq[String] =
-    Seq("XPENDING", stream, group, min, max, count.toString)
+      min: String = "-", max: String = "+", count: Int = 100,
+      consumer: Option[String] = None): Seq[String] =
+    Seq("XPENDING", stream, group, min, max, count.toString) ++ consumer
+
+  /** XRANGE — the scaler's backlog probe (`scaler.py:56-62`). */
+  def xrange(stream: String, min: String = "-", max: String = "+",
+      count: Option[Int] = None): Seq[String] =
+    Seq("XRANGE", stream, min, max) ++ count.toSeq.flatMap(n => Seq("COUNT", n.toString))
 
   /** XCLAIM (`monitor.py:132-137`: min-idle-time + ids). */
   def xclaim(stream: String, group: String, consumer: String,

@@ -107,6 +107,17 @@ final class RespLoopback(clock: Clock = SystemClock) {
 
     case "XLEN" => IntReply(logOf(args(1)).len.toLong)
 
+    case "XRANGE" =>
+      // XRANGE key start end [COUNT n] — inclusive id range, '-'/'+'
+      // open ends. This is the reference scaler's backlog probe:
+      // xrange(min=last_delivered, max=last_generated), scaler.py:56-62.
+      require(args.length == 4 ||
+        (args.length == 6 && args(4).equalsIgnoreCase("COUNT")),
+        "expected XRANGE <key> <start> <end> [COUNT <n>]")
+      val count = if (args.length == 6) args(5).toInt else Int.MaxValue
+      ArrayReply(Some(
+        logOf(args(1)).range(args(2), args(3)).take(count).toVector.map(entryReply)))
+
     case "XREADGROUP" =>
       // XREADGROUP GROUP g c [COUNT n] [BLOCK ms] STREAMS s (>|0) —
       // optional clauses are consumed positionally after the fixed
@@ -148,11 +159,19 @@ final class RespLoopback(clock: Clock = SystemClock) {
       IntReply(args.drop(3).map(g.ack).sum.toLong)
 
     case "XPENDING" =>
-      // range form: XPENDING s g min max count → [id, consumer, idle, times]
+      // range form: XPENDING s g min max count [consumer] →
+      // [id, consumer, idle, times]. The optional trailing consumer
+      // filter is what redis-py's xpending_range(consumername=…) sends
+      // — the reference consumer counts its own assigned items with it
+      // (`common.py:66-73`, called from `consumer.py:113-119`).
+      require(args.length == 6 || args.length == 7,
+        "expected XPENDING <key> <group> <min> <max> <count> [consumer]")
       val g = groupOf(args(1), args(2))
       val (min, max, count) = (args(3), args(4), args(5).toInt)
+      val byConsumer = args.lift(6)
       val now = clock.nowMs
       val rows = g.consumers.flatMap(c => g.pendingOf(c))
+        .filter(e => byConsumer.forall(_ == e.consumer))
         .filter(e => (min == "-" || MsgId.lte(min, e.msgid)) &&
                      (max == "+" || MsgId.lte(e.msgid, max)))
         .sortBy(e => MsgId.parse(e.msgid)).take(count)
@@ -209,6 +228,18 @@ final class RespLoopback(clock: Clock = SystemClock) {
             bulk("pending"), IntReply(pending.toLong),
             bulk("idle"), IntReply(idle))))
         }))
+      case "STREAM" =>
+        // XINFO STREAM s — the scaler's last-generated-id probe
+        // (`scaler.py:47-48`); flat key/value pair list like Redis,
+        // with the fields the reference (and redis-py's dict parse)
+        // actually consumes.
+        val log = logOf(args(2))
+        val stream = args(2)
+        val nGroups = synchronized(groups.keysIterator.count(_._1 == stream))
+        ArrayReply(Some(Vector(
+          bulk("length"), IntReply(log.len.toLong),
+          bulk("last-generated-id"), bulk(log.lastGeneratedId),
+          bulk("groups"), IntReply(nGroups.toLong))))
       case other => ErrorReply(s"ERR unknown XINFO subcommand: $other")
     }
 

@@ -189,7 +189,9 @@ final class RespClient(host: String, port: Int) extends AutoCloseable {
     * is APPENDED to the decode buffer, not swallowed — the next
     * readReply stays frame-aligned — and the probe timeout is restored
     * afterwards so a later blocking readReply doesn't inherit a 2 s
-    * SocketTimeoutException. */
+    * SocketTimeoutException. Only a probe TIMEOUT means "still open";
+    * any other I/O failure (connection reset surfaces as a
+    * SocketException, not a -1 read) is a dead connection. */
   def isClosedByServer: Boolean = {
     val prev = try sock.getSoTimeout catch { case _: Exception => 0 }
     try {
@@ -197,7 +199,10 @@ final class RespClient(host: String, port: Int) extends AutoCloseable {
       val b = in.read()
       if (b >= 0) { buf = buf :+ b.toByte; false } else true
     }
-    catch { case _: Exception => false }
+    catch {
+      case _: java.net.SocketTimeoutException => false
+      case _: Exception                       => true
+    }
     finally { try sock.setSoTimeout(prev) catch { case _: Exception => () } }
   }
 

@@ -1,0 +1,177 @@
+package graft.streaming
+
+import RespCodec._
+
+/** Wire-speaking counterparts of [[Scaler]] and [[Consumer]] — the
+  * reference's actual deployment topology. The reference library is a
+  * CLIENT: its Scaler and Consumer compute everything from RESP
+  * replies over a socket (`common.py:13-18`), while our engine-side
+  * [[Scaler]]/[[Consumer]] operate on in-process [[StreamLog]] state.
+  * These classes close that gap: the same S1-S5 / C1-C8 logic driven
+  * exclusively through wire commands, so a user of the reference can
+  * point them at [[RespServer]] (or any RESP endpoint) and run the
+  * loops they run today.
+  *
+  * Both are parameterized by `call: Seq[String] => Reply` — one
+  * command in, one reply out — so they run identically over a real
+  * socket ([[RespClient.call]]) and transport-free ([[RespLoopback
+  * .execute]]). An [[ErrorReply]] from the transport is surfaced as an
+  * exception EXCEPT where the reference deliberately swallows it
+  * (BUSYGROUP on group create, `common.py:33-37`).
+  */
+private[streaming] object WireReplies {
+  /** Raise wire errors; the reference's redis-py raises ResponseError
+    * the same way and each caller decides what to absorb. */
+  def ok(r: Reply): Reply = r match {
+    case ErrorReply(m) => sys.error(m)
+    case other         => other
+  }
+
+  /** A flat `[k1, v1, k2, v2, …]` info reply as a map — redis-py's
+    * dict parse of XINFO replies, which the reference then `.get`s
+    * from (`scaler.py:38-48`). */
+  def pairMap(r: Reply): Map[String, Reply] = r match {
+    case ArrayReply(Some(items)) =>
+      require(items.length % 2 == 0, s"odd info pair list: $r")
+      items.grouped(2).map { case Vector(k, v) => k.text -> v }.toMap
+    case other => sys.error(s"not an info reply: $other")
+  }
+
+  def int(r: Reply): Long = r match {
+    case IntReply(v) => v
+    case other       => sys.error(s"not an integer reply: $other")
+  }
+}
+
+/** S1-S5 computed from wire replies only — a faithful port of the
+  * reference Scaler's client-side loop (`scaler.py:36-117`), including
+  * its acknowledged backlog off-by-one: the inclusive
+  * `XRANGE last-delivered last-generated` counts the last delivered
+  * entry too, so the reference subtracts 1 — which undercounts by one
+  * whenever the last-delivered entry is no longer in the range (fresh
+  * group cursor `0-0`, or the entry trimmed), exactly as its own test
+  * pins (`test_scaler.py:124-127`: "lenght is always lower than
+  * actual TODO: Fix"). The engine-side [[Scaler]] computes the
+  * intended strictly-after count instead; this class reproduces the
+  * wire protocol the reference actually runs, quirk included, because
+  * that is what "switch the library, keep the ops loop" means.
+  */
+final class WireScaler(call: Seq[String] => Reply, stream: String, group: String) {
+  import WireReplies._
+
+  // G1 bootstrap: every reference component creates the group in its
+  // ctor, swallowing BUSYGROUP (`common.py:12-37`).
+  call(StreamCommands.xgroupCreate(stream, group)) match {
+    case ErrorReply(m) if !m.contains("BUSYGROUP") => sys.error(m)
+    case _ => ()
+  }
+
+  private var streamLength = 0
+  private var streamPending = 0
+  private var consumersOfGroup = 0
+
+  /** S1 over the wire (`scaler.py:36-63`): XINFO GROUPS for the
+    * group's pending/consumers/last-delivered-id, XINFO STREAM for
+    * last-generated-id, then XLEN (group missing), 0 (caught up) or
+    * len(XRANGE)-1. Returns (backlog, pending). */
+  def collectMetrics(): (Int, Int) = {
+    val groupRow = ok(call(StreamCommands.xinfoGroups(stream))) match {
+      case ArrayReply(Some(rows)) =>
+        rows.map(pairMap).find(_.get("name").exists(_.text == group))
+      case other => sys.error(s"bad XINFO GROUPS reply: $other")
+    }
+    val lastDelivered = groupRow.flatMap(_.get("last-delivered-id")).map(_.text)
+    streamPending = groupRow.flatMap(_.get("pending")).map(int(_).toInt).getOrElse(0)
+    consumersOfGroup = groupRow.flatMap(_.get("consumers")).map(int(_).toInt).getOrElse(0)
+    val lastGenerated =
+      pairMap(ok(call(StreamCommands.xinfoStream(stream))))("last-generated-id").text
+    streamLength = lastDelivered match {
+      case None => int(ok(call(StreamCommands.xlen(stream)))).toInt
+      case Some(ld) if ld == lastGenerated => 0
+      case Some(ld) =>
+        val n = ok(call(StreamCommands.xrange(stream, min = ld, max = lastGenerated))) match {
+          case ArrayReply(Some(entries)) => entries.length
+          case other                     => sys.error(s"bad XRANGE reply: $other")
+        }
+        math.max(0, n - 1) // inclusive range counts the delivered entry
+    }
+    (streamLength, streamPending)
+  }
+
+  /** S5 (`scaler.py:99-117`): validate → rate → decide, on the LAST
+    * collected metrics; re-collects first unless both are nonzero —
+    * the reference's `all([pending, length])` re-probe
+    * (`scaler.py:74-76`). Rate/decision reuse the exact S2/S3 tables
+    * shared with the engine-side [[Scaler]]. */
+  def getScaleDecision(scaleOutRate: Int = 50, scaleInRate: Int = 10): (Double, String) = {
+    Scaler.validateScalingParams(scaleOutRate, scaleInRate)
+    if (streamPending == 0 || streamLength == 0) collectMetrics()
+    val rate = Scaler.calculateRate(streamLength, streamPending)
+    (rate, Scaler.calculateScale(
+      rate, streamLength, consumersOfGroup, scaleOutRate, scaleInRate))
+  }
+}
+
+/** C1-C8 driven exclusively through wire commands — the reference
+  * Consumer's get_items loop (`consumer.py:36-162`) as a RESP client:
+  * XPENDING (consumer-filtered) seeds the quota, XREADGROUP `>` tops
+  * up the deficit, and the final XREADGROUP `0` returns everything
+  * owned. One deliberate adaptation: the reference leans on server-side
+  * BLOCK as its poll timer (`consumer.py:151`); [[RespLoopback]]
+  * answers immediately (BLOCK accepted, ignored), so an empty read
+  * sleeps `pollTimeMs` client-side — same cadence, same count-OR-time
+  * contract, identical batch results.
+  */
+final class WireConsumer(
+    call: Seq[String] => Reply,
+    stream: String,
+    group: String,
+    val consumerId: String = Consumer.defaultConsumerId,
+    batchSize: Int = 2,
+    maxWaitTimeMs: Long = 10000L,
+    pollTimeMs: Long = 1000L,
+    clock: Clock = SystemClock) {
+  import WireReplies._
+
+  call(StreamCommands.xgroupCreate(stream, group)) match { // G1, common.py:12-37
+    case ErrorReply(m) if !m.contains("BUSYGROUP") => sys.error(m)
+    case _ => ()
+  }
+
+  private var hardStopMs = 0L
+
+  /** C1: the count-OR-time batch window, wire edition
+    * (`consumer.py:93-103`). */
+  def getItems(): Seq[StreamMessage] = {
+    hardStopMs = clock.nowMs + maxWaitTimeMs                // consumer.py:87-90
+    var assigned = alreadyAssigned()                        // C5, consumer.py:113-119
+    while (clock.nowMs <= hardStopMs && assigned < batchSize) { // consumer.py:75-85
+      val want = math.max(1, batchSize - assigned)          // consumer.py:96
+      val got = readWire(newOnly = true, count = want)      // C2/C3
+      if (got.isEmpty) clock.sleep(pollTimeMs)              // poll slice (see header)
+      assigned += got.size
+    }
+    readWire(newOnly = false, count = batchSize)            // C4, consumer.py:101-103
+  }
+
+  /** C7: XACK one processed item (`consumer.py:180-191`). */
+  def removeItemFromConsumerGroup(itemId: String): Unit = {
+    ok(call(StreamCommands.xack(stream, group, Seq(itemId)))); ()
+  }
+
+  /** C5: count of already-owned items via the consumer-filtered
+    * XPENDING range (`common.py:66-73`), capped at batchSize like the
+    * reference's item_count. */
+  private def alreadyAssigned(): Int =
+    ok(call(StreamCommands.xpendingRange(
+      stream, group, count = batchSize, consumer = Some(consumerId)))) match {
+      case ArrayReply(Some(rows)) => rows.length
+      case other                  => sys.error(s"bad XPENDING reply: $other")
+    }
+
+  private def readWire(newOnly: Boolean, count: Int): Seq[StreamMessage] =
+    parseXRead(ok(call(StreamCommands.xreadgroup(
+      group, consumerId, stream, count, pollTimeMs, newOnly))))
+      .collectFirst { case (s, msgs) if s == stream => msgs }
+      .getOrElse(Seq.empty)
+}

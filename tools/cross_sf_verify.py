@@ -28,7 +28,12 @@ def compare(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     per = {}
     for name in sorted(oracle):
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        # sorted: part-file names (part-00000, part-00001, ...) sort
+        # lexicographically in write order, so the concatenation preserves
+        # the query's global ORDER BY; bare glob order is filesystem-
+        # arbitrary and a multi-part dump could spuriously fail the
+        # positional compare below.
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         entry = {"rows_match": False, "schema_match": False, "hash_match": False,
                  "spark_rows": 0, "oracle_rows": 0, "err": None}
         try:
