@@ -159,6 +159,119 @@ class RespServerSpec extends AnyFunSuite {
     }
   }
 
+  test("maxClients: connection max+1 is refused with Redis's maxclients error; a freed slot readmits") {
+    val server = new RespServer(new RespLoopback(), maxClients = 2)
+    try {
+      val c1 = new RespClient(server.host, server.port)
+      val c2 = new RespClient(server.host, server.port)
+      try {
+        // both admitted connections actually serve
+        assert(ok(c1.call(StreamCommands.xlen("s"))) == IntReply(0))
+        assert(ok(c2.call(StreamCommands.xlen("s"))) == IntReply(0))
+        val c3 = new RespClient(server.host, server.port)
+        try {
+          c3.readReply() match {
+            case ErrorReply(m) => assert(m.contains("max number of clients"))
+            case other         => fail(s"expected maxclients refusal, got $other")
+          }
+          assert(c3.isClosedByServer)
+        } finally c3.close()
+        // closing an admitted client frees its slot (the handler's
+        // finally deregisters); a fresh connection is eventually served
+        c2.close()
+        val deadline = System.currentTimeMillis() + 5000
+        var served = false
+        while (!served && System.currentTimeMillis() < deadline) {
+          val c4 = new RespClient(server.host, server.port)
+          try {
+            c4.call(StreamCommands.xlen("s")) match {
+              case IntReply(0) => served = true
+              case _           => Thread.sleep(20)
+            }
+          } catch { case _: Exception => Thread.sleep(20) }
+          finally c4.close()
+        }
+        assert(served, "freed slot was never reused within 5s")
+      } finally c1.close()
+    } finally server.close()
+  }
+
+  test("a 1 MiB frame fed one byte at a time decodes in linear time (framer, r10 ask #5)") {
+    val big = "x" * (1024 * 1024)
+    val bytes = encodeStrings(StreamCommands.xadd("big", Seq("payload" -> big)))
+    val framer = new RespCommandFramer(RespServer.MaxFrameBytes)
+    val t0 = System.nanoTime()
+    var commands = Vector.empty[Either[String, Seq[String]]]
+    var i = 0
+    while (i < bytes.length) { // worst-case fragmentation: 1 byte per feed
+      val (done, fatal) = framer.feed(bytes, i, 1)
+      assert(fatal.isEmpty, s"unexpected fatal: $fatal")
+      commands ++= done
+      i += 1
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(commands == Vector(Right(StreamCommands.xadd("big", Seq("payload" -> big)))))
+    // the old re-append/re-decode path is O(n^2): ~10^12 byte ops here,
+    // minutes. Linear framing does ~2 MiB of work; even a cold JIT and
+    // a loaded CI box stay orders of magnitude under this bound.
+    assert(elapsedMs < 10000, f"1 MiB one-byte-at-a-time took $elapsedMs%.0f ms - not linear")
+  }
+
+  test("1 MiB binary-safe value round-trips over the socket in odd-sized fragments") {
+    withServer { (_, client) =>
+      // CR/LF-riddled payload: framing must come from lengths, not scanning
+      val big = Array.tabulate(1024 * 1024)(i => (i % 256).toByte)
+      val bigStr = new String(big.map(b => (('a' + (b & 15)).toChar)))
+      val bytes = encodeStrings(StreamCommands.xadd("big", Seq("v" -> ("\r\n" + bigStr))))
+      var at = 0
+      var step = 1
+      while (at < bytes.length) { // 1,2,3,... byte fragments across the frame
+        val n = math.min(step, bytes.length - at)
+        client.send(java.util.Arrays.copyOfRange(bytes, at, at + n))
+        at += n
+        step = if (step >= 4096) 1 else step * 3
+      }
+      val id = ok(client.readReply()).text
+      assert(id.contains("-"))
+      val got = ok(client.call(StreamCommands.xrange("big"))) match {
+        case ArrayReply(Some(entries)) => entries.map(parseEntry)
+        case other                     => fail(s"bad XRANGE reply: $other")
+      }
+      assert(got == Seq(StreamMessage(id, Map("v" -> ("\r\n" + bigStr)))))
+    }
+  }
+
+  test("a command past MaxFrameBytes answers the cap error and loses the connection") {
+    withServer { (server, client) =>
+      // honest header, oversized payload: the framer's cap pre-check
+      // fires on the bulk length BEFORE any allocation
+      val n = RespServer.MaxFrameBytes + 1
+      client.send(s"*3\r\n$$4\r\nXADD\r\n$$1\r\ns\r\n$$$n\r\n".getBytes("UTF-8"))
+      client.readReply() match {
+        case ErrorReply(m) => assert(m.contains("exceeds"))
+        case other         => fail(s"expected cap error, got $other")
+      }
+      assert(client.isClosedByServer)
+      // server unaffected
+      val again = new RespClient(server.host, server.port)
+      try assert(ok(again.call(StreamCommands.xlen("s"))) == IntReply(0))
+      finally again.close()
+    }
+  }
+
+  test("null array, empty array and null bulk are framed-but-malformed: ERR, connection lives") {
+    withServer { (_, client) =>
+      client.send("*-1\r\n*0\r\n*2\r\n$4\r\nXLEN\r\n$-1\r\n".getBytes("UTF-8"))
+      (1 to 3).foreach { _ =>
+        client.readReply() match {
+          case ErrorReply(m) => assert(m.contains("malformed"))
+          case other         => fail(s"expected ERR, got $other")
+        }
+      }
+      assert(ok(client.call(StreamCommands.xlen("s"))) == IntReply(0)) // still serving
+    }
+  }
+
   test("XTRIM rejects MINID; XADD rejects zero field-value pairs (r9 ADVICE)") {
     withServer { (_, client) =>
       (1 to 4).foreach(i => ok(client.call(StreamCommands.xadd("s", Seq("i" -> i.toString)))))
