@@ -435,7 +435,11 @@ object DedupQueries {
     * aggregation buffer), and the per-doc rollup is the second and last
     * shuffle. Flag arithmetic is integer cross-multiplication — no float
     * threshold parity risk. */
-  private def chunkDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Shared base for d10 and d15's chunk_duplication verdict: per-doc
+    * (n_chunks, n_dup_chunks) over the fixed 16-word chunk grid. No
+    * filter, no sort — callers apply their own, so d15 composes it
+    * without inheriting d10's presentation ORDER BY. */
+  private def chunkDocStats(s: SparkSession, dir: String): DataFrame = {
     val chunks = docs(s, dir)
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
@@ -447,12 +451,15 @@ object DedupQueries {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+  }
+
+  private def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    chunkDocStats(s, dir)
       .filter(col("n_dup_chunks") > 0)
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
         round(col("n_dup_chunks").cast(DoubleType) / col("n_chunks"), 4).as("dup_ratio"),
         (col("n_dup_chunks") * 100 >= col("n_chunks") * 50).as("is_dup_heavy"))
       .orderBy(col("doc_id"))
-  }
 
   /** d13: boilerplate-chunk sharer groups — for every 16-word chunk
     * digest appearing 2..[[MaxBucket]] times, the sorted member list
@@ -654,10 +661,14 @@ object DedupQueries {
     *
     *   1 lexical_neardup     (d08: Jaccard-verified pair, min-id keeper)
     *   2 quality_cluster     (d12: CC cluster, argmax-quality keeper)
-    *   3 video_frame_overlap (m05: ≥half of sampled frames shared;
+    *   3 chunk_duplication   (d10: ≥half of a doc's 16-word chunks are
+    *                          corpus-duplicated — the CCNet/RefinedWeb
+    *                          intra-doc boilerplate signal; no pairwise
+    *                          counterpart exists, keeper = -1)
+    *   4 video_frame_overlap (m05: ≥half of sampled frames shared;
     *                          no pairwise keeper — keeper = -1)
-    *   4 audio_neardup       (m07: ≥2 shared sub-fingerprints)
-    *   5 image_neardup       (m08: aHash hamming ≤ 16)
+    *   5 audio_neardup       (m07: ≥2 shared sub-fingerprints)
+    *   6 image_neardup       (m08: aHash hamming ≤ 16)
     *
     * Embeddings are a separate id domain (`vec_id`), carried as
     * item_type 'embedding' with the s10 drop rule. `n_signals` counts
@@ -692,20 +703,26 @@ object DedupQueries {
       .filter(col("doc") =!= col("keeper"))
       .select(col("doc").as("item_id"), col("keeper"),
         lit("quality_cluster").as("reason"), lit(2).as("priority"))
+    // the same integer cross-multiplication threshold as d10's
+    // is_dup_heavy flag — no float parity risk across engines
+    val chunky = chunkDocStats(s, dir)
+      .filter(col("n_dup_chunks") * 100 >= col("n_chunks") * 50)
+      .select(col("doc_id").as("item_id"), lit(-1L).as("keeper"),
+        lit("chunk_duplication").as("reason"), lit(3).as("priority"))
     val frame = MultimodalQueries.frameDedup(s, dir)
       .filter(col("n_shared_frames") * 2 >= col("n_frames"))
       .select(col("media_id").as("item_id"), lit(-1L).as("keeper"),
-        lit("video_frame_overlap").as("reason"), lit(3).as("priority"))
+        lit("video_frame_overlap").as("reason"), lit(4).as("priority"))
     val audio = MultimodalQueries.audioNearDup(s, dir)
       .groupBy(col("media_b")).agg(min(col("media_a")).as("keeper"))
       .select(col("media_b").as("item_id"), col("keeper"),
-        lit("audio_neardup").as("reason"), lit(4).as("priority"))
+        lit("audio_neardup").as("reason"), lit(5).as("priority"))
     val image = MultimodalQueries.imageNearDup(s, dir)
       .groupBy(col("media_b")).agg(min(col("media_a")).as("keeper"))
       .select(col("media_b").as("item_id"), col("keeper"),
-        lit("image_neardup").as("reason"), lit(5).as("priority"))
-    val signals = lexical.unionByName(quality).unionByName(frame)
-      .unionByName(audio).unionByName(image)
+        lit("image_neardup").as("reason"), lit(6).as("priority"))
+    val signals = lexical.unionByName(quality).unionByName(chunky)
+      .unionByName(frame).unionByName(audio).unionByName(image)
     val decisions = signals
       .groupBy(col("item_id"))
       .agg(min(struct(col("priority"), col("reason"), col("keeper"))).as("m"),
@@ -731,6 +748,24 @@ object DedupQueries {
     docManifest.unionByName(vecManifest)
       .orderBy(col("item_type"), col("item_id"))
   }
+
+  /** Shared DuckDB CTE chain computing per-doc chunk-duplication stats
+    * `chd(doc_id, n_chunks, n_dup_chunks)` — twin of [[chunkDocStats]].
+    * Spliced verbatim into BOTH the d10 oracle and the d15 manifest
+    * twin (the d15 splicing discipline: manifest and family oracle
+    * cannot drift). Names are ch-prefixed so the chain composes into
+    * the manifest's WITH alongside every other family chain. */
+  private lazy val chunkStatsDuckCte = s"""
+      chw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      chc AS (SELECT doc_id,
+              md5(array_to_string(
+                words[(i - 1) * $ChunkWords + 1 : (i - 1) * $ChunkWords + $ChunkWords], ' ')) AS ch
+            FROM chw, UNNEST(generate_series(1,
+              CAST((len(words) + ${ChunkWords - 1}) // $ChunkWords AS INT))) AS t(i)),
+      cho AS (SELECT doc_id, ch, COUNT(*) OVER (PARTITION BY ch) AS n_occ FROM chc),
+      chd AS (SELECT doc_id, COUNT(*) AS n_chunks,
+              CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+            FROM cho GROUP BY doc_id)"""
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "d01_exact_dedup" -> QueryDef(exactDedup, Some("""
@@ -802,20 +837,11 @@ object DedupQueries {
       "new-batch exact dedup against the existing corpus digest index"),
 
     "d10_chunk_dedup" -> QueryDef(chunkDedup, Some(s"""
-      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-      c AS (SELECT doc_id,
-              md5(array_to_string(
-                words[(i - 1) * $ChunkWords + 1 : (i - 1) * $ChunkWords + $ChunkWords], ' ')) AS ch
-            FROM w, UNNEST(generate_series(1,
-              CAST((len(words) + ${ChunkWords - 1}) // $ChunkWords AS INT))) AS t(i)),
-      o AS (SELECT doc_id, ch, COUNT(*) OVER (PARTITION BY ch) AS n_occ FROM c),
-      d AS (SELECT doc_id, COUNT(*) AS n_chunks,
-              CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
-            FROM o GROUP BY doc_id)
+      WITH $chunkStatsDuckCte
       SELECT doc_id, n_chunks, n_dup_chunks,
         ROUND(CAST(n_dup_chunks AS DOUBLE) / n_chunks, 4) AS dup_ratio,
         (n_dup_chunks * 100 >= n_chunks * 50) AS is_dup_heavy
-      FROM d WHERE n_dup_chunks > 0 ORDER BY doc_id"""),
+      FROM chd WHERE n_dup_chunks > 0 ORDER BY doc_id"""),
       "chunk-level (paragraph-analog) dedup: per-doc duplicated-chunk ratio"),
 
     "d11_bloom_prefilter" -> QueryDef(bloomPrefilter, Some("""
@@ -896,6 +922,7 @@ object DedupQueries {
       $ccLabelsDuckCte,
       $statsCte,
       $vecsCte,
+      $chunkStatsDuckCte,
       ${SimilarityQueries.ivfAsgDuckCte},
       ${SimilarityQueries.semDedupDuckCte},
       ${MultimodalQueries.m05DuckCte},
@@ -915,18 +942,22 @@ object DedupQueries {
                        'quality_cluster' AS reason, 2 AS priority
                 FROM lab JOIN qk ON qk.cluster = lab.cluster
                 WHERE lab.doc <> qk.keeper),
+      chunkd AS (SELECT doc_id AS item_id, CAST(-1 AS BIGINT) AS keeper,
+                        'chunk_duplication' AS reason, 3 AS priority
+                 FROM chd WHERE n_dup_chunks * 100 >= n_chunks * 50),
       framed AS (SELECT media_id AS item_id, CAST(-1 AS BIGINT) AS keeper,
-                        'video_frame_overlap' AS reason, 3 AS priority
+                        'video_frame_overlap' AS reason, 4 AS priority
                  FROM m05d WHERE n_shared_frames * 2 >= n_frames),
       audiod AS (SELECT media_b AS item_id, MIN(media_a) AS keeper,
-                        'audio_neardup' AS reason, 4 AS priority
+                        'audio_neardup' AS reason, 5 AS priority
                  FROM m07p WHERE n_shared >= ${MultimodalQueries.AudioMinShared}
                  GROUP BY media_b),
       imaged AS (SELECT media_b AS item_id, MIN(media_a) AS keeper,
-                        'image_neardup' AS reason, 5 AS priority
+                        'image_neardup' AS reason, 6 AS priority
                  FROM m08p WHERE hamming <= ${MultimodalQueries.MaxImageHamming}
                  GROUP BY media_b),
       sigs AS (SELECT * FROM lexd UNION ALL SELECT * FROM quald
+               UNION ALL SELECT * FROM chunkd
                UNION ALL SELECT * FROM framed UNION ALL SELECT * FROM audiod
                UNION ALL SELECT * FROM imaged),
       dcs AS (SELECT item_id, MIN(priority) AS pr, COUNT(*) AS n_signals
@@ -954,7 +985,7 @@ object DedupQueries {
              CAST(n_signals AS BIGINT) AS n_signals
       FROM (SELECT * FROM docm UNION ALL SELECT * FROM vecm) u
       ORDER BY item_type, item_id"""
-    }, "unified drop-list manifest: one provenance-carrying verdict per document/asset/embedding, priority-merged from d08/d12/m05/m07/m08/s10"),
+    }, "unified drop-list manifest: one provenance-carrying verdict per document/asset/embedding, priority-merged from d08/d12/d10/m05/m07/m08/s10"),
 
     "d05_simhash" -> QueryDef(simhash, Some(s"""$simhashDuckCte
       SELECT doc_id, simhash FROM sim ORDER BY doc_id"""),

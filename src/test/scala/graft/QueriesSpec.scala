@@ -393,8 +393,8 @@ class QueriesSpec extends SparkTestBase {
           assert(keeper >= 0 && keeper < id, s"($t,$id,$reason): keeper $keeper !< item")
         case "quality_cluster" =>
           assert(keeper >= 0 && keeper != id, s"($t,$id): quality keeper is the item itself")
-        case "video_frame_overlap" =>
-          assert(keeper == -1L, s"($t,$id): frame-overlap signal has no pairwise keeper")
+        case "video_frame_overlap" | "chunk_duplication" =>
+          assert(keeper == -1L, s"($t,$id): $reason signal has no pairwise keeper")
         case other => fail(s"unknown reason $other")
       }
     }
@@ -409,6 +409,18 @@ class QueriesSpec extends SparkTestBase {
     val manifested = drops.filter(d => d._1 == "document" && lexDrops(d._2))
     assert(manifested.nonEmpty && manifested.forall(_._4 == "lexical_neardup"),
       "a lexical drop candidate lost the priority merge")
+    // d10 fold (r10 ask #2): every dup-heavy doc must be dropped; the
+    // ones no higher-priority family claimed carry the chunk reason
+    val dupHeavy = SparkEntry.queries("d10_chunk_dedup")(spark, sf)
+      .filter(col("is_dup_heavy"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(dupHeavy.nonEmpty, "no dup-heavy docs at sf0.001 — threshold fixture drifted")
+    val docDrops = drops.filter(_._1 == "document").map(d => d._2 -> d._4).toMap
+    dupHeavy.foreach { id =>
+      assert(docDrops.contains(id), s"dup-heavy doc $id missing from the drop manifest")
+    }
+    assert(drops.exists(d => d._1 == "document" && d._4 == "chunk_duplication"),
+      "no drop surfaced with the chunk_duplication reason")
   }
 
   test("s12 IVFPQ is dominated by s06 plain IVF per rank; residual codes beat flat PQ on distortion") {

@@ -165,7 +165,7 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
   }
 
   test("d15 manifest: no shuffle carries document text — every family reduced it scan-side") {
-    // d15 unions five families that all read `documents`; the manifest
+    // d15 unions six families that all read `documents`; the manifest
     // inherits their scale contracts only if each one still reduces
     // text to signatures/digests/fingerprints BEFORE its first
     // exchange. One regressed branch (e.g. a refactor moving the
