@@ -682,7 +682,17 @@ object DedupQueries {
     * adds one (item_id) aggregate over the drop candidates (a small
     * fraction of the corpus) and one left join per id domain. The
     * priority pick is `min(struct(priority, reason, keeper))` — a
-    * map-side-combinable argmin, the M4 pattern, never a window. */
+    * map-side-combinable argmin, the M4 pattern, never a window.
+    *
+    * Job-count audit (r11, [[graft.tools.JobCountProbe]]): 29 jobs ×
+    * ~102 ms warm at sf0.1 — fixed scheduler/broadcast overhead, not
+    * data. Branch fusion was considered and rejected: m05/m07/m08 each
+    * reduce media payloads scan-side into FAMILY-SPECIFIC frames
+    * (frame digests / audio sub-fingerprints / aHash bands), so the
+    * only shareable base is the raw payload-carrying media frame, and
+    * persisting THAT is precisely what the families' scan-side
+    * reduction exists to avoid at 100 TB. The cross-branch reuse that
+    * is free is already taken (memoized Jaccard pairs, m07_fps). */
   private def dropManifest(s: SparkSession, dir: String): DataFrame = {
     val vp = jaccardPairs(s, dir).filter(col("jacc") >= JaccThreshold)
     val lexical = vp.groupBy(col("doc_b")).agg(min(col("doc_a")).as("keeper"))
