@@ -18,9 +18,7 @@ final class Monitor(
   /** M3: pure health classification — pending-warning wins over
     * idle-warning (reference `monitor.py:85-91`). */
   def statusByMetrics(pending: Int, idleMs: Long): String =
-    if (pending > batchSize) ConsumerStatus.PendingWarn
-    else if (idleMs > idleTimeThresholdMs) ConsumerStatus.IdleWarn
-    else ConsumerStatus.Ok
+    Monitor.statusByMetrics(pending, idleMs, batchSize, idleTimeThresholdMs)
 
   /** M4: the monitoring sweep — classify every consumer of every group
     * with consumers > 0, remember unhealthy ones, and pick PER GROUP the
@@ -83,19 +81,35 @@ final class Monitor(
   }
 
   /** R1: grid-style report (reference `monitor.py:195-209`). */
-  def renderTable(): String = {
+  def renderTable(): String = Monitor.renderTable(metrics.toSeq)
+
+  def printMonitoringData(out: Appendable = System.out): Unit = {
+    out.append(renderTable()).append("\n")
+    ()
+  }
+}
+
+/** The M3 classification table and R1 rendering as pure functions —
+  * ONE definition shared by the engine-side [[Monitor]] and the
+  * wire-speaking [[WireMonitor]], so the two roles can never disagree
+  * on what "unhealthy" means or how the report reads. */
+object Monitor {
+  /** M3 (reference `monitor.py:85-91`): pending-warning wins. */
+  def statusByMetrics(pending: Int, idleMs: Long,
+      batchSize: Int, idleTimeThresholdMs: Long): String =
+    if (pending > batchSize) ConsumerStatus.PendingWarn
+    else if (idleMs > idleTimeThresholdMs) ConsumerStatus.IdleWarn
+    else ConsumerStatus.Ok
+
+  /** R1 (reference `monitor.py:195-209`). */
+  def renderTable(metrics: Seq[ConsumerMetrics]): String = {
     val header = Seq("Consumer id", "Idle time", "Pending items", "Status")
-    val rows = metrics.toSeq.map(m =>
+    val rows = metrics.map(m =>
       Seq(m.consumerId, m.idleTimeMs.toString, m.pendingItems.toString, m.status))
     val widths = (header +: rows).transpose.map(_.map(_.length).max)
     def line(cells: Seq[String]) =
       cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }.mkString("| ", " | ", " |")
     val sep = widths.map("-" * _).mkString("+-", "-+-", "-+")
     (Seq(sep, line(header), sep) ++ rows.map(line) :+ sep).mkString("\n")
-  }
-
-  def printMonitoringData(out: Appendable = System.out): Unit = {
-    out.append(renderTable()).append("\n")
-    ()
   }
 }

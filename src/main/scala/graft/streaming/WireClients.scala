@@ -175,3 +175,150 @@ final class WireConsumer(
       .collectFirst { case (s, msgs) if s == stream => msgs }
       .getOrElse(Seq.empty)
 }
+
+/** M1-M7 + R1 driven exclusively through wire commands — the reference
+  * Monitor's sweep/cleanup loop (`monitor.py:141-209`) as a RESP
+  * client, completing the quartet: every reference role (producer,
+  * consumer, scaler, monitor) now runs against [[RespServer]] over TCP.
+  * Classification (M3) and the report grid (R1) are the SHARED pure
+  * functions in the [[Monitor]] companion, so wire and engine monitors
+  * cannot disagree on what "unhealthy" means.
+  *
+  * Two reference quirks are reproduced faithfully (the engine-side
+  * [[Monitor]] implements the clean per-group argmin instead — the
+  * deviation SURVEY §7.3 documents):
+  *
+  *  - '''last-healthy-wins target''' (`monitor.py:161-166`): the seed
+  *    `if not consumer_to_assign_pending_items` overwrites the local
+  *    pending count with the accumulator (always 0), so the comparison
+  *    always passes and the LAST healthy consumer seen — across ALL
+  *    groups — becomes the single global claim target.
+  *  - '''own-group cleanup''' (`common.py:48-85`): the sweep collects
+  *    unhealthy consumers per group, but `get_pending_items_of_consumer`
+  *    / `xclaim` / `remove_consumer` all hard-code
+  *    `self.consumer_group`, so cleanup only ever moves messages within
+  *    the monitor's OWN group; an unhealthy consumer of another group
+  *    is DELCONSUMER'd from the monitor's group (a no-op there).
+  */
+final class WireMonitor(
+    call: Seq[String] => Reply,
+    stream: String,
+    group: String,
+    batchSize: Int = 2,                  // monitor.py:53
+    minWaitTimeMs: Long = 1000L,         // monitor.py:54
+    idleTimeThresholdMs: Long = 30000L) { // monitor.py:55
+  import WireReplies._
+  import scala.collection.mutable
+
+  call(StreamCommands.xgroupCreate(stream, group)) match { // G1, common.py:20-38
+    case ErrorReply(m) if !m.contains("BUSYGROUP") => sys.error(m)
+    case _ => ()
+  }
+
+  private val collected = mutable.ArrayBuffer.empty[ConsumerMetrics]
+  private val unhealthy = mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[String, Int]]
+  private var consumerToAssign = ""
+  private var lastCleanupResults: Seq[(String, Int, Int)] = Nil
+
+  /** The single global claim target after the last sweep (empty = no
+    * healthy consumer anywhere) — `monitor.py:144`. */
+  def targetConsumer: String = consumerToAssign
+
+  /** (deadConsumer, claimed, lost) per consumer removed by the last
+    * cleanup; lost > 0 is the reference's logged-error condition
+    * (`monitor.py:125-127`), surfaced as data like the engine monitor. */
+  def lastCleanup: Seq[(String, Int, Int)] = lastCleanupResults
+
+  /** M4 over the wire (`monitor.py:141-185`): XINFO GROUPS, then for
+    * every group with consumers > 0, XINFO CONSUMERS; classify each
+    * (M1/M2/M3), remember unhealthy ones, pick the claim target, and —
+    * with `autoCleanup`, when a target exists AND something is
+    * unhealthy (`monitor.py:178-181`) — rebalance (M5). */
+  def collectMonitoringData(autoCleanup: Boolean = true): Seq[ConsumerMetrics] = {
+    collected.clear(); unhealthy.clear(); consumerToAssign = ""
+    var targetPending = 0 // monitor.py:145; stays 0 (see header quirk)
+    val groupRows = ok(call(StreamCommands.xinfoGroups(stream))) match {
+      case ArrayReply(Some(rows)) => rows.map(pairMap)
+      case other                  => sys.error(s"bad XINFO GROUPS reply: $other")
+    }
+    groupRows.foreach { g =>
+      val gName = g("name").text
+      if (int(g("consumers")) > 0) {
+        val consumerRows = ok(call(StreamCommands.xinfoConsumers(stream, gName))) match {
+          case ArrayReply(Some(rows)) => rows.map(pairMap)
+          case other                  => sys.error(s"bad XINFO CONSUMERS reply: $other")
+        }
+        consumerRows.foreach { c =>
+          val cid = c("name").text
+          val pending = int(c("pending")).toInt
+          val idle = int(c("idle"))
+          val status = Monitor.statusByMetrics(pending, idle, batchSize, idleTimeThresholdMs)
+          if (status != ConsumerStatus.Ok) {
+            unhealthy.getOrElseUpdate(gName, mutable.LinkedHashMap.empty)(cid) = pending
+          } else {
+            // monitor.py:161-166 verbatim: when the accumulator is 0 the
+            // candidate's pending is overwritten with it, so `<=` always
+            // holds and the last healthy consumer wins.
+            val cmp = if (targetPending == 0) targetPending else pending
+            if (cmp <= targetPending) { consumerToAssign = cid; targetPending = cmp }
+          }
+          collected += ConsumerMetrics(cid, pending, idle, status)
+        }
+      }
+    }
+    if (autoCleanup) {
+      if (consumerToAssign.nonEmpty && unhealthy.nonEmpty) cleanup()
+      else lastCleanupResults = Nil // no target or nothing unhealthy, monitor.py:182-185
+    }
+    collected.toSeq
+  }
+
+  /** M5 driver loop (`monitor.py:187-194`): every unhealthy consumer of
+    * every group, rebalanced via [[cleanupUnhealthyConsumer]]. */
+  def cleanup(): Seq[(String, Int, Int)] = {
+    val results = for {
+      (_, consumers)   <- unhealthy.toSeq
+      (dead, pending)  <- consumers.toSeq
+    } yield {
+      val (claimed, lost) = cleanupUnhealthyConsumer(pending, dead)
+      (dead, claimed, lost)
+    }
+    lastCleanupResults = results
+    results
+  }
+
+  /** M5/M6/G2/G3 over the wire (`monitor.py:93-127`): XPENDING range
+    * filtered to the dead consumer (count = its pending), XCLAIM the
+    * ids to the target with min-idle `minWaitTimeMs`, then XGROUP
+    * DELCONSUMER — all against the monitor's OWN group (header quirk).
+    * Returns (claimed, lost). */
+  def cleanupUnhealthyConsumer(pendingCount: Int, consumerToDelete: String): (Int, Int) = {
+    val ids = ok(call(StreamCommands.xpendingRange(
+      stream, group, count = pendingCount, consumer = Some(consumerToDelete)))) match {
+      case ArrayReply(Some(rows)) => rows.map {
+        case ArrayReply(Some(fields)) => fields.head.text
+        case other                    => sys.error(s"bad XPENDING row: $other")
+      }
+      case other => sys.error(s"bad XPENDING reply: $other")
+    }
+    val claimed =
+      if (ids.isEmpty) 0
+      else ok(call(StreamCommands.xclaim(
+        stream, group, consumerToAssign, minWaitTimeMs, ids))) match {
+        case ArrayReply(Some(entries)) => entries.length
+        case other                     => sys.error(s"bad XCLAIM reply: $other")
+      }
+    val lost = int(ok(call(
+      StreamCommands.xgroupDelConsumer(stream, group, consumerToDelete)))).toInt
+    (claimed, lost)
+  }
+
+  /** R1 (`monitor.py:195-209`) — the shared grid renderer over the last
+    * sweep's metrics. */
+  def renderTable(): String = Monitor.renderTable(collected.toSeq)
+
+  def printMonitoringData(out: Appendable = System.out): Unit = {
+    out.append(renderTable()).append("\n")
+    ()
+  }
+}
