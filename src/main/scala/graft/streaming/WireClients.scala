@@ -176,6 +176,26 @@ final class WireConsumer(
       .getOrElse(Seq.empty)
 }
 
+/** P1/P2 as a RESP client — the reference Producer (`producer.py:16-51`):
+  * a thin XADD wrapper that, when `maxlen` is set, appends approximate
+  * trimming (`MAXLEN ~ n`) to every add, so retention rides along with
+  * production instead of needing a separate janitor. Returns the
+  * server-assigned message id. */
+final class WireProducer(
+    call: Seq[String] => Reply,
+    stream: String,
+    maxlen: Option[Long] = None) {
+  import WireReplies._
+
+  /** P1 (`producer.py:37-51`): publish one field/value mapping; P2: trim
+    * to ~maxlen when configured (`approximate=maxlen is not None`). */
+  def add(data: Seq[(String, String)]): String =
+    ok(call(StreamCommands.xadd(stream, data, maxlen))).text
+
+  override def toString: String =
+    s"WireProducer(stream=$stream,maxlen=${maxlen.getOrElse("None")})"
+}
+
 /** M1-M7 + R1 driven exclusively through wire commands — the reference
   * Monitor's sweep/cleanup loop (`monitor.py:141-209`) as a RESP
   * client, completing the quartet: every reference role (producer,

@@ -176,6 +176,52 @@ class WireE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("wire producer: add returns a server-assigned id and grows XLEN (test_producer.py:9-29)") {
+    val clock = new ManualClock(1000)
+    withWire(clock) { client =>
+      val producer = new WireProducer(client.call, Stream)
+      val id = producer.add(Seq("key" -> "value"))
+      assert(id.contains("-")) // <timestamp>-<seq>
+      assert(WireReplies.int(WireReplies.ok(client.call(StreamCommands.xlen(Stream)))) == 3L)
+      val ids = (0 until 5).map { i =>
+        clock.advance(1); producer.add(Seq("iteration" -> i.toString))
+      }
+      assert(ids.toSet.size == 5) // all unique, monotone
+      assert(WireReplies.int(WireReplies.ok(client.call(StreamCommands.xlen(Stream)))) == 8L)
+    }
+  }
+
+  test("wire producer -> wire consumer end-to-end (test_producer.py:31-48)") {
+    val clock = new ManualClock(1000)
+    withWire(clock) { client =>
+      clock.advance(1)
+      new WireProducer(client.call, Stream)
+        .add(Seq("source" -> "producer_test", "value" -> "42"))
+      val consumer = new WireConsumer(client.call, Stream, Group,
+        consumerId = "test_consumer_receives_produced_messages",
+        batchSize = 4, maxWaitTimeMs = 500, pollTimeMs = 50, clock = clock)
+      val contents = consumer.getItems().map(_.content)
+      assert(contents.contains(Map("source" -> "producer_test", "value" -> "42")))
+    }
+  }
+
+  test("wire producer: MAXLEN ~ trims once macro-node excess accumulates (test_producer.py:50-56)") {
+    val clock = new ManualClock(1000)
+    withWire(clock) { client =>
+      def xlen(): Long =
+        WireReplies.int(WireReplies.ok(client.call(StreamCommands.xlen(Stream))))
+      val producer = new WireProducer(client.call, Stream, maxlen = Some(3L))
+      // the reference's own assertion: ~ is approximate, so after a few
+      // adds the length may exceed maxlen but stays inside a loose bound
+      (0 until 5).foreach { i => clock.advance(1); producer.add(Seq("trim_test" -> i.toString)) }
+      assert(xlen() == 7L && xlen() <= 10L) // 2 preload + 5, untrimmed yet
+      // ...and once the macro-node threshold (maxlen + 16) is crossed,
+      // the trim actually fires down to maxlen
+      (0 until 12).foreach { i => clock.advance(1); producer.add(Seq("more" -> i.toString)) }
+      assert(xlen() == 3L)
+    }
+  }
+
   test("wire scaler + two groups coexist (test_scaler.py:105-117)") {
     val clock = new ManualClock(1000)
     withWire(clock) { client =>
