@@ -30,6 +30,7 @@ object ProtocolQueries {
   private val BatchSize    = 100L      // C1 bucketing quota
   private val PendingMod   = 3         // event_id % 3 == 0 → pending
   private val DeadConsumer = 5L        // M5 rebalance scenario
+  private val MaxDeliveries = 4L       // DLQ delivery budget (p14)
 
   val StatusOk          = "OK"
   val StatusPendingWarn = "WARNING - too many pending items"
@@ -231,6 +232,21 @@ object ProtocolQueries {
       .agg(count(lit(1)).as("pending"))
       .orderBy(col("consumer_id"))
 
+  /** DLQ: dead-letter manifest — the batch twin of
+    * [[graft.streaming.DeadLetterRouter]]. `times_delivered` is
+    * synthesized as `1 + (event_id % 7) % 4` ∈ [1,4] (p06 uses its own
+    * 1 + id%2 stand-in, which never crosses a realistic budget); the
+    * routing rule is the router's: pending AND budget exhausted. One
+    * scan, filter fully pushed down, no shuffle but the output sort. */
+  private def deadLetterManifest(s: SparkSession, dir: String): DataFrame = {
+    val times = lit(1L) + (col("event_id") % 7) % 4
+    events(s, dir)
+      .filter(isPending && times >= MaxDeliveries)
+      .select(col("event_id"), consumer.as("consumer_id"),
+        times.as("times_delivered"), lit("max-deliveries").as("reason"))
+      .orderBy(col("event_id"))
+  }
+
   /** M3: classification histogram over the consumer fleet. */
   private def statusHistogram(s: SparkSession, dir: String): DataFrame =
     monitorBase(s, dir)
@@ -334,5 +350,14 @@ object ProtocolQueries {
 
     "p13_status_histogram" -> QueryDef(statusHistogram, Some(s"""$monitorCte
       SELECT status, COUNT(*) AS n_consumers FROM rep GROUP BY status ORDER BY status"""),
-      "M3 classification histogram"))
+      "M3 classification histogram"),
+
+    "p14_dead_letter_manifest" -> QueryDef(deadLetterManifest, Some(s"""
+      SELECT event_id, user_id % $NumConsumers AS consumer_id,
+             1 + (event_id % 7) % 4 AS times_delivered,
+             'max-deliveries' AS reason
+      FROM events
+      WHERE event_id % $PendingMod = 0 AND 1 + (event_id % 7) % 4 >= $MaxDeliveries
+      ORDER BY event_id"""),
+      "DLQ dead-letter routing manifest"))
 }

@@ -196,6 +196,66 @@ final class WireProducer(
     s"WireProducer(stream=$stream,maxlen=${maxlen.getOrElse("None")})"
 }
 
+/** Dead-letter routing over wire commands only — the client-side twin
+  * of [[DeadLetterRouter]] (see its header for the policy and why the
+  * reference names DLQ but never ships it, `common.py:61-64`). The
+  * whole route is expressible in the four commands the reference
+  * already uses: XPENDING's range rows carry `times_delivered`, XCLAIM
+  * answers the claimed entries WITH their bodies (so routing needs no
+  * extra XRANGE round-trip), XADD appends to the DLQ stream, XACK
+  * retires the source entry. Provenance is the shared
+  * [[DeadLetterRouter.provenance]] block, so wire-routed and
+  * engine-routed dead letters are field-for-field identical.
+  */
+final class WireDlq(
+    call: Seq[String] => Reply,
+    stream: String,
+    group: String,
+    dlqStream: String,
+    maxDeliveries: Int = 3,
+    routerId: String = "dlq-router") {
+  import WireReplies._
+  require(maxDeliveries >= 1, s"maxDeliveries must be >= 1, got $maxDeliveries")
+
+  call(StreamCommands.xgroupCreate(stream, group)) match { // G1, common.py:12-37
+    case ErrorReply(m) if !m.contains("BUSYGROUP") => sys.error(m)
+    case _ => ()
+  }
+
+  /** One sweep: scan up to `count` PEL entries (id order — the
+    * XPENDING range contract), route every one whose delivery budget
+    * is exhausted. Returns (sourceId, dlqId) per routed message. */
+  def sweep(count: Int = 100): Seq[(String, String)] = {
+    require(count > 0, s"sweep count must be positive, got $count")
+    val rows = ok(call(StreamCommands.xpendingRange(stream, group, count = count))) match {
+      case ArrayReply(Some(rs)) => rs.map {
+        case ArrayReply(Some(Vector(id, owner, _, IntReply(times)))) =>
+          (id.text, owner.text, times.toInt)
+        case other => sys.error(s"bad XPENDING row: $other")
+      }
+      case other => sys.error(s"bad XPENDING reply: $other")
+    }
+    rows.filter(_._3 >= maxDeliveries).flatMap { case (id, owner, times) =>
+      // Claim-first, as in the engine router: an empty XCLAIM reply
+      // means the entry vanished (acked concurrently) — skip, don't
+      // route a message nobody owns.
+      ok(call(StreamCommands.xclaim(stream, group, routerId, 0L, Seq(id)))) match {
+        case ArrayReply(Some(entries)) if entries.nonEmpty =>
+          val body: Seq[(String, String)] = entries.head match {
+            case ArrayReply(Some(Vector(_, ArrayReply(Some(fv))))) =>
+              fv.grouped(2).map { case Vector(k, v) => k.text -> v.text }.toSeq
+            case _ => Seq.empty // trimmed tombstone: nil fields, provenance-only route
+          }
+          val dlqId = ok(call(StreamCommands.xadd(
+            dlqStream, body ++ DeadLetterRouter.provenance(id, owner, times)))).text
+          ok(call(StreamCommands.xack(stream, group, Seq(id))))
+          Some(id -> dlqId)
+        case _ => None
+      }
+    }
+  }
+}
+
 /** M1-M7 + R1 driven exclusively through wire commands — the reference
   * Monitor's sweep/cleanup loop (`monitor.py:141-209`) as a RESP
   * client, completing the quartet: every reference role (producer,

@@ -222,6 +222,48 @@ class WireE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("wire DLQ: the poison ping-pong ends in the dead-letter stream, over the socket") {
+    val clock = new ManualClock(1000)
+    withWire(clock) { client =>
+      val Dlq = s"$Stream:dlq"
+      def pending(): Vector[(String, Long)] =
+        WireReplies.ok(client.call(StreamCommands.xpendingRange(Stream, Group))) match {
+          case ArrayReply(Some(rows)) => rows.map {
+            case ArrayReply(Some(Vector(id, _, _, IntReply(times)))) => (id.text, times)
+            case other => fail(s"bad XPENDING row: $other")
+          }
+          case other => fail(s"bad XPENDING reply: $other")
+        }
+
+      val dlq = new WireDlq(client.call, Stream, Group, Dlq, maxDeliveries = 3)
+      // c1 reads both preloaded messages; the monitor's rebalance dance
+      // (monitor.py:93-127) then ping-pongs the FIRST one: c1 -> c2 -> c3.
+      WireReplies.ok(client.call(StreamCommands.xreadgroup(
+        Group, "c1", Stream, count = 10, blockMs = 0)))
+      val Vector((poison, _), (healthy, _)) = pending()
+      Seq("c2", "c3").foreach { c =>
+        WireReplies.ok(client.call(StreamCommands.xclaim(Stream, Group, c, 0L, Seq(poison))))
+      }
+      assert(pending().toMap == Map(poison -> 3L, healthy -> 1L))
+
+      val routed = dlq.sweep()
+      assert(routed.map(_._1) == Seq(poison), "only the exhausted budget routes")
+      // Source group: poison retired, the healthy in-flight message untouched.
+      assert(pending() == Vector((healthy, 1L)))
+      // DLQ stream: the body survived the trip, provenance names c3.
+      val dead = WireReplies.ok(client.call(StreamCommands.xrange(Dlq))) match {
+        case ArrayReply(Some(Vector(ArrayReply(Some(Vector(_, ArrayReply(Some(fv)))))))) =>
+          fv.grouped(2).map { case Vector(k, v) => k.text -> v.text }.toMap
+        case other => fail(s"bad DLQ XRANGE reply: $other")
+      }
+      assert(dead("test") == "data1")
+      assert(dead("dlq-source-id") == poison && dead("dlq-consumer") == "c3")
+      assert(dead("dlq-times-delivered") == "3" && dead("dlq-reason") == "max-deliveries")
+      // Idempotence over the wire, too.
+      assert(dlq.sweep().isEmpty)
+    }
+  }
+
   test("wire scaler + two groups coexist (test_scaler.py:105-117)") {
     val clock = new ManualClock(1000)
     withWire(clock) { client =>
