@@ -693,7 +693,12 @@ object DedupQueries {
     * persisting THAT is precisely what the families' scan-side
     * reduction exists to avoid at 100 TB. The cross-branch reuse that
     * is free is already taken (memoized Jaccard pairs, m07_fps). */
-  private def dropManifest(s: SparkSession, dir: String): DataFrame = {
+  /** The document-side signal merge of [[dropManifest]] — extracted so
+    * d16's dataset card consumes the SAME decisions relation without
+    * also computing the embedding-domain branch (s10): one definition,
+    * two consumers, zero drift. Returns (item_id, m{priority, reason,
+    * keeper}, n_signals) for every doc with ≥1 drop signal. */
+  private def docDecisions(s: SparkSession, dir: String): DataFrame = {
     val vp = jaccardPairs(s, dir).filter(col("jacc") >= JaccThreshold)
     val lexical = vp.groupBy(col("doc_b")).agg(min(col("doc_a")).as("keeper"))
       .select(col("doc_b").as("item_id"), col("keeper"),
@@ -733,10 +738,57 @@ object DedupQueries {
         lit("image_neardup").as("reason"), lit(6).as("priority"))
     val signals = lexical.unionByName(quality).unionByName(chunky)
       .unionByName(frame).unionByName(audio).unionByName(image)
-    val decisions = signals
+    signals
       .groupBy(col("item_id"))
       .agg(min(struct(col("priority"), col("reason"), col("keeper"))).as("m"),
         count(lit(1)).as("n_signals"))
+  }
+
+  /** DuckDB twin of [[docDecisions]] — the lexd…dd chain spliced
+    * verbatim by BOTH the d15 and d16 oracles (assumes bands/vp/lab/
+    * stats/chd/m05d/m07p/m08p CTEs already in scope), so the two
+    * end-artifacts can never disagree on what a drop decision is. */
+  private lazy val docDecisionsDuckCtes: String = s"""
+      lexd AS (SELECT doc_b AS item_id, MIN(doc_a) AS keeper,
+                      'lexical_neardup' AS reason, 1 AS priority
+               FROM vp GROUP BY doc_b),
+      qk AS (SELECT cluster, doc AS keeper FROM (
+               SELECT lab.cluster, lab.doc,
+                 ROW_NUMBER() OVER (PARTITION BY lab.cluster
+                                    ORDER BY q.quality_score DESC, lab.doc) AS rn
+               FROM lab JOIN (SELECT doc_id, ${TextQueries.qualityScoreDuck} AS quality_score
+                              FROM stats) q ON q.doc_id = lab.doc) t
+             WHERE rn = 1),
+      quald AS (SELECT lab.doc AS item_id, qk.keeper,
+                       'quality_cluster' AS reason, 2 AS priority
+                FROM lab JOIN qk ON qk.cluster = lab.cluster
+                WHERE lab.doc <> qk.keeper),
+      chunkd AS (SELECT doc_id AS item_id, CAST(-1 AS BIGINT) AS keeper,
+                        'chunk_duplication' AS reason, 3 AS priority
+                 FROM chd WHERE n_dup_chunks * 100 >= n_chunks * 50),
+      framed AS (SELECT media_id AS item_id, CAST(-1 AS BIGINT) AS keeper,
+                        'video_frame_overlap' AS reason, 4 AS priority
+                 FROM m05d WHERE n_shared_frames * 2 >= n_frames),
+      audiod AS (SELECT media_b AS item_id, MIN(media_a) AS keeper,
+                        'audio_neardup' AS reason, 5 AS priority
+                 FROM m07p WHERE n_shared >= ${MultimodalQueries.AudioMinShared}
+                 GROUP BY media_b),
+      imaged AS (SELECT media_b AS item_id, MIN(media_a) AS keeper,
+                        'image_neardup' AS reason, 6 AS priority
+                 FROM m08p WHERE hamming <= ${MultimodalQueries.MaxImageHamming}
+                 GROUP BY media_b),
+      sigs AS (SELECT * FROM lexd UNION ALL SELECT * FROM quald
+               UNION ALL SELECT * FROM chunkd
+               UNION ALL SELECT * FROM framed UNION ALL SELECT * FROM audiod
+               UNION ALL SELECT * FROM imaged),
+      dcs AS (SELECT item_id, MIN(priority) AS pr, COUNT(*) AS n_signals
+              FROM sigs GROUP BY item_id),
+      dd AS (SELECT dcs.item_id, sg.reason, sg.keeper, dcs.n_signals
+             FROM dcs JOIN sigs sg
+               ON sg.item_id = dcs.item_id AND sg.priority = dcs.pr)"""
+
+  private def dropManifest(s: SparkSession, dir: String): DataFrame = {
+    val decisions = docDecisions(s, dir)
     val docManifest = docs(s, dir).select(col("doc_id").as("item_id"))
       .join(decisions, Seq("item_id"), "left")
       .select(lit("document").as("item_type"), col("item_id"),
@@ -757,6 +809,99 @@ object DedupQueries {
         coalesce(col("n_close"), lit(0L)).as("n_signals"))
     docManifest.unionByName(vecManifest)
       .orderBy(col("item_type"), col("item_id"))
+  }
+
+  // ---- d16 dataset card ----
+
+  /** d16: the dataset card — the per-source summary a model team reads
+    * before training on what survives the d15 manifest: how much data
+    * each source contributes, how much each dedup family removed, and
+    * the kept volume in tokens and quality mass. d15 answers "which
+    * items"; d16 answers "what is the corpus now" — the two artifacts
+    * every published pipeline ships together (e.g. the per-source
+    * composition tables of the C4/RefinedWeb/Dolma dataset reports).
+    *
+    * Consumes [[docDecisions]] — the SAME decisions relation d15
+    * merges, extracted rather than re-derived, so card and manifest
+    * cannot drift. Quality mass is integerized per row
+    * (`floor(q·10⁶ + 0.5)` — per-row double parity is already proven
+    * by t01's exact hash match; summing INTEGERS is then order-
+    * independent, where a cross-engine SUM(DOUBLE) would be at the
+    * mercy of accumulation order) and reported as a sum beside
+    * n_kept, never divided: integer-division rounding differs between
+    * engines (Spark casts truncate, DuckDB casts round), so the card
+    * ships the exact numerator and denominator instead.
+    *
+    * Scale shape: ONE documents scan on the card side (stats are
+    * per-row projections; the decisions branch reuses the audited
+    * family pipelines), one broadcast-size left join (decisions ≪
+    * corpus), one #sources-row aggregate. No window, no collect. */
+  private def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextQueries.withStats(docs(s, dir))
+      .withColumn("q_micro",
+        floor(TextQueries.qualityScoreCol * lit(1000000.0) + lit(0.5)).cast(LongType))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"), col("q_micro"))
+    val verdicts = docDecisions(s, dir).withColumnRenamed("item_id", "doc_id")
+    scored.join(verdicts, Seq("doc_id"), "left")
+      .select(col("source"), col("lang"), col("n_tokens"), col("q_micro"),
+        when(col("m").isNull, "keep").otherwise("drop").as("verdict"),
+        coalesce(col("m.reason"), lit("none")).as("reason"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("verdict") === "keep", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("reason") === "lexical_neardup", 1L).otherwise(0L)).as("n_drop_lexical"),
+        sum(when(col("reason") === "quality_cluster", 1L).otherwise(0L)).as("n_drop_quality"),
+        sum(when(col("reason") === "chunk_duplication", 1L).otherwise(0L)).as("n_drop_chunk"),
+        sum(when(col("reason").isin(
+          "video_frame_overlap", "audio_neardup", "image_neardup"), 1L)
+          .otherwise(0L)).as("n_drop_media"),
+        sum(when(col("verdict") === "keep", col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+        sum(when(col("verdict") === "keep", col("q_micro")).otherwise(0L)).as("kept_quality_micro"),
+        countDistinct(when(col("verdict") === "keep", col("lang"))).as("kept_langs"))
+      .orderBy(col("source"))
+  }
+
+  // ---- d17 cross-source overlap matrix ----
+
+  /** d17: cross-source duplication overlap matrix — for every unordered
+    * source pair, how many verified near-dup pairs straddle it. The
+    * between-dumps contamination report that accompanies a dataset
+    * card: published pipelines dedup ACROSS crawl snapshots and data
+    * sources precisely because the overlap is large (RefinedWeb §3.3,
+    * Dolma's cross-source dedup pass), and this matrix is how that
+    * decision gets justified — a diagonal-heavy matrix says per-source
+    * dedup suffices; heavy off-diagonal mass says the families must
+    * run globally.
+    *
+    * Reuses the memoized [[jaccardPairs]] (one LSH pipeline per
+    * session, the d15 discipline) and joins sources for both ends.
+    * Overlap mass is reported as SUMS of the integer gram counts
+    * (`n_inter`/`n_union`), never an averaged double: integer sums are
+    * accumulation-order-independent cross-engine, and the reader can
+    * divide. `n_dropped_docs` counts distinct `doc_b` — the side the
+    * keeper rule (d08: min doc_id survives) actually removes.
+    *
+    * Scale shape: the pair frame is the small side (verified near-dups
+    * ≪ corpus) joined twice against a 2-column (doc_id, source)
+    * projection of the corpus — both joins shuffle only ids+sources,
+    * never text; the final aggregate is #sources² rows at most. */
+  private def crossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val vp = jaccardPairs(s, dir).filter(col("jacc") >= JaccThreshold)
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    vp.join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("doc_b"), col("n_inter"), col("n_union"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_dropped_docs"),
+        sum(col("n_inter")).as("shared_grams"),
+        sum(col("n_union")).as("union_grams"))
+      .orderBy(col("source_a"), col("source_b"))
   }
 
   /** Shared DuckDB CTE chain computing per-doc chunk-duplication stats
@@ -938,43 +1083,7 @@ object DedupQueries {
       ${MultimodalQueries.m05DuckCte},
       ${MultimodalQueries.m07DuckCte},
       ${MultimodalQueries.m08DuckCte},
-      lexd AS (SELECT doc_b AS item_id, MIN(doc_a) AS keeper,
-                      'lexical_neardup' AS reason, 1 AS priority
-               FROM vp GROUP BY doc_b),
-      qk AS (SELECT cluster, doc AS keeper FROM (
-               SELECT lab.cluster, lab.doc,
-                 ROW_NUMBER() OVER (PARTITION BY lab.cluster
-                                    ORDER BY q.quality_score DESC, lab.doc) AS rn
-               FROM lab JOIN (SELECT doc_id, ${TextQueries.qualityScoreDuck} AS quality_score
-                              FROM stats) q ON q.doc_id = lab.doc) t
-             WHERE rn = 1),
-      quald AS (SELECT lab.doc AS item_id, qk.keeper,
-                       'quality_cluster' AS reason, 2 AS priority
-                FROM lab JOIN qk ON qk.cluster = lab.cluster
-                WHERE lab.doc <> qk.keeper),
-      chunkd AS (SELECT doc_id AS item_id, CAST(-1 AS BIGINT) AS keeper,
-                        'chunk_duplication' AS reason, 3 AS priority
-                 FROM chd WHERE n_dup_chunks * 100 >= n_chunks * 50),
-      framed AS (SELECT media_id AS item_id, CAST(-1 AS BIGINT) AS keeper,
-                        'video_frame_overlap' AS reason, 4 AS priority
-                 FROM m05d WHERE n_shared_frames * 2 >= n_frames),
-      audiod AS (SELECT media_b AS item_id, MIN(media_a) AS keeper,
-                        'audio_neardup' AS reason, 5 AS priority
-                 FROM m07p WHERE n_shared >= ${MultimodalQueries.AudioMinShared}
-                 GROUP BY media_b),
-      imaged AS (SELECT media_b AS item_id, MIN(media_a) AS keeper,
-                        'image_neardup' AS reason, 6 AS priority
-                 FROM m08p WHERE hamming <= ${MultimodalQueries.MaxImageHamming}
-                 GROUP BY media_b),
-      sigs AS (SELECT * FROM lexd UNION ALL SELECT * FROM quald
-               UNION ALL SELECT * FROM chunkd
-               UNION ALL SELECT * FROM framed UNION ALL SELECT * FROM audiod
-               UNION ALL SELECT * FROM imaged),
-      dcs AS (SELECT item_id, MIN(priority) AS pr, COUNT(*) AS n_signals
-              FROM sigs GROUP BY item_id),
-      dd AS (SELECT dcs.item_id, sg.reason, sg.keeper, dcs.n_signals
-             FROM dcs JOIN sigs sg
-               ON sg.item_id = dcs.item_id AND sg.priority = dcs.pr),
+      $docDecisionsDuckCtes,
       docm AS (
         SELECT 'document' AS item_type, doc_id AS item_id,
           CASE WHEN dd.item_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
@@ -996,6 +1105,58 @@ object DedupQueries {
       FROM (SELECT * FROM docm UNION ALL SELECT * FROM vecm) u
       ORDER BY item_type, item_id"""
     }, "unified drop-list manifest: one provenance-carrying verdict per document/asset/embedding, priority-merged from d08/d12/d10/m05/m07/m08/s10"),
+
+    "d16_dataset_card" -> QueryDef(datasetCard, Some {
+      // Same splice discipline as d15, minus the embedding-domain CTEs
+      // (the card is a document artifact); the lexd…dd chain is the
+      // SHARED docDecisionsDuckCtes string, so card and manifest run on
+      // one definition of "drop decision" in the oracle too.
+      val cte = bandsDuckCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+      val statsCte = TextQueries.statsDuckCte.replaceFirst("WITH ", "")
+      s"""$cte,
+      $verifiedPairsDuckCte,
+      $ccLabelsDuckCte,
+      $statsCte,
+      $chunkStatsDuckCte,
+      ${MultimodalQueries.m05DuckCte},
+      ${MultimodalQueries.m07DuckCte},
+      ${MultimodalQueries.m08DuckCte},
+      $docDecisionsDuckCtes,
+      card AS (
+        SELECT s.source, s.lang, s.n_tokens,
+          CAST(FLOOR((${TextQueries.qualityScoreDuck}) * 1000000.0 + 0.5) AS BIGINT) AS q_micro,
+          CASE WHEN dd.item_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+          COALESCE(dd.reason, 'none') AS reason
+        FROM stats s LEFT JOIN dd ON dd.item_id = s.doc_id)
+      SELECT source,
+        COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN reason = 'lexical_neardup' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_lexical,
+        CAST(SUM(CASE WHEN reason = 'quality_cluster' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
+        CAST(SUM(CASE WHEN reason = 'chunk_duplication' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_chunk,
+        CAST(SUM(CASE WHEN reason IN ('video_frame_overlap', 'audio_neardup', 'image_neardup')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_media,
+        CAST(SUM(CASE WHEN verdict = 'keep' THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+        CAST(SUM(CASE WHEN verdict = 'keep' THEN q_micro ELSE 0 END) AS BIGINT) AS kept_quality_micro,
+        COUNT(DISTINCT CASE WHEN verdict = 'keep' THEN lang END) AS kept_langs
+      FROM card GROUP BY source ORDER BY source"""
+    }, "dataset card: per-source post-manifest composition (kept/dropped by family, token + integerized-quality mass, language spread)"),
+
+    "d17_cross_source_overlap" -> QueryDef(crossSourceOverlap, Some(s"""$bandsDuckCte,
+      $verifiedPairsDuckCte
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b,
+             COUNT(*) AS n_pairs,
+             COUNT(DISTINCT vp.doc_b) AS n_dropped_docs,
+             CAST(SUM(len(list_intersect(ga.gh, gb.gh))) AS BIGINT) AS shared_grams,
+             CAST(SUM(len(ga.gh) + len(gb.gh) - len(list_intersect(ga.gh, gb.gh)))
+                  AS BIGINT) AS union_grams
+      FROM vp
+      JOIN g ga ON ga.doc_id = vp.doc_a JOIN g gb ON gb.doc_id = vp.doc_b
+      JOIN documents da ON da.doc_id = vp.doc_a
+      JOIN documents db ON db.doc_id = vp.doc_b
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "cross-source duplication overlap matrix: verified near-dup pair mass per unordered source pair"),
 
     "d05_simhash" -> QueryDef(simhash, Some(s"""$simhashDuckCte
       SELECT doc_id, simhash FROM sim ORDER BY doc_id"""),
