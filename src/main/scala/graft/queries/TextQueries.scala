@@ -579,6 +579,106 @@ object TextQueries {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  // ---- t19 Gopher repetition battery ----
+
+  /** Gopher's repetition thresholds (Rae et al. 2021, table A1), as
+    * integer percents: top-{2,3,4}-gram char fraction and
+    * duplicate-{5..10}-gram char fraction. */
+  private val TopGramPct = Seq(2 -> 20, 3 -> 18, 4 -> 16)
+  private val DupGramPct = Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+
+  /** Sorted n-gram array of `words`, empty when the doc is shorter
+    * than n — sorted so char-mass reduces over equal-runs row-locally
+    * (the t09 max-token pattern), no per-gram shuffle ever. */
+  private[queries] def sortedGramsExpr(n: Int): String =
+    s"""CASE WHEN size(words) >= $n
+        THEN array_sort(transform(sequence(1, size(words) - $n + 1),
+             i -> concat_ws(' ', slice(words, i, $n))))
+        ELSE array() END"""
+
+  /** Char mass of the heaviest n-gram: max over equal-runs of
+    * run_length × gram_chars, one pass over the sorted array. */
+  private[queries] def topMassExpr(sg: String): String =
+    s"""CASE WHEN size($sg) = 0 THEN CAST(0 AS BIGINT) ELSE
+        aggregate(sequence(2, greatest(size($sg), 2)),
+          named_struct('cur', CAST(1 AS BIGINT),
+                       'best', CAST(length(element_at($sg, 1)) AS BIGINT)),
+          (a, i) -> IF(i > size($sg), a,
+            IF(element_at($sg, i) = element_at($sg, i - 1),
+               named_struct('cur', a.cur + CAST(1 AS BIGINT),
+                 'best', greatest(a.best,
+                   (a.cur + CAST(1 AS BIGINT)) * CAST(length(element_at($sg, i)) AS BIGINT))),
+               named_struct('cur', CAST(1 AS BIGINT),
+                 'best', greatest(a.best, CAST(length(element_at($sg, i)) AS BIGINT))))),
+          a -> a.best) END"""
+
+  /** Char mass of ALL duplicated n-grams: sum over equal-runs with
+    * run_length > 1 of run_length × gram_chars. */
+  private[queries] def dupMassExpr(sg: String): String =
+    s"""CASE WHEN size($sg) = 0 THEN CAST(0 AS BIGINT) ELSE
+        aggregate(sequence(2, greatest(size($sg), 2)),
+          named_struct('cur', CAST(1 AS BIGINT), 'mass', CAST(0 AS BIGINT)),
+          (a, i) -> IF(i > size($sg), a,
+            IF(element_at($sg, i) = element_at($sg, i - 1),
+               named_struct('cur', a.cur + CAST(1 AS BIGINT), 'mass', a.mass),
+               named_struct('cur', CAST(1 AS BIGINT),
+                 'mass', a.mass + IF(a.cur > 1,
+                   a.cur * CAST(length(element_at($sg, i - 1)) AS BIGINT),
+                   CAST(0 AS BIGINT))))),
+          a -> a.mass + IF(a.cur > 1,
+            a.cur * CAST(length(element_at($sg, size($sg))) AS BIGINT),
+            CAST(0 AS BIGINT))) END"""
+
+  /** t19: the full Gopher repetition battery (Rae et al. 2021, table
+    * A1) — the rules t09 samples from, complete: fraction of characters
+    * in the most frequent {2,3,4}-gram and in all duplicated
+    * {5..10}-grams, a doc flagged per rule when its mass exceeds the
+    * published threshold. (The line/paragraph rules don't apply: the
+    * corpus is single-line.)
+    *
+    * Pinned definition: mass is OCCURRENCE-SUMMED, overlap-agnostic —
+    * `Σ run_length × gram_chars` over (duplicated) grams, where
+    * gram_chars counts the gram as printed (words joined by one
+    * space). Gopher's span-marked variant counts each document
+    * character at most once; the occurrence sum is its cheap upper
+    * bound and the standard relaxation (it needs no per-position
+    * bookkeeping), and the SAME pinned definition runs on both
+    * engines, so the comparison is exact. Flags compare integer cross
+    * products (`mass·100 > n_chars·pct`) — no division anywhere.
+    *
+    * Scale shape: all nine masses are row-local one-pass reductions
+    * over sorted gram arrays (t09's run-length pattern, generalized);
+    * the ONLY shuffle is the final #sources-row rollup. The DuckDB
+    * twin uses the relational unnest+group formulation instead —
+    * clearer as an oracle, and the disagreement surface it leaves is
+    * exactly the gram/mass semantics under test. */
+  private def gopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_chars", length(col("text")).cast(LongType))
+    val withMasses = (TopGramPct.map(_._1) ++ DupGramPct.map(_._1))
+      .foldLeft(base) { case (df, n) =>
+        val mass = if (n <= 4) topMassExpr(s"sg$n") else dupMassExpr(s"sg$n")
+        df.withColumn(s"sg$n", expr(sortedGramsExpr(n)))
+          .withColumn(s"mass$n", expr(mass))
+          .drop(s"sg$n")
+      }
+    val flagged = (TopGramPct ++ DupGramPct).foldLeft(withMasses) { case (df, (n, pct)) =>
+      df.withColumn(s"flag$n", col(s"mass$n") * 100 > col("n_chars") * pct)
+    }
+    val anyFlag = (TopGramPct ++ DupGramPct).map { case (n, _) => col(s"flag$n") }
+      .reduce(_ || _)
+    val flagCounts = (TopGramPct ++ DupGramPct).map { case (n, _) =>
+      val label = if (n <= 4) s"n_top$n" else s"n_dup$n"
+      sum(when(col(s"flag$n"), 1L).otherwise(0L)).as(label)
+    }
+    val aggCols = flagCounts :+ sum(when(col("flag_any"), 1L).otherwise(0L)).as("n_any")
+    flagged.withColumn("flag_any", anyFlag)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), aggCols: _*)
+      .orderBy(col("source"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_doc_quality" -> QueryDef(docQuality, Some(s"""$statsDuckCte
       SELECT doc_id, n_tokens,
@@ -848,5 +948,41 @@ object TextQueries {
         CASE tile WHEN 1 THEN 'tail' WHEN 2 THEN 'middle' ELSE 'head' END AS bucket,
         COUNT(*) AS n_docs, MIN(alp) AS min_logprob, MAX(alp) AS max_logprob
       FROM bk GROUP BY 1, 2 ORDER BY lang, bucket"""),
-      "bigram-LM quality filter: add-one-smoothed LM trained on the head quality tercile, perplexity terciles per language"))
+      "bigram-LM quality filter: add-one-smoothed LM trained on the head quality tercile, perplexity terciles per language"),
+
+    "t19_gopher_repetition" -> QueryDef(gopherRepetition, Some {
+      // One unnest+group CTE pair per n: gcN (per-gram counts) → mN
+      // (per-doc mass). The relational formulation is the oracle's
+      // point — it recomputes the pinned occurrence-summed definition
+      // a completely different way than Spark's run-length reduction.
+      val gramCtes = (TopGramPct ++ DupGramPct).map { case (n, _) =>
+        val mass =
+          if (n <= 4) "MAX(c * length(g))"
+          else "SUM(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)"
+        s"""gc$n AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+              SELECT doc_id, unnest(list_transform(range(1, len(words) - $n + 2),
+                i -> array_to_string(words[i:i + ${n - 1}], ' '))) AS g
+              FROM w) GROUP BY doc_id, g),
+            m$n AS (SELECT doc_id, $mass AS mass FROM gc$n GROUP BY doc_id)"""
+      }.mkString(",\n")
+      val joins = (TopGramPct ++ DupGramPct)
+        .map { case (n, _) => s"LEFT JOIN m$n ON m$n.doc_id = w.doc_id" }
+        .mkString("\n      ")
+      val flagCols = (TopGramPct ++ DupGramPct).map { case (n, pct) =>
+        val label = if (n <= 4) s"n_top$n" else s"n_dup$n"
+        s"CAST(SUM(CASE WHEN COALESCE(m$n.mass, 0) * 100 > n_chars * $pct THEN 1 ELSE 0 END) AS BIGINT) AS $label"
+      }.mkString(",\n        ")
+      val anyCond = (TopGramPct ++ DupGramPct)
+        .map { case (n, pct) => s"COALESCE(m$n.mass, 0) * 100 > n_chars * $pct" }
+        .mkString(" OR ")
+      s"""WITH w AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars,
+                string_split(text, ' ') AS words FROM documents),
+      $gramCtes
+      SELECT source, COUNT(*) AS n_docs,
+        $flagCols,
+        CAST(SUM(CASE WHEN $anyCond THEN 1 ELSE 0 END) AS BIGINT) AS n_any
+      FROM w
+      $joins
+      GROUP BY source ORDER BY source"""
+    }, "Gopher repetition battery: top-{2,3,4}-gram and duplicate-{5..10}-gram char-mass flags per source (Rae et al. 2021 table A1)"))
 }
