@@ -507,6 +507,52 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Radius threshold for s14 — p99 of the corpus cosine distribution
+    * (measured: median ≈ 0.00, p99 ≈ 0.295, max ≈ 0.45), so the search
+    * returns the genuinely-close tail, nonempty at every driver SF. */
+  private[graft] val RadiusTau = 0.3
+
+  /** s14: RADIUS (range) search — every candidate within cosine ≥
+    * [[RadiusTau]] of each query, the query-centric complement of
+    * top-k (s06/s07) and of pairwise near-dup (s03): "find everything
+    * this close", the primitive behind dedup-against-index and
+    * semantic retrieval filters, FAISS's `range_search`.
+    *
+    * Same fitted index and top-2-cell probing as s07 (one memoized fit
+    * serves s06/s07/s09/s10/s14), but radius search needs NO per-query
+    * window at all: membership is an absolute cosine test, not a rank,
+    * so the entire serve path after the tiny query-side probe ranking
+    * is filter + join — the corpus side never shuffles and never
+    * sorts. A result row's `probe_rank` records which probe found it
+    * (cells are disjoint, so no dedup step exists to pay for).
+    *
+    * The oracle mirrors the probed-cells semantics (the s06/s07
+    * discipline: the index IS the query's semantics, the twin must
+    * rebuild it); the cosine is the same fixed-order double fold on
+    * both engines, so the ≥ τ cut can never disagree. */
+  private def annRadius(s: SparkSession, dir: String,
+      qr: QueryRel = SampleQueries): DataFrame = {
+    val e = vecs(s, dir)
+    val cent = ivfCentroids(s, dir)
+    val c = e.join(ivfAssigned(s, dir), "vec_id")
+      .select(col("vec_id").as("c_id"), col("cell"),
+        col("v").as("cv"), col("nrm").as("cn"))
+    val wp = Window.partitionBy(col("vec_id")).orderBy(col("scos").desc, col("s_id"))
+    val probes = qr(e)
+      .join(broadcast(cent))
+      .withColumn("scos", expr(dotSpark("v", "sv")) / (col("nrm") * col("sn")))
+      .withColumn("probe_rank", row_number().over(wp).cast(LongType))
+      .filter(col("probe_rank") <= 2)
+      .select(col("vec_id").as("q_id"), col("s_id").as("cell"),
+        col("probe_rank"), col("v").as("qv"), col("nrm").as("qn"))
+    probes.join(c, Seq("cell")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
+      .filter(col("cos") >= RadiusTau)
+      .select(col("q_id"), col("cell"), col("probe_rank"), col("c_id"),
+        col("cos").as("cosine"))
+      .orderBy(col("q_id"), col("c_id"))
+  }
+
   private[graft] val QuantCand = 20 // quantized-scan candidates per query, reranked exactly
 
   /** s08: scalar-quantized (SQ8) scan + exact rerank — the memory-
@@ -1309,6 +1355,23 @@ object SimilarityQueries {
              adc AS adc_dist, cos AS cosine
       FROM mr2 WHERE rnk <= 5 ORDER BY q_id, rnk"""),
       "multi-probe IVFPQ: per-probe query residuals, cross-cell ADC top-k, exact rerank (the full FAISS search path)"),
+
+    "s14_ann_radius" -> QueryDef((s, d) => annRadius(s, d), Some(s"""$vecsDuckCte,
+      $ivfAsgDuckCte,
+      cells AS (SELECT n.vec_id, n.v, n.nrm, asg.cell
+                FROM n JOIN asg ON n.vec_id = asg.vec_id),
+      probes AS (
+        SELECT vec_id AS q_id, s_id AS cell, CAST(rn AS BIGINT) AS probe_rank FROM (
+          SELECT vec_id, s_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
+          FROM sc WHERE vec_id % 50 = 0) t WHERE rn <= 2)
+      SELECT pr.q_id, pr.cell, pr.probe_rank, c.vec_id AS c_id, $cosDuck AS cosine
+      FROM probes pr
+      JOIN n q ON q.vec_id = pr.q_id
+      JOIN cells c ON c.cell = pr.cell AND c.vec_id <> pr.q_id
+      WHERE $cosDuck >= $RadiusTau
+      ORDER BY q_id, c_id"""),
+      "radius (range) search: all candidates within cosine >= tau over the probed IVF cells, window-free serve path"),
 
     "s05_cluster_norm_stats" -> QueryDef(clusterNormStats, Some(s"""$vecsDuckCte
       SELECT label, COUNT(*) AS n_vecs,
