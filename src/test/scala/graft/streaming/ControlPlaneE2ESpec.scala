@@ -139,4 +139,79 @@ class ControlPlaneE2ESpec extends SparkTestBase {
       server.close()
     }
   }
+
+  test("monitor rebalances spend the poison budget; the DLQ terminates the loop; dead letters drain as data") {
+    val s = spark
+    val clock = new ManualClock(1700000000000L)
+    val server = new RespServer(new RespLoopback(clock))
+    val client = new RespClient(server.host, server.port)
+    var key: String = null
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      // ---- 4 wire-produced tasks; c1 takes all, acks 3, dies on the 4th
+      val ids = (1 to 4).map { i =>
+        val id = ok(client.call(StreamCommands.xadd("tasks", Seq("i" -> i.toString)))).text
+        clock.advance(1); id
+      }
+      ok(client.call(StreamCommands.xgroupCreate("tasks", "g")))
+      def readIds(consumer: String): Seq[String] =
+        parseXRead(ok(client.call(
+          StreamCommands.xreadgroup("g", consumer, "tasks", count = 10, blockMs = 0))))
+          .flatMap(_._2).map(_.msgid)
+      assert(readIds("c1") == ids)
+      val poison = ids.head
+      assert(ok(client.call(StreamCommands.xack("tasks", "g", ids.tail))) == IntReply(3))
+
+      // ---- the reference's redeliver-forever loop, driven by the REAL
+      // monitor: each sweep rebalances the poison to a fresh healthy
+      // consumer, which also fails — times_delivered climbs 1 -> 2 -> 3.
+      val g = server.loopback.consumerGroup("tasks", "g")
+        .getOrElse(fail("wire-created group not visible to the control plane"))
+      val monitor = new Monitor(Seq(g), batchSize = 2,
+        idleTimeThresholdMs = 30000L, minWaitTimeMs = 0L)
+      for (next <- Seq("c2", "c3")) {
+        clock.advance(60000)           // current owner goes idle-dead
+        assert(readIds(next).isEmpty)  // the replacement registers, healthy
+        monitor.collectMonitoringData(autoCleanup = true)
+        assert(monitor.lastCleanup.map(c => (c._2, c._3)) == Seq((1, 0)),
+          s"rebalance to $next must claim the poison, lose nothing")
+      }
+      val pel = g.consumers.flatMap(g.pendingOf(_))
+      assert(pel.map(e => (e.msgid, e.consumer, e.timesDelivered)) ==
+        Seq((poison, "c3", 3)), s"budget spent by real rebalances: $pel")
+
+      // ---- the terminal state the reference never ships: route to a
+      // DLQ stream ON THE SERVER (wire-visible like any other stream)
+      val dlqLog = server.loopback.streamLog("tasks:dlq")
+      val routed = new DeadLetterRouter(g, dlqLog, maxDeliveries = 3).sweep()
+      assert(routed.map(_._1) == Seq(poison))
+      assert(g.pendingCount == 0, "the group is fully terminal: 3 acked + 1 routed")
+      assert(ok(client.call(StreamCommands.xlen("tasks"))) == IntReply(4),
+        "routing acks the group; it never deletes source entries")
+      assert(ok(client.call(StreamCommands.xlen("tasks:dlq"))) == IntReply(1))
+
+      // ---- dead letters are a stream like any other: the DSv2 source
+      // drains the DLQ into a DataFrame for offline poison analysis.
+      key = StreamLogRegistry.register(dlqLog)
+      q = s.readStream
+        .format("graft.streaming.StreamLogSourceProvider")
+        .option("log", key).option("batchSize", "10")
+        .load()
+        .writeStream.format("memory").queryName("dead_letters")
+        .start()
+      q.processAllAvailable()
+      val rows = s.sql("SELECT msgid, content FROM dead_letters").collect()
+      assert(rows.length == 1)
+      val dead = rows.head.getMap[String, String](1).toMap
+      assert(dead("i") == "1", "the original body survives the route")
+      assert(dead("dlq-source-id") == poison && dead("dlq-consumer") == "c3")
+      assert(dead("dlq-times-delivered") == "3" &&
+        dead("dlq-reason") == DeadLetterRouter.Reason)
+    } finally {
+      if (q != null) q.stop()
+      if (key != null) StreamLogRegistry.unregister(key)
+      client.close()
+      server.close()
+    }
+  }
 }
