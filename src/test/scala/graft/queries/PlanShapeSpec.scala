@@ -195,6 +195,45 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
       s"d13 collect aggregate is not above the capping window:\n$plan")
   }
 
+  test("t19 Gopher battery: all nine masses row-local — no shuffle carries text or gram arrays") {
+    // The battery's whole design is that repetition masses reduce to
+    // one long per (doc, n) BEFORE anything moves: an exchange input
+    // carrying `text`, `words`, or any sg<N> gram array means the
+    // run-length reduction regressed to a per-gram shuffle.
+    val inputs = PlanTestUtils.exchangeInputs(
+      queries("t19_gopher_repetition")(spark, sf).queryExecution)
+    assert(inputs.nonEmpty, "expected the rollup shuffle in t19")
+    val leaky = inputs.filter(l =>
+      l.contains("text#") || l.contains("words#") || l.contains("sg"))
+    assert(leaky.isEmpty, s"t19 shuffles raw text/grams:\n${leaky.mkString("\n")}")
+  }
+
+  test("d16/d17 inherit the d15 contract: no shuffle carries document text") {
+    for (q <- Seq("d16_dataset_card", "d17_cross_source_overlap")) {
+      val inputs = PlanTestUtils.exchangeInputs(
+        queries(q)(spark, sf).queryExecution)
+      assert(inputs.nonEmpty, s"expected shuffles in $q")
+      val leaky = inputs.filter(l =>
+        l.contains("text#") || l.contains("words#") || l.contains("ws#"))
+      assert(leaky.isEmpty, s"$q shuffles raw text:\n${leaky.mkString("\n")}")
+    }
+  }
+
+  test("s14 radius search: window-free serve path — the only Window ranks query-side probes") {
+    // Radius membership is an absolute test, not a rank: the corpus
+    // side must never pay a per-query sort. Exactly ONE logical Window
+    // may exist — the top-2-cell probe ranking over the query slice —
+    // and it must partition by vec_id (the query), not by q_id over
+    // candidates.
+    val plan = queries("s14_ann_radius")(spark, sf).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.length == 1,
+      s"s14 must plan exactly the probe-ranking window, found ${windows.length}:\n$plan")
+    val partCols = windows.head.partitionSpec.flatMap(_.references.map(_.name))
+    assert(partCols == Seq("vec_id"),
+      s"s14's window must rank probes per query vec_id, got $partCols")
+  }
+
   test("plan fingerprints: stable across rebuilds, distinct across queries, volatile-token-free") {
     // The bench artifact's `plans` map is only useful if the same
     // logical query always hashes identically: expression ids are a
