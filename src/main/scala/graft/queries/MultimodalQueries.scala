@@ -456,5 +456,51 @@ object MultimodalQueries {
         1.0 - CAST(hamming AS DOUBLE) / 64.0 AS similarity
       FROM m08p WHERE hamming <= $MaxImageHamming
       ORDER BY media_a, media_b"""),
-      "image perceptual-hash (aHash) near-dup pairs, pigeonhole-banded, exact-hamming verified"))
+      "image perceptual-hash (aHash) near-dup pairs, pigeonhole-banded, exact-hamming verified"),
+
+    "m09_media_dedup_clusters" -> QueryDef(mediaDedupClusters, Some(s"""
+      WITH RECURSIVE $m07DuckCte,
+      $m08DuckCte,
+      medges AS (
+        SELECT media_a AS src, media_b AS dst FROM m07p WHERE n_shared >= $AudioMinShared
+        UNION SELECT media_b, media_a FROM m07p WHERE n_shared >= $AudioMinShared
+        UNION SELECT media_a, media_b FROM m08p WHERE hamming <= $MaxImageHamming
+        UNION SELECT media_b, media_a FROM m08p WHERE hamming <= $MaxImageHamming),
+      mnodes AS (SELECT DISTINCT src AS media FROM medges),
+      mreach AS (
+        SELECT media, media AS cluster FROM mnodes
+        UNION
+        SELECT e.dst AS media, r.cluster FROM mreach r JOIN medges e ON e.src = r.media),
+      mlab AS (SELECT media, MIN(cluster) AS cluster FROM mreach GROUP BY media)
+      SELECT media AS media_id, cluster AS cluster_id,
+        COUNT(*) OVER (PARTITION BY cluster) AS n_members
+      FROM mlab ORDER BY media_id"""),
+      "media dedup clusters: connected components over the m07+m08 near-dup edges, named by minimum media id"))
+
+  /** m09: media dedup clusters — the d07 step for the media domain:
+    * the m07 (audio) and m08 (image) near-dup pairs merged into one
+    * edge list and grouped into connected components, each named by
+    * its minimum media id (the canonical keeper; everything else is
+    * droppable). Closes the media families' gap to the text side,
+    * where pairs → clusters → survivors is the full d04→d07→d08
+    * chain: transitive re-uploads (A≈B, B≈C re-encodes) now land in
+    * ONE cluster even when A and C share no direct edge.
+    *
+    * Same scale machinery as d07: alternating-star contraction
+    * ([[graft.operators.ConnectedComponents]]), O(log n) rounds for
+    * arbitrary component diameter, driver sees only a convergence
+    * checksum; the edge lists arrive payload-free from the audited
+    * m07/m08 pipelines. The DuckDB twin is the d07-style recursive
+    * CTE over the SAME spliced m07p/m08p chains the family oracles
+    * and the d15 manifest run. */
+  private def mediaDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = audioNearDup(s, dir).select(col("media_a"), col("media_b"))
+      .unionByName(imageNearDup(s, dir).select(col("media_a"), col("media_b")))
+      .distinct()
+    graft.operators.ConnectedComponents.run(edges, "media_a", "media_b", 50)
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .select(col("doc").as("media_id"), col("cluster").as("cluster_id"), col("n_members"))
+      .orderBy(col("media_id"))
+  }
 }

@@ -22,7 +22,9 @@ fails, passes, skipped = [], [], []
 for name in sorted(oracle):
     if only and name not in only:
         continue
-    files = glob.glob(f"{out}/{name}/*.parquet")
+    # sorted: multi-part dumps concatenate in part-file name order, which
+    # matches the query's global ORDER BY; bare glob order is arbitrary.
+    files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
     if not files:
         fails.append((name, "no spark output"))
         continue
