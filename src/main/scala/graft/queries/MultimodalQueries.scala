@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
 import graft.multimodal.MediaPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -461,21 +461,29 @@ object MultimodalQueries {
     "m09_media_dedup_clusters" -> QueryDef(mediaDedupClusters, Some(s"""
       WITH RECURSIVE $m07DuckCte,
       $m08DuckCte,
-      medges AS (
-        SELECT media_a AS src, media_b AS dst FROM m07p WHERE n_shared >= $AudioMinShared
-        UNION SELECT media_b, media_a FROM m07p WHERE n_shared >= $AudioMinShared
-        UNION SELECT media_a, media_b FROM m08p WHERE hamming <= $MaxImageHamming
-        UNION SELECT media_b, media_a FROM m08p WHERE hamming <= $MaxImageHamming),
-      mnodes AS (SELECT DISTINCT src AS media FROM medges),
-      mreach AS (
-        SELECT media, media AS cluster FROM mnodes
-        UNION
-        SELECT e.dst AS media, r.cluster FROM mreach r JOIN medges e ON e.src = r.media),
-      mlab AS (SELECT media, MIN(cluster) AS cluster FROM mreach GROUP BY media)
+      $mediaCcDuckCte
       SELECT media AS media_id, cluster AS cluster_id,
         COUNT(*) OVER (PARTITION BY cluster) AS n_members
       FROM mlab ORDER BY media_id"""),
-      "media dedup clusters: connected components over the m07+m08 near-dup edges, named by minimum media id"))
+      "media dedup clusters: connected components over the m07+m08 near-dup edges, named by minimum media id"),
+
+    "m10_media_survivors" -> QueryDef(mediaSurvivors, Some(s"""
+      WITH RECURSIVE $m07DuckCte,
+      $m08DuckCte,
+      $mediaCcDuckCte,
+      mlen AS (SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS payload_bytes
+               FROM documents),
+      mj AS (SELECT mlab.media, mlab.cluster, mlen.payload_bytes
+             FROM mlab JOIN mlen ON mlen.media_id = mlab.media),
+      mr AS (SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY payload_bytes DESC, media) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster) AS n_members
+             FROM mj)
+      SELECT cluster AS cluster_id, n_members,
+             media AS keeper_media, payload_bytes AS keeper_bytes
+      FROM mr WHERE rn = 1 ORDER BY cluster_id"""),
+      "media survivors: per-cluster keeper by largest payload (the keep-the-best-copy rule), min id tiebreak"))
 
   /** m09: media dedup clusters — the d07 step for the media domain:
     * the m07 (audio) and m08 (image) near-dup pairs merged into one
@@ -495,12 +503,63 @@ object MultimodalQueries {
     * and the d15 manifest run. */
   private def mediaDedupClusters(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val edges = audioNearDup(s, dir).select(col("media_a"), col("media_b"))
-      .unionByName(imageNearDup(s, dir).select(col("media_a"), col("media_b")))
-      .distinct()
-    graft.operators.ConnectedComponents.run(edges, "media_a", "media_b", 50)
+    mediaClusterLabels(s, dir)
       .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster"))))
       .select(col("doc").as("media_id"), col("cluster").as("cluster_id"), col("n_members"))
       .orderBy(col("media_id"))
+  }
+
+  /** CC labels over the merged m07+m08 edges — shared by m09/m10.
+    * NOT memoized: ConnectedComponents labels are localCheckpoint-
+    * materialized (the d07/d12 rule — a session memo would turn an
+    * executor loss into a permanent missing-block failure). */
+  private def mediaClusterLabels(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ConnectedComponents.run(
+      audioNearDup(s, dir).select(col("media_a"), col("media_b"))
+        .unionByName(imageNearDup(s, dir).select(col("media_a"), col("media_b")))
+        .distinct(),
+      "media_a", "media_b", 50)
+
+  /** The m09/m10-shared DuckDB CC chain (assumes m07p/m08p in scope;
+    * splice under WITH RECURSIVE): edges both directions → recursive
+    * reach → `mlab(media, cluster)` with cluster = component min. */
+  // lazy: declared below `defs`, which splices it at object init
+  private[queries] lazy val mediaCcDuckCte = s"""
+      medges AS (
+        SELECT media_a AS src, media_b AS dst FROM m07p WHERE n_shared >= $AudioMinShared
+        UNION SELECT media_b, media_a FROM m07p WHERE n_shared >= $AudioMinShared
+        UNION SELECT media_a, media_b FROM m08p WHERE hamming <= $MaxImageHamming
+        UNION SELECT media_b, media_a FROM m08p WHERE hamming <= $MaxImageHamming),
+      mnodes AS (SELECT DISTINCT src AS media FROM medges),
+      mreach AS (
+        SELECT media, media AS cluster FROM mnodes
+        UNION
+        SELECT e.dst AS media, r.cluster FROM mreach r JOIN medges e ON e.src = r.media),
+      mlab AS (SELECT media, MIN(cluster) AS cluster FROM mreach GROUP BY media)"""
+
+  /** m10: media survivors — the d12 rule for the media domain: within
+    * each m09 cluster keep the copy with the LARGEST payload (the
+    * highest-fidelity original among re-encodes; resolution/bitrate
+    * collapses to byte count for the deterministic fake codec), min
+    * media id as tiebreak. Payload size is `length(text)` on both
+    * engines — the corpus is single-byte ASCII (the same assumption
+    * m05/m08's substr arithmetic already pins), so char count IS the
+    * payload byte count of the UTF-8-encoded fake payload.
+    *
+    * Scale shape: the struct-argmax per cluster is map-side
+    * combinable (the d12/M4 pattern, never a window); the byte-length
+    * join touches only clustered media (≪ corpus). */
+  private def mediaSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val lens = Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), length(col("text")).cast(LongType).as("payload_bytes"))
+    mediaClusterLabels(s, dir)
+      .join(lens, col("doc") === col("media_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("payload_bytes").as("b"), (-col("media_id")).as("negid"))).as("m"))
+      .select(col("cluster").as("cluster_id"), col("n_members"),
+        (-col("m.negid")).as("keeper_media"), col("m.b").as("keeper_bytes"))
+      .orderBy(col("cluster_id"))
   }
 }
