@@ -18,38 +18,123 @@ object Tables {
     if (name == "events") readEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Raw parquet schema of `events` with ts as nanos LONG (the
-    * legacy-long read mode; also used by the streaming reader). */
-  val eventsRawSchema: org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types._
-    StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
+  /** Raw parquet schema of `events` at `sfDir`, as Spark reads it with
+    * the legacy nanos-as-long mode on: TIMESTAMP(NANOS) data arrives as
+    * LongType, standard µs TIMESTAMP natively. The streaming file source
+    * requires an explicit schema, so it peeks the batch one here — the
+    * testdata has shipped BOTH physical types across rounds, and pinning
+    * either breaks when the generator flips again. */
+  def eventsRawSchema(spark: SparkSession, sfDir: String): org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").schema
   }
 
-  /** Convert a raw events frame (ts = nanos LONG) to the typed shape.
-    * The driver data carries no sub-microsecond part (verified:
-    * epoch_ns % 1000 == 0 everywhere), so the ns→µs truncation is exact
-    * and matches DuckDB's own nanosecond-parquet read. */
+  /** Convert a raw events frame to the typed shape (`ts: TIMESTAMP`),
+    * branching on the dtype the scan produced:
+    *   - LongType → legacy nanos-as-long read of TIMESTAMP(NANOS); the
+    *     driver data carries no sub-microsecond part (verified:
+    *     epoch_ns % 1000 == 0 everywhere), so ns→µs truncation is exact
+    *     and matches DuckDB's own nanosecond-parquet read;
+    *   - Timestamp(NTZ) → standard µs TIMESTAMP, cast only (the session
+    *     is UTC, so NTZ→LTZ preserves the instant). */
   def eventsFromRaw(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val ts = raw.schema("ts").dataType match {
+      case LongType => expr("timestamp_micros(ts div 1000)")
+      case TimestampType | TimestampNTZType => col("ts").cast(TimestampType)
+      case other => throw new IllegalStateException(
+        s"testdata schema changed: events.ts is now $other " +
+          "(expected LONG nanos or TIMESTAMP); update Tables.eventsFromRaw")
+    }
     raw.select(
-      col("event_id"),
-      expr("timestamp_micros(ts div 1000)").as("ts"),
+      col("event_id"), ts.as("ts"),
       col("user_id"), col("event_type"), col("value"), col("props"))
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read
-    * natively: enable the legacy nanos-as-long mode (session-wide — the
-    * only way Spark exposes it; other tables here carry µs timestamps
-    * and are unaffected) and convert. */
+  /** Enable legacy nanos-as-long (session-wide — the only way Spark
+    * exposes it; a no-op for standard µs files) so BOTH physical `ts`
+    * encodings the driver has shipped load, then normalize. */
   private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     eventsFromRaw(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** Expected LOGICAL schema per table, post-normalization — column
+    * names in order plus canonical dtypes ([[canonicalType]]). This is
+    * the contract the 112 queries compile against; the driver owns the
+    * parquet and has regenerated it mid-round before (round 11: events.ts
+    * flipped TIMESTAMP(NANOS)→µs TIMESTAMP and 29 queries died with 29
+    * scattered analysis errors), so drift must be ONE loud named message
+    * instead. */
+  private val expectedSchemas: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int"),
+    "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_acctbal" -> "double",
+      "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+      "s_nationkey" -> "int", "s_acctbal" -> "double"),
+    "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+      "p_retailprice" -> "double"),
+    "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp", "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp"),
+    "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp",
+      "user_id" -> "bigint", "event_type" -> "string",
+      "value" -> "double", "props" -> "string"),
+    "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint",
+      "embedding" -> "array<float>", "label" -> "int"))
+
+  /** Dtype canonicalization for the canary: NTZ and LTZ timestamps are
+    * interchangeable here (UTC session, same instant — the queries and
+    * the DuckDB oracle agree under either), so both spell "timestamp". */
+  private def canonicalType(dt: org.apache.spark.sql.types.DataType): String =
+    dt.simpleString.replace("timestamp_ntz", "timestamp")
+
+  /** Compare every table's loaded schema to [[expectedSchemas]]; return
+    * one human-readable message per drifted/missing/extra column (empty
+    * = no drift). Pure report — callers decide whether to warn or
+    * throw. */
+  def schemaDrift(spark: SparkSession, sfDir: String): Seq[String] =
+    names.flatMap { t =>
+      val expected = expectedSchemas(t)
+      try {
+        val actual = apply(spark, sfDir, t).schema
+          .map(f => f.name -> canonicalType(f.dataType))
+        val actualMap = actual.toMap
+        val drifted = expected.collect {
+          case (c, want) if actualMap.contains(c) && actualMap(c) != want =>
+            s"testdata schema changed: $t.$c is now ${actualMap(c)} (expected $want)"
+          case (c, want) if !actualMap.contains(c) =>
+            s"testdata schema changed: $t.$c ($want) is missing"
+        }
+        val extra = actual.collect {
+          case (c, got) if !expected.exists(_._1 == c) =>
+            s"testdata schema changed: $t has new column $c ($got)"
+        }
+        drifted ++ extra
+      } catch { case e: Throwable =>
+        Seq(s"testdata schema changed: $t failed to load: ${e.getMessage}")
+      }
+    }
+
+  /** First-line canary for Verify/Bench/specs: throws ONE message
+    * naming every drifted column if the testdata no longer matches the
+    * logical contract the queries compile against. */
+  def assertExpectedSchemas(spark: SparkSession, sfDir: String): Unit = {
+    val drift = schemaDrift(spark, sfDir)
+    if (drift.nonEmpty) throw new IllegalStateException(drift.mkString("; "))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")

@@ -40,12 +40,14 @@ object EventStream {
     })
 
   /** Streaming DataFrame of events with proper event-time column
-    * (schema + ns→µs conversion shared with [[graft.Tables]]). */
+    * (raw-schema peek + ts normalization shared with [[graft.Tables]],
+    * so the stream adapts to whichever physical `ts` encoding the
+    * testdata carries, same as the batch path). */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = graft.Tables.eventsRawSchema(spark, sfDir)
     graft.Tables.eventsFromRaw(
       spark.readStream
-        .schema(graft.Tables.eventsRawSchema)
+        .schema(rawSchema)
         .parquet(stagedDir(sfDir)))
       .drop("props")
   }
