@@ -229,17 +229,26 @@ final class RespLoopback(clock: Clock = SystemClock) {
             bulk("idle"), IntReply(idle))))
         }))
       case "STREAM" =>
-        // XINFO STREAM s — the scaler's last-generated-id probe
-        // (`scaler.py:47-48`); flat key/value pair list like Redis,
-        // with the fields the reference (and redis-py's dict parse)
-        // actually consumes.
+        // XINFO STREAM s — flat key/value pair list like Redis. The
+        // reference only consumes length + last-generated-id
+        // (`scaler.py:47-48`), but the full Redis ≥7 field set rides
+        // along (entries-added, max-deleted-entry-id, first-entry,
+        // last-entry — entries encoded like XRANGE rows, nil when the
+        // stream is empty) so redis-py's dict parse sees the same keys
+        // against either server.
         val log = logOf(args(2))
         val stream = args(2)
         val nGroups = synchronized(groups.keysIterator.count(_._1 == stream))
+        def entryOrNil(e: Option[StreamMessage]): Reply =
+          e.map(entryReply).getOrElse(BulkReply(None))
         ArrayReply(Some(Vector(
           bulk("length"), IntReply(log.len.toLong),
           bulk("last-generated-id"), bulk(log.lastGeneratedId),
-          bulk("groups"), IntReply(nGroups.toLong))))
+          bulk("max-deleted-entry-id"), bulk(log.maxDeletedEntryId),
+          bulk("entries-added"), IntReply(log.entriesAdded),
+          bulk("groups"), IntReply(nGroups.toLong),
+          bulk("first-entry"), entryOrNil(log.firstEntry),
+          bulk("last-entry"), entryOrNil(log.lastEntry))))
       case other => ErrorReply(s"ERR unknown XINFO subcommand: $other")
     }
 

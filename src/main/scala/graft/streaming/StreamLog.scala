@@ -20,6 +20,8 @@ final class StreamLog(clock: Clock = SystemClock) {
   private val buf = mutable.ArrayBuffer.empty[StreamMessage]
   private var lastMs  = -1L
   private var lastSeq = -1L
+  private var nAdded  = 0L
+  private var maxDeleted = MsgId.Zero
 
   /** XADD: append one field-map message; values are stringified on write
     * (`producer.py:37`); returns the assigned monotonic id. With
@@ -40,6 +42,7 @@ final class StreamLog(clock: Clock = SystemClock) {
     lastMs = ms; lastSeq = seq
     val id = MsgId.format(ms, seq)
     buf += StreamMessage(id, content.map { case (k, v) => k -> String.valueOf(v) })
+    nAdded += 1
     maxlen.foreach { m =>
       if (!approximate) trim(m)
       else if (buf.length >= m + macroNode) trim(m)
@@ -53,7 +56,11 @@ final class StreamLog(clock: Clock = SystemClock) {
   /** XTRIM maxlen: keep only the newest `maxlen` messages. */
   def trim(maxlen: Int): Int = synchronized {
     val removed = math.max(buf.length - maxlen, 0)
-    if (removed > 0) buf.dropInPlace(removed)
+    if (removed > 0) {
+      // trimmed prefix is id-ordered: its last element is its max
+      noteDeleted(buf(removed - 1).msgid)
+      buf.dropInPlace(removed)
+    }
     removed
   }
 
@@ -61,9 +68,17 @@ final class StreamLog(clock: Clock = SystemClock) {
   def delete(ids: String*): Int = synchronized {
     val set = ids.toSet
     val before = buf.length
+    buf.iterator.filter(m => set.contains(m.msgid))
+      .foreach(m => noteDeleted(m.msgid))
     buf.filterInPlace(m => !set.contains(m.msgid))
     before - buf.length
   }
+
+  // Redis's max-deleted-entry-id contract: the greatest id ever removed
+  // by XDEL or trimming (only ids that existed count — unknown XDEL ids
+  // never move it, hence noteDeleted fires per matched message).
+  private def noteDeleted(id: String): Unit =
+    if (MsgId.lt(maxDeleted, id)) maxDeleted = id
 
   /** XRANGE [min, max] inclusive by id order; `-`/`+` = open ends. */
   def range(min: String = "-", max: String = "+"): Seq[StreamMessage] = synchronized {
@@ -83,6 +98,18 @@ final class StreamLog(clock: Clock = SystemClock) {
   def lastGeneratedId: String = synchronized {
     if (lastMs < 0) MsgId.Zero else MsgId.format(lastMs, lastSeq)
   }
+
+  /** XINFO STREAM max-deleted-entry-id: greatest id ever removed by
+    * XDEL or trim; 0-0 if nothing was ever deleted (Redis ≥7 field). */
+  def maxDeletedEntryId: String = synchronized(maxDeleted)
+
+  /** XINFO STREAM entries-added: lifetime XADD count (trim/XDEL never
+    * decrement it — Redis ≥7 field). */
+  def entriesAdded: Long = synchronized(nAdded)
+
+  /** XINFO STREAM first-entry / last-entry (None on an empty stream). */
+  def firstEntry: Option[StreamMessage] = synchronized(buf.headOption)
+  def lastEntry: Option[StreamMessage]  = synchronized(buf.lastOption)
 
   def all: Seq[StreamMessage] = synchronized(buf.toSeq)
 }

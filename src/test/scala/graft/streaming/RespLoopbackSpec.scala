@@ -119,6 +119,52 @@ class RespLoopbackSpec extends AnyFunSuite {
     assert(wire(lb, StreamCommands.xlen("t")) == IntReply(1))
   }
 
+  test("XINFO STREAM answers the full Redis >=7 field set (r11 ask #7)") {
+    val clock = new ManualClock(500)
+    val lb = new RespLoopback(clock)
+    def info(): Map[String, Reply] = {
+      val ArrayReply(Some(kv)) = wire(lb, StreamCommands.xinfoStream("s")): @unchecked
+      kv.grouped(2).map { case Vector(k, v) => k.text -> v }.toMap
+    }
+    // never-written stream: zero everything, nil first/last entries
+    val virgin = info()
+    assert(virgin("entries-added") == IntReply(0))
+    assert(virgin("max-deleted-entry-id").text == MsgId.Zero)
+    assert(virgin("first-entry") == BulkReply(None))
+
+    // emptied-by-XDEL stream: lifetime add count survives
+    val id0 = wire(lb, StreamCommands.xadd("s", Seq("v" -> "0"))).text
+    wire(lb, StreamCommands.xdel("s", Seq(id0)))
+    val empty = info()
+    assert(empty("length") == IntReply(0))
+    assert(empty("first-entry") == BulkReply(None))
+    assert(empty("last-entry") == BulkReply(None))
+    assert(empty("entries-added") == IntReply(1)) // lifetime count survives XDEL
+
+    val ids = (1 to 4).map { i =>
+      clock.advance(1)
+      wire(lb, StreamCommands.xadd("s", Seq("v" -> i.toString))).text
+    }
+    wire(lb, StreamCommands.xgroupCreate("s", "g"))
+    val full = info()
+    assert(full("length") == IntReply(4))
+    assert(full("entries-added") == IntReply(5))
+    assert(full("last-generated-id").text == ids.last)
+    assert(full("groups") == IntReply(1))
+    assert(parseEntry(full("first-entry")) == StreamMessage(ids.head, Map("v" -> "1")))
+    assert(parseEntry(full("last-entry")) == StreamMessage(ids.last, Map("v" -> "4")))
+
+    // XDEL moves max-deleted-entry-id; an exact trim moves it further
+    // (greatest trimmed id), and first-entry advances past the trim
+    wire(lb, StreamCommands.xdel("s", Seq(ids(1))))
+    assert(info()("max-deleted-entry-id").text == ids(1))
+    wire(lb, StreamCommands.xtrimMaxlen("s", 1, approximate = false))
+    val trimmed = info()
+    assert(trimmed("max-deleted-entry-id").text == ids(2))
+    assert(parseEntry(trimmed("first-entry")) == StreamMessage(ids.last, Map("v" -> "4")))
+    assert(trimmed("length") == IntReply(1))
+  }
+
   test("wire-produced entries flow into a Structured Streaming query (loopback -> DSv2 source)") {
     // The two halves joined: a client XADDs over wire bytes, the
     // loopback's backing log registers with the DSv2 source, and a
