@@ -510,14 +510,20 @@ object MultimodalQueries {
   }
 
   /** CC labels over the merged m07+m08 edges — shared by m09/m10.
-    * NOT memoized: ConnectedComponents labels are localCheckpoint-
-    * materialized (the d07/d12 rule — a session memo would turn an
-    * executor loss into a permanent missing-block failure). */
+    * The EDGE LIST is memoized (scan-rooted union of the two digest
+    * pipelines — recomputable after eviction, so memo-safe by the
+    * d11/m07 rule; measured r12: each of m09/m10 was otherwise paying
+    * the full ~1.2 s m07+m08 rebuild). The CC LABELS are NOT memoized:
+    * they are localCheckpoint-materialized (the d07/d12 rule — a
+    * session memo would turn an executor loss into a permanent
+    * missing-block failure). */
   private def mediaClusterLabels(s: SparkSession, dir: String): DataFrame =
     graft.operators.ConnectedComponents.run(
-      audioNearDup(s, dir).select(col("media_a"), col("media_b"))
-        .unionByName(imageNearDup(s, dir).select(col("media_a"), col("media_b")))
-        .distinct(),
+      PersistedAggregates.memo(s, "m09_edges", dir) {
+        audioNearDup(s, dir).select(col("media_a"), col("media_b"))
+          .unionByName(imageNearDup(s, dir).select(col("media_a"), col("media_b")))
+          .distinct()
+      },
       "media_a", "media_b", 50)
 
   /** The m09/m10-shared DuckDB CC chain (assumes m07p/m08p in scope;
