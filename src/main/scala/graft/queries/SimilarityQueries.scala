@@ -480,7 +480,7 @@ object SimilarityQueries {
     * corpus-side N×K scores still never shuffle. Probed cells are
     * disjoint (a candidate lives in exactly one cell), so no
     * dedup step is needed before the per-query top-k. */
-  private def annIvfMultiProbe(s: SparkSession, dir: String,
+  private[graft] def annIvfMultiProbe(s: SparkSession, dir: String,
       qr: QueryRel = SampleQueries): DataFrame = {
     val e = vecs(s, dir)
     // ONE memoized fit shared by assignment and probes (and, via the
@@ -551,6 +551,48 @@ object SimilarityQueries {
       .select(col("q_id"), col("cell"), col("probe_rank"), col("c_id"),
         col("cos").as("cosine"))
       .orderBy(col("q_id"), col("c_id"))
+  }
+
+  /** s15: ATTRIBUTE-FILTERED ANN — top-k restricted to candidates
+    * satisfying a metadata predicate (here: the query's own `label`,
+    * same-class retrieval), FAISS's `IDSelector` / the vector-store
+    * "filtered search" primitive every serving stack ends up needing.
+    * The filter applies BEFORE ranking (pre-filter semantics):
+    * post-filtering an unfiltered top-k underfills exactly when the
+    * predicate is selective — which is when users filter at all; the
+    * `FilteredAnnSpec` pins that divergence on real data.
+    *
+    * Scale shape: the equality predicate joins INTO the candidate join
+    * key — (cell, label) instead of (cell) — so the filter prunes the
+    * shuffle itself, not rows after it: with L labels the per-probe
+    * candidate set shrinks ~L× before any cosine is computed. (A
+    * non-equality predicate would instead push into the candidate
+    * scan as a plain filter; either way the selective step precedes
+    * the expensive one.) Same memoized fit as s06-s14; the query side
+    * pays only the tiny top-2-cell probe window. */
+  private[graft] def annFiltered(s: SparkSession, dir: String,
+      qr: QueryRel = SampleQueries): DataFrame = {
+    val e = vecs(s, dir)
+    val cent = ivfCentroids(s, dir)
+    val c = e.join(ivfAssigned(s, dir), "vec_id")
+      .select(col("vec_id").as("c_id"), col("label"), col("cell"),
+        col("v").as("cv"), col("nrm").as("cn"))
+    val wp = Window.partitionBy(col("vec_id")).orderBy(col("scos").desc, col("s_id"))
+    val probes = qr(e)
+      .join(broadcast(cent))
+      .withColumn("scos", expr(dotSpark("v", "sv")) / (col("nrm") * col("sn")))
+      .withColumn("probe_rank", row_number().over(wp).cast(LongType))
+      .filter(col("probe_rank") <= 2)
+      .select(col("vec_id").as("q_id"), col("label"), col("s_id").as("cell"),
+        col("probe_rank"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    probes.join(c, Seq("cell", "label")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("label"), col("cell"), col("probe_rank"),
+        col("c_id"), col("rnk"), col("cos").as("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
   }
 
   private[graft] val QuantCand = 20 // quantized-scan candidates per query, reranked exactly
@@ -1372,6 +1414,25 @@ object SimilarityQueries {
       WHERE $cosDuck >= $RadiusTau
       ORDER BY q_id, c_id"""),
       "radius (range) search: all candidates within cosine >= tau over the probed IVF cells, window-free serve path"),
+
+    "s15_ann_filtered" -> QueryDef((s, d) => annFiltered(s, d), Some(s"""$vecsDuckCte,
+      $ivfAsgDuckCte,
+      cells AS (SELECT n.vec_id, n.label, n.v, n.nrm, asg.cell
+                FROM n JOIN asg ON n.vec_id = asg.vec_id),
+      probes AS (
+        SELECT vec_id AS q_id, s_id AS cell, CAST(rn AS BIGINT) AS probe_rank FROM (
+          SELECT vec_id, s_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
+          FROM sc WHERE vec_id % 50 = 0) t WHERE rn <= 2),
+      p AS (
+        SELECT pr.q_id, q.label, pr.cell, pr.probe_rank, c.vec_id AS c_id, $cosDuck AS cos
+        FROM probes pr
+        JOIN n q ON q.vec_id = pr.q_id
+        JOIN cells c ON c.cell = pr.cell AND c.label = q.label AND c.vec_id <> pr.q_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM p)
+      SELECT q_id, label, cell, probe_rank, c_id, CAST(rnk AS BIGINT) AS rnk, cos AS cosine
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""),
+      "attribute-filtered ANN: top-k among candidates sharing the query's label (pre-filter semantics, predicate in the join key)"),
 
     "s05_cluster_norm_stats" -> QueryDef(clusterNormStats, Some(s"""$vecsDuckCte
       SELECT label, COUNT(*) AS n_vecs,

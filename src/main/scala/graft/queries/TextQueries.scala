@@ -679,6 +679,88 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  // ---- t20 DSIR importance weights ----
+  //
+  // Data Selection via Importance Resampling (Xie et al. 2023, public):
+  // score every raw document by how much more likely its hashed n-gram
+  // features are under a TARGET-domain bag-of-words model than under
+  // the raw-corpus model — log w(d) = Σ_grams [log p_t(b) − log p_r(b)]
+  // with features hashed into a fixed bucket table (the paper's hashed
+  // n-grams; unigrams + bigrams here) and add-one smoothing on both
+  // sides. The target stratum is the `en` slice (standing in for the
+  // paper's Wikipedia-quality sample); positive weight = target-like.
+  //
+  // Cross-engine exactness is t18's scheme verbatim: every log is the
+  // integerized L(n) = floor(ln(n)·2^20 + 0.5) over INTEGER bucket
+  // counts, so a doc's weight is an exact BIGINT
+  //   u(d) = Σ_grams [L(n_t(b)+1) − L(n_r(b)+1)] − n_grams·lnorm,
+  //   lnorm = L(N_t+B) − L(N_r+B)
+  // and the one double division per source row is IEEE-deterministic.
+  //
+  // Scale shape: gram strings are hashed to bucket ids IN THE SCAN
+  // projection (graft_strhash, codegen'd) — no text ever shuffles. The
+  // model is two B=256-row count tables (one tiny shuffle each,
+  // map-side combinable), memoized as the fit/serve split; scoring is
+  // a broadcast-LUT join + per-doc integer fold (partial-agg collapses
+  // gram rows before the doc-grain shuffle). Two passes over the
+  // corpus total — the paper's fit-then-score structure.
+  private val DsirBuckets = 256
+
+  /** One row per (doc gram instance): bucket id only, hashed scan-side. */
+  private def dsirGramBuckets(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(expr("""concat(words, CASE WHEN size(words) >= 2
+          THEN transform(sequence(1, size(words) - 1),
+               i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))
+          ELSE array() END)""")).as("x"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(s"graft_strhash(x) % $DsirBuckets").as("b"))
+  }
+
+  /** Per-bucket DSIR model: raw + target counts and the smoothed
+    * integer log-ratio — bounded at B rows, scan-rooted (memo-safe,
+    * d11 rule). */
+  private[graft] def dsirLut(s: SparkSession, dir: String): DataFrame = {
+    val gx = dsirGramBuckets(s, dir)
+    PersistedAggregates.memo(s, "t20_lut", dir) {
+      gx.groupBy(col("b")).agg(count(lit(1)).as("nr"))
+        .join(gx.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("nt0")), Seq("b"), "left")
+        .withColumn("nt", coalesce(col("nt0"), lit(0L)))
+        .withColumn("lw", expr(ilogSql("nt + 1")) - expr(ilogSql("nr + 1")))
+        .select(col("b"), col("nt"), col("nr"), col("lw"))
+    }
+  }
+
+  /** Per-doc exact integer importance weight `u` (spec seam). */
+  private[graft] def dsirPerDoc(s: SparkSession, dir: String): DataFrame = {
+    val gx = dsirGramBuckets(s, dir)
+    val lut = dsirLut(s, dir)
+    val norm = lut.agg((expr(ilogSql(s"sum(nt) + $DsirBuckets")) -
+      expr(ilogSql(s"sum(nr) + $DsirBuckets"))).as("lnorm"))
+    // score: broadcast-LUT join, exact integer weight per doc (lang
+    // rides along for the spec; it is functionally dependent on doc_id)
+    gx.join(broadcast(lut.select(col("b"), col("lw"))), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lw")).as("sum_lw"))
+      .crossJoin(broadcast(norm))
+      .withColumn("u", col("sum_lw") - col("n_grams") * col("lnorm"))
+  }
+
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirPerDoc(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("u")).as("sum_u"),
+        sum(when(col("u") > 0, 1L).otherwise(0L)).as("n_target_like"))
+      .withColumn("avg_logw",
+        col("sum_u").cast(DoubleType) / col("n_docs") / lit(1048576.0))
+      .select(col("source"), col("n_docs"), col("sum_u"),
+        col("avg_logw"), col("n_target_like"))
+      .orderBy(col("source"))
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_doc_quality" -> QueryDef(docQuality, Some(s"""$statsDuckCte
       SELECT doc_id, n_tokens,
@@ -984,5 +1066,32 @@ object TextQueries {
       FROM w
       $joins
       GROUP BY source ORDER BY source"""
-    }, "Gopher repetition battery: top-{2,3,4}-gram and duplicate-{5..10}-gram char-mass flags per source (Rae et al. 2021 table A1)"))
+    }, "Gopher repetition battery: top-{2,3,4}-gram and duplicate-{5..10}-gram char-mass flags per source (Rae et al. 2021 table A1)"),
+
+    "t20_dsir_weights" -> QueryDef(dsirWeights, Some(s"""
+      WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS words
+                 FROM documents),
+      gx AS (SELECT doc_id, lang, source,
+               unnest(list_concat(words, CASE WHEN len(words) >= 2
+                 THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+                 ELSE [] END)) AS x
+             FROM w),
+      bx AS (SELECT doc_id, lang, source,
+               ${DedupQueries.shingleHashDuck} % $DsirBuckets AS b FROM gx),
+      rawc AS (SELECT b, COUNT(*) AS nr FROM bx GROUP BY b),
+      tgtc AS (SELECT b, COUNT(*) AS nt FROM bx WHERE lang = 'en' GROUP BY b),
+      lut AS (SELECT rawc.b, COALESCE(tgtc.nt, 0) AS nt, rawc.nr,
+                ${ilogDuck("COALESCE(tgtc.nt, 0) + 1")} - ${ilogDuck("rawc.nr + 1")} AS lw
+              FROM rawc LEFT JOIN tgtc ON tgtc.b = rawc.b),
+      tot AS (SELECT ${ilogDuck(s"SUM(nt) + $DsirBuckets")} -
+                     ${ilogDuck(s"SUM(nr) + $DsirBuckets")} AS lnorm FROM lut),
+      pd AS (SELECT doc_id, source, COUNT(*) AS n_grams, SUM(lut.lw) AS sum_lw
+             FROM bx JOIN lut ON lut.b = bx.b GROUP BY 1, 2),
+      ud AS (SELECT doc_id, source,
+               sum_lw - n_grams * (SELECT lnorm FROM tot) AS u FROM pd)
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(u) AS BIGINT) AS sum_u,
+        CAST(SUM(u) AS DOUBLE) / COUNT(*) / 1048576.0 AS avg_logw,
+        CAST(SUM(CASE WHEN u > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_target_like
+      FROM ud GROUP BY source ORDER BY source"""),
+      "DSIR importance weights: hashed unigram+bigram bucket models, target = en slice, integerized logs (Xie et al. 2023)"))
 }
