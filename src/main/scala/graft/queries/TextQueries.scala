@@ -750,6 +750,71 @@ object TextQueries {
       .withColumn("u", col("sum_lw") - col("n_grams") * col("lnorm"))
   }
 
+  /** The t20/t21-shared DuckDB chain ending in `ud(doc_id, source, u)`
+    * — spliced under WITH by both oracles (the d15/d16 rule: the
+    * weights and the selection manifest recompute ONE definition, so
+    * they cannot drift). */
+  private[queries] lazy val dsirUdDuckCte = s"""w AS (
+        SELECT doc_id, lang, source, string_split(text, ' ') AS words
+        FROM documents),
+      gx AS (SELECT doc_id, lang, source,
+               unnest(list_concat(words, CASE WHEN len(words) >= 2
+                 THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+                 ELSE [] END)) AS x
+             FROM w),
+      bx AS (SELECT doc_id, lang, source,
+               ${DedupQueries.shingleHashDuck} % $DsirBuckets AS b FROM gx),
+      rawc AS (SELECT b, COUNT(*) AS nr FROM bx GROUP BY b),
+      tgtc AS (SELECT b, COUNT(*) AS nt FROM bx WHERE lang = 'en' GROUP BY b),
+      lut AS (SELECT rawc.b, COALESCE(tgtc.nt, 0) AS nt, rawc.nr,
+                ${ilogDuck("COALESCE(tgtc.nt, 0) + 1")} - ${ilogDuck("rawc.nr + 1")} AS lw
+              FROM rawc LEFT JOIN tgtc ON tgtc.b = rawc.b),
+      tot AS (SELECT ${ilogDuck(s"SUM(nt) + $DsirBuckets")} -
+                     ${ilogDuck(s"SUM(nr) + $DsirBuckets")} AS lnorm FROM lut),
+      pd AS (SELECT doc_id, source, COUNT(*) AS n_grams, SUM(lut.lw) AS sum_lw
+             FROM bx JOIN lut ON lut.b = bx.b GROUP BY 1, 2),
+      ud AS (SELECT doc_id, source,
+               sum_lw - n_grams * (SELECT lnorm FROM tot) AS u FROM pd)"""
+
+  /** t21: the DSIR RESAMPLE step — per-source token-budgeted selection
+    * of the highest-importance documents: within each source, docs
+    * ranked by (u desc, doc_id) are kept while the running token count
+    * stays within 2/5 of the source's token mass. Stratifying by
+    * source keeps the paper's global weighted sample implementable as
+    * PARTITIONED windows (one shuffle on `source`, each partition
+    * sorts independently) instead of a corpus-wide total sort — the
+    * same quota shape as t07/t15; the per-source budget also prevents
+    * one target-like source from consuming the whole budget, the
+    * practical reason stratified selection is the production variant.
+    * Deterministic: weights are exact integers (t20) and the rank
+    * order is total, so selection is reproducible run-over-run —
+    * sampling-without-replacement noise (Gumbel top-k) adds nothing an
+    * oracle could check. */
+  private def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    val j = dsirPerDoc(s, dir).select(col("doc_id"), col("source"), col("u"))
+      .join(toks, "doc_id")
+    val bud = j.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("budget_tokens", expr("(src_tokens * 2) div 5"))
+      .select(col("source"), col("budget_tokens"))
+    val wsrc = Window.partitionBy(col("source"))
+      .orderBy(col("u").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    j.withColumn("cum", sum(col("n_tokens")).over(wsrc))
+      .join(broadcast(bud), "source")
+      .withColumn("keep", col("cum") <= col("budget_tokens"))
+      .groupBy(col("source"), col("budget_tokens"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_selected"),
+        coalesce(sum(when(col("keep"), col("n_tokens"))), lit(0L)).as("selected_tokens"),
+        coalesce(min(when(col("keep"), col("u"))), lit(0L)).as("min_selected_u"))
+      .select(col("source"), col("n_docs"), col("n_selected"),
+        col("budget_tokens"), col("selected_tokens"), col("min_selected_u"))
+      .orderBy(col("source"))
+  }
+
   private def dsirWeights(s: SparkSession, dir: String): DataFrame =
     dsirPerDoc(s, dir).groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1069,29 +1134,31 @@ object TextQueries {
     }, "Gopher repetition battery: top-{2,3,4}-gram and duplicate-{5..10}-gram char-mass flags per source (Rae et al. 2021 table A1)"),
 
     "t20_dsir_weights" -> QueryDef(dsirWeights, Some(s"""
-      WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS words
-                 FROM documents),
-      gx AS (SELECT doc_id, lang, source,
-               unnest(list_concat(words, CASE WHEN len(words) >= 2
-                 THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
-                 ELSE [] END)) AS x
-             FROM w),
-      bx AS (SELECT doc_id, lang, source,
-               ${DedupQueries.shingleHashDuck} % $DsirBuckets AS b FROM gx),
-      rawc AS (SELECT b, COUNT(*) AS nr FROM bx GROUP BY b),
-      tgtc AS (SELECT b, COUNT(*) AS nt FROM bx WHERE lang = 'en' GROUP BY b),
-      lut AS (SELECT rawc.b, COALESCE(tgtc.nt, 0) AS nt, rawc.nr,
-                ${ilogDuck("COALESCE(tgtc.nt, 0) + 1")} - ${ilogDuck("rawc.nr + 1")} AS lw
-              FROM rawc LEFT JOIN tgtc ON tgtc.b = rawc.b),
-      tot AS (SELECT ${ilogDuck(s"SUM(nt) + $DsirBuckets")} -
-                     ${ilogDuck(s"SUM(nr) + $DsirBuckets")} AS lnorm FROM lut),
-      pd AS (SELECT doc_id, source, COUNT(*) AS n_grams, SUM(lut.lw) AS sum_lw
-             FROM bx JOIN lut ON lut.b = bx.b GROUP BY 1, 2),
-      ud AS (SELECT doc_id, source,
-               sum_lw - n_grams * (SELECT lnorm FROM tot) AS u FROM pd)
+      WITH $dsirUdDuckCte
       SELECT source, COUNT(*) AS n_docs, CAST(SUM(u) AS BIGINT) AS sum_u,
         CAST(SUM(u) AS DOUBLE) / COUNT(*) / 1048576.0 AS avg_logw,
         CAST(SUM(CASE WHEN u > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_target_like
       FROM ud GROUP BY source ORDER BY source"""),
-      "DSIR importance weights: hashed unigram+bigram bucket models, target = en slice, integerized logs (Xie et al. 2023)"))
+      "DSIR importance weights: hashed unigram+bigram bucket models, target = en slice, integerized logs (Xie et al. 2023)"),
+
+    "t21_dsir_select" -> QueryDef(dsirSelect, Some(s"""
+      WITH $dsirUdDuckCte,
+      tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM documents),
+      j AS (SELECT ud.doc_id, ud.source, ud.u, tk.n_tokens
+            FROM ud JOIN tk ON tk.doc_id = ud.doc_id),
+      bud AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens,
+                CAST(SUM(n_tokens) * 2 // 5 AS BIGINT) AS budget_tokens
+              FROM j GROUP BY source),
+      c AS (SELECT j.*, SUM(n_tokens) OVER (PARTITION BY source
+              ORDER BY u DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM j),
+      sel AS (SELECT c.*, bud.budget_tokens, c.cum <= bud.budget_tokens AS keep
+              FROM c JOIN bud ON bud.source = c.source)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+        budget_tokens,
+        CAST(COALESCE(SUM(CASE WHEN keep THEN n_tokens END), 0) AS BIGINT) AS selected_tokens,
+        CAST(COALESCE(MIN(CASE WHEN keep THEN u END), 0) AS BIGINT) AS min_selected_u
+      FROM sel GROUP BY source, budget_tokens ORDER BY source"""),
+      "DSIR selection manifest: per-source token-budgeted pick of the highest-importance docs (the resample step, stratified by source)"))
 }

@@ -39,6 +39,15 @@ class DsirSpec extends graft.streaming.SparkTestBase {
     assert(lut.filter(col("nr") <= 0).count() == 0)
   }
 
+  test("t21 selection respects every source's token budget and is non-degenerate") {
+    val sel = graft.SparkEntry.queries("t21_dsir_select")(spark, sf).cache()
+    assert(sel.filter(col("selected_tokens") > col("budget_tokens")).count() == 0)
+    assert(sel.filter(col("n_selected") < 1).count() == 0,
+      "a source selected nothing — budget or weighting degenerate on the fixture")
+    assert(sel.filter(col("n_selected") >= col("n_docs")).count() == 0,
+      "a source selected everything — the 2/5 budget is not binding on the fixture")
+  }
+
   test("per-doc weight is the exact integer LUT fold") {
     val pd = dsirPerDoc(spark, sf).select(col("doc_id"), col("n_grams"),
       col("sum_lw"), col("lnorm"), col("u"))
