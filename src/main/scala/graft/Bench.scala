@@ -14,7 +14,8 @@ object Bench {
     // Testdata-schema canary first (same contract as Verify): name any
     // driver-side parquet schema drift in one loud line instead of N
     // scattered per-query failures.
-    try Tables.schemaDrift(spark, sfDir).foreach(m => System.err.println(s"[bench] CANARY: $m"))
+    try (Tables.schemaDrift(spark, sfDir) ++ Tables.contentDrift(spark, sfDir))
+      .foreach(m => System.err.println(s"[bench] CANARY: $m"))
     catch { case _: Throwable => () }
     // Warm the JVM/codegen/parquet-footer paths so per-query numbers
     // measure the queries, not first-query session startup.

@@ -129,6 +129,40 @@ object Tables {
       }
     }
 
+  /** Content invariants the queries are built AGAINST but the schema
+    * cannot express — the next r11-class silent break lives here, not
+    * in dtypes. Two cheap single-table aggregates:
+    *   - `embeddings.embedding` is uniformly 64-dim: the PQ subspace
+    *     split (4×16), the IVF fits, and the hyperplane bands all
+    *     assume it — a dim change would mis-slice silently, not error;
+    *   - `documents.text` is single-byte ASCII: the media queries'
+    *     byte arithmetic (m05/m08 substr grids, m10 payload bytes) and
+    *     d14's window digests equate char count with byte count. */
+  def contentDrift(spark: SparkSession, sfDir: String): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val dims =
+      try {
+        val r = apply(spark, sfDir, "embeddings")
+          .agg(min(size(col("embedding"))), max(size(col("embedding")))).head()
+        if (r.getInt(0) == 64 && r.getInt(1) == 64) Nil
+        else Seq("testdata content changed: embeddings.embedding dims span " +
+          s"[${r.getInt(0)}, ${r.getInt(1)}] (expected uniform 64; PQ/IVF subspace arithmetic assumes it)")
+      } catch { case e: Throwable =>
+        Seq(s"testdata content changed: embeddings failed dim check: ${e.getMessage}")
+      }
+    val ascii =
+      try {
+        val n = apply(spark, sfDir, "documents")
+          .filter(length(col("text")) =!= expr("octet_length(text)")).count()
+        if (n == 0) Nil
+        else Seq(s"testdata content changed: $n documents carry multi-byte chars " +
+          "(expected single-byte ASCII; media byte arithmetic and d14 digests assume it)")
+      } catch { case e: Throwable =>
+        Seq(s"testdata content changed: documents failed ASCII check: ${e.getMessage}")
+      }
+    dims ++ ascii
+  }
+
   /** First-line canary for Verify/Bench/specs: throws ONE message
     * naming every drifted column if the testdata no longer matches the
     * logical contract the queries compile against. */

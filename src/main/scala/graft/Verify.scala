@@ -14,10 +14,11 @@ object Verify {
     // mid-round before (r11: events.ts type flip → 29 scattered analysis
     // errors). Name the drifted column loudly, then still run every
     // query — tolerant ones keep their green rows.
-    Tables.schemaDrift(spark, sfDir).foreach { msg =>
-      System.err.println(s"[verify] CANARY: $msg")
-      println(s"[verify] CANARY: $msg")
-    }
+    (Tables.schemaDrift(spark, sfDir) ++ Tables.contentDrift(spark, sfDir))
+      .foreach { msg =>
+        System.err.println(s"[verify] CANARY: $msg")
+        println(s"[verify] CANARY: $msg")
+      }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -50,6 +50,43 @@ class SchemaCanarySpec extends AnyFunSuite {
     assert(e.getMessage.contains("events.ts"))
   }
 
+  test("content canary is green against the live testdata") {
+    assert(Tables.contentDrift(spark, sfDir).isEmpty)
+  }
+
+  test("a truncated embedding dim is named by the content canary") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-canary-dim")
+    Tables.names.filterNot(_ == "embeddings").foreach { t =>
+      Files.createSymbolicLink(
+        dir.resolve(s"$t.parquet"),
+        Paths.get(s"$sfDir/$t.parquet").toAbsolutePath)
+    }
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("embedding", slice(col("embedding"), 1, 32))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val drift = Tables.contentDrift(spark, dir.toString)
+    assert(drift.exists(m => m.contains("embedding") && m.contains("64")),
+      s"expected a dim message, got: $drift")
+  }
+
+  test("a multi-byte document is named by the content canary") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-canary-ascii")
+    Tables.names.filterNot(_ == "documents").foreach { t =>
+      Files.createSymbolicLink(
+        dir.resolve(s"$t.parquet"),
+        Paths.get(s"$sfDir/$t.parquet").toAbsolutePath)
+    }
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("text",
+        when(col("doc_id") % 100 === 0, concat(col("text"), lit(" café")))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val drift = Tables.contentDrift(spark, dir.toString)
+    assert(drift.exists(_.contains("multi-byte")), s"expected an ASCII message, got: $drift")
+  }
+
   test("eventsFromRaw adapts: legacy nanos LONG and native timestamp agree") {
     import spark.implicits._
     val micros = 1720000000000000L // 2024-07-03T10:26:40Z, µs precision
