@@ -14,9 +14,12 @@ object Bench {
     // Testdata-schema canary first (same contract as Verify): name any
     // driver-side parquet schema drift in one loud line instead of N
     // scattered per-query failures.
-    try (Tables.schemaDrift(spark, sfDir) ++ Tables.contentDrift(spark, sfDir))
-      .foreach(m => System.err.println(s"[bench] CANARY: $m"))
-    catch { case _: Throwable => () }
+    val canaryCount =
+      try {
+        val drift = Tables.schemaDrift(spark, sfDir) ++ Tables.contentDrift(spark, sfDir)
+        drift.foreach(m => System.err.println(s"[bench] CANARY: $m"))
+        drift.length
+      } catch { case _: Throwable => -1 }
     // Warm the JVM/codegen/parquet-footer paths so per-query numbers
     // measure the queries, not first-query session startup.
     try {
@@ -123,7 +126,8 @@ object Bench {
         .mkString("{", ",", "}")
       val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":$total,"value_min":${fmt(totalMin)},"unit":"sec","queries":$topQs,""" +
-        s""""mins":$topMins,"failed":$failed,"queries_shown":${top.length},"queries_total":${results.length},""" +
+        s""""mins":$topMins,"failed":$failed,"canary":$canaryCount,""" +
+        s""""queries_shown":${top.length},"queries_total":${results.length},""" +
         s""""sf":"$sfDir","iters":$iters,"stat":"median"}"""
     }
     val MaxTail = 1900 // combined budget, with margin under the 2000-char window

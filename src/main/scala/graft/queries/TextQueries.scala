@@ -789,7 +789,14 @@ object TextQueries {
     * Deterministic: weights are exact integers (t20) and the rank
     * order is total, so selection is reproducible run-over-run —
     * sampling-without-replacement noise (Gumbel top-k) adds nothing an
-    * oracle could check. */
+    * oracle could check.
+    *
+    * Skew honesty (the t16→t17 caveat): one window partition per
+    * source means a billion-doc source sorts in one task. At that
+    * cardinality production swaps the exact prefix for a per-source
+    * GK weight-quantile cutoff (the t17 move: select u ≥ cut where
+    * cut targets the token budget) — the selection CONTRACT this
+    * query pins is unchanged; only the cut becomes approximate. */
   private def dsirSelect(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
