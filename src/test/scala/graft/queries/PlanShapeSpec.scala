@@ -234,6 +234,66 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
       s"s14's window must rank probes per query vec_id, got $partCols")
   }
 
+  test("t20 DSIR: no shuffle carries text or gram strings — bucket ids only") {
+    // The design's whole point: grams hash to ints in the scan
+    // projection, the 256-row model broadcasts, so every exchange
+    // moves (doc, bucket) ints or (bucket, count) aggregates. An input
+    // carrying `text`, `words`, or the gram string `x` means the
+    // corpus rode the shuffle the scan projection exists to prevent.
+    val inputs = PlanTestUtils.exchangeInputs(
+      queries("t20_dsir_weights")(spark, sf).queryExecution)
+    assert(inputs.nonEmpty, "expected the fit/score shuffles in t20")
+    val leaky = inputs.filter(l =>
+      l.contains("text#") || l.contains("words#") || l.contains("x#"))
+    assert(leaky.isEmpty, s"t20 shuffles raw text/grams:\n${leaky.mkString("\n")}")
+  }
+
+  test("t21 DSIR select: one prefix-sum window, partitioned by source — never a global sort") {
+    // Stratified selection is the scale story: the paper's global
+    // weighted sample becomes per-source windows. An empty partition
+    // spec here IS the corpus-wide total sort the stratification
+    // exists to avoid.
+    val plan = queries("t21_dsir_select")(spark, sf).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.length == 1,
+      s"t21 must plan exactly the prefix-sum window, found ${windows.length}:\n$plan")
+    val partCols = windows.head.partitionSpec.flatMap(_.references.map(_.name))
+    assert(partCols == Seq("source"),
+      s"t21's window must partition by source, got $partCols")
+    // and it inherits t20's no-text-in-shuffle contract
+    val inputs = PlanTestUtils.exchangeInputs(
+      queries("t21_dsir_select")(spark, sf).queryExecution)
+    val leaky = inputs.filter(l =>
+      l.contains("text#") || l.contains("words#") || l.contains("x#"))
+    assert(leaky.isEmpty, s"t21 shuffles raw text/grams:\n${leaky.mkString("\n")}")
+  }
+
+  test("s15 filtered ANN: the label predicate lives in a join condition, not a post-join filter") {
+    // Pre-filter semantics at plan level: label equality must prune
+    // candidates AS PART OF the join (shrinking what the join
+    // produces), never as a Filter above it — post-join filtering
+    // would compute cosines for candidates the predicate discards.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val plan = queries("s15_ann_filtered")(spark, sf).queryExecution.optimizedPlan
+    val labelJoins = plan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "label")) => j
+    }
+    assert(labelJoins.nonEmpty,
+      s"s15 lost the label predicate from its join condition:\n$plan")
+    // Only a label=label EQUALITY above a join is the regression;
+    // Catalyst's pushed isnotnull(label) null-guards are legitimate.
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    val labelFilters = plan.collect {
+      case f: Filter if f.child.collectFirst { case j: Join => j }.isDefined &&
+        f.condition.collectFirst {
+          case e: EqualTo if Seq(e.left, e.right)
+            .forall(_.references.exists(_.name == "label")) => e
+        }.isDefined => f
+    }
+    assert(labelFilters.isEmpty,
+      s"s15 label predicate regressed to a post-join Filter:\n$plan")
+  }
+
   test("plan fingerprints: stable across rebuilds, distinct across queries, volatile-token-free") {
     // The bench artifact's `plans` map is only useful if the same
     // logical query always hashes identically: expression ids are a
