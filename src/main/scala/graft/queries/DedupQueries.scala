@@ -914,6 +914,57 @@ object DedupQueries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  // ---- d18 residual-leakage audit ----
+
+  /** d18: the POST-dedup audit — for every verified near-dup pair,
+    * does it survive the d15 manifest intact? The QA artifact a
+    * pipeline runs after its own dedup pass: `both_kept` is LEAKAGE
+    * (a verified duplicate pair fully surviving — should be zero:
+    * the lexical family drops `doc_b` of every verified pair by
+    * construction, and this query PROVES that invariant holds after
+    * the priority merge rather than assuming it); `one_kept` is the
+    * intended outcome (keeper survives, duplicate dropped);
+    * `both_dropped` measures over-deletion (both ends removed — by
+    * transitive cluster membership or another family), the recall/
+    * precision trade every dedup report quantifies.
+    *
+    * The status dimension is FIXED (3 rows, zero-filled) so "no
+    * leakage" is a visible `both_kept = 0` row, not an absent one.
+    * Overlap mass ships as integer gram-count sums (the d17 rule:
+    * order-independent cross-engine; the reader divides).
+    *
+    * Scale shape: both inputs are session-memoized small sides
+    * (verified pairs and drop decisions ≪ corpus); the joins and the
+    * 3-row aggregate never touch text. The oracle splices the SAME
+    * vp + docDecisions chains as d15/d16 — the audit and the manifest
+    * it audits cannot drift. */
+  private def residualLeakage(s: SparkSession, dir: String): DataFrame = {
+    val vp = jaccardPairs(s, dir).filter(col("jacc") >= JaccThreshold)
+    val dropped = docDecisions(s, dir).select(col("item_id"))
+    val agg = vp
+      .join(dropped.select(col("item_id").as("doc_a"), lit(1).as("a_drop")),
+        Seq("doc_a"), "left")
+      .join(dropped.select(col("item_id").as("doc_b"), lit(1).as("b_drop")),
+        Seq("doc_b"), "left")
+      .withColumn("pair_status",
+        when(col("a_drop").isNotNull && col("b_drop").isNotNull, "both_dropped")
+          .when(col("a_drop").isNull && col("b_drop").isNull, "both_kept")
+          .otherwise("one_kept"))
+      .groupBy(col("pair_status"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_inter")).as("shared_grams"),
+        sum(col("n_union")).as("union_grams"))
+    val statuses = s.createDataFrame(
+      Seq(Tuple1("both_dropped"), Tuple1("both_kept"), Tuple1("one_kept")))
+      .toDF("pair_status")
+    statuses.join(agg, Seq("pair_status"), "left")
+      .select(col("pair_status"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"),
+        coalesce(col("union_grams"), lit(0L)).as("union_grams"))
+      .orderBy(col("pair_status"))
+  }
+
   /** Shared DuckDB CTE chain computing per-doc chunk-duplication stats
     * `chd(doc_id, n_chunks, n_dup_chunks)` — twin of [[chunkDocStats]].
     * Spliced verbatim into BOTH the d10 oracle and the d15 manifest
@@ -1167,6 +1218,48 @@ object DedupQueries {
       JOIN documents db ON db.doc_id = vp.doc_b
       GROUP BY 1, 2 ORDER BY 1, 2"""),
       "cross-source duplication overlap matrix: verified near-dup pair mass per unordered source pair"),
+
+    "d18_residual_leakage" -> QueryDef(residualLeakage, Some {
+      // d16's splice discipline (document-side families only): the
+      // audited decisions are the SAME lexd…dd chain the manifest runs.
+      val cte = bandsDuckCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+      val statsCte = TextQueries.statsDuckCte.replaceFirst("WITH ", "")
+      s"""$cte,
+      $verifiedPairsDuckCte,
+      $ccLabelsDuckCte,
+      $statsCte,
+      $chunkStatsDuckCte,
+      ${MultimodalQueries.m05DuckCte},
+      ${MultimodalQueries.m07DuckCte},
+      ${MultimodalQueries.m08DuckCte},
+      $docDecisionsDuckCtes,
+      vpg AS (SELECT vp.doc_a, vp.doc_b,
+                CAST(len(list_intersect(ga.gh, gb.gh)) AS BIGINT) AS n_inter,
+                CAST(len(ga.gh) + len(gb.gh) - len(list_intersect(ga.gh, gb.gh))
+                     AS BIGINT) AS n_union
+              FROM vp JOIN g ga ON ga.doc_id = vp.doc_a
+                      JOIN g gb ON gb.doc_id = vp.doc_b),
+      dids AS (SELECT DISTINCT item_id FROM dd),
+      pst AS (SELECT vpg.n_inter, vpg.n_union,
+                CASE WHEN da.item_id IS NOT NULL AND db.item_id IS NOT NULL
+                       THEN 'both_dropped'
+                     WHEN da.item_id IS NULL AND db.item_id IS NULL
+                       THEN 'both_kept'
+                     ELSE 'one_kept' END AS pair_status
+              FROM vpg LEFT JOIN dids da ON da.item_id = vpg.doc_a
+                       LEFT JOIN dids db ON db.item_id = vpg.doc_b),
+      pag AS (SELECT pair_status, COUNT(*) AS n_pairs,
+                CAST(SUM(n_inter) AS BIGINT) AS shared_grams,
+                CAST(SUM(n_union) AS BIGINT) AS union_grams
+              FROM pst GROUP BY 1)
+      SELECT sdim.pair_status,
+        CAST(COALESCE(pag.n_pairs, 0) AS BIGINT) AS n_pairs,
+        CAST(COALESCE(pag.shared_grams, 0) AS BIGINT) AS shared_grams,
+        CAST(COALESCE(pag.union_grams, 0) AS BIGINT) AS union_grams
+      FROM (VALUES ('both_dropped'), ('both_kept'), ('one_kept')) sdim(pair_status)
+      LEFT JOIN pag ON pag.pair_status = sdim.pair_status
+      ORDER BY sdim.pair_status"""
+    }, "residual-leakage audit: verified near-dup pair survival status vs the d15 manifest (both_kept = leakage, proven zero)"),
 
     "d05_simhash" -> QueryDef(simhash, Some(s"""$simhashDuckCte
       SELECT doc_id, simhash FROM sim ORDER BY doc_id"""),

@@ -483,7 +483,37 @@ object MultimodalQueries {
       SELECT cluster AS cluster_id, n_members,
              media AS keeper_media, payload_bytes AS keeper_bytes
       FROM mr WHERE rn = 1 ORDER BY cluster_id"""),
-      "media survivors: per-cluster keeper by largest payload (the keep-the-best-copy rule), min id tiebreak"))
+      "media survivors: per-cluster keeper by largest payload (the keep-the-best-copy rule), min id tiebreak"),
+
+    "m11_scene_segments" -> QueryDef(sceneSegments, Some("""
+      WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+      f AS (SELECT doc_id AS media_id,
+              UNNEST(generate_series(0, CAST((length(text) + 31) // 32 AS INT) - 1, 4)) AS frame_idx,
+              text
+            FROM v),
+      fr AS (SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+               md5(substr(text, CAST(frame_idx AS INT) * 32 + 1, 32)) AS fp
+             FROM f),
+      l AS (SELECT media_id, frame_idx, fp,
+              LAG(fp) OVER (PARTITION BY media_id ORDER BY frame_idx) AS pf
+            FROM fr),
+      c AS (SELECT media_id, frame_idx, fp,
+              CASE WHEN pf IS NULL OR fp <> pf THEN 1 ELSE 0 END AS cut
+            FROM l),
+      r AS (SELECT media_id, fp,
+              SUM(cut) OVER (PARTITION BY media_id ORDER BY frame_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+            FROM c),
+      runs AS (SELECT media_id, run_id, COUNT(*) AS rl FROM r GROUP BY 1, 2),
+      seg AS (SELECT media_id, CAST(SUM(rl) AS BIGINT) AS n_frames,
+                COUNT(*) AS n_scenes, CAST(MAX(rl) AS BIGINT) AS longest_scene
+              FROM runs GROUP BY media_id),
+      dct AS (SELECT media_id, COUNT(DISTINCT fp) AS n_distinct_frames
+              FROM fr GROUP BY media_id)
+      SELECT seg.media_id, n_frames, n_distinct_frames, n_scenes, longest_scene
+      FROM seg JOIN dct ON dct.media_id = seg.media_id
+      ORDER BY seg.media_id"""),
+      "shot/scene segmentation: fingerprint-delta cuts over the sampled frame sequence, run-length scene stats"))
 
   /** m09: media dedup clusters — the d07 step for the media domain:
     * the m07 (audio) and m08 (image) near-dup pairs merged into one
@@ -567,5 +597,53 @@ object MultimodalQueries {
       .select(col("cluster").as("cluster_id"), col("n_members"),
         (-col("m.negid")).as("keeper_media"), col("m.b").as("keeper_bytes"))
       .orderBy(col("cluster_id"))
+  }
+
+  /** m11: shot/scene segmentation — the temporal structure pass every
+    * video curation pipeline runs after frame sampling: a CUT is a
+    * sampled frame whose perceptual fingerprint differs from its
+    * predecessor; a SCENE is a maximal run of identical fingerprints
+    * (static shots, title cards, freeze frames). Scene counts and
+    * longest-static-run feed video quality filters (slideshow vs
+    * motion), per-scene token budgeting, and keyframe selection — one
+    * representative frame per scene instead of per sample.
+    *
+    * Scale shape: payloads die at the m02 fingerprint projection (the
+    * m05 digest rule); both windows and both aggregates partition by
+    * `media_id`, so a video's frames land in one task and run-length
+    * reduction never crosses media (the a07 sessionization shape). The
+    * distinct-frame count is the only second aggregate, joined back on
+    * the same key — no corpus-wide shuffle anywhere. */
+  private def sceneSegments(s: SparkSession, dir: String): DataFrame =
+    segmentStats(MediaPipeline.sampleFrames(MediaPipeline.load(s, dir)).toDF())
+
+  /** The m11 run-length core over any (media_id, frame_idx, frame_md5)
+    * frame — extracted as the spec seam: the synthetic corpus has no
+    * adjacent-identical frames (every run has length 1), so the
+    * multi-frame-scene semantics are pinned by `SceneSegmentSpec`
+    * against hand-computed sequences (the t19 rule: when the data
+    * can't exercise a branch, a constructed fixture must). */
+  private[graft] def segmentStats(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val wo = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val runs = frames
+      .withColumn("pf", lag(col("frame_md5"), 1).over(wo))
+      .withColumn("cut",
+        when(col("pf").isNull || col("pf") =!= col("frame_md5"), 1L).otherwise(0L))
+      .withColumn("run_id",
+        sum(col("cut")).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("media_id"), col("run_id"))
+      .agg(count(lit(1)).as("rl"))
+    val seg = runs.groupBy(col("media_id"))
+      .agg(sum(col("rl")).as("n_frames"),
+        count(lit(1)).as("n_scenes"),
+        max(col("rl")).as("longest_scene"))
+    val dct = frames.groupBy(col("media_id"))
+      .agg(countDistinct(col("frame_md5")).as("n_distinct_frames"))
+    seg.join(dct, "media_id")
+      .select(col("media_id"), col("n_frames").cast(LongType).as("n_frames"),
+        col("n_distinct_frames"), col("n_scenes"), col("longest_scene"))
+      .orderBy(col("media_id"))
   }
 }

@@ -595,6 +595,54 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private[graft] val KnnK = 3 // neighbors per vector in the s16 corpus graph
+
+  /** s16: the corpus k-NN GRAPH over the fitted IVF index — every
+    * vector's top-[[KnnK]] in-cell neighbors plus a mutual-kNN flag.
+    * This is the batch primitive under graph-based curation: SemDeDup-
+    * style pruning (s10 keeps only the closest-pair edge; the graph
+    * keeps the neighborhood), density/diversity scoring, and label
+    * propagation all start from exactly this edge list, and mutual-kNN
+    * edges are the standard symmetrized graph clustering input.
+    *
+    * Deliberately NOT the bounded-Q serving contract (AnnContractSpec):
+    * the "query set" here IS the corpus — a graph build is a batch job,
+    * not a serving path. The pair term is bounded by Σ|cell|² (the s10
+    * SemDeDup bound: the index exists to keep the quadratic term
+    * per-cell), the per-vector window partitions by `vec_id` (spillable
+    * rows, never a corpus-wide sort), and the mutual flag is a self
+    * equi-join of the 3N-row graph on its own key — no second pass over
+    * any vector data. The kNN frame is session-memoized because the
+    * mutual join reads it from both sides (the t11 read-twice rule;
+    * scan-rooted lineage, so the memo contract holds). */
+  /** The unmemoized per-vector top-[[KnnK]] edge plan — the spec seam
+    * (the fitCentroids convention: [[knnGraph]] serves the memoized
+    * frame, whose window hides inside InMemoryRelation; plan pins
+    * inspect THIS). */
+  private[graft] def knnEdges(s: SparkSession, dir: String): DataFrame = {
+    val cells = vecs(s, dir).join(ivfAssigned(s, dir), "vec_id")
+    val q = cells.select(col("vec_id").as("q_id"), col("cell"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val c = cells.select(col("vec_id").as("c_id"), col("cell"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    q.join(c, Seq("cell")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= KnnK)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("cos"))
+  }
+
+  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val knn = PersistedAggregates.memo(s, "s16_knn", dir) { knnEdges(s, dir) }
+    val rev = knn.select(col("c_id").as("q_id"), col("q_id").as("c_id"),
+      lit(true).as("mutual0"))
+    knn.join(rev, Seq("q_id", "c_id"), "left")
+      .select(col("q_id").as("vec_id"), col("c_id").as("nbr_id"), col("rnk"),
+        col("cos").as("cosine"), coalesce(col("mutual0"), lit(false)).as("mutual"))
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
   private[graft] val QuantCand = 20 // quantized-scan candidates per query, reranked exactly
 
   /** s08: scalar-quantized (SQ8) scan + exact rerank — the memory-
@@ -1433,6 +1481,21 @@ object SimilarityQueries {
       SELECT q_id, label, cell, probe_rank, c_id, CAST(rnk AS BIGINT) AS rnk, cos AS cosine
       FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""),
       "attribute-filtered ANN: top-k among candidates sharing the query's label (pre-filter semantics, predicate in the join key)"),
+
+    "s16_knn_graph" -> QueryDef(knnGraph, Some(s"""$vecsDuckCte,
+      $ivfAsgDuckCte,
+      cells AS (SELECT n.vec_id, n.v, n.nrm, asg.cell
+                FROM n JOIN asg ON n.vec_id = asg.vec_id),
+      p AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cosDuck AS cos
+        FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM p),
+      k AS (SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <= $KnnK)
+      SELECT k.q_id AS vec_id, k.c_id AS nbr_id, k.rnk, k.cos AS cosine,
+        (m.q_id IS NOT NULL) AS mutual
+      FROM k LEFT JOIN k m ON m.q_id = k.c_id AND m.c_id = k.q_id
+      ORDER BY vec_id, k.rnk"""),
+      "corpus k-NN graph over the fitted IVF index: top-3 in-cell neighbors per vector + mutual-kNN flag"),
 
     "s05_cluster_norm_stats" -> QueryDef(clusterNormStats, Some(s"""$vecsDuckCte
       SELECT label, COUNT(*) AS n_vecs,

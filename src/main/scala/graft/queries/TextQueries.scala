@@ -822,6 +822,48 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** t22: per-source characteristic terms by TF-IDF — the corpus-
+    * description primitive behind dataset cards and topic drift
+    * monitoring: which words make each source DIFFERENT from the rest
+    * of the corpus. t10 ships raw df counts and deliberately left idf
+    * to the caller because a free-floating `ln` would hash-diverge
+    * between engines; t18's integerized-log scheme (L(n) =
+    * floor(ln(n)·2^20 + 0.5), LnProbe-verified identical on both
+    * engines for every n ≤ 5·10⁶) closes exactly that gap, so the
+    * score can now ship: score_u = tf · (L(N) − L(df)) is an exact
+    * BIGINT — idf as a log-DIFFERENCE of verified integer logs, never
+    * a log of a ratio — and the one double division per emitted row
+    * (score_u / 2^20) is IEEE-deterministic.
+    *
+    * Scale shape: term frequencies partial-aggregate in the scan's
+    * map tasks, so the (source, term) shuffle carries vocabulary-
+    * bounded rows, not the token stream; document frequencies
+    * re-aggregate the per-doc DISTINCT projection the same way; N is
+    * a broadcast scalar and the df table broadcasts onto the tf side
+    * (vocabulary ≪ corpus — the t08 probe-side rule). The only window
+    * ranks the per-source vocabulary aggregate (|sources|·|vocab|
+    * rows), never documents. */
+  private def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("term"))
+    val tf = words.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = words.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_u").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf_u", expr(ilogSql("n_docs")) - expr(ilogSql("df")))
+      .withColumn("score_u", col("tf") * col("idf_u"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .withColumn("tfidf", col("score_u").cast(DoubleType) / lit(1048576.0))
+      .select(col("source"), col("rnk"), col("term"), col("tf"), col("df"),
+        col("score_u"), col("tfidf"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   private def dsirWeights(s: SparkSession, dir: String): DataFrame =
     dsirPerDoc(s, dir).groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1167,5 +1209,24 @@ object TextQueries {
         CAST(COALESCE(SUM(CASE WHEN keep THEN n_tokens END), 0) AS BIGINT) AS selected_tokens,
         CAST(COALESCE(MIN(CASE WHEN keep THEN u END), 0) AS BIGINT) AS min_selected_u
       FROM sel GROUP BY source, budget_tokens ORDER BY source"""),
-      "DSIR selection manifest: per-source token-budgeted pick of the highest-importance docs (the resample step, stratified by source)"))
+      "DSIR selection manifest: per-source token-budgeted pick of the highest-importance docs (the resample step, stratified by source)"),
+
+    "t22_tfidf_terms" -> QueryDef(tfidfTerms, Some(s"""
+      WITH tw AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+      tf AS (SELECT source, term, COUNT(*) AS tf FROM tw GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(*) AS df
+             FROM (SELECT DISTINCT doc_id, term FROM tw) GROUP BY term),
+      nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+      sc AS (SELECT tf.source, tf.term, tf.tf, df.df,
+               tf.tf * (${ilogDuck("nn.n_docs")} - ${ilogDuck("df.df")}) AS score_u
+             FROM tf JOIN df ON df.term = tf.term, nn),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY score_u DESC, term) AS rnk FROM sc)
+      SELECT source, CAST(rnk AS BIGINT) AS rnk, term,
+        CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        CAST(score_u AS BIGINT) AS score_u,
+        CAST(score_u AS DOUBLE) / 1048576.0 AS tfidf
+      FROM r WHERE rnk <= 5 ORDER BY source, rnk"""),
+      "per-source characteristic terms: exact-integer TF-IDF (tf x integerized-log idf), top 5 per source"))
 }

@@ -497,6 +497,108 @@ class QueriesSpec extends SparkTestBase {
     assert(r13 > 0.0, "multi-probe recall not measurable")
   }
 
+  test("d18 audit: status dimension fixed, leakage zero, totals tie out to the verified pairs") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("d18_residual_leakage")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("both_dropped", "both_kept", "one_kept"),
+      s"status dimension drifted: ${rows.keySet}")
+    // the invariant the audit exists to prove: the lexical family drops
+    // doc_b of every verified pair, so no pair can survive intact
+    assert(rows("both_kept") == ((0L, 0L, 0L)),
+      s"LEAKAGE: verified near-dup pairs survived the manifest: ${rows("both_kept")}")
+    val nPairs = graft.queries.DedupQueries.jaccardPairs(spark, sf)
+      .filter(col("jacc") >= graft.queries.DedupQueries.JaccThreshold).count()
+    assert(rows.values.map(_._1).sum == nPairs,
+      s"audit pair total ${rows.values.map(_._1).sum} != verified pairs $nPairs")
+    rows.values.foreach { case (n, inter, union) =>
+      assert(inter <= union, "per-status gram mass inconsistent (inter > union)")
+      assert((n == 0L) == (union == 0L), "empty status carries gram mass or vice versa")
+    }
+  }
+
+  test("s16 kNN graph: ranks contiguous per vector, mutual flag symmetric, edges in-cell") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("s16_knn_graph")(spark, sf)
+      .select(col("vec_id"), col("nbr_id"), col("rnk"), col("cosine"), col("mutual"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val k = graft.queries.SimilarityQueries.KnnK
+    rows.groupBy(_._1).foreach { case (v, es) =>
+      assert(es.length <= k, s"vec $v has ${es.length} > $k neighbors")
+      assert(es.map(_._3).sorted.toSeq == (1L to es.length).toSeq,
+        s"vec $v ranks not contiguous: ${es.map(_._3).sorted.toSeq}")
+      // ranks order by cosine desc (nbr_id tiebreak)
+      val byRank = es.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"vec $v cosines not descending by rank")
+    }
+    val edges = rows.map(e => (e._1, e._2)).toSet
+    rows.foreach { case (v, n, _, _, mut) =>
+      assert(mut == edges((n, v)),
+        s"mutual flag wrong for ($v,$n): flag=$mut reverse=${edges((n, v))}")
+    }
+    assert(rows.exists(_._5) && rows.exists(!_._5),
+      "corpus exercises neither mutual nor one-way edges — fixture drifted")
+    // every edge stays within one fitted cell
+    val cells = graft.queries.SimilarityQueries.ivfAssigned(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (v, n, _, _, _) =>
+      assert(cells(v) == cells(n), s"edge ($v,$n) crosses cells")
+    }
+  }
+
+  test("t22 TF-IDF: five ranks per source, exact-integer score consistent with tf and df") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("t22_tfidf_terms")(spark, sf)
+      .select(col("source"), col("rnk"), col("term"), col("tf"), col("df"),
+        col("score_u"), col("tfidf"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val nSources = graft.Tables.documents(spark, sf)
+      .select(col("source")).distinct().count()
+    assert(rows.groupBy(_._1).size == nSources, "a source lost its term rows")
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    def ilog(n: Long): Long = math.floor(math.log(n.toDouble) * 1048576.0 + 0.5).toLong
+    rows.groupBy(_._1).foreach { case (src, es) =>
+      assert(es.map(_._2).sorted.toSeq == (1L to 5L).toSeq, s"$src ranks not 1..5")
+      val byRank = es.sortBy(_._2)
+      // ordered by score desc, term asc
+      byRank.zip(byRank.tail).foreach { case (a, b) =>
+        assert(a._6 > b._6 || (a._6 == b._6 && a._3 < b._3),
+          s"$src rank order violated between ${a._3} and ${b._3}")
+      }
+    }
+    rows.foreach { case (src, _, term, tf, df, scoreU, tfidf) =>
+      assert(df >= 1 && df <= nDocs && tf >= 1, s"($src,$term) tf/df out of range")
+      assert(scoreU == tf * (ilog(nDocs) - ilog(df)),
+        s"($src,$term) score_u != tf * (L(N) - L(df))")
+      assert(math.abs(tfidf - scoreU.toDouble / 1048576.0) == 0.0,
+        s"($src,$term) tfidf is not the single exact division")
+    }
+  }
+
+  test("m11 scene stats are internally consistent and total over the m02 frames") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("m11_scene_segments")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (m, nf, nd, ns, ls) =>
+      assert(nd <= nf && ns <= nf && ls <= nf, s"media $m: counts exceed frames")
+      assert(nd <= ns, s"media $m: more distinct fingerprints than scenes")
+      assert(ls >= 1 && ns >= 1, s"media $m: degenerate stats")
+      // runs of identical frames: scenes x longest bounds the frame count
+      assert(ns * ls >= nf, s"media $m: longest run cannot cover the frames")
+    }
+    val m02Frames = SparkEntry.queries("m02_frame_sample")(spark, sf).count()
+    assert(rows.map(_._2).sum == m02Frames,
+      "m11 frame totals drifted from the m02 sampling grid")
+  }
+
   test("s07 multi-probe dominates s06 single-probe per rank (candidate-set containment)") {
     // s06 searches only the query's own cell — exactly s07's
     // probe_rank-1 cell — so s07's candidate set is a superset and its

@@ -294,6 +294,76 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
       s"s15 label predicate regressed to a post-join Filter:\n$plan")
   }
 
+  test("m11 scene segmentation: every window partitions by media_id, no payload in any shuffle") {
+    // The run-length reduction must never cross media: an unpartitioned
+    // window here is a corpus-wide total sort of the frame stream. And
+    // frames must reduce to digests scan-side (the m05 rule): a shuffle
+    // input carrying `text` or `bytes` means video payloads rode the
+    // exchange.
+    val plan = queries("m11_scene_segments")(spark, sf).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the lag/run-id windows in m11")
+    windows.foreach { w =>
+      val partCols = w.partitionSpec.flatMap(_.references.map(_.name))
+      assert(partCols == Seq("media_id"),
+        s"m11 window must partition by media_id, got $partCols")
+    }
+    val inputs = PlanTestUtils.exchangeInputs(
+      queries("m11_scene_segments")(spark, sf).queryExecution)
+    val leaky = inputs.filter(l => l.contains("text#") || l.contains("bytes#"))
+    assert(leaky.isEmpty, s"m11 shuffles media payloads:\n${leaky.mkString("\n")}")
+  }
+
+  test("t22 TF-IDF: ranking window sits above the vocabulary aggregate; df and N broadcast") {
+    // The window's input must be the (source, term) aggregate
+    // (vocabulary-bounded), never token-grain rows; and the df table +
+    // corpus count come back as broadcasts — a SortMergeJoin would
+    // shuffle the tf aggregate by term a second time.
+    val qe = queries("t22_tfidf_terms")(spark, sf).queryExecution
+    val plan = qe.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.length == 1, s"t22 must plan exactly the rank window, found ${windows.length}")
+    def containsAggregate(p: LogicalPlan): Boolean =
+      p.collectFirst { case a: Aggregate => a }.isDefined
+    assert(containsAggregate(windows.head.child),
+      "t22 window is not over the aggregated vocabulary rows")
+    val text = PlanTestUtils.formatted(qe)
+    assert(!text.contains("SortMergeJoin"),
+      "t22 shuffle-joins the df/N side; expected broadcast")
+    val inputs = PlanTestUtils.exchangeInputs(qe)
+    val leaky = inputs.filter(_.contains("text#"))
+    assert(leaky.isEmpty, s"t22 shuffles raw text:\n${leaky.mkString("\n")}")
+  }
+
+  test("s16 kNN graph: the only window ranks per vector; mutual join reuses the memoized graph") {
+    // The graph build's scale contract: one per-vector rank window over
+    // the in-cell pairs (spillable rows, never a global sort), and the
+    // mutual self-join reads the session-memoized 3N-row kNN frame from
+    // both sides (InMemoryRelation) instead of recomputing the pair
+    // join twice. The window pin inspects the UNMEMOIZED edge plan
+    // (knnEdges, the fitCentroids-style spec seam): in the served query
+    // the window hides inside InMemoryRelation's cached plan.
+    val edges = graft.queries.SimilarityQueries.knnEdges(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = edges.collect { case w: LWindow => w }
+    assert(windows.length == 1,
+      s"s16 must plan exactly the per-vector rank window, found ${windows.length}")
+    val partCols = windows.head.partitionSpec.flatMap(_.references.map(_.name))
+    assert(partCols == Seq("q_id"), s"s16 window must partition by q_id, got $partCols")
+    val qe = queries("s16_knn_graph")(spark, sf).queryExecution
+    assert(PlanTestUtils.formatted(qe).contains("InMemoryTableScan"),
+      "s16 mutual join lost the memoized kNN frame — the pair join runs twice")
+  }
+
+  test("d18 audit inherits the d15 contract: no shuffle carries document text") {
+    val inputs = PlanTestUtils.exchangeInputs(
+      queries("d18_residual_leakage")(spark, sf).queryExecution)
+    assert(inputs.nonEmpty, "expected shuffles in d18")
+    val leaky = inputs.filter(l =>
+      l.contains("text#") || l.contains("words#") || l.contains("ws#"))
+    assert(leaky.isEmpty, s"d18 shuffles raw text:\n${leaky.mkString("\n")}")
+  }
+
   test("plan fingerprints: stable across rebuilds, distinct across queries, volatile-token-free") {
     // The bench artifact's `plans` map is only useful if the same
     // logical query always hashes identically: expression ids are a
