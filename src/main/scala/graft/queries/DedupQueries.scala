@@ -914,6 +914,67 @@ object DedupQueries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  // ---- d19 MinHash calibration ----
+
+  /** d19: the MinHash ESTIMATOR-accuracy table — the sketch-quality
+    * audit behind every LSH threshold choice: per candidate pair, the
+    * signature estimate (matching permutations / 16) binned against
+    * the exact n-gram Jaccard it approximates. E[matches/k] = J is the
+    * MinHash theorem; this table is the measured calibration on THIS
+    * corpus — the evidence that 16 permutations and the 4×4 band
+    * s-curve put the candidate threshold where d03/d04 assume it is
+    * (the s04 recall-contract idea, applied to the dedup sketch).
+    *
+    * True Jaccard per bin ships as the micro-average of exact integer
+    * gram counts (Σinter/Σunion, the d17 rule — one division per
+    * emitted row); the estimate column is est_matches/16, exact in
+    * double. Bins use the memoized candidate pairs UNFILTERED (the
+    * full jacc spread, not just the ≥0.7 survivors).
+    *
+    * What the table shows (measured at every SF): est_matches ≥ 4
+    * always — candidacy REQUIRES a full band collision — and the low
+    * bins run est ≈ 0.25-0.7 against true Jaccard ≈ 0.01: the
+    * estimator conditioned on candidacy is strongly biased upward
+    * (LSH selection bias), collapsing to honest only at 14-16
+    * matches. That bias is the quantitative reason the pipeline is
+    * prune-then-VERIFY (d04) rather than prune-then-trust: thresholds
+    * read off the unconditional MinHash theorem would keep garbage.
+    *
+    * Scale shape: the pair frame is the broadcast-small side of both
+    * signature joins, so the corpus-wide signature projection streams
+    * map-side (no pair-key shuffle of signatures); the rollup is ≤17
+    * rows. Signatures are the same single-scan projection d03 uses —
+    * no new corpus pass beyond it. */
+  private def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val vp = jaccardPairs(s, dir) // unfiltered: full candidate spread
+    val sig = signatures(s, dir, withGrams = false)
+    val sa = sig.select(
+      col("doc_id").as("doc_a") +:
+        (0 until NumPerms).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sb = sig.select(
+      col("doc_id").as("doc_b") +:
+        (0 until NumPerms).map(i => col(s"m$i").as(s"b$i")): _*)
+    val matches = (0 until NumPerms)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    // pairs broadcast onto BOTH signature streams (never the reverse:
+    // the signature projection is corpus-wide)
+    val withA = sa.join(broadcast(vp), Seq("doc_a"))
+    sb.join(broadcast(withA), Seq("doc_b"))
+      .withColumn("est_matches", matches)
+      .groupBy(col("est_matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_inter")).as("sum_inter"),
+        sum(col("n_union")).as("sum_union"))
+      .withColumn("est_jaccard",
+        col("est_matches").cast(DoubleType) / lit(NumPerms.toDouble))
+      .withColumn("true_jaccard_micro",
+        col("sum_inter").cast(DoubleType) / col("sum_union"))
+      .select(col("est_matches"), col("n_pairs"), col("sum_inter"),
+        col("sum_union"), col("est_jaccard"), col("true_jaccard_micro"))
+      .orderBy(col("est_matches"))
+  }
+
   // ---- d18 residual-leakage audit ----
 
   /** d18: the POST-dedup audit — for every verified near-dup pair,
@@ -1260,6 +1321,30 @@ object DedupQueries {
       LEFT JOIN pag ON pag.pair_status = sdim.pair_status
       ORDER BY sdim.pair_status"""
     }, "residual-leakage audit: verified near-dup pair survival status vs the d15 manifest (both_kept = leakage, proven zero)"),
+
+    "d19_minhash_calibration" -> QueryDef(minhashCalibration, Some {
+      val est = (0 until NumPerms)
+        .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""$bandsDuckCte,
+      $gramCandDuckCte,
+      cj AS (SELECT cand.doc_a, cand.doc_b,
+               CAST(len(list_intersect(ga.gh, gb.gh)) AS BIGINT) AS n_inter,
+               CAST(len(ga.gh) + len(gb.gh) - len(list_intersect(ga.gh, gb.gh))
+                    AS BIGINT) AS n_union
+             FROM cand JOIN g ga ON ga.doc_id = cand.doc_a
+                       JOIN g gb ON gb.doc_id = cand.doc_b),
+      em AS (SELECT cj.n_inter, cj.n_union,
+               CAST($est AS BIGINT) AS est_matches
+             FROM cj JOIN sigc sa ON sa.doc_id = cj.doc_a
+                     JOIN sigc sb ON sb.doc_id = cj.doc_b)
+      SELECT est_matches, COUNT(*) AS n_pairs,
+        CAST(SUM(n_inter) AS BIGINT) AS sum_inter,
+        CAST(SUM(n_union) AS BIGINT) AS sum_union,
+        CAST(est_matches AS DOUBLE) / $NumPerms AS est_jaccard,
+        CAST(SUM(n_inter) AS DOUBLE) / CAST(SUM(n_union) AS BIGINT) AS true_jaccard_micro
+      FROM em GROUP BY est_matches ORDER BY est_matches"""
+    }, "MinHash estimator calibration: matching-permutation estimate binned against exact Jaccard over the LSH candidates"),
 
     "d05_simhash" -> QueryDef(simhash, Some(s"""$simhashDuckCte
       SELECT doc_id, simhash FROM sim ORDER BY doc_id"""),

@@ -643,6 +643,63 @@ object SimilarityQueries {
       .orderBy(col("vec_id"), col("rnk"))
   }
 
+  private[graft] val MaxSweepProbes = 3 // s17 sweep range
+
+  /** s17: the PROBE-SWEEP tuning table — recall@5 vs scan cost as a
+    * function of nProbe (1..[[MaxSweepProbes]]), measured against the
+    * exact baseline. This is the table every IVF deployment reads
+    * before picking its operating point (FAISS's nprobe sweep): s04
+    * pins recall for fixed paths, s07 fixes nProbe = 2; the sweep makes
+    * the recall-for-candidates trade ITSELF the artifact — at 100 TB
+    * the difference between nProbe 1 and 3 is a 3× scan-cost lever
+    * whose recall payoff this query quantifies per corpus.
+    *
+    * Scale shape: ONE candidate frame (query-side probe window, the
+    * s07 shape) is session-memoized and re-filtered per probe level —
+    * the sweep never rebuilds candidates; the exact truth set is the
+    * memoized s01 baseline. Each sweep row is two scalar aggregates
+    * joined as broadcast 1-row frames. Recall ships as n_hits/n_truth,
+    * one division per row over exact counts. */
+  private def probeSweep(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cent = ivfCentroids(s, dir)
+    val c = e.join(ivfAssigned(s, dir), "vec_id")
+      .select(col("vec_id").as("c_id"), col("cell"),
+        col("v").as("cv"), col("nrm").as("cn"))
+    val wp = Window.partitionBy(col("vec_id")).orderBy(col("scos").desc, col("s_id"))
+    val probes = SampleQueries(e)
+      .join(broadcast(cent))
+      .withColumn("scos", expr(dotSpark("v", "sv")) / (col("nrm") * col("sn")))
+      .withColumn("probe_rank", row_number().over(wp).cast(LongType))
+      .filter(col("probe_rank") <= MaxSweepProbes)
+      .select(col("vec_id").as("q_id"), col("s_id").as("cell"), col("probe_rank"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val cand = PersistedAggregates.memo(s, "s17_cand", dir) {
+      probes.join(c, Seq("cell")).filter(col("q_id") =!= col("c_id"))
+        .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
+        .select(col("q_id"), col("probe_rank"), col("c_id"), col("cos"))
+    }
+    val truth = PersistedAggregates.memo(s, "s17_truth", dir) {
+      exactTop5(s, dir).select(col("q_id"), col("c_id"))
+    }
+    val w5 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    (1 to MaxSweepProbes).map { p =>
+      val candP = cand.filter(col("probe_rank") <= p)
+      val sizes = candP.agg(count(lit(1)).as("n_candidates"),
+        countDistinct(col("q_id")).as("n_queries"))
+      val top = candP.withColumn("rnk", row_number().over(w5))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"), lit(1L).as("got"))
+      val rec = truth.join(top, Seq("q_id", "c_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum(col("got")), lit(0L)).as("n_hits"))
+      sizes.crossJoin(broadcast(rec))
+        .select(lit(p.toLong).as("n_probe"), col("n_queries"), col("n_candidates"),
+          col("n_truth"), col("n_hits"),
+          (col("n_hits").cast(DoubleType) / col("n_truth")).as("recall"))
+    }.reduce(_ unionByName _).orderBy(col("n_probe"))
+  }
+
   private[graft] val QuantCand = 20 // quantized-scan candidates per query, reranked exactly
 
   /** s08: scalar-quantized (SQ8) scan + exact rerank — the memory-
@@ -1496,6 +1553,47 @@ object SimilarityQueries {
       FROM k LEFT JOIN k m ON m.q_id = k.c_id AND m.c_id = k.q_id
       ORDER BY vec_id, k.rnk"""),
       "corpus k-NN graph over the fitted IVF index: top-3 in-cell neighbors per vector + mutual-kNN flag"),
+
+    "s17_probe_sweep" -> QueryDef(probeSweep, Some {
+      val blocks = (1 to MaxSweepProbes).map { p =>
+        s"""p$p AS (
+        SELECT CAST($p AS BIGINT) AS n_probe,
+          (SELECT COUNT(DISTINCT q_id) FROM cand WHERE probe_rank <= $p) AS n_queries,
+          (SELECT COUNT(*) FROM cand WHERE probe_rank <= $p) AS n_candidates,
+          (SELECT COUNT(*) FROM truth) AS n_truth,
+          (SELECT COUNT(*) FROM truth t JOIN
+             (SELECT q_id, c_id FROM (
+                SELECT q_id, c_id,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+                FROM cand WHERE probe_rank <= $p) rr WHERE rnk <= 5) tp
+           ON tp.q_id = t.q_id AND tp.c_id = t.c_id) AS n_hits)"""
+      }.mkString(",\n      ")
+      val union = (1 to MaxSweepProbes).map(p => s"SELECT * FROM p$p")
+        .mkString(" UNION ALL ")
+      s"""$vecsDuckCte,
+      $ivfAsgDuckCte,
+      cells AS (SELECT n.vec_id, n.v, n.nrm, asg.cell
+                FROM n JOIN asg ON n.vec_id = asg.vec_id),
+      probes AS (
+        SELECT vec_id AS q_id, s_id AS cell, CAST(rn AS BIGINT) AS probe_rank FROM (
+          SELECT vec_id, s_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
+          FROM sc WHERE vec_id % 50 = 0) t WHERE rn <= $MaxSweepProbes),
+      cand AS (
+        SELECT pr.q_id, pr.probe_rank, c.vec_id AS c_id, $cosDuck AS cos
+        FROM probes pr
+        JOIN n q ON q.vec_id = pr.q_id
+        JOIN cells c ON c.cell = pr.cell AND c.vec_id <> pr.q_id),
+      xp0 AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cosDuck AS cos
+              FROM n q, n c WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+      xr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+             FROM xp0),
+      truth AS (SELECT q_id, c_id FROM xr WHERE rnk <= 5),
+      $blocks
+      SELECT n_probe, n_queries, n_candidates, n_truth, n_hits,
+        CAST(n_hits AS DOUBLE) / n_truth AS recall
+      FROM ($union) u ORDER BY n_probe"""
+    }, "IVF probe sweep: recall@5 vs candidate scan cost for nProbe 1..3 against the exact baseline (the nprobe tuning table)"),
 
     "s05_cluster_norm_stats" -> QueryDef(clusterNormStats, Some(s"""$vecsDuckCte
       SELECT label, COUNT(*) AS n_vecs,

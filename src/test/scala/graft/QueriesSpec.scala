@@ -518,6 +518,53 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("d19 calibration: band-collision floor holds, totals tie out, micro-average exact") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("d19_minhash_calibration")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, n, inter, union, estJ, trueJ) =>
+      // candidacy requires a full 4-perm band collision: est >= 4 always
+      assert(est >= 4 && est <= 16, s"bin $est outside the band-collision range")
+      assert(n >= 1 && inter <= union, s"bin $est mass inconsistent")
+      assert(estJ == est.toDouble / 16.0, s"bin $est estimate not the exact division")
+      assert(trueJ == inter.toDouble / union, s"bin $est micro-average drifted")
+    }
+    val nCand = graft.queries.DedupQueries.jaccardPairs(spark, sf).count()
+    assert(rows.map(_._2).sum == nCand,
+      s"calibration pair total ${rows.map(_._2).sum} != candidates $nCand")
+    // the selection-bias fact the table documents: the top bin is
+    // honest (true ~ est), the bottom bin overestimates
+    val top = rows.maxBy(_._1)
+    assert(top._1 == 16 && top._6 > 0.7, "exact-signature bin lost its high true Jaccard")
+  }
+
+  test("s17 probe sweep: recall and candidate cost monotone in nProbe, totals consistent") {
+    // Monotone recall is a THEOREM here, not a hope: probe p+1's
+    // candidate set contains probe p's, and any candidate that evicts
+    // a truth member from an exact-cosine top-5 must itself beat that
+    // member globally — i.e. be truth too. A violation means the
+    // candidate sets stopped nesting (probe ranking drifted).
+    val rows = SparkEntry.queries("s17_probe_sweep")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 3L).toSeq, "sweep rows not nProbe 1..3")
+    rows.foreach { case (p, nq, nc, nt, nh, rec) =>
+      assert(nq >= 1 && nc >= nq, s"probe $p sizes inconsistent")
+      assert(nh <= nt && rec == nh.toDouble / nt, s"probe $p recall not the exact ratio")
+    }
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(b._3 >= a._3, s"candidates shrank from probe ${a._1} to ${b._1}")
+      assert(b._5 >= a._5, s"hits shrank from probe ${a._1} to ${b._1} — candidate nesting broke")
+    }
+    // the probe-2 row must agree with s07's fixed-nProbe recall surface
+    assert(rows(1)._6 > 0.0, "sweep recall not measurable")
+  }
+
   test("s16 kNN graph: ranks contiguous per vector, mutual flag symmetric, edges in-cell") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("s16_knn_graph")(spark, sf)

@@ -341,10 +341,12 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     // mutual self-join reads the session-memoized 3N-row kNN frame from
     // both sides (InMemoryRelation) instead of recomputing the pair
     // join twice. The window pin inspects the UNMEMOIZED edge plan
-    // (knnEdges, the fitCentroids-style spec seam): in the served query
-    // the window hides inside InMemoryRelation's cached plan.
-    val edges = graft.queries.SimilarityQueries.knnEdges(spark, sf)
-      .queryExecution.optimizedPlan
+    // (knnEdges, the fitCentroids-style spec seam) optimized WITHOUT
+    // cache substitution: once any suite in the JVM has populated the
+    // session memo, withCachedData would swap the identical subtree for
+    // InMemoryRelation and hide the window from optimizedPlan.
+    val edges = spark.sessionState.optimizer.execute(
+      graft.queries.SimilarityQueries.knnEdges(spark, sf).queryExecution.analyzed)
     val windows = edges.collect { case w: LWindow => w }
     assert(windows.length == 1,
       s"s16 must plan exactly the per-vector rank window, found ${windows.length}")
@@ -353,6 +355,33 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     val qe = queries("s16_knn_graph")(spark, sf).queryExecution
     assert(PlanTestUtils.formatted(qe).contains("InMemoryTableScan"),
       "s16 mutual join lost the memoized kNN frame — the pair join runs twice")
+  }
+
+  test("d19 calibration: pairs broadcast onto both signature streams — no signature shuffle join") {
+    // The corpus-wide signature projection must stream map-side with
+    // the small pair frame broadcast twice; a SortMergeJoin here means
+    // signatures got shuffled by pair keys. Text stays scan-local (the
+    // d10 rule) — only m0..m15 ints and gram-hash arrays move.
+    val qe = queries("d19_minhash_calibration")(spark, sf).queryExecution
+    val text = PlanTestUtils.formatted(qe)
+    assert(!text.contains("SortMergeJoin"),
+      "d19 shuffle-joins the signature projection; expected broadcast pairs")
+    val inputs = PlanTestUtils.exchangeInputs(qe)
+    val leaky = inputs.filter(l => l.contains("text#") || l.contains("words#"))
+    assert(leaky.isEmpty, s"d19 shuffles raw text:\n${leaky.mkString("\n")}")
+  }
+
+  test("s17 probe sweep: one memoized candidate frame serves every sweep level") {
+    // The sweep's design: candidates build ONCE (memoized) and each
+    // probe level re-filters the cached frame — the plan must read
+    // InMemoryTableScan (several times), never rebuild the probe/cell
+    // join per level. The corpus-side argmax stays shuffle-free, so
+    // no exchange input may carry the vector arrays' source text.
+    val qe = queries("s17_probe_sweep")(spark, sf).queryExecution
+    val text = PlanTestUtils.formatted(qe)
+    val scans = "InMemoryTableScan".r.findAllIn(text).size
+    assert(scans >= 3,
+      s"s17 must serve all sweep levels from the memoized candidates, saw $scans cached scans")
   }
 
   test("d18 audit inherits the d15 contract: no shuffle carries document text") {
