@@ -52,6 +52,13 @@ final case class AudioSubFp(
     kind: String,
     subfp: Long)
 
+/** One audio frame's total energy (unsigned-byte sum over one
+  * [[MediaPipeline.AudioFrameBytes]] frame). */
+final case class AudioFrame(
+    media_id: Long,
+    frame_idx: Int,
+    energy: Long)
+
 /** An image's 64-bit aHash as 8 bands of 8 bits (banded for the d06
   * pigeonhole candidate generation; the full hash is the bands'
   * concatenation). */
@@ -289,6 +296,26 @@ object MediaPipeline {
           AudioSubFp(m.media_id, m.kind,
             bits(i) | (bits(i + 1) << 8) | (bits(i + 2) << 16) | (bits(i + 3) << 24))
         }
+      }
+    }
+  }
+
+  /** Per-frame total energy of an audio-bearing payload — the
+    * [[AudioFrameBytes]] framing [[audioSubFingerprints]] uses, but
+    * the raw per-frame energy (unsigned-byte sum over the whole frame)
+    * instead of the band-derivative bits: the signal VAD-style
+    * silence/activity segmentation thresholds on (m12). Exact integer
+    * arithmetic; payloads die at this projection. */
+  def audioFrameEnergies(media: Dataset[MediaRecord]): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(m => m.kind == "audio" || m.kind == "video").flatMap { m =>
+      val nFrames = m.bytes.length / AudioFrameBytes
+      (0 until nFrames).iterator.map { f =>
+        var s = 0L
+        var j = f * AudioFrameBytes
+        val end = j + AudioFrameBytes
+        while (j < end) { s += m.bytes(j) & 0xff; j += 1 }
+        AudioFrame(m.media_id, f, s)
       }
     }
   }

@@ -513,7 +513,43 @@ object MultimodalQueries {
       SELECT seg.media_id, n_frames, n_distinct_frames, n_scenes, longest_scene
       FROM seg JOIN dct ON dct.media_id = seg.media_id
       ORDER BY seg.media_id"""),
-      "shot/scene segmentation: fingerprint-delta cuts over the sampled frame sequence, run-length scene stats"))
+      "shot/scene segmentation: fingerprint-delta cuts over the sampled frame sequence, run-length scene stats"),
+
+    "m12_energy_segments" -> QueryDef(energySegments, Some("""
+      WITH af AS (SELECT doc_id AS media_id, text FROM documents
+                  WHERE doc_id % 3 IN (1, 2) AND length(text) >= 64),
+      fr AS (SELECT media_id, CAST(f AS INT) AS frame_idx,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, 64),
+                   j -> CAST(ascii(substr(text, CAST(f * 64 + j AS INT), 1)) AS BIGINT))),
+                 (a, c) -> a + c) AS energy
+             FROM af, UNNEST(generate_series(0, CAST(length(text) // 64 AS INT) - 1)) AS t(f)),
+      cl AS (SELECT media_id, frame_idx, energy,
+               SUM(energy) OVER (PARTITION BY media_id) AS e_tot,
+               COUNT(*) OVER (PARTITION BY media_id) AS nf
+             FROM fr),
+      lw AS (SELECT media_id, frame_idx,
+               (energy * nf < e_tot) AS low
+             FROM cl),
+      lg AS (SELECT media_id, frame_idx, low,
+               LAG(low) OVER (PARTITION BY media_id ORDER BY frame_idx) AS pl
+             FROM lw),
+      ns AS (SELECT media_id, frame_idx, low,
+               CASE WHEN pl IS NULL OR pl <> low THEN 1 ELSE 0 END AS new_seg
+             FROM lg),
+      sg AS (SELECT media_id, frame_idx, low,
+               SUM(new_seg) OVER (PARTITION BY media_id ORDER BY frame_idx
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_idx
+             FROM ns)
+      SELECT media_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+        CASE WHEN MAX(CASE WHEN low THEN 1 ELSE 0 END) = 1
+             THEN 'quiet' ELSE 'active' END AS cls,
+        COUNT(*) AS n_frames,
+        MIN(frame_idx) AS start_frame,
+        MAX(frame_idx) AS end_frame
+      FROM sg GROUP BY media_id, seg_idx
+      ORDER BY media_id, seg_idx"""),
+      "energy (VAD-style) segmentation: active/quiet segment manifest per audio-bearing media, mean-relative integer threshold"))
 
   /** m09: media dedup clusters — the d07 step for the media domain:
     * the m07 (audio) and m08 (image) near-dup pairs merged into one
@@ -597,6 +633,46 @@ object MultimodalQueries {
       .select(col("cluster").as("cluster_id"), col("n_members"),
         (-col("m.negid")).as("keeper_media"), col("m.b").as("keeper_bytes"))
       .orderBy(col("cluster_id"))
+  }
+
+  /** m12: energy (VAD-style) segmentation — the audio counterpart of
+    * m11's scene cuts: frames classified active/quiet against the
+    * media's own mean energy (the relative-threshold rule real voice-
+    * activity detectors use — robust to per-recording gain), maximal
+    * constant-class runs emitted as a SEGMENT MANIFEST (one row per
+    * segment with class and frame span): the artifact an audio
+    * pipeline consumes to clip silence before token budgeting, and to
+    * bound transcription work to active spans. Runs over audio files
+    * AND video soundtracks (the m07 domain).
+    *
+    * Exactness: the threshold is the integer cross-multiplication
+    * `energy · n_frames < total_energy` (strictly below the mean) —
+    * no division, no float, identical in both engines. Scale shape:
+    * payloads die at the frame-energy projection; the mean arrives as
+    * same-partition window aggregates (no media-grain join), and
+    * every window keys on `media_id` — one shuffle end to end. */
+  private def energySegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = MediaPipeline.audioFrameEnergies(MediaPipeline.load(s, dir)).toDF()
+    val wm = Window.partitionBy(col("media_id"))
+    val wo = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    fr.withColumn("e_tot", sum(col("energy")).over(wm))
+      .withColumn("nf", count(lit(1)).over(wm))
+      .withColumn("low", col("energy") * col("nf") < col("e_tot"))
+      .withColumn("pl", lag(col("low"), 1).over(wo))
+      .withColumn("new_seg",
+        when(col("pl").isNull || col("pl") =!= col("low"), 1L).otherwise(0L))
+      .withColumn("seg_idx",
+        sum(col("new_seg")).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("media_id"), col("seg_idx"))
+      .agg(count(lit(1)).as("n_frames"),
+        min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        max(when(col("low"), 1L).otherwise(0L)).as("lowi"))
+      .select(col("media_id"), col("seg_idx"),
+        when(col("lowi") === 1L, "quiet").otherwise("active").as("cls"),
+        col("n_frames"), col("start_frame"), col("end_frame"))
+      .orderBy(col("media_id"), col("seg_idx"))
   }
 
   /** m11: shot/scene segmentation — the temporal structure pass every

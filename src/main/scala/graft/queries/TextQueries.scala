@@ -864,6 +864,57 @@ object TextQueries {
       .orderBy(col("source"), col("rnk"))
   }
 
+  /** t23: the DOMAIN-DISTANCE table — per source, the smoothed
+    * cross-entropy and KL divergence of its hashed-gram distribution
+    * against the corpus mixture: the input to DoReMi-style mixture
+    * reweighting (Xie et al. 2023, public) and to domain-clustering
+    * decisions — a source with low KL is redundant with the mixture,
+    * a high-KL source contributes novel distribution mass, and the
+    * table is how a mixture designer sees that before training.
+    *
+    * Exactness is the t18/t20 scheme end-to-end: with bucket counts
+    * n_s(b), global n(b), totals N_s and N,
+    *   xent_u = N_s·L(N+B) − Σ_b n_s(b)·L(n(b)+1)
+    *   ent_u  = N_s·L(N_s+B) − Σ_b n_s(b)·L(n_s(b)+1)
+    *   kl_u   = xent_u − ent_u
+    * — every term an exact BIGINT product of counts and LnProbe-
+    * verified integer logs (plug-in estimates of the add-one-smoothed
+    * distributions), with the two per-row double divisions
+    * (u / N_s / 2^20) in fixed order on both engines. Smoothing + the
+    * half-ulp integer rounding mean kl_u is not sign-guaranteed at
+    * tiny masses; it is reported, not clamped.
+    *
+    * Scale shape: one (source, bucket) shuffle (B-bounded per source,
+    * map-side combinable) re-aggregated two ways; the global model is
+    * the memoized 256-row t20 LUT broadcast onto it; N is a broadcast
+    * scalar. No text, no gram strings, nothing doc-grain past the
+    * scan. */
+  private def domainDistance(s: SparkSession, dir: String): DataFrame = {
+    val sb = dsirGramBuckets(s, dir)
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("nsb"))
+    val lut = dsirLut(s, dir).select(col("b"), col("nr"))
+    val totals = lut.agg(sum(col("nr")).as("n_tot"))
+    val st = sb.groupBy(col("source")).agg(sum(col("nsb")).as("n_s"))
+    val terms = sb.join(broadcast(lut), Seq("b"))
+      .groupBy(col("source"))
+      .agg(sum(col("nsb") * expr(ilogSql("nr + 1"))).as("sum_glob_u"),
+        sum(col("nsb") * expr(ilogSql("nsb + 1"))).as("sum_self_u"))
+    terms.join(st, Seq("source"))
+      .crossJoin(broadcast(totals))
+      .withColumn("xent_u",
+        col("n_s") * expr(ilogSql(s"n_tot + $DsirBuckets")) - col("sum_glob_u"))
+      .withColumn("ent_u",
+        col("n_s") * expr(ilogSql(s"n_s + $DsirBuckets")) - col("sum_self_u"))
+      .withColumn("kl_u", col("xent_u") - col("ent_u"))
+      .withColumn("xent",
+        col("xent_u").cast(DoubleType) / col("n_s") / lit(1048576.0))
+      .withColumn("kl",
+        col("kl_u").cast(DoubleType) / col("n_s") / lit(1048576.0))
+      .select(col("source"), col("n_s").as("n_grams"), col("xent_u"),
+        col("ent_u"), col("kl_u"), col("xent"), col("kl"))
+      .orderBy(col("source"))
+  }
+
   private def dsirWeights(s: SparkSession, dir: String): DataFrame =
     dsirPerDoc(s, dir).groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1228,5 +1279,27 @@ object TextQueries {
         CAST(score_u AS BIGINT) AS score_u,
         CAST(score_u AS DOUBLE) / 1048576.0 AS tfidf
       FROM r WHERE rnk <= 5 ORDER BY source, rnk"""),
-      "per-source characteristic terms: exact-integer TF-IDF (tf x integerized-log idf), top 5 per source"))
+      "per-source characteristic terms: exact-integer TF-IDF (tf x integerized-log idf), top 5 per source"),
+
+    "t23_domain_distance" -> QueryDef(domainDistance, Some(s"""
+      WITH $dsirUdDuckCte,
+      sb AS (SELECT source, b, COUNT(*) AS nsb FROM bx GROUP BY 1, 2),
+      stot AS (SELECT source, CAST(SUM(nsb) AS BIGINT) AS n_s FROM sb GROUP BY source),
+      gtot AS (SELECT CAST(SUM(nr) AS BIGINT) AS n_tot FROM lut),
+      terms AS (SELECT sb.source,
+          CAST(SUM(sb.nsb * (${ilogDuck("lut.nr + 1")})) AS BIGINT) AS sum_glob_u,
+          CAST(SUM(sb.nsb * (${ilogDuck("sb.nsb + 1")})) AS BIGINT) AS sum_self_u
+        FROM sb JOIN lut ON lut.b = sb.b GROUP BY 1),
+      x AS (SELECT t.source, st.n_s,
+          st.n_s * (${ilogDuck(s"gtot.n_tot + $DsirBuckets")}) - t.sum_glob_u AS xent_u,
+          st.n_s * (${ilogDuck(s"st.n_s + $DsirBuckets")}) - t.sum_self_u AS ent_u
+        FROM terms t JOIN stot st ON st.source = t.source, gtot)
+      SELECT source, n_s AS n_grams,
+        CAST(xent_u AS BIGINT) AS xent_u,
+        CAST(ent_u AS BIGINT) AS ent_u,
+        CAST(xent_u - ent_u AS BIGINT) AS kl_u,
+        CAST(xent_u AS DOUBLE) / n_s / 1048576.0 AS xent,
+        CAST(xent_u - ent_u AS DOUBLE) / n_s / 1048576.0 AS kl
+      FROM x ORDER BY source"""),
+      "domain distance: per-source smoothed cross-entropy and KL vs the corpus mixture over hashed grams (the DoReMi mixture-design input)"))
 }

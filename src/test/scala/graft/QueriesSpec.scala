@@ -565,6 +565,26 @@ class QueriesSpec extends SparkTestBase {
     assert(rows(1)._6 > 0.0, "sweep recall not measurable")
   }
 
+  test("t23 domain distance: integer identity holds, divisions exact, one row per source") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("t23_domain_distance")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val nSources = graft.Tables.documents(spark, sf)
+      .select(col("source")).distinct().count()
+    assert(rows.length == nSources, "a source lost its distance row")
+    rows.foreach { case (src, n, xu, eu, ku, xent, kl) =>
+      assert(n >= 1, s"$src has no grams")
+      assert(ku == xu - eu, s"$src: kl_u is not the exact integer difference")
+      assert(xent == xu.toDouble / n / 1048576.0, s"$src: xent drifted from the fixed-order division")
+      assert(kl == ku.toDouble / n / 1048576.0, s"$src: kl drifted from the fixed-order division")
+      // rounding slack: each integer log is within 0.5 of ln*2^20, so
+      // the plug-in KL can dip below zero by at most ~2 ulps per gram
+      assert(ku >= -2L * n, s"$src: KL below the rounding floor — the fold broke")
+    }
+  }
+
   test("s16 kNN graph: ranks contiguous per vector, mutual flag symmetric, edges in-cell") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("s16_knn_graph")(spark, sf)
@@ -625,6 +645,29 @@ class QueriesSpec extends SparkTestBase {
         s"($src,$term) score_u != tf * (L(N) - L(df))")
       assert(math.abs(tfidf - scoreU.toDouble / 1048576.0) == 0.0,
         s"($src,$term) tfidf is not the single exact division")
+    }
+  }
+
+  test("m12 segments tile each media's frames: contiguous spans, alternating classes") {
+    val rows = SparkEntry.queries("m12_energy_segments")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._3 == "quiet") && rows.exists(_._3 == "active"),
+      "corpus exercises only one energy class — threshold fixture drifted")
+    rows.groupBy(_._1).foreach { case (m, segs) =>
+      val ordered = segs.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (1L to segs.length).toSeq,
+        s"media $m segment indices not contiguous")
+      assert(ordered.head._5 == 0, s"media $m first segment does not start at frame 0")
+      ordered.foreach { case (_, i, _, nf, st, en) =>
+        assert(en - st + 1 == nf, s"media $m seg $i span != frame count")
+      }
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(b._5 == a._6 + 1, s"media $m gap between segments ${a._2} and ${b._2}")
+        assert(a._3 != b._3, s"media $m adjacent segments share class — runs not maximal")
+      }
     }
   }
 

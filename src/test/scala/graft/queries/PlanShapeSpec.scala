@@ -314,6 +314,24 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     assert(leaky.isEmpty, s"m11 shuffles media payloads:\n${leaky.mkString("\n")}")
   }
 
+  test("m12 energy segments: every window partitions by media_id, no payload in any shuffle") {
+    // Same contract as m11 for the audio domain: the mean arrives as
+    // same-partition window aggregates (no media-grain join), so all
+    // windows must key on media_id and no exchange may carry payloads.
+    val plan = queries("m12_energy_segments")(spark, sf).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the mean/run windows in m12")
+    windows.foreach { w =>
+      val partCols = w.partitionSpec.flatMap(_.references.map(_.name))
+      assert(partCols == Seq("media_id"),
+        s"m12 window must partition by media_id, got $partCols")
+    }
+    val inputs = PlanTestUtils.exchangeInputs(
+      queries("m12_energy_segments")(spark, sf).queryExecution)
+    val leaky = inputs.filter(l => l.contains("text#") || l.contains("bytes#"))
+    assert(leaky.isEmpty, s"m12 shuffles media payloads:\n${leaky.mkString("\n")}")
+  }
+
   test("t22 TF-IDF: ranking window sits above the vocabulary aggregate; df and N broadcast") {
     // The window's input must be the (source, term) aggregate
     // (vocabulary-bounded), never token-grain rows; and the df table +
@@ -382,6 +400,15 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     val scans = "InMemoryTableScan".r.findAllIn(text).size
     assert(scans >= 3,
       s"s17 must serve all sweep levels from the memoized candidates, saw $scans cached scans")
+  }
+
+  test("t23 domain distance inherits t20's contract: bucket ids only in every shuffle") {
+    val inputs = PlanTestUtils.exchangeInputs(
+      queries("t23_domain_distance")(spark, sf).queryExecution)
+    assert(inputs.nonEmpty, "expected the (source, bucket) shuffle in t23")
+    val leaky = inputs.filter(l =>
+      l.contains("text#") || l.contains("words#") || l.contains("x#"))
+    assert(leaky.isEmpty, s"t23 shuffles raw text/grams:\n${leaky.mkString("\n")}")
   }
 
   test("d18 audit inherits the d15 contract: no shuffle carries document text") {
