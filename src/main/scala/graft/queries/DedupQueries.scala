@@ -532,6 +532,70 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** d20: the SPAN-REMOVAL manifest — d14 detects which documents
+    * contain corpus-duplicated passages; this emits the actionable
+    * artifact: WHICH WORD SPANS to cut from which documents, the
+    * ExactSubstr removal step of Lee et al. 2022 (their tool rewrites
+    * the corpus; a Spark pipeline ships the cut list and applies it in
+    * the export pass). Keeper rule: the occurrence in the LOWEST
+    * doc_id containing a duplicated window survives (the d02/d08
+    * convention); every other occurrence's [i, i+W-1] word interval is
+    * marked, and per doc the marked intervals merge into maximal
+    * spans (gaps-and-islands: a window starting within or adjacent to
+    * the running covered end extends the span; stride-1 windows of a
+    * contiguous copied passage always chain this way, so one copied
+    * paragraph emits ONE span, not W-per-window noise).
+    *
+    * Scale shape: window strings die at the md5 projection (d14's
+    * property — only 16 B digests + word offsets shuffle); the
+    * digest-stats join is digest-keyed; interval merging is two
+    * windows partitioned by doc_id over the doc's CUT windows only (a
+    * corpus fraction). The merge is exact integer arithmetic; no
+    * floats anywhere. */
+  private def spanRemoval(s: SparkSession, dir: String): DataFrame = {
+    val occ = docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= ChunkWords)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(words) - ${ChunkWords - 1}),
+            i -> md5(concat_ws(' ', slice(words, i, $ChunkWords))))"""))
+        .as(Seq("pos0", "wh")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("i"), col("wh"))
+    val stats = occ.select(col("doc_id"), col("wh")).distinct()
+      .groupBy(col("wh"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .filter(col("n_docs") >= 2)
+    val cut = occ.join(stats, Seq("wh"))
+      .filter(col("doc_id") > col("keeper"))
+      .select(col("doc_id"), col("i"), (col("i") + (ChunkWords - 1)).as("j"))
+      .distinct()
+    mergeSpans(cut)
+  }
+
+  /** The d20 gaps-and-islands interval merge over any (doc_id, i, j)
+    * frame — the spec seam: the synthetic near-dups are whole-document
+    * copies (every doc merges to ONE span), so the multi-span and
+    * gap semantics are pinned by `SpanMergeSpec` on constructed
+    * intervals (the m11/t19 rule). */
+  private[graft] def mergeSpans(cut: DataFrame): DataFrame = {
+    val wo = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val prevEnd = max(col("j"))
+      .over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    cut
+      .withColumn("new_span",
+        when(col("i") > coalesce(prevEnd, lit(Long.MinValue)) + 1, 1L).otherwise(0L))
+      // the FIRST window of each doc has null prevEnd -> coalesce to
+      // MinValue makes it open a span (i > MinValue + 1 always)
+      .withColumn("span_idx",
+        sum(col("new_span")).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_idx"))
+      .agg(min(col("i")).as("start_word"), max(col("j")).as("end_word"))
+      .withColumn("n_cut_words", col("end_word") - col("start_word") + 1)
+      .select(col("doc_id"), col("span_idx"), col("start_word"),
+        col("end_word"), col("n_cut_words"))
+      .orderBy(col("doc_id"), col("span_idx"))
+  }
+
   /** d12: QUALITY-based survivor selection — the survivor rule
     * production pipelines actually apply: within each near-dup cluster
     * (d07's connected components) keep the HIGHEST-QUALITY member (the
@@ -1185,6 +1249,35 @@ object DedupQueries {
         ROUND(CAST(n_shared_windows AS DOUBLE) / n_windows, 4) AS shared_ratio
       FROM d WHERE n_shared_windows > 0 ORDER BY doc_id"""),
       "sliding-window exact-substring dedup (Lee et al. guarantee: any >=16-word shared passage detected)"),
+
+    "d20_span_removal" -> QueryDef(spanRemoval, Some(s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      occ AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                md5(array_to_string(words[i : i + ${ChunkWords - 1}], ' ')) AS wh
+              FROM w, UNNEST(generate_series(1, len(words) - ${ChunkWords - 1})) AS t(i)
+              WHERE len(words) >= $ChunkWords),
+      st AS (SELECT wh, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+             FROM (SELECT DISTINCT doc_id, wh FROM occ) dd GROUP BY wh
+             HAVING COUNT(*) >= 2),
+      cut AS (SELECT DISTINCT occ.doc_id, occ.i, occ.i + ${ChunkWords - 1} AS j
+              FROM occ JOIN st ON st.wh = occ.wh WHERE occ.doc_id > st.keeper),
+      pe AS (SELECT doc_id, i, j,
+               MAX(j) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             FROM cut),
+      ns AS (SELECT doc_id, i, j,
+               CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END AS new_span
+             FROM pe),
+      sp AS (SELECT doc_id, i, j,
+               SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_idx
+             FROM ns)
+      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+        CAST(MIN(i) AS BIGINT) AS start_word,
+        CAST(MAX(j) AS BIGINT) AS end_word,
+        CAST(MAX(j) - MIN(i) + 1 AS BIGINT) AS n_cut_words
+      FROM sp GROUP BY doc_id, span_idx ORDER BY doc_id, span_idx"""),
+      "span-removal manifest: maximal duplicated word spans to cut per doc (the ExactSubstr removal step; lowest-doc occurrence survives)"),
 
     "d15_drop_manifest" -> QueryDef(dropManifest, Some {
       // The manifest twin SPLICES the per-family oracle chains verbatim

@@ -411,6 +411,27 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     assert(leaky.isEmpty, s"t23 shuffles raw text/grams:\n${leaky.mkString("\n")}")
   }
 
+  test("d20 span removal: window strings die at the digest projection; merge windows per doc") {
+    // d14's digest rule extended to the removal manifest: no exchange
+    // may carry text or the words array, and the interval-merge
+    // windows must partition by doc_id (a span never crosses docs).
+    val qe = queries("d20_span_removal")(spark, sf).queryExecution
+    val inputs = PlanTestUtils.exchangeInputs(qe)
+    assert(inputs.nonEmpty, "expected the digest shuffle in d20")
+    // boundary-anchored: the bare substring "words#" would false-match
+    // d20's own n_cut_words# output column
+    val wordsAttr = raw"(^|[\[,\s])words#".r
+    val leaky = inputs.filter(l => l.contains("text#") || wordsAttr.findFirstIn(l).isDefined)
+    assert(leaky.isEmpty, s"d20 shuffles raw text:\n${leaky.mkString("\n")}")
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the merge windows in d20")
+    windows.foreach { w =>
+      val partCols = w.partitionSpec.flatMap(_.references.map(_.name))
+      assert(partCols == Seq("doc_id"),
+        s"d20 merge window must partition by doc_id, got $partCols")
+    }
+  }
+
   test("d18 audit inherits the d15 contract: no shuffle carries document text") {
     val inputs = PlanTestUtils.exchangeInputs(
       queries("d18_residual_leakage")(spark, sf).queryExecution)
