@@ -512,14 +512,25 @@ object DedupQueries {
     * (only 16 B digests shuffle), within-doc repeats collapse with a
     * DISTINCT, the cross-doc count is a spillable window over the
     * digest partition, and the per-doc rollup is the last shuffle. */
+  /** All stride-1 window-digest occurrences (doc_id, i, wh) — the
+    * shared upstream of d14 (detection) and d20 (removal), memoized:
+    * the n·W md5 pass is the families' dominant cost and d20 alone
+    * reads it twice (digest stats + cut occurrences). Scan-rooted
+    * projection, so the memo contract holds (the d11 rule). */
+  private def windowOcc(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.memo(s, "d14_occ", dir) {
+      docs(s, dir)
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= ChunkWords)
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(1, size(words) - ${ChunkWords - 1}),
+              i -> md5(concat_ws(' ', slice(words, i, $ChunkWords))))"""))
+          .as(Seq("pos0", "wh")))
+        .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("i"), col("wh"))
+    }
+
   private def substringDedup(s: SparkSession, dir: String): DataFrame = {
-    val wins = docs(s, dir)
-      .withColumn("words", split(col("text"), " "))
-      .filter(size(col("words")) >= ChunkWords)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, size(words) - ${ChunkWords - 1}),
-            i -> md5(concat_ws(' ', slice(words, i, $ChunkWords))))""")).as("wh"))
-      .distinct()
+    val wins = windowOcc(s, dir).select(col("doc_id"), col("wh")).distinct()
     wins
       .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("wh"))))
       .groupBy(col("doc_id"))
@@ -553,14 +564,7 @@ object DedupQueries {
     * corpus fraction). The merge is exact integer arithmetic; no
     * floats anywhere. */
   private def spanRemoval(s: SparkSession, dir: String): DataFrame = {
-    val occ = docs(s, dir)
-      .withColumn("words", split(col("text"), " "))
-      .filter(size(col("words")) >= ChunkWords)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(1, size(words) - ${ChunkWords - 1}),
-            i -> md5(concat_ws(' ', slice(words, i, $ChunkWords))))"""))
-        .as(Seq("pos0", "wh")))
-      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("i"), col("wh"))
+    val occ = windowOcc(s, dir)
     val stats = occ.select(col("doc_id"), col("wh")).distinct()
       .groupBy(col("wh"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))

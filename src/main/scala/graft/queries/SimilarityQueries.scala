@@ -643,6 +643,47 @@ object SimilarityQueries {
       .orderBy(col("vec_id"), col("rnk"))
   }
 
+  /** s18: the INDEX-HEALTH report — the one-row maintenance artifact
+    * an IVF deployment monitors between rebuilds: live cell count vs
+    * seeds (dead seeds = cells that attracted nothing during the fit),
+    * cell-size spread and the FAISS imbalance factor
+    * (max_cell·n_cells / n_vecs — 1.0 is perfectly balanced; the
+    * multiplier by which the hottest cell's scan cost exceeds the
+    * balanced ideal), and mean in-cell cosine to the assigned centroid
+    * — the quantization-quality objective the Lloyd fit maximizes
+    * (`KmProbe` pinned fitted-beats-seeds; this SHIPS the metric so
+    * drift after ingest is observable). Re-fit triggers in production
+    * key off exactly these numbers.
+    *
+    * Exactness: cosines integerize at 2^20 (bit-identical doubles on
+    * both engines — the s06 parity — so the floor is identical), sums
+    * are exact BIGINTs, and each double column is one fixed-order
+    * division chain. Scale shape: cell sizes re-aggregate the memoized
+    * (vec_id, cell) index; the cosine pass is the same broadcast-
+    * centroid map-side join as assignment — no new shuffle shape. */
+  private def indexHealth(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cells = ivfAssigned(s, dir)
+    val sizes = cells.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+    val sstats = sizes.agg(count(lit(1)).as("n_cells"),
+      min(col("c")).as("min_cell"), max(col("c")).as("max_cell"))
+    val seeds = ivfSeeds(e).agg(count(lit(1)).as("n_seeds"))
+    val ac = e.join(cells, "vec_id")
+      .join(broadcast(ivfCentroids(s, dir)), col("cell") === col("s_id"))
+      .withColumn("scos", expr(dotSpark("v", "sv")) / (col("nrm") * col("sn")))
+      .withColumn("u", floor(col("scos") * lit(1048576.0) + lit(0.5)).cast(LongType))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("u")).as("sum_cos_u"))
+    ac.crossJoin(broadcast(sstats)).crossJoin(broadcast(seeds))
+      .select(col("n_vecs"), col("n_seeds"), col("n_cells"),
+        (col("n_seeds") - col("n_cells")).as("n_dead_seeds"),
+        col("min_cell"), col("max_cell"),
+        (col("max_cell") * col("n_cells")).cast(DoubleType)
+          .divide(col("n_vecs")).as("imbalance"),
+        col("sum_cos_u"),
+        (col("sum_cos_u").cast(DoubleType) / col("n_vecs") / lit(1048576.0))
+          .as("mean_cos"))
+  }
+
   private[graft] val MaxSweepProbes = 3 // s17 sweep range
 
   /** s17: the PROBE-SWEEP tuning table — recall@5 vs scan cost as a
@@ -1594,6 +1635,28 @@ object SimilarityQueries {
         CAST(n_hits AS DOUBLE) / n_truth AS recall
       FROM ($union) u ORDER BY n_probe"""
     }, "IVF probe sweep: recall@5 vs candidate scan cost for nProbe 1..3 against the exact baseline (the nprobe tuning table)"),
+
+    "s18_index_health" -> QueryDef(indexHealth, Some(s"""$vecsDuckCte,
+      $ivfAsgDuckCte,
+      sz AS (SELECT cell, COUNT(*) AS c FROM asg GROUP BY cell),
+      ss AS (SELECT COUNT(*) AS n_cells,
+               CAST(MIN(c) AS BIGINT) AS min_cell,
+               CAST(MAX(c) AS BIGINT) AS max_cell FROM sz),
+      sd AS (SELECT COUNT(*) AS n_seeds FROM n WHERE vec_id % 47 = 0),
+      ac AS (SELECT asg.vec_id, sc.scos
+             FROM asg JOIN sc ON sc.vec_id = asg.vec_id AND sc.s_id = asg.cell),
+      ag AS (SELECT COUNT(*) AS n_vecs,
+               CAST(SUM(CAST(floor(scos * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cos_u
+             FROM ac)
+      SELECT n_vecs, n_seeds, n_cells,
+        CAST(n_seeds - n_cells AS BIGINT) AS n_dead_seeds,
+        min_cell, max_cell,
+        CAST(max_cell * n_cells AS DOUBLE) / n_vecs AS imbalance,
+        sum_cos_u,
+        CAST(sum_cos_u AS DOUBLE) / n_vecs / 1048576.0 AS mean_cos
+      FROM ag, ss, sd"""),
+      "IVF index-health report: live cells vs seeds, size spread, FAISS imbalance factor, mean in-cell cosine (the re-fit trigger metrics)"),
 
     "s05_cluster_norm_stats" -> QueryDef(clusterNormStats, Some(s"""$vecsDuckCte
       SELECT label, COUNT(*) AS n_vecs,

@@ -541,6 +541,24 @@ class QueriesSpec extends SparkTestBase {
     assert(top._1 == 16 && top._6 > 0.7, "exact-signature bin lost its high true Jaccard")
   }
 
+  test("s18 index health: totals tie to the corpus, imbalance exact, mean cosine in range") {
+    val r = SparkEntry.queries("s18_index_health")(spark, sf).collect()
+    assert(r.length == 1, "health report must be one row")
+    val row = r.head
+    val (nVecs, nSeeds, nCells, nDead) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val (minC, maxC, imb, sumU, meanCos) =
+      (row.getLong(4), row.getLong(5), row.getDouble(6), row.getLong(7), row.getDouble(8))
+    assert(nVecs == graft.queries.SimilarityQueries.vecs(spark, sf).count(),
+      "health n_vecs drifted from the corpus")
+    assert(nCells >= 1 && nCells <= nSeeds && nDead == nSeeds - nCells)
+    assert(minC >= 1 && minC <= maxC && maxC <= nVecs)
+    assert(imb == (maxC * nCells).toDouble / nVecs, "imbalance not the exact ratio")
+    assert(imb >= 1.0, "imbalance below 1 — max cell smaller than the mean is impossible")
+    assert(meanCos == sumU.toDouble / nVecs / 1048576.0, "mean cosine drifted")
+    assert(meanCos > 0.0 && meanCos <= 1.0, s"mean in-cell cosine out of range: $meanCos")
+  }
+
   test("s17 probe sweep: recall and candidate cost monotone in nProbe, totals consistent") {
     // Monotone recall is a THEOREM here, not a hope: probe p+1's
     // candidate set contains probe p's, and any candidate that evicts

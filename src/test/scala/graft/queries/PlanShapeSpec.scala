@@ -389,6 +389,22 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     assert(leaky.isEmpty, s"d19 shuffles raw text:\n${leaky.mkString("\n")}")
   }
 
+  test("s18 index health: embeddings never shuffle — centroids broadcast, aggregates only") {
+    // The cosine pass is a map-side broadcast-centroid join over the
+    // scan; only (cell, count) partials and 1-row aggregates may move.
+    // An exchange input carrying the vector column v# means the corpus
+    // embeddings rode a shuffle the health report never needs.
+    val qe = queries("s18_index_health")(spark, sf).queryExecution
+    val inputs = PlanTestUtils.exchangeInputs(qe)
+    assert(inputs.nonEmpty, "expected the size/cosine aggregates in s18")
+    val vAttr = raw"(^|[\[,\s])v#".r
+    val leaky = inputs.filter(l => vAttr.findFirstIn(l).isDefined)
+    assert(leaky.isEmpty, s"s18 shuffles embeddings:\n${leaky.mkString("\n")}")
+    assert(PlanTestUtils.formatted(qe).contains("BroadcastExchange") ||
+      PlanTestUtils.formatted(qe).contains("BroadcastNestedLoopJoin"),
+      "s18 lost its broadcast joins")
+  }
+
   test("s17 probe sweep: one memoized candidate frame serves every sweep level") {
     // The sweep's design: candidates build ONCE (memoized) and each
     // probe level re-filters the cached frame — the plan must read
