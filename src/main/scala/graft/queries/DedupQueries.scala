@@ -576,6 +576,27 @@ object DedupQueries {
     mergeSpans(cut)
   }
 
+  /** DuckDB twin of [[mergeSpans]] — the pe→ns→sp chain plus the final
+    * span SELECT, over a `cut(doc_id, i, j)` CTE already in scope.
+    * Shared verbatim by the d20 and t24 oracles (the d15 splice rule:
+    * one definition of "merged span" on the SQL side too). */
+  private[graft] lazy val mergeSpansDuckTail = """pe AS (SELECT doc_id, i, j,
+               MAX(j) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             FROM cut),
+      ns AS (SELECT doc_id, i, j,
+               CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END AS new_span
+             FROM pe),
+      sp AS (SELECT doc_id, i, j,
+               SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_idx
+             FROM ns)
+      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+        CAST(MIN(i) AS BIGINT) AS start_word,
+        CAST(MAX(j) AS BIGINT) AS end_word,
+        CAST(MAX(j) - MIN(i) + 1 AS BIGINT) AS n_cut_words
+      FROM sp GROUP BY doc_id, span_idx ORDER BY doc_id, span_idx"""
+
   /** The d20 gaps-and-islands interval merge over any (doc_id, i, j)
     * frame — the spec seam: the synthetic near-dups are whole-document
     * copies (every doc merges to ONE span), so the multi-span and
@@ -1265,22 +1286,7 @@ object DedupQueries {
              HAVING COUNT(*) >= 2),
       cut AS (SELECT DISTINCT occ.doc_id, occ.i, occ.i + ${ChunkWords - 1} AS j
               FROM occ JOIN st ON st.wh = occ.wh WHERE occ.doc_id > st.keeper),
-      pe AS (SELECT doc_id, i, j,
-               MAX(j) OVER (PARTITION BY doc_id ORDER BY i
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-             FROM cut),
-      ns AS (SELECT doc_id, i, j,
-               CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END AS new_span
-             FROM pe),
-      sp AS (SELECT doc_id, i, j,
-               SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_idx
-             FROM ns)
-      SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
-        CAST(MIN(i) AS BIGINT) AS start_word,
-        CAST(MAX(j) AS BIGINT) AS end_word,
-        CAST(MAX(j) - MIN(i) + 1 AS BIGINT) AS n_cut_words
-      FROM sp GROUP BY doc_id, span_idx ORDER BY doc_id, span_idx"""),
+      $mergeSpansDuckTail"""),
       "span-removal manifest: maximal duplicated word spans to cut per doc (the ExactSubstr removal step; lowest-doc occurrence survives)"),
 
     "d15_drop_manifest" -> QueryDef(dropManifest, Some {

@@ -207,6 +207,50 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- t24 decontamination span removal ----
+
+  /** Window width for span-level decontamination: 8 consecutive words,
+    * the n-gram order published decontamination pipelines match on
+    * (GPT-3 appendix C uses 13-grams, PaLM 8-grams; the corpus's short
+    * docs make 8 the exercisable choice here). */
+  private val DecontamWindow = 8
+
+  /** t24: span-level DECONTAMINATION — t08 flags whole documents whose
+    * gram mass overlaps the eval slice; this emits the surgical
+    * variant every modern pipeline prefers (drop the overlapping
+    * PASSAGE, keep the document): every [[DecontamWindow]]-word window
+    * whose digest appears anywhere in the eval slice marks its word
+    * interval, and intervals merge into maximal cut spans via the
+    * SAME gaps-and-islands core as d20
+    * ([[DedupQueries.mergeSpans]] — one definition of "merged span"
+    * engine-wide; its Duck twin splices
+    * [[DedupQueries.mergeSpansDuckTail]] verbatim). Unlike d20 there
+    * is no keeper rule: eval text is cut from every training doc
+    * unconditionally.
+    *
+    * Scale shape: the eval side's distinct window digests broadcast
+    * (the t08 probe-side rule — the benchmark suite is small by
+    * definition); the corpus side is one scan-side digest projection
+    * joined map-side, so only matched (doc, offset) pairs reach the
+    * per-doc merge windows. */
+  private def decontamSpans(s: SparkSession, dir: String): DataFrame = {
+    val occ = docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= DecontamWindow)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(words) - ${DecontamWindow - 1}),
+            i -> md5(concat_ws(' ', slice(words, i, $DecontamWindow))))"""))
+        .as(Seq("pos0", "wh")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("i"), col("wh"))
+    val probes = occ.filter(col("doc_id") % 20 === 7)
+      .select(col("wh").as("pw")).distinct()
+    val cut = occ.filter(col("doc_id") % 20 =!= 7)
+      .join(broadcast(probes), col("wh") === col("pw"))
+      .select(col("doc_id"), col("i"), (col("i") + (DecontamWindow - 1)).as("j"))
+      .distinct()
+    DedupQueries.mergeSpans(cut)
+  }
+
   // ---- t09 repetition-based quality filter ----
   //
   // Gopher-style intra-document repetition rules: flag documents whose
@@ -1301,5 +1345,17 @@ object TextQueries {
         CAST(xent_u AS DOUBLE) / n_s / 1048576.0 AS xent,
         CAST(xent_u - ent_u AS DOUBLE) / n_s / 1048576.0 AS kl
       FROM x ORDER BY source"""),
-      "domain distance: per-source smoothed cross-entropy and KL vs the corpus mixture over hashed grams (the DoReMi mixture-design input)"))
+      "domain distance: per-source smoothed cross-entropy and KL vs the corpus mixture over hashed grams (the DoReMi mixture-design input)"),
+
+    "t24_decontam_spans" -> QueryDef(decontamSpans, Some(s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      occ AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                md5(array_to_string(words[i : i + ${DecontamWindow - 1}], ' ')) AS wh
+              FROM w, UNNEST(generate_series(1, len(words) - ${DecontamWindow - 1})) AS t(i)
+              WHERE len(words) >= $DecontamWindow),
+      pr AS (SELECT DISTINCT wh FROM occ WHERE doc_id % 20 = 7),
+      cut AS (SELECT DISTINCT occ.doc_id, occ.i, occ.i + ${DecontamWindow - 1} AS j
+              FROM occ JOIN pr ON pr.wh = occ.wh WHERE occ.doc_id % 20 <> 7),
+      ${DedupQueries.mergeSpansDuckTail}"""),
+      "span-level decontamination: maximal eval-overlapping word spans to cut per training doc (8-gram window match, no keeper)"))
 }

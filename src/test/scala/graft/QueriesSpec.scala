@@ -690,6 +690,28 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("t24 decontam spans: training docs only, in bounds, disjoint; eval slice untouched") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val spans = SparkEntry.queries("t24_decontam_spans")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.nonEmpty, "no eval-overlapping spans at sf0.001 — fixture drifted")
+    val lens = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spans.foreach { case (d, _, a, b, n) =>
+      assert(d % 20 != 7, s"doc $d is in the eval slice — decontam must cut training docs only")
+      assert(a >= 1 && b <= lens(d) && n == b - a + 1, s"doc $d span [$a,$b] out of bounds")
+    }
+    spans.groupBy(_._1).foreach { case (d, ss) =>
+      val ordered = ss.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (1L to ss.length).toSeq, s"doc $d span indices broken")
+      ordered.zip(ordered.tail).foreach { case (x, y) =>
+        assert(y._3 > x._4 + 1, s"doc $d spans touch — merge incomplete")
+      }
+    }
+  }
+
   test("m12 segments tile each media's frames: contiguous spans, alternating classes") {
     val rows = SparkEntry.queries("m12_energy_segments")(spark, sf)
       .collect()

@@ -448,6 +448,28 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     }
   }
 
+  test("t24 decontam spans: probe digests broadcast, no text in any shuffle, per-doc merge") {
+    // The t08 probe-side rule at span grain: the eval window-digest set
+    // must come back as a broadcast (a SortMergeJoin means the corpus
+    // digest stream got shuffled by digest to meet the probe set), and
+    // only digests + offsets may ride exchanges.
+    val qe = queries("t24_decontam_spans")(spark, sf).queryExecution
+    val text = PlanTestUtils.formatted(qe)
+    assert(!text.contains("SortMergeJoin"),
+      "t24 shuffle-joins the probe set; expected broadcast")
+    val wordsAttr = raw"(^|[\[,\s])words#".r
+    val inputs = PlanTestUtils.exchangeInputs(qe)
+    val leaky = inputs.filter(l => l.contains("text#") || wordsAttr.findFirstIn(l).isDefined)
+    assert(leaky.isEmpty, s"t24 shuffles raw text:\n${leaky.mkString("\n")}")
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the merge windows in t24")
+    windows.foreach { w =>
+      val partCols = w.partitionSpec.flatMap(_.references.map(_.name))
+      assert(partCols == Seq("doc_id"),
+        s"t24 merge window must partition by doc_id, got $partCols")
+    }
+  }
+
   test("d18 audit inherits the d15 contract: no shuffle carries document text") {
     val inputs = PlanTestUtils.exchangeInputs(
       queries("d18_residual_leakage")(spark, sf).queryExecution)
