@@ -87,6 +87,53 @@ object TrainingExport {
       .drop("__range", "__cum_in_range", "__offset")
   }
 
+  /** Concat-and-chunk SEQUENCE PACKING (the GPT-2/3 pretraining
+    * layout): documents concatenate in the deterministic hash order
+    * and the stream chunks into fixed `seqTokens`-token training
+    * sequences, so a document occupies the half-open token span
+    * `[cum − n, cum)` and therefore sequences
+    * `floor((cum−n)/seqTokens) .. floor((cum−1)/seqTokens)`. Returns
+    * the input plus (`h64`, `start_off`, `seq_first`, `seq_last`) —
+    * everything a writer needs to emit each doc's slices into its
+    * sequences, and everything an attribution audit needs to answer
+    * "which documents fed sequence k" WITHOUT materializing token
+    * streams. Same scale shape as [[assignShards]]: the one global
+    * ordering is a hierarchical prefix sum (per-range windows +
+    * broadcast offsets), never a single-partition sort. */
+  def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
+      seqTokens: Long, numRanges: Int, hash: Column): DataFrame = {
+    require(seqTokens > 0 && numRanges > 0)
+    val reserved = Seq("start_off", "seq_first", "seq_last",
+      "__range", "__cum_in_range", "__offset", "__cum")
+    val clash = docs.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"packSequences input already has column(s) ${clash.mkString(", ")} — " +
+        "rename them first; they would be silently overwritten/dropped")
+    val h = hash
+    val inRange = Window.partitionBy(col("__range"))
+      .orderBy(col("h64"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tagged = docs
+      .withColumn("h64", h)
+      .withColumn("__range", pmod(col("h64"), lit(numRanges.toLong)))
+      .withColumn("__cum_in_range", sum(col(tokenCol)).over(inRange))
+    val offsets = tagged.groupBy(col("__range"))
+      .agg(max(col("__cum_in_range")).as("__range_total"))
+      .withColumn("__offset",
+        coalesce(sum(col("__range_total")).over(
+          Window.orderBy(col("__range"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__range"), col("__offset"))
+    tagged
+      .join(broadcast(offsets), "__range")
+      .withColumn("__cum", col("__cum_in_range") + col("__offset"))
+      // integer div/pmod throughout (the assignShards 2^53 rule)
+      .withColumn("start_off", expr(s"pmod(__cum - `$tokenCol`, ${seqTokens}L)"))
+      .withColumn("seq_first", expr(s"(__cum - `$tokenCol`) div ${seqTokens}L"))
+      .withColumn("seq_last", expr(s"(__cum - 1) div ${seqTokens}L"))
+      .drop("__range", "__cum_in_range", "__offset", "__cum")
+  }
+
   /** [[assignShards]] then write JSONL partitioned by shard. */
   def writeShards(docs: DataFrame, idCol: String, tokenCol: String,
       shardTokens: Long, path: String): Unit =

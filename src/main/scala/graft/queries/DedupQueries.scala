@@ -255,6 +255,46 @@ object DedupQueries {
         round(col("jacc"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  private[graft] val EditSimTau = 0.8 // d21: normalized edit similarity to confirm a near-dup
+
+  /** d21: character-level EDIT-DISTANCE confirmation of the Jaccard-
+    * verified near-dup pairs — the last, most expensive stage of the
+    * prune cascade (LSH bands → hashed-gram Jaccard → Levenshtein).
+    * Gram Jaccard is order-insensitive: two docs sharing the same grams
+    * in shuffled order score high; Levenshtein is the order-sensitive
+    * confirmation production dedup applies before destructive drops
+    * (and the similarity definition most dedup papers report:
+    * 1 − dist/max(len)). Both engines run the classic code-point DP, so
+    * the integers — and the single double division derived from them —
+    * hash-match exactly.
+    *
+    * Scale shape: this is the one query where raw TEXT must meet a pair
+    * relation — an irreducible property of character-level verification,
+    * not a plan accident. The cost is bounded by construction: texts
+    * join only onto the memoized VERIFIED pairs (LSH-capped buckets,
+    * then Jaccard ≥ [[JaccThreshold]] — a vanishing fraction of the
+    * corpus), each side an equi-join by doc id that AQE resolves as
+    * broadcast once the pair side is measured small. The O(|a|·|b|) DP
+    * runs once per confirmed candidate, never per corpus row. */
+  private def editDistanceVerify(s: SparkSession, dir: String): DataFrame = {
+    val vp = jaccardPairs(s, dir).filter(col("jacc") >= JaccThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val t = docs(s, dir).select(col("doc_id"), col("text"))
+    vp.join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        length(col("ta")).cast(LongType).as("len_a"),
+        length(col("tb")).cast(LongType).as("len_b"),
+        levenshtein(col("ta"), col("tb")).cast(LongType).as("lev"))
+      .withColumn("edit_sim",
+        lit(1.0) - col("lev").cast(DoubleType) /
+          greatest(col("len_a"), col("len_b")).cast(DoubleType))
+      .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
+        col("lev"), col("edit_sim"),
+        (col("edit_sim") >= EditSimTau).as("confirmed"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   private[graft] val JaccThreshold = 0.7 // LSH s-curve midpoint (4 bands × 4 rows)
   private val MaxCcIters    = 50
 
@@ -1468,7 +1508,23 @@ object DedupQueries {
       FROM cand JOIN sim sa ON sa.doc_id = doc_a JOIN sim sb ON sb.doc_id = doc_b
       WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 2
       ORDER BY doc_a, doc_b"""),
-      "SimHash near-dup pairs (3x10-bit bands, hamming <= 2)"))
+      "SimHash near-dup pairs (3x10-bit bands, hamming <= 2)"),
+
+    "d21_editdist_verify" -> QueryDef(editDistanceVerify, Some(s"""$bandsDuckCte,
+      $verifiedPairsDuckCte,
+      et AS (SELECT vp.doc_a, vp.doc_b, da.text AS ta, db.text AS tb
+             FROM vp JOIN documents da ON da.doc_id = vp.doc_a
+                     JOIN documents db ON db.doc_id = vp.doc_b),
+      ed AS (SELECT doc_a, doc_b,
+               CAST(length(ta) AS BIGINT) AS len_a,
+               CAST(length(tb) AS BIGINT) AS len_b,
+               CAST(levenshtein(ta, tb) AS BIGINT) AS lev FROM et),
+      es AS (SELECT *, CAST(1.0 AS DOUBLE) - CAST(lev AS DOUBLE) / greatest(len_a, len_b)
+               AS edit_sim FROM ed)
+      SELECT doc_a, doc_b, len_a, len_b, lev, edit_sim,
+        (edit_sim >= CAST($EditSimTau AS DOUBLE)) AS confirmed
+      FROM es ORDER BY doc_a, doc_b"""),
+      "character-level edit-distance confirmation of the Jaccard-verified near-dup pairs (Levenshtein over candidate pairs only)"))
 
   /** Shared DuckDB CTE computing (doc_id, simhash) — twin of
     * [[simhashBase]] (trigram bit votes from the same polynomial hash). */

@@ -643,6 +643,89 @@ object SimilarityQueries {
       .orderBy(col("vec_id"), col("rnk"))
   }
 
+  private[graft] val LeakTau = 0.4 // s19 contamination flag: well above the corpus p99 cross-split cosine (~0.29)
+  private[graft] val EvalBucket = 98 // t14's validation/test buckets (hash % 100 >= 98)
+  private[graft] val LeakTopK = 3 // train neighbors reported per held-out doc
+
+  /** s19: embedding-space EVAL-SET DECONTAMINATION — for every held-out
+    * document (the t14 validation/test buckets, recomputed from the same
+    * `doc_id:split` content hash so the split rule can never drift), its
+    * top-[[LeakTopK]] nearest TRAINING-split neighbors in embedding
+    * space, flagged `leaked` when cosine ≥ [[LeakTau]]. This is the
+    * semantic complement of t09/t24's n-gram decontamination: paraphrased
+    * or lightly-rewritten eval leaks share no 3-gram but still sit on top
+    * of their source in embedding space (the reason GPT-3's n-gram decon
+    * famously missed dev-set paraphrases). The report always carries the
+    * full top-k — an auditor reads the margin between flagged and
+    * near-miss pairs, not just the flag.
+    *
+    * Scale shape: the HELD-OUT side is ~2% of the corpus by the split
+    * rule and broadcasts (the s01 exactTop5 discipline — query side
+    * broadcast, candidates stream); the training side is one scan, and
+    * the per-eval-doc window partitions by the (small) eval id, so no
+    * corpus-wide sort exists. At 100 TB the eval slice is fixed-size
+    * (a benchmark suite), making this exactly the bounded-Q serving
+    * contract AnnContractSpec pins. */
+  private def evalDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val split = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(col("doc_id").cast(StringType), lit(":split")).as("x"))
+      .select(col("doc_id"),
+        expr(s"${DedupQueries.shingleHashSpark} % 100").as("bucket"))
+    val e = vecs(s, dir).join(split, col("vec_id") === col("doc_id"))
+    val q = e.filter(col("bucket") >= EvalBucket)
+      .select(col("vec_id").as("e_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.filter(col("bucket") < EvalBucket)
+      .select(col("vec_id").as("t_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("e_id")).orderBy(col("cos").desc, col("t_id"))
+    broadcast(q).join(c, col("e_id") =!= col("t_id"))
+      .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= LeakTopK)
+      .select(col("e_id"), col("rnk"), col("t_id"), col("cos").as("cosine"),
+        (col("cos") >= LeakTau).as("leaked"))
+      .orderBy(col("e_id"), col("rnk"))
+  }
+
+  /** s20: kNN LABEL-CONSISTENCY audit — per label, the fraction of s16
+    * graph edges whose endpoint shares the query's label, plus the
+    * mutual-edge share. This is the standard embedding-space label-
+    * quality signal: a label whose consistency is far below the others
+    * is mislabeled or semantically incoherent (the per-class face of
+    * kNN label noise detection — Confident Learning's neighborhood
+    * agreement), and it doubles as the class-separability report an
+    * embedding upgrade is judged by.
+    *
+    * Scale shape: everything re-aggregates the session-memoized s16
+    * edge list (3N rows, no vector payload); the two label joins attach
+    * a 2-column projection of the corpus (broadcast-eligible under AQE),
+    * the mutual probe is the same self equi-join s16 ships, and the
+    * final rollup is one map-side-combinable groupBy over #labels rows.
+    * No vector arithmetic runs at all — the audit is free once the
+    * graph exists. */
+  private def knnLabelConsistency(s: SparkSession, dir: String): DataFrame = {
+    val knn = PersistedAggregates.memo(s, "s16_knn", dir) { knnEdges(s, dir) }
+    val lbl = vecs(s, dir).select(col("vec_id"), col("label"))
+    val rev = knn.select(col("c_id").as("q_id"), col("q_id").as("c_id"),
+      lit(true).as("mutual0"))
+    knn
+      .join(lbl.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
+      .join(lbl.select(col("vec_id").as("c_id"), col("label").as("c_label")), "c_id")
+      .join(rev, Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_label"))
+      .agg(
+        countDistinct(col("q_id")).as("n_vectors"),
+        count(lit(1)).as("n_edges"),
+        sum(when(col("q_label") === col("c_label"), 1L).otherwise(0L)).as("n_same_label"),
+        sum(when(col("mutual0").isNotNull, 1L).otherwise(0L)).as("n_mutual"))
+      .select(col("q_label").as("label"), col("n_vectors"), col("n_edges"),
+        col("n_same_label"),
+        (col("n_same_label").cast(DoubleType) / col("n_edges")).as("label_consistency"),
+        col("n_mutual"),
+        (col("n_mutual").cast(DoubleType) / col("n_edges")).as("mutual_share"))
+      .orderBy(col("label"))
+  }
+
   /** s18: the INDEX-HEALTH report — the one-row maintenance artifact
     * an IVF deployment monitors between rebuilds: live cell count vs
     * seeds (dead seeds = cells that attracted nothing during the fit),
@@ -1289,6 +1372,19 @@ object SimilarityQueries {
                 FROM sdp WHERE cos >= CAST($SemDedupTau AS DOUBLE)
                 GROUP BY cell, id_b)"""
 
+  /** DuckDB CTEs producing `k`, the in-cell top-[[KnnK]] kNN edge list —
+    * the oracle twin of [[knnEdges]], shared by s16 and s20 so the two
+    * queries' edge definitions can never drift. Splice after
+    * [[vecsDuckCte]] + [[ivfAsgDuckCte]]. */
+  private lazy val knnDuckCte: String = s"""
+      cells AS (SELECT n.vec_id, n.v, n.nrm, asg.cell
+                FROM n JOIN asg ON n.vec_id = asg.vec_id),
+      knp AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cosDuck AS cos
+        FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+      knr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM knp),
+      k AS (SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, cos FROM knr WHERE rnk <= $KnnK)"""
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef((s, d) => annBruteForce(s, d), Some(s"""$vecsDuckCte,
       p AS (
@@ -1582,13 +1678,7 @@ object SimilarityQueries {
 
     "s16_knn_graph" -> QueryDef(knnGraph, Some(s"""$vecsDuckCte,
       $ivfAsgDuckCte,
-      cells AS (SELECT n.vec_id, n.v, n.nrm, asg.cell
-                FROM n JOIN asg ON n.vec_id = asg.vec_id),
-      p AS (
-        SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cosDuck AS cos
-        FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
-      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM p),
-      k AS (SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, cos FROM r WHERE rnk <= $KnnK)
+      $knnDuckCte
       SELECT k.q_id AS vec_id, k.c_id AS nbr_id, k.rnk, k.cos AS cosine,
         (m.q_id IS NOT NULL) AS mutual
       FROM k LEFT JOIN k m ON m.q_id = k.c_id AND m.c_id = k.q_id
@@ -1665,5 +1755,37 @@ object SimilarityQueries {
         CAST(SUM(CAST(FLOOR(nrm * 1e6) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e6
           AS mean_norm_u
       FROM n GROUP BY label ORDER BY label"""),
-      "per-cluster embedding norm stats with exact checksum"))
+      "per-cluster embedding norm stats with exact checksum"),
+
+    "s19_eval_decontamination" -> QueryDef(evalDecontamination, Some(s"""$vecsDuckCte,
+      spx AS (SELECT doc_id, CAST(doc_id AS VARCHAR) || ':split' AS x FROM documents),
+      spb AS (SELECT doc_id, ${DedupQueries.shingleHashDuck} % 100 AS bucket FROM spx),
+      ev AS (SELECT n.vec_id, n.v, n.nrm FROM n JOIN spb ON spb.doc_id = n.vec_id
+             WHERE spb.bucket >= $EvalBucket),
+      tr AS (SELECT n.vec_id, n.v, n.nrm FROM n JOIN spb ON spb.doc_id = n.vec_id
+             WHERE spb.bucket < $EvalBucket),
+      lp AS (SELECT q.vec_id AS e_id, c.vec_id AS t_id, $cosDuck AS cos
+             FROM ev q, tr c),
+      lr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY e_id ORDER BY cos DESC, t_id) AS rnk
+             FROM lp)
+      SELECT e_id, CAST(rnk AS BIGINT) AS rnk, t_id, cos AS cosine,
+        (cos >= CAST($LeakTau AS DOUBLE)) AS leaked
+      FROM lr WHERE rnk <= $LeakTopK ORDER BY e_id, rnk"""),
+      "embedding-space eval-set decontamination: nearest training-split neighbors per held-out doc (t14 split), leak-flagged at cosine >= tau"),
+
+    "s20_knn_label_consistency" -> QueryDef(knnLabelConsistency, Some(s"""$vecsDuckCte,
+      $ivfAsgDuckCte,
+      $knnDuckCte,
+      kl AS (SELECT k.q_id, k.c_id, ql.label AS q_label, cl.label AS c_label,
+               (m.q_id IS NOT NULL) AS mutual
+             FROM k LEFT JOIN k m ON m.q_id = k.c_id AND m.c_id = k.q_id
+             JOIN n ql ON ql.vec_id = k.q_id JOIN n cl ON cl.vec_id = k.c_id)
+      SELECT q_label AS label, COUNT(DISTINCT q_id) AS n_vectors, COUNT(*) AS n_edges,
+        CAST(SUM(CASE WHEN q_label = c_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+        CAST(SUM(CASE WHEN q_label = c_label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+          AS label_consistency,
+        CAST(SUM(CASE WHEN mutual THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual,
+        CAST(SUM(CASE WHEN mutual THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS mutual_share
+      FROM kl GROUP BY q_label ORDER BY label"""),
+      "kNN label-consistency audit over the s16 graph: per-label neighborhood agreement + mutual-edge share (embedding label-noise signal)"))
 }

@@ -970,6 +970,166 @@ object TextQueries {
         col("avg_logw"), col("n_target_like"))
       .orderBy(col("source"))
 
+  // t25: PII patterns. Deliberately written WITHOUT backslash escapes
+  // ([.] not \., [+] not \+) so one pattern string is valid — and
+  // identical — in Java regex (Spark) and RE2 (DuckDB): Spark's SQL
+  // string literal would eat a lone backslash, DuckDB's would keep it,
+  // and the twins would silently diverge. Leftmost-greedy matching of
+  // these character-class-only patterns is identical in both engines.
+  private[queries] val PiiEmailPat = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+  private[queries] val PiiPhonePat = "[+]1-555-[0-9]{4}"
+  private[queries] val PiiIpPat    = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+
+  /** t25: PII DETECTION + REDACTION manifest — the compliance pass every
+    * production corpus runs before training: regex detectors for emails,
+    * phone numbers, and IPv4 addresses, span redaction to typed
+    * placeholders, rolled up per source (docs affected, hits by type,
+    * characters removed). The driver corpus is digit-free word salad, so
+    * the fixture plants deterministic PII spans derived from `doc_id`
+    * (both engines synthesize the identical corpus — the planted-dup
+    * convention); the OPERATOR — scan, count, redact, audit — is the
+    * real pipeline stage and runs over arbitrary text.
+    *
+    * Scale shape: detection and redaction are row-local regex passes
+    * fused into the scan projection (no shuffle touches raw or redacted
+    * text — only per-source counters move); the rollup is one
+    * map-side-combinable groupBy over #sources rows. At 100 TB this is
+    * scan-bound, which is exactly what a redaction pass should be. */
+  private def piiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val px = docs(s, dir).select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+            lit(" today"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" from 192.168."), (col("doc_id") % 256).cast(StringType),
+            lit(".7"))).otherwise(lit(""))).as("text"))
+    px
+      .withColumn("n_em", size(regexp_extract_all(col("text"), lit(PiiEmailPat), lit(0))).cast(LongType))
+      .withColumn("n_ph", size(regexp_extract_all(col("text"), lit(PiiPhonePat), lit(0))).cast(LongType))
+      .withColumn("n_ip", size(regexp_extract_all(col("text"), lit(PiiIpPat), lit(0))).cast(LongType))
+      .withColumn("red", regexp_replace(regexp_replace(regexp_replace(col("text"),
+        PiiEmailPat, "<EMAIL>"), PiiPhonePat, "<PHONE>"), PiiIpPat, "<IP>"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_em") + col("n_ph") + col("n_ip") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum(col("n_em")).as("n_emails"),
+        sum(col("n_ph")).as("n_phones"),
+        sum(col("n_ip")).as("n_ips"),
+        sum((length(col("text")) - length(col("red"))).cast(LongType))
+          .as("chars_removed"))
+      .withColumn("pii_rate", col("docs_with_pii").cast(DoubleType) / col("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** t26: PER-SOURCE N-GRAM NOVELTY — the marginal-utility curve of data
+    * acquisition: with sources processed in name order, how many of each
+    * source's distinct trigrams are FIRST seen there vs already covered
+    * by earlier sources. This is the dedup-aware answer to "what does
+    * adding this crawl actually buy us" (the corpus-growth saturation
+    * measurement behind data-scaling audits), computed on the same
+    * hashed-trigram vocabulary d03/t09 use, so "novel" means exactly
+    * what the dedup family means by it.
+    *
+    * Scale shape: one documents scan feeds the fused gram-hash
+    * projection; per-(source, gram) incidence is a map-side-combinable
+    * groupBy carrying only BIGINT digests; first-seen attribution is a
+    * window over the gram key whose partitions hold ≤ #sources rows
+    * (spillable, bounded fanout — never a corpus-wide sort); the final
+    * rollup is #sources rows. No raw text ever shuffles. */
+  private def sourceNovelty(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sg = docs(s, dir)
+      .select(col("source"), explode(expr(DedupQueries.gramHashSpark)).as("g"))
+      .groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("n_docs_with_gram"))
+    val w = Window.partitionBy(col("g"))
+    sg.withColumn("first_source", min(col("source")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("n_docs_with_gram")).as("n_gram_doc_pairs"),
+        sum(when(col("first_source") === col("source"), 1L).otherwise(0L))
+          .as("n_new_grams"))
+      .withColumn("novelty", col("n_new_grams").cast(DoubleType) / col("n_grams"))
+      .orderBy(col("source"))
+  }
+
+  private[queries] val SeqTokens = 512L // t27: training sequence length (context window)
+
+  /** t27: SEQUENCE PACKING — the last transform before tokens hit the
+    * trainer: documents concatenate in the SAME deterministic hash
+    * order t15 shards by (one global order engine-wide — a shard holds
+    * a contiguous run of sequences) and the stream chunks into fixed
+    * [[SeqTokens]]-token training sequences (GPT-style
+    * concat-and-chunk). The manifest answers both directions of the
+    * attribution question production needs — which sequences hold doc
+    * d (provenance / takedown), which docs feed sequence k (loss-spike
+    * forensics) — without materializing a single token stream.
+    *
+    * Scale shape: [[graft.operators.TrainingExport.packSequences]] —
+    * the hierarchical prefix sum (per-range windows + broadcast range
+    * offsets), so the one global ordering never funnels through one
+    * partition; everything after the cum column is row-local integer
+    * div/mod (exact past 2^53, the assignShards rule). */
+  private def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val toks = docs(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("x", concat(col("doc_id").cast(StringType), lit(":shard")))
+      .withColumn("h64", expr(DedupQueries.shingleHashSpark))
+      .select(col("doc_id"), col("n_tokens"), col("h64"))
+    graft.operators.TrainingExport
+      .packSequences(toks, "doc_id", "n_tokens", SeqTokens, ShardRanges, col("h64"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        col("seq_first"), col("seq_last"),
+        (col("seq_last") - col("seq_first") + lit(1L)).as("n_seqs"),
+        (col("seq_last") > col("seq_first")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] val MixScale = 1048576L    // 2^20 — the s18/t18 integerization scale
+  private[queries] val MixBudgetTokens = 1000000L // t28: target tokens drawn per epoch-plan
+
+  /** t28: TEMPERATURE-SCALED MIXTURE PLAN — the sampling schedule a
+    * multi-source run trains with: per source, the raw token share, the
+    * α-temperature-scaled sampling weight p_s ∝ n_s^α (the
+    * mBERT/XLM-R exponent-smoothing that up-weights small sources so
+    * big crawls don't drown them), the tokens drawn from a
+    * [[MixBudgetTokens]] budget, and the implied epochs over each
+    * source (>1 = that source repeats). α is fixed at 0.5 because
+    * n^0.5 is `sqrt` — IEEE CORRECTLY-ROUNDED on both engines, unlike
+    * the general `pow` whose cross-engine rounding is unspecified —
+    * so the weights integerize exactly (floor(sqrt·2^20+0.5), the s18
+    * rule) and the whole plan stays hash-checked; a production pipeline
+    * swaps the exponent, not the shape.
+    *
+    * Scale shape: one map-side-combinable per-source rollup, then
+    * #sources rows cross a broadcast 1-row total — nothing after the
+    * first aggregate touches doc-grain data. */
+  private def mixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("w_u",
+        floor(sqrt(col("n_tokens").cast(DoubleType)) * MixScale + 0.5).cast(LongType))
+    val tot = g.agg(sum(col("n_tokens")).as("corpus_tokens"),
+      sum(col("w_u")).as("w_tot"))
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast(DoubleType) / col("corpus_tokens")).as("raw_share"),
+        (col("w_u").cast(DoubleType) / col("w_tot")).as("sample_weight"),
+        expr(s"(w_u * ${MixBudgetTokens}L) div w_tot").as("tokens_drawn"),
+        (expr(s"(w_u * ${MixBudgetTokens}L) div w_tot").cast(DoubleType) /
+          col("n_tokens")).as("epochs"))
+      .orderBy(col("source"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_doc_quality" -> QueryDef(docQuality, Some(s"""$statsDuckCte
       SELECT doc_id, n_tokens,
@@ -1357,5 +1517,102 @@ object TextQueries {
       cut AS (SELECT DISTINCT occ.doc_id, occ.i, occ.i + ${DecontamWindow - 1} AS j
               FROM occ JOIN pr ON pr.wh = occ.wh WHERE occ.doc_id % 20 <> 7),
       ${DedupQueries.mergeSpansDuckTail}"""),
-      "span-level decontamination: maximal eval-overlapping word spans to cut per training doc (8-gram window match, no keeper)"))
+      "span-level decontamination: maximal eval-overlapping word spans to cut per training doc (8-gram window match, no keeper)"),
+
+    "t25_pii_redaction" -> QueryDef(piiRedaction, Some(s"""
+      WITH px AS (
+        SELECT doc_id, source, text ||
+          CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+               ELSE '' END ||
+          CASE WHEN doc_id % 11 = 0
+               THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+               ELSE '' END ||
+          CASE WHEN doc_id % 13 = 0
+               THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               ELSE '' END AS text
+        FROM documents),
+      det AS (
+        SELECT source, text,
+          len(regexp_extract_all(text, '$PiiEmailPat')) AS n_em,
+          len(regexp_extract_all(text, '$PiiPhonePat')) AS n_ph,
+          len(regexp_extract_all(text, '$PiiIpPat')) AS n_ip,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '$PiiEmailPat', '<EMAIL>', 'g'),
+            '$PiiPhonePat', '<PHONE>', 'g'),
+            '$PiiIpPat', '<IP>', 'g') AS red
+        FROM px)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN n_em + n_ph + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS docs_with_pii,
+        CAST(SUM(n_em) AS BIGINT) AS n_emails,
+        CAST(SUM(n_ph) AS BIGINT) AS n_phones,
+        CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+        CAST(SUM(length(text) - length(red)) AS BIGINT) AS chars_removed,
+        CAST(SUM(CASE WHEN n_em + n_ph + n_ip > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*) AS pii_rate
+      FROM det GROUP BY source ORDER BY source"""),
+      "PII detection + redaction manifest: per-source email/phone/IP hits, docs affected, characters removed (regex scan + typed-placeholder redaction)"),
+
+    "t26_source_novelty" -> QueryDef(sourceNovelty, Some(s"""
+      WITH wsrc AS (SELECT doc_id, source, text, string_split(text, ' ') AS words
+                    FROM documents),
+      sx AS (SELECT doc_id, source, UNNEST(${DedupQueries.gramsDuck}) AS x FROM wsrc),
+      vx AS (SELECT source, ${DedupQueries.shingleHashDuck} AS v FROM sx),
+      sg AS (SELECT source, v, COUNT(*) AS ndoc FROM vx GROUP BY source, v),
+      fs AS (SELECT source, v, ndoc, MIN(source) OVER (PARTITION BY v) AS first_source
+             FROM sg)
+      SELECT source, COUNT(*) AS n_grams,
+        CAST(SUM(ndoc) AS BIGINT) AS n_gram_doc_pairs,
+        CAST(SUM(CASE WHEN first_source = source THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_new_grams,
+        CAST(SUM(CASE WHEN first_source = source THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*) AS novelty
+      FROM fs GROUP BY source ORDER BY source"""),
+      "per-source n-gram novelty: distinct trigrams first seen in each source under name-order ingestion (the marginal-utility-of-data curve)"),
+
+    "t27_sequence_packing" -> QueryDef(sequencePacking, Some(s"""
+      WITH sx AS (
+        SELECT doc_id, text, CAST(doc_id AS VARCHAR) || ':shard' AS x
+        FROM documents),
+      t AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          ${DedupQueries.shingleHashDuck} AS h64
+        FROM sx),
+      c AS (
+        SELECT doc_id, n_tokens, h64,
+          SUM(n_tokens) OVER (ORDER BY h64 % $ShardRanges, h64, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+      SELECT doc_id, n_tokens,
+        CAST((cum - n_tokens) % $SeqTokens AS BIGINT) AS start_off,
+        CAST((cum - n_tokens) // $SeqTokens AS BIGINT) AS seq_first,
+        CAST((cum - 1) // $SeqTokens AS BIGINT) AS seq_last,
+        CAST((cum - 1) // $SeqTokens - (cum - n_tokens) // $SeqTokens + 1 AS BIGINT)
+          AS n_seqs,
+        ((cum - 1) // $SeqTokens > (cum - n_tokens) // $SeqTokens) AS split
+      FROM c ORDER BY doc_id"""),
+      "concat-and-chunk sequence packing: each doc's span across fixed 512-token training sequences in the t15 hash order (provenance both directions)"),
+
+    "t28_mixture_plan" -> QueryDef(mixturePlan, Some(s"""
+      WITH t AS (
+        SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      g AS (SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+            FROM t GROUP BY source),
+      u AS (SELECT *,
+              CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * CAST($MixScale AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w_u
+            FROM g),
+      tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens,
+                CAST(SUM(w_u) AS BIGINT) AS w_tot FROM u)
+      SELECT source, n_docs, n_tokens,
+        CAST(n_tokens AS DOUBLE) / corpus_tokens AS raw_share,
+        CAST(w_u AS DOUBLE) / w_tot AS sample_weight,
+        CAST((w_u * $MixBudgetTokens) // w_tot AS BIGINT) AS tokens_drawn,
+        CAST((w_u * $MixBudgetTokens) // w_tot AS DOUBLE) / n_tokens AS epochs
+      FROM u, tot ORDER BY source"""),
+      "temperature-scaled (alpha=0.5) mixture plan: per-source sampling weights, token draws, and implied epochs from exact integerized sqrt weights"))
 }

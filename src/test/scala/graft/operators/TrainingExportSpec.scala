@@ -73,6 +73,53 @@ class TrainingExportSpec extends graft.streaming.SparkTestBase {
     }
   }
 
+  test("packSequences matches a sequential concat-and-chunk reference on random corpora") {
+    // Same reference discipline as the shard test: re-derive the global
+    // order, walk it sequentially maintaining the token cursor, and
+    // demand identical (start_off, seq_first, seq_last) per doc.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 3) {
+      val ctx = Seq(64L, 512L, 4096L)(trial - 1)
+      val docs = (0 until 400).map(i => (i.toLong + trial * 10000, 1L + rnd.nextInt(199).toLong))
+        .toDF("doc_id", "toks")
+      val out = TrainingExport.packSequences(docs, "doc_id", "toks", ctx, 16,
+        abs(xxhash64(col("doc_id"))))
+        .select(col("doc_id"), col("toks"), col("h64"),
+          col("start_off"), col("seq_first"), col("seq_last"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      val ordered = out.sortBy { case (id, _, h, _, _, _) =>
+        (((h % 16) + 16) % 16, h, id)
+      }
+      var cursor = 0L
+      ordered.foreach { case (id, toks, _, off, first, last) =>
+        assert(off == cursor % ctx, s"trial $trial doc $id: start_off")
+        assert(first == cursor / ctx, s"trial $trial doc $id: seq_first")
+        assert(last == (cursor + toks - 1) / ctx, s"trial $trial doc $id: seq_last")
+        cursor += toks
+      }
+    }
+  }
+
+  test("packSequences is deterministic under repartitioning and tiles the stream") {
+    val out = TrainingExport.packSequences(docs, "doc_id", "n_chars", 1000L, 256,
+      abs(xxhash64(col("doc_id"))))
+    val again = TrainingExport.packSequences(docs.repartition(7), "doc_id", "n_chars",
+      1000L, 256, abs(xxhash64(col("doc_id"))))
+    val a = out.select("doc_id", "seq_first", "seq_last").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val b = again.select("doc_id", "seq_first", "seq_last").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(a == b, "sequence assignment changed under repartitioning")
+    // the chunked stream tiles: total tokens pin the last sequence id
+    val total = docs.agg(sum("n_chars")).collect().head.getLong(0)
+    val maxLast = out.agg(max("seq_last")).collect().head.getLong(0)
+    assert(maxLast == (total - 1) / 1000L, "sequence ids do not tile the token stream")
+  }
+
   test("writeShards produces shard-partitioned JSONL that round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
     try {

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Semantic contracts for the round-13 curation-audit queries (d21,
+  * s19, s20, t25, t26) — the invariants the value-level oracle can't
+  * express because they relate a query's output to OTHER relations
+  * (planted fixtures, sibling queries, the raw tables). */
+class CurationAuditSpec extends graft.streaming.SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  test("d21: every Jaccard-verified pair is scored, similarity is the exact lev/max-len ratio") {
+    val rows = q("d21_editdist_verify")
+      .select("doc_a", "doc_b", "len_a", "len_b", "lev", "edit_sim", "confirmed")
+      .collect()
+    assert(rows.nonEmpty, "planted near-dups must produce verified pairs")
+    rows.foreach { r =>
+      val (lenA, lenB, lev, sim, confirmed) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6))
+      assert(lev >= math.abs(lenA - lenB) && lev <= math.max(lenA, lenB),
+        s"levenshtein out of its length bounds: $r")
+      assert(sim == 1.0 - lev.toDouble / math.max(lenA, lenB),
+        s"edit_sim is not the declared ratio: $r")
+      assert(confirmed == (sim >= DedupQueries.EditSimTau))
+    }
+    // the cascade narrows: d21 scores exactly the pairs d07 clusters
+    // (the unrounded memoized relation, not d04's display-rounded column)
+    val nVerified = DedupQueries.jaccardPairs(spark, sf)
+      .filter(col("jacc") >= DedupQueries.JaccThreshold).count()
+    assert(rows.length.toLong == nVerified,
+      s"d21 scored ${rows.length} pairs, Jaccard verified $nVerified")
+  }
+
+  test("s19: held-out and training sides are disjoint, top-k dense, leak flag is the tau cut") {
+    val rows = q("s19_eval_decontamination").collect()
+    assert(rows.nonEmpty)
+    val evalIds = rows.map(_.getLong(0)).toSet
+    val trainIds = rows.map(_.getLong(2)).toSet
+    assert(evalIds.intersect(trainIds).isEmpty,
+      "a doc appears on both sides of the split")
+    // dense ranks 1..k per held-out doc, cosines non-increasing
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq ==
+        (1L to SimilarityQueries.LeakTopK.toLong))
+      val cosines = byRank.map(_.getDouble(3)).toSeq
+      assert(cosines == cosines.sorted.reverse, "cosines not ranked")
+    }
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (r.getDouble(3) >= SimilarityQueries.LeakTau))
+    }
+  }
+
+  test("s20: per-label edge accounting is closed over the s16 graph") {
+    val audit = q("s20_knn_label_consistency").collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      val (nVec, nEdges, nSame, nMutual) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(nEdges <= nVec * SimilarityQueries.KnnK,
+        s"more edges than k per vector allows: $r")
+      assert(nSame <= nEdges && nMutual <= nEdges)
+      assert(r.getDouble(4) == nSame.toDouble / nEdges)
+      assert(r.getDouble(6) == nMutual.toDouble / nEdges)
+    }
+    // edge totals must equal the s16 graph partitioned by query label
+    val graphEdges = q("s16_knn_graph").count()
+    assert(audit.map(_.getLong(2)).sum == graphEdges,
+      "audit edge totals do not partition the s16 graph")
+  }
+
+  test("t25: planted PII is found exactly — one hit per planted span, all of it redacted") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val rows = q("t25_pii_redaction").collect()
+    assert(rows.map(_.getLong(3)).sum == docs.count(_ % 7 == 0), "email hits")
+    assert(rows.map(_.getLong(4)).sum == docs.count(_ % 11 == 0), "phone hits")
+    assert(rows.map(_.getLong(5)).sum == docs.count(_ % 13 == 0), "ip hits")
+    val expectAffected = docs.count(d => d % 7 == 0 || d % 11 == 0 || d % 13 == 0)
+    assert(rows.map(_.getLong(2)).sum == expectAffected, "docs_with_pii")
+    // redaction strictly shrinks every planted span (spans are longer
+    // than their placeholders by construction)
+    assert(rows.map(_.getLong(6)).sum > 0, "no characters removed")
+  }
+
+  test("t26: novelty partitions the vocabulary — first sources sum to the distinct gram count") {
+    val rows = q("t26_source_novelty").collect()
+    assert(rows.nonEmpty)
+    val firstSource = rows.map(_.getString(0)).min
+    val first = rows.find(_.getString(0) == firstSource).get
+    assert(first.getDouble(4) == 1.0,
+      "the first-ingested source must be 100% novel")
+    graft.functions.GraftFunctions.register(spark)
+    val totalDistinct = graft.Tables.documents(spark, sf)
+      .select(explode(expr("array_distinct(graft_gramhash(text))")).as("g"))
+      .agg(countDistinct(col("g"))).collect().head.getLong(0)
+    assert(rows.map(_.getLong(3)).sum == totalDistinct,
+      "every distinct gram must be attributed to exactly one first source")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), s"more new grams than grams: $r")
+    }
+  }
+
+  test("t27: per-doc spans are internally consistent and tile the concatenated stream") {
+    val rows = q("t27_sequence_packing").collect()
+    assert(rows.nonEmpty)
+    val ctx = TextQueries.SeqTokens
+    rows.foreach { r =>
+      val (n, off, first, last, nSeqs, split) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))
+      assert(off >= 0 && off < ctx, s"start_off out of range: $r")
+      // the doc's local span re-derives its sequence count
+      assert(last - first == (off + n - 1) / ctx, s"span inconsistent: $r")
+      assert(nSeqs == last - first + 1 && split == (nSeqs > 1))
+    }
+    val total = rows.map(_.getLong(1)).sum
+    assert(rows.map(_.getLong(4)).max == (total - 1) / ctx,
+      "max seq_last must pin the total token stream length")
+  }
+
+  test("t28: weights normalize, the budget is exhausted, temperature flattens toward the mean") {
+    val rows = q("t28_mixture_plan").collect()
+    assert(rows.length > 1)
+    val weightSum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(weightSum - 1.0) < 1e-9, s"sample weights sum to $weightSum")
+    val drawn = rows.map(_.getLong(5)).sum
+    val budget = TextQueries.MixBudgetTokens
+    assert(drawn <= budget && drawn > budget - rows.length * 2,
+      s"floor-rounded draws $drawn stray from budget $budget")
+    // sqrt temperature flattens: the largest source loses share, the
+    // smallest gains (strict unless all sources are equal-sized)
+    val byTokens = rows.sortBy(_.getLong(2))
+    assert(byTokens.last.getDouble(4) <= byTokens.last.getDouble(3),
+      "largest source must not gain share under temperature")
+    assert(byTokens.head.getDouble(4) >= byTokens.head.getDouble(3),
+      "smallest source must not lose share under temperature")
+  }
+}

@@ -479,6 +479,109 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     assert(leaky.isEmpty, s"d18 shuffles raw text:\n${leaky.mkString("\n")}")
   }
 
+  test("t25 PII redaction: raw and redacted text die at the scan — only per-source counters shuffle") {
+    // Detection and redaction are row-local regex passes fused into the
+    // scan projection; the only Exchange is the #sources-row rollup. An
+    // Input line carrying text/red means the corpus (twice!) shuffled.
+    val inputs = PlanTestUtils.exchangeInputs(
+      queries("t25_pii_redaction")(spark, sf).queryExecution)
+    assert(inputs.nonEmpty, "expected the per-source rollup shuffle in t25")
+    val leaky = inputs.filter(l => l.contains("text#") || l.contains("red#"))
+    assert(leaky.isEmpty, s"t25 shuffles document text:\n${leaky.mkString("\n")}")
+  }
+
+  test("t26 source novelty: digest-only shuffles, first-seen window bounded by the gram key") {
+    // (source, gram-hash) rows are all that move; the attribution window
+    // partitions by the gram key (<= #sources rows per partition), so no
+    // corpus-wide sort and no text on the wire.
+    val df = queries("t26_source_novelty")(spark, sf)
+    val inputs = PlanTestUtils.exchangeInputs(df.queryExecution)
+    assert(inputs.nonEmpty, "expected digest shuffles in t26")
+    val leaky = inputs.filter(l => l.contains("text#") || l.contains("words#"))
+    assert(leaky.isEmpty, s"t26 shuffles raw text:\n${leaky.mkString("\n")}")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w }
+    assert(windows.nonEmpty && windows.forall(
+      _.partitionSpec.exists(_.references.exists(_.name == "g"))),
+      "t26's window must partition by the gram key")
+  }
+
+  test("s19 decontamination: held-out side broadcasts, window partitions by the eval id") {
+    // The s01 discipline: the ~2% eval slice is the broadcast side of a
+    // nested-loop join; training vectors stream through it. The ranking
+    // window partitions by e_id (small side), never a global sort.
+    val text = PlanTestUtils.formatted(
+      queries("s19_eval_decontamination")(spark, sf).queryExecution)
+    assert(text.contains("BroadcastNestedLoopJoin"),
+      "s19 lost the broadcast-query join shape")
+    assert(!text.contains("CartesianProduct"))
+  }
+
+  test("s20 label audit: no vector payload in any shuffle — graph + 2-column label joins only") {
+    // The audit re-aggregates the memoized s16 edge list; embeddings
+    // contribute only (vec_id, label). An Exchange carrying v# means
+    // vector arithmetic re-entered a query that needs none.
+    val inputs = PlanTestUtils.exchangeInputs(
+      queries("s20_knn_label_consistency")(spark, sf).queryExecution)
+    val leaky = inputs.filter(l => l.contains(" v#") || l.contains("[v#"))
+    assert(leaky.isEmpty, s"s20 shuffles embedding vectors:\n${leaky.mkString("\n")}")
+  }
+
+  test("d21 edit verify: DP runs row-local above bounded pair joins — no cartesian, memoized pairs") {
+    // Text meets the pair relation through two equi-joins keyed by doc
+    // id, bounded by the memoized Jaccard-verified pairs; the Levenshtein
+    // DP is a projection, never a join condition, and nothing plans as a
+    // cartesian product.
+    val df = queries("d21_editdist_verify")(spark, sf)
+    val text = PlanTestUtils.formatted(df.queryExecution)
+    assert(!text.contains("CartesianProduct"),
+      "d21 planned a cartesian product")
+    assert(text.contains("levenshtein"), "expected the levenshtein projection")
+    assert(text.contains("InMemoryTableScan") || text.contains("TableCacheQueryStage"),
+      "d21 must reuse the memoized jacc_pairs relation")
+  }
+
+  test("t27 sequence packing: hierarchical prefix sum — corpus window per range, offsets broadcast") {
+    // The one global ordering must never funnel through a single
+    // partition: the corpus-side running sum partitions by __range, and
+    // the only empty-partition window runs over the numRanges-row
+    // offsets aggregate (the t12 bounded-cardinality rule). The offsets
+    // then join back as a broadcast, and no shuffle carries text.
+    val df = queries("t27_sequence_packing")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    val (global, ranged) = windows.partition(_.partitionSpec.isEmpty)
+    // the tagged frame plans twice (corpus side + inside the offsets
+    // aggregate), so >=1 ranged window — what matters is that EVERY
+    // corpus-grain window partitions by __range
+    assert(ranged.nonEmpty && ranged.forall(
+      _.partitionSpec.flatMap(_.references.map(_.name)) == Seq("__range")),
+      "the corpus prefix sum must partition by __range")
+    assert(global.length == 1, "expected exactly the offsets window")
+    def containsAggregate(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectFirst { case a: Aggregate => a }.isDefined
+    assert(containsAggregate(global.head.child),
+      "the empty-partition window must run over the per-range totals aggregate")
+    val text = PlanTestUtils.formatted(df.queryExecution)
+    assert(text.contains("BroadcastExchange") || text.contains("BroadcastHashJoin"),
+      "range offsets must broadcast back onto the corpus")
+    val leaky = PlanTestUtils.exchangeInputs(df.queryExecution)
+      .filter(l => l.contains("text#") || l.contains("x#"))
+    assert(leaky.isEmpty, s"t27 shuffles raw text:\n${leaky.mkString("\n")}")
+  }
+
+  test("t28 mixture plan: doc grain dies at the first aggregate; the total joins as broadcast") {
+    // After the per-source rollup only #sources rows exist; the 1-row
+    // total must come back as a broadcast, never a shuffle join, and no
+    // Exchange may carry text.
+    val df = queries("t28_mixture_plan")(spark, sf)
+    val text = PlanTestUtils.formatted(df.queryExecution)
+    assert(text.contains("BroadcastNestedLoopJoin") || text.contains("BroadcastExchange"),
+      "t28 lost the broadcast-total join")
+    val leaky = PlanTestUtils.exchangeInputs(df.queryExecution)
+      .filter(_.contains("text#"))
+    assert(leaky.isEmpty, s"t28 shuffles raw text:\n${leaky.mkString("\n")}")
+  }
+
   test("plan fingerprints: stable across rebuilds, distinct across queries, volatile-token-free") {
     // The bench artifact's `plans` map is only useful if the same
     // logical query always hashes identically: expression ids are a
