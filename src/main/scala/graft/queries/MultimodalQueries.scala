@@ -485,6 +485,49 @@ object MultimodalQueries {
       FROM mr WHERE rn = 1 ORDER BY cluster_id"""),
       "media survivors: per-cluster keeper by largest payload (the keep-the-best-copy rule), min id tiebreak"),
 
+    "m13_media_curation_card" -> QueryDef(mediaCurationCard, Some(s"""
+      WITH RECURSIVE $m07DuckCte,
+      $m08DuckCte,
+      $mediaCcDuckCte,
+      mbase AS (
+        SELECT doc_id AS media_id, $kindDuck AS kind,
+          CAST(length(text) AS BIGINT) AS payload_bytes,
+          CAST(16 + doc_id % 113 AS BIGINT) AS w,
+          CAST(16 + doc_id % 71 AS BIGINT) AS h,
+          CAST(n_chars * 10 AS BIGINT) AS dur
+        FROM documents),
+      mtok AS (
+        SELECT media_id, kind, payload_bytes,
+          CASE kind
+            WHEN 'image' THEN ((w + 13) // 14) * ((h + 13) // 14)
+            WHEN 'audio' THEN (dur + 79) // 80
+            ELSE ((dur + 999) // 1000) * ((w + 27) // 28) * ((h + 27) // 28)
+          END AS est_tokens
+        FROM mbase),
+      mjj AS (SELECT mlab.media, mlab.cluster, b.payload_bytes
+              FROM mlab JOIN mtok b ON b.media_id = mlab.media),
+      mkeep AS (SELECT cluster, media,
+                  ROW_NUMBER() OVER (PARTITION BY cluster
+                                     ORDER BY payload_bytes DESC, media) AS rn
+                FROM mjj),
+      mdrop AS (SELECT media FROM mkeep WHERE rn > 1)
+      SELECT kind, COUNT(*) AS n_media,
+        CAST(COUNT(*) - SUM(CASE WHEN d.media IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(SUM(CASE WHEN d.media IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dropped,
+        CAST(SUM(payload_bytes) AS BIGINT) AS payload_bytes,
+        CAST(SUM(CASE WHEN d.media IS NULL THEN payload_bytes ELSE 0 END) AS BIGINT)
+          AS kept_bytes,
+        CAST(SUM(est_tokens) AS BIGINT) AS est_tokens,
+        CAST(SUM(CASE WHEN d.media IS NULL THEN est_tokens ELSE 0 END) AS BIGINT)
+          AS kept_tokens,
+        CAST(SUM(CASE WHEN d.media IS NULL THEN est_tokens ELSE 0 END) AS DOUBLE)
+          / SUM(est_tokens) AS kept_token_share
+      FROM mtok t LEFT JOIN mdrop d ON d.media = t.media_id
+      GROUP BY kind ORDER BY kind"""),
+      "media curation card: per-modality pre/post-dedup counts, payload bytes, and m04 token budget after the m09/m10 drop rule"),
+
     "m11_scene_segments" -> QueryDef(sceneSegments, Some("""
       WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
       f AS (SELECT doc_id AS media_id,
@@ -621,6 +664,62 @@ object MultimodalQueries {
     * Scale shape: the struct-argmax per cluster is map-side
     * combinable (the d12/M4 pattern, never a window); the byte-length
     * join touches only clustered media (≪ corpus). */
+  /** m13: the MEDIA CURATION CARD — the d16 dataset-card analog for the
+    * media families: per modality, pre- vs post-dedup counts, payload
+    * bytes, and the m04 estimated-token budget after the m09/m10 drop
+    * rule (non-keeper members of every near-dup cluster drop). This is
+    * the sign-off artifact a multimodal training run reads: how many
+    * tokens of each modality actually survive curation, and what
+    * fraction of the raw budget dedup reclaimed. Composes the SAME
+    * relations m09/m10 ship — labels from [[mediaClusterLabels]], the
+    * keeper rule verbatim — so card and survivor manifest cannot drift
+    * (the d15/d16 no-drift rule; the Duck twin splices the m07/m08/CC
+    * chains).
+    *
+    * Scale shape: tokens and bytes are metadata/scan-local arithmetic
+    * (the m04 rule — payload never decoded); the drop set is
+    * cluster-bounded (≪ corpus) and broadcasts onto the per-modality
+    * rollup; the final aggregate is 3 rows. */
+  private def mediaCurationCard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val tokens = when(col("kind") === "image",
+        expr("(CAST(meta.width AS BIGINT) + 13) div 14") *
+        expr("(CAST(meta.height AS BIGINT) + 13) div 14"))
+      .when(col("kind") === "audio", expr("(meta.durationMs + 79) div 80"))
+      .otherwise(expr("(meta.durationMs + 999) div 1000") *
+        expr("(CAST(meta.width AS BIGINT) + 27) div 28") *
+        expr("(CAST(meta.height AS BIGINT) + 27) div 28"))
+    val base = MediaPipeline.load(s, dir).toDF()
+      .select(col("media_id"), col("kind"),
+        length(col("bytes")).cast(LongType).as("payload_bytes"),
+        tokens.as("est_tokens"))
+    val labels = mediaClusterLabels(s, dir)
+    val keepers = labels
+      .join(base.select(col("media_id"), col("payload_bytes")),
+        col("doc") === col("media_id"))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("payload_bytes").as("b"),
+        (-col("media_id")).as("negid"))).as("m"))
+      .select((-col("m.negid")).as("keeper_id"))
+    val dropped = labels
+      .join(keepers, col("doc") === col("keeper_id"), "left_anti")
+      .select(col("doc").as("media_id"), lit(true).as("is_dropped"))
+    base.join(broadcast(dropped), Seq("media_id"), "left")
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(when(col("is_dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(col("payload_bytes")).as("payload_bytes"),
+        sum(when(col("is_dropped"), 0L).otherwise(col("payload_bytes"))).as("kept_bytes"),
+        sum(col("est_tokens")).as("est_tokens"),
+        sum(when(col("is_dropped"), 0L).otherwise(col("est_tokens"))).as("kept_tokens"))
+      .select(col("kind"), col("n_media"),
+        (col("n_media") - col("n_dropped")).as("n_kept"), col("n_dropped"),
+        col("payload_bytes"), col("kept_bytes"),
+        col("est_tokens"), col("kept_tokens"),
+        (col("kept_tokens").cast(DoubleType) / col("est_tokens")).as("kept_token_share"))
+      .orderBy(col("kind"))
+  }
+
   private def mediaSurvivors(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val lens = Tables.documents(s, dir)

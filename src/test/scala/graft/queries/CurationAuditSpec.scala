@@ -120,6 +120,24 @@ class CurationAuditSpec extends graft.streaming.SparkTestBase {
       "max seq_last must pin the total token stream length")
   }
 
+  test("m13: card accounting closes over the m10 survivor manifest") {
+    val card = q("m13_media_curation_card").collect()
+    assert(card.nonEmpty)
+    card.foreach { r =>
+      val (n, kept, dropped) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(kept + dropped == n, s"kept/dropped do not partition: $r")
+      assert(r.getLong(5) <= r.getLong(4) && r.getLong(7) <= r.getLong(6),
+        s"kept totals exceed raw totals: $r")
+      val share = r.getDouble(8)
+      assert(share > 0.0 && share <= 1.0)
+    }
+    // the drop count is exactly the non-keeper cluster mass m10 reports
+    val clusters = q("m10_media_survivors").collect()
+    val expectDropped = clusters.map(_.getLong(1) - 1).sum
+    assert(card.map(_.getLong(3)).sum == expectDropped,
+      "card drop count disagrees with the m10 manifest")
+  }
+
   test("t28: weights normalize, the budget is exhausted, temperature flattens toward the mean") {
     val rows = q("t28_mixture_plan").collect()
     assert(rows.length > 1)
