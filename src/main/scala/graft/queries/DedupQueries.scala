@@ -264,9 +264,14 @@ object DedupQueries {
     * in shuffled order score high; Levenshtein is the order-sensitive
     * confirmation production dedup applies before destructive drops
     * (and the similarity definition most dedup papers report:
-    * 1 − dist/max(len)). Both engines run the classic code-point DP, so
-    * the integers — and the single double division derived from them —
-    * hash-match exactly.
+    * 1 − dist/max(len)). Twin-parity boundary, measured: Spark's DP
+    * edits CODE POINTS ('müller'→'muller' = 1) while DuckDB's edits
+    * UTF-8 BYTES (= 2), so unlike the strhash/length contract this
+    * agreement is ASCII-only — the same single-byte-corpus assumption
+    * m05/m08's substr arithmetic already pins. On this corpus the
+    * integers — and the single double division derived from them —
+    * hash-match exactly; a multilingual deployment would keep the
+    * Spark semantics and drop the DuckDB twin to rows-only.
     *
     * Scale shape: this is the one query where raw TEXT must meet a pair
     * relation — an irreducible property of character-level verification,
@@ -834,7 +839,7 @@ object DedupQueries {
     * once per session instead of once per consumer — measured at
     * sf0.1: d16 1.14 s → 0.16 s, d15 1.79 s → 0.75 s warm (d15 still
     * adds the embedding-domain branch on top). */
-  private def docDecisions(s: SparkSession, dir: String): DataFrame =
+  private[queries] def docDecisions(s: SparkSession, dir: String): DataFrame =
     PersistedAggregates.memo(s, "doc_decisions", dir) { docDecisionsPlan(s, dir) }
 
   private def docDecisionsPlan(s: SparkSession, dir: String): DataFrame = {
@@ -925,6 +930,26 @@ object DedupQueries {
       dd AS (SELECT dcs.item_id, sg.reason, sg.keeper, dcs.n_signals
              FROM dcs JOIN sigs sg
                ON sg.item_id = dcs.item_id AND sg.priority = dcs.pr)"""
+
+  /** The complete document-domain decision PREFIX (bands→vp→lab→stats→
+    * chd→m05/m07/m08→lexd…dd) — the exact splice d16 runs on, factored
+    * so t29's training manifest consumes the SAME oracle definition of
+    * a drop decision (one prefix, three consumers: d16, d18's variant,
+    * t29 — the d15/d16 no-drift rule extended to the composition
+    * artifact). Starts its own `WITH RECURSIVE`. */
+  private[queries] lazy val docDecisionPrefixDuck: String = {
+    val cte = bandsDuckCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+    val statsCte = TextQueries.statsDuckCte.replaceFirst("WITH ", "")
+    s"""$cte,
+      $verifiedPairsDuckCte,
+      $ccLabelsDuckCte,
+      $statsCte,
+      $chunkStatsDuckCte,
+      ${MultimodalQueries.m05DuckCte},
+      ${MultimodalQueries.m07DuckCte},
+      ${MultimodalQueries.m08DuckCte},
+      $docDecisionsDuckCtes"""
+  }
 
   private def dropManifest(s: SparkSession, dir: String): DataFrame = {
     val decisions = docDecisions(s, dir)
@@ -1376,17 +1401,7 @@ object DedupQueries {
       // (the card is a document artifact); the lexd…dd chain is the
       // SHARED docDecisionsDuckCtes string, so card and manifest run on
       // one definition of "drop decision" in the oracle too.
-      val cte = bandsDuckCte.replaceFirst("WITH ", "WITH RECURSIVE ")
-      val statsCte = TextQueries.statsDuckCte.replaceFirst("WITH ", "")
-      s"""$cte,
-      $verifiedPairsDuckCte,
-      $ccLabelsDuckCte,
-      $statsCte,
-      $chunkStatsDuckCte,
-      ${MultimodalQueries.m05DuckCte},
-      ${MultimodalQueries.m07DuckCte},
-      ${MultimodalQueries.m08DuckCte},
-      $docDecisionsDuckCtes,
+      s"""$docDecisionPrefixDuck,
       card AS (
         SELECT s.source, s.lang, s.n_tokens,
           CAST(FLOOR((${TextQueries.qualityScoreDuck}) * 1000000.0 + 0.5) AS BIGINT) AS q_micro,

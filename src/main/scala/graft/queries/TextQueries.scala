@@ -1130,6 +1130,53 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** t29: the TRAINING-RUN MANIFEST — the end-to-end composition the
+    * whole library exists for, as ONE query: every document's final
+    * disposition on the way into a training run. d15's document-domain
+    * drop decisions fire first (`drop:<reason>`, the same memoized
+    * relation d15/d16 consume); survivors take their t14 split; and the
+    * TRAIN survivors — only they — pack into fixed [[SeqTokens]]-token
+    * sequences in the t15 hash order. This is what t27 is deliberately
+    * not: t27 pins the packing operator on the raw corpus, t29 is the
+    * production composition (pack AFTER dedup and split, so no dropped
+    * or held-out token ever lands in a training sequence). Non-train
+    * rows carry seq bounds −1, keeping the manifest total (the d15
+    * convention).
+    *
+    * Scale shape: every stage is an already-audited family pipeline
+    * (memoized decisions, row-local split hash, hierarchical prefix
+    * sum); the composition adds one left join per stage, each keyed by
+    * doc id. Nothing new shuffles. */
+  private def trainingManifest(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val base = docs(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("x", concat(col("doc_id").cast(StringType), lit(":split")))
+      .withColumn("bucket", expr(s"${DedupQueries.shingleHashSpark} % 100"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"))
+    val decisions = DedupQueries.docDecisions(s, dir)
+      .select(col("item_id"), col("m.reason").as("reason"))
+    val st = base.join(decisions, base("doc_id") === col("item_id"), "left")
+      .withColumn("status",
+        when(col("reason").isNotNull, concat(lit("drop:"), col("reason")))
+          .when(col("bucket") === 98, "validation")
+          .when(col("bucket") === 99, "test")
+          .otherwise("train"))
+      .select(col("doc_id"), col("n_tokens"), col("status"))
+    val train = st.filter(col("status") === "train")
+      .withColumn("x", concat(col("doc_id").cast(StringType), lit(":shard")))
+      .withColumn("h64", expr(DedupQueries.shingleHashSpark))
+      .select(col("doc_id"), col("n_tokens"), col("h64"))
+    val packed = graft.operators.TrainingExport
+      .packSequences(train, "doc_id", "n_tokens", SeqTokens, ShardRanges, col("h64"))
+      .select(col("doc_id"), col("seq_first"), col("seq_last"))
+    st.join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("status"), col("n_tokens"),
+        coalesce(col("seq_first"), lit(-1L)).as("seq_first"),
+        coalesce(col("seq_last"), lit(-1L)).as("seq_last"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_doc_quality" -> QueryDef(docQuality, Some(s"""$statsDuckCte
       SELECT doc_id, n_tokens,
@@ -1614,5 +1661,36 @@ object TextQueries {
         CAST((w_u * $MixBudgetTokens) // w_tot AS BIGINT) AS tokens_drawn,
         CAST((w_u * $MixBudgetTokens) // w_tot AS DOUBLE) / n_tokens AS epochs
       FROM u, tot ORDER BY source"""),
-      "temperature-scaled (alpha=0.5) mixture plan: per-source sampling weights, token draws, and implied epochs from exact integerized sqrt weights"))
+      "temperature-scaled (alpha=0.5) mixture plan: per-source sampling weights, token draws, and implied epochs from exact integerized sqrt weights"),
+
+    "t29_training_manifest" -> QueryDef(trainingManifest, Some(s"""
+      ${DedupQueries.docDecisionPrefixDuck},
+      t29tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      t29spx AS (SELECT doc_id, CAST(doc_id AS VARCHAR) || ':split' AS x FROM documents),
+      t29spb AS (SELECT doc_id, ${DedupQueries.shingleHashDuck} % 100 AS bucket
+                 FROM t29spx),
+      t29st AS (
+        SELECT t.doc_id, t.n_tokens,
+          CASE WHEN dd.item_id IS NOT NULL THEN 'drop:' || dd.reason
+               WHEN b.bucket = 98 THEN 'validation'
+               WHEN b.bucket = 99 THEN 'test'
+               ELSE 'train' END AS status
+        FROM t29tok t JOIN t29spb b ON b.doc_id = t.doc_id
+        LEFT JOIN dd ON dd.item_id = t.doc_id),
+      t29shx AS (SELECT doc_id, n_tokens, CAST(doc_id AS VARCHAR) || ':shard' AS x
+                 FROM t29st WHERE status = 'train'),
+      t29sh AS (SELECT doc_id, n_tokens, ${DedupQueries.shingleHashDuck} AS h64
+                FROM t29shx),
+      t29pc AS (
+        SELECT doc_id, n_tokens,
+          SUM(n_tokens) OVER (ORDER BY h64 % $ShardRanges, h64, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t29sh)
+      SELECT st.doc_id, st.status, st.n_tokens,
+        COALESCE(CAST((pc.cum - pc.n_tokens) // $SeqTokens AS BIGINT), -1) AS seq_first,
+        COALESCE(CAST((pc.cum - 1) // $SeqTokens AS BIGINT), -1) AS seq_last
+      FROM t29st st LEFT JOIN t29pc pc ON pc.doc_id = st.doc_id
+      ORDER BY st.doc_id"""),
+      "training-run manifest: the full composition — d15 drops, then t14 split, then sequence packing over only the surviving train docs"))
 }

@@ -138,6 +138,32 @@ class CurationAuditSpec extends graft.streaming.SparkTestBase {
       "card drop count disagrees with the m10 manifest")
   }
 
+  test("t29: the manifest is total, stages compose in order, and train sequences tile") {
+    val rows = q("t29_training_manifest").collect()
+    val docs = graft.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == docs, "manifest must be total over documents")
+    val byStatus = rows.groupBy(_.getString(1))
+    // packing only over train: everything else carries the -1 sentinel
+    rows.foreach { r =>
+      val (status, first, last) = (r.getString(1), r.getLong(3), r.getLong(4))
+      if (status == "train") assert(first >= 0 && last >= first, s"unpacked train doc: $r")
+      else assert(first == -1L && last == -1L, s"non-train doc packed: $r")
+    }
+    // drop statuses are exactly d15's document-domain drop set
+    val d15Drops = q("d15_drop_manifest")
+      .filter(col("item_type") === "document" && col("verdict") === "drop")
+      .select("item_id").collect().map(_.getLong(0)).toSet
+    val t29Drops = rows.filter(_.getString(1).startsWith("drop:")).map(_.getLong(0)).toSet
+    assert(t29Drops == d15Drops, "t29 and d15 disagree on the document drop set")
+    // the packed stream tiles the surviving train tokens exactly
+    val train = byStatus("train")
+    val trainTokens = train.map(_.getLong(2)).sum
+    assert(train.map(_.getLong(4)).max == (trainTokens - 1) / TextQueries.SeqTokens,
+      "train sequence ids do not tile the kept-token stream")
+    assert(byStatus.keySet.intersect(Set("validation", "test")).nonEmpty,
+      "expected held-out docs in the manifest")
+  }
+
   test("t28: weights normalize, the budget is exhausted, temperature flattens toward the mean") {
     val rows = q("t28_mixture_plan").collect()
     assert(rows.length > 1)
