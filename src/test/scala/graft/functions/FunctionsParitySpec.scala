@@ -91,6 +91,24 @@ class FunctionsParitySpec extends graft.streaming.SparkTestBase {
     assert(got == Seq(3, 2, 0), s"length() not code-point-counting: $got")
   }
 
+  test("levenshtein edits code points in Spark — the d21 twin boundary is ASCII-only") {
+    // Pins the Spark half of the d21 parity note: Spark's levenshtein
+    // DP runs over CODE POINTS ('müller'→'muller' = 1 edit), while
+    // DuckDB's runs over UTF-8 BYTES (measured: 2 for the same pair,
+    // 4 for inserting 😀). On the single-byte driver corpus the two
+    // coincide exactly (the m05/m08 ASCII assumption); a multilingual
+    // deployment keeps these Spark semantics and demotes the DuckDB
+    // twin to rows-only. This test fails if Spark ever switches its
+    // unit, which would silently WIDEN the divergence to ASCII too.
+    val s = spark
+    val df = s.createDataFrame(
+      java.util.Arrays.asList(
+        Row("müller", "muller"), Row("a😀b", "ab"), Row("abc", "axc")),
+      StructType(Seq(StructField("a", StringType), StructField("b", StringType))))
+    val got = df.select(expr("levenshtein(a, b)")).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 1, 1), s"levenshtein not code-point-based: $got")
+  }
+
   test("graft_gramhash equals the composed form on astral-plane words") {
     val s = spark
     GraftFunctions.register(s)
