@@ -351,14 +351,29 @@ object DedupQueries {
     * scalar convergence checksum — all data movement is distributed.
     * The DuckDB twin is a recursive CTE over the same verified pairs. */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    graft.operators.ConnectedComponents.run(
-      jaccardPairs(s, dir)
-        .filter(col("jacc") >= JaccThreshold)
-        .select(col("doc_a"), col("doc_b")),
-      "doc_a", "doc_b", MaxCcIters)
+    docClusterLabels(s, dir)
       .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster"))))
       .select(col("doc").as("doc_id"), col("cluster").as("cluster_id"), col("n_members"))
       .orderBy(col("doc_id"))
+
+  /** The shared CC labels over the Jaccard-verified pairs — ONE
+    * definition of "near-dup cluster" for d07/d12/d15(+d16/t29),
+    * disk-materialized once per dir ([[PersistedAggregates.diskMemo]]):
+    * the contraction's localCheckpoint output is banned from the
+    * persist() memo (eviction + executor loss = permanent
+    * missing-block failure), but written to parquet it becomes a
+    * scan-rooted relation that survives executor loss — the
+    * materialize-the-cluster-map-as-a-table shape production uses,
+    * with three consumers reading it per session instead of each
+    * re-running the O(log n)-round contraction. */
+  private[queries] def docClusterLabels(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.diskMemo(s, "d07_labels", dir) {
+      graft.operators.ConnectedComponents.run(
+        jaccardPairs(s, dir)
+          .filter(col("jacc") >= JaccThreshold)
+          .select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b", MaxCcIters)
+    }
 
   private val SimBits  = 30 // graft_strhash values are < 2^30 (mod 1e9+7)
   private val SimBands = 3  // 3 bands × 10 bits ⇒ pigeonhole covers hamming ≤ 2
@@ -680,17 +695,11 @@ object DedupQueries {
     * `max(struct(score, -doc_id))` — the s06 assignment pattern; only
     * (cluster, score, id) triples shuffle. */
   private def qualitySurvivors(s: SparkSession, dir: String): DataFrame = {
-    // NOT memoized (unlike t11's aggregate): ConnectedComponents.run
-    // returns labels materialized by localCheckpoint — executor-local
-    // blocks with no recompute path — so a session-long memo would turn
-    // an executor loss into a permanent "checkpoint block not found"
-    // for every later d12 call. Rebuilding per invocation keeps the
-    // retry path whole, exactly as d07 does.
-    val labels = graft.operators.ConnectedComponents.run(
-      jaccardPairs(s, dir)
-        .filter(col("jacc") >= JaccThreshold)
-        .select(col("doc_a"), col("doc_b")),
-      "doc_a", "doc_b", MaxCcIters)
+    // Served from the shared disk-materialized label relation (r13):
+    // the persist() memo stays banned for checkpoint-backed labels,
+    // but the parquet materialization is scan-rooted — see
+    // [[docClusterLabels]].
+    val labels = docClusterLabels(s, dir)
     val scored = TextQueries.withStats(docs(s, dir))
       .withColumn("quality_score", TextQueries.qualityScoreCol)
       .select(col("doc_id"), col("quality_score"))
@@ -848,9 +857,9 @@ object DedupQueries {
       .select(col("doc_b").as("item_id"), col("keeper"),
         lit("lexical_neardup").as("reason"), lit(1).as("priority"))
     // CC labels rebuilt per call (the d12 rule: localCheckpoint-backed
-    // labels must never be session-memoized)
-    val labels = graft.operators.ConnectedComponents.run(
-      vp.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b", MaxCcIters)
+    // labels served from the shared disk materialization (r13) — the
+    // same relation d07/d12 read, see [[docClusterLabels]]
+    val labels = docClusterLabels(s, dir)
     val scored = TextQueries.withStats(docs(s, dir))
       .withColumn("quality_score", TextQueries.qualityScoreCol)
       .select(col("doc_id"), col("quality_score"))

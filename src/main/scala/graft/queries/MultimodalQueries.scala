@@ -618,22 +618,30 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
-  /** CC labels over the merged m07+m08 edges — shared by m09/m10.
+  /** CC labels over the merged m07+m08 edges — shared by m09/m10/m13.
     * The EDGE LIST is memoized (scan-rooted union of the two digest
     * pipelines — recomputable after eviction, so memo-safe by the
     * d11/m07 rule; measured r12: each of m09/m10 was otherwise paying
-    * the full ~1.2 s m07+m08 rebuild). The CC LABELS are NOT memoized:
-    * they are localCheckpoint-materialized (the d07/d12 rule — a
-    * session memo would turn an executor loss into a permanent
-    * missing-block failure). */
+    * the full ~1.2 s m07+m08 rebuild). The CC LABELS are
+    * localCheckpoint-backed, so a persist() memo is banned (the
+    * d07/d12 rule — eviction + executor loss = permanent
+    * missing-block failure); since r13 they are DISK-materialized
+    * instead ([[PersistedAggregates.diskMemo]]): the contraction runs
+    * once per (key, dir), the label map lands in parquet, and every
+    * consumer — three queries now read this relation — serves from a
+    * scan-rooted plan that survives executor loss. Measured
+    * (CcConsumersProbe, sf0.1 warm): 1.4-1.8 s/consumer → first pays
+    * the build, the rest the ~0.3 s scan tail. */
   private def mediaClusterLabels(s: SparkSession, dir: String): DataFrame =
-    graft.operators.ConnectedComponents.run(
-      PersistedAggregates.memo(s, "m09_edges", dir) {
-        audioNearDup(s, dir).select(col("media_a"), col("media_b"))
-          .unionByName(imageNearDup(s, dir).select(col("media_a"), col("media_b")))
-          .distinct()
-      },
-      "media_a", "media_b", 50)
+    PersistedAggregates.diskMemo(s, "m09_labels", dir) {
+      graft.operators.ConnectedComponents.run(
+        PersistedAggregates.memo(s, "m09_edges", dir) {
+          audioNearDup(s, dir).select(col("media_a"), col("media_b"))
+            .unionByName(imageNearDup(s, dir).select(col("media_a"), col("media_b")))
+            .distinct()
+        },
+        "media_a", "media_b", 50)
+    }
 
   /** The m09/m10-shared DuckDB CC chain (assumes m07p/m08p in scope;
     * splice under WITH RECURSIVE): edges both directions → recursive

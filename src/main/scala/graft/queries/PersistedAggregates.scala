@@ -45,4 +45,32 @@ private[queries] object PersistedAggregates {
     }
     perSession.getOrElseUpdate((key, dir), build.persist())
   }
+
+  private val diskPaths = TrieMap.empty[(String, String), String]
+
+  /** Disk-MATERIALIZED memo for results whose build is checkpoint-backed
+    * and therefore banned from [[memo]] (CC labels: localCheckpoint
+    * truncates lineage, so a persist()'s "recompute after eviction"
+    * bottoms out at executor-local blocks — an executor loss becomes a
+    * permanent failure). Writing the frame to parquet once and serving
+    * every later consumer from the SCAN removes that hazard instead of
+    * working around it: the file survives executor loss, the returned
+    * plan is scan-rooted, and this is exactly what a production
+    * pipeline does with a cluster map anyway (materialize it as a
+    * table; three downstream jobs read it). Keyed by (key, dir) across
+    * sessions — the builds are deterministic functions of the dir
+    * tables (the memo contract), so a second session reuses the file
+    * rather than rewriting it. Measured (CcConsumersProbe, sf0.1,
+    * warm): m09/m10/m13 each re-ran the CC contraction at 1.4-1.8 s;
+    * label-serving consumers drop to the ~0.3 s scan+join tail. */
+  def diskMemo(s: SparkSession, key: String, dir: String)(build: => DataFrame): DataFrame = {
+    val path = diskPaths.getOrElseUpdate((key, dir), {
+      val base = java.nio.file.Files.createTempDirectory(s"graft-memo-$key-")
+      val p = base.resolve("data").toString
+      build.write.mode("overwrite").parquet(p)
+      base.toFile.deleteOnExit()
+      p
+    })
+    s.read.parquet(path)
+  }
 }
