@@ -1177,6 +1177,64 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  private[queries] val CmsDepth = 4    // t30: independent hash rows
+  private[queries] val CmsWidth = 1024 // t30: counters per row (4 KiB of longs total)
+  private val CmsP = 1000000007L       // the library's shingle-hash modulus
+
+  /** t30: HEAVY HITTERS over a COUNT-MIN SKETCH — the frequent-terms
+    * sketch completing the library's mergeable-summary family (a38
+    * HLL distinct, a36/t17 GK ranks, d11 Bloom membership): token
+    * frequencies summarized into a constant-size counter table
+    * ([[CmsDepth]]×[[CmsWidth]] longs, REGARDLESS of corpus size or
+    * vocabulary), from which any term's count is estimated as the min
+    * over its [[CmsDepth]] row counters — never below the true count,
+    * above it only through bounded collisions (Cormode & Muthu 2005).
+    * The top-20 exact counts ride beside the estimates, so the CMS
+    * overcount is MEASURED per term, not assumed — and unlike an
+    * opaque binary sketch, building the counters as plain data on the
+    * library's own portable hash family (the MinHash permutation
+    * constants over `graft_strhash`) makes the twin replicate the
+    * sketch exactly: estimates are hash-checked values, not
+    * literal-TRUE contracts.
+    *
+    * Scale shape: the build is 4 integer ops per token folded into the
+    * scan projection, then a map-side-combinable groupBy onto ≤ 4096
+    * counter rows — Spark's partial aggregation IS the per-partition
+    * sketch + merge a streaming CMS deployment runs. The probe side
+    * joins 20×4 keys against the broadcast counter table. Nothing
+    * vocabulary-sized shuffles on the estimate path — the point of the
+    * sketch: at 100 TB the counters fit in L2, only the top-k exact
+    * verification pays a vocabulary aggregate (and a production serve
+    * path drops it). */
+  private def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val occ = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("x"))
+      .withColumn("v", expr(DedupQueries.shingleHashSpark))
+    def bucket(i: Int) =
+      (col("v") * lit(2L * i + 1) + lit(40503L * i)) % CmsP % CmsWidth
+    val counters = occ
+      .select(explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("i"), bucket(i).as("bucket"))): _*)).as("hb"))
+      .groupBy(col("hb.i").as("i"), col("hb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = occ.groupBy(col("x"))
+      .agg(count(lit(1)).as("exact_count"), max(col("v")).as("v"))
+      .orderBy(col("exact_count").desc, col("x"))
+      .limit(20)
+    val est = top
+      .select(col("x"), col("exact_count"), explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("i"), bucket(i).as("bucket"))): _*)).as("hb"))
+      .join(broadcast(counters),
+        col("hb.i") === counters("i") && col("hb.bucket") === counters("bucket"))
+      .groupBy(col("x"), col("exact_count"))
+      .agg(min(col("cnt")).as("est_count"))
+    est.select(col("x").as("term"), col("exact_count"), col("est_count"),
+        (col("est_count") - col("exact_count")).as("overcount"),
+        (col("est_count") >= col("exact_count")).as("never_underestimates"))
+      .orderBy(col("exact_count").desc, col("term"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_doc_quality" -> QueryDef(docQuality, Some(s"""$statsDuckCte
       SELECT doc_id, n_tokens,
@@ -1692,5 +1750,31 @@ object TextQueries {
         COALESCE(CAST((pc.cum - 1) // $SeqTokens AS BIGINT), -1) AS seq_last
       FROM t29st st LEFT JOIN t29pc pc ON pc.doc_id = st.doc_id
       ORDER BY st.doc_id"""),
-      "training-run manifest: the full composition — d15 drops, then t14 split, then sequence packing over only the surviving train docs"))
+      "training-run manifest: the full composition — d15 drops, then t14 split, then sequence packing over only the surviving train docs"),
+
+    "t30_heavy_hitters" -> QueryDef(heavyHitters, Some {
+      val branches = (0 until CmsDepth).map(i =>
+        s"SELECT $i AS i, ((v * ${2 * i + 1} + ${40503L * i}) % $CmsP) % $CmsWidth AS bucket FROM tv")
+        .mkString(" UNION ALL ")
+      val probeBuckets = (0 until CmsDepth).map(i =>
+        s"""SELECT x, exact_count, $i AS i,
+            ((v * ${2 * i + 1} + ${40503L * i}) % $CmsP) % $CmsWidth AS bucket FROM top""")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH occ AS (SELECT UNNEST(string_split(text, ' ')) AS x FROM documents),
+      tv AS (SELECT x, ${DedupQueries.shingleHashDuck} AS v FROM occ),
+      cr AS ($branches),
+      counters AS (SELECT i, bucket, COUNT(*) AS cnt FROM cr GROUP BY i, bucket),
+      top AS (SELECT x, COUNT(*) AS exact_count, MAX(v) AS v FROM tv
+              GROUP BY x ORDER BY exact_count DESC, x LIMIT 20),
+      pb AS ($probeBuckets),
+      ej AS (SELECT pb.x, pb.exact_count, MIN(ct.cnt) AS est_count
+             FROM pb JOIN counters ct ON ct.i = pb.i AND ct.bucket = pb.bucket
+             GROUP BY pb.x, pb.exact_count)
+      SELECT x AS term, CAST(exact_count AS BIGINT) AS exact_count,
+        CAST(est_count AS BIGINT) AS est_count,
+        CAST(est_count - exact_count AS BIGINT) AS overcount,
+        (est_count >= exact_count) AS never_underestimates
+      FROM ej ORDER BY exact_count DESC, term"""
+    }, "heavy hitters via a replicated count-min sketch: constant-size mergeable counter table, per-term min-row estimates hash-checked beside exact counts"))
 }

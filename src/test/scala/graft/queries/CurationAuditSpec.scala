@@ -164,6 +164,23 @@ class CurationAuditSpec extends graft.streaming.SparkTestBase {
       "expected held-out docs in the manifest")
   }
 
+  test("t30: CMS estimates dominate exact counts and the sketch finds the true heaviest term") {
+    val rows = q("t30_heavy_hitters").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getBoolean(4), s"CMS underestimated: $r")
+      assert(r.getLong(2) >= r.getLong(1) && r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // independent argmax over the raw token stream
+    val trueTop = graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("x"))
+      .groupBy("x").count().orderBy(col("count").desc, col("x"))
+      .limit(1).collect().head
+    assert(rows.head.getString(0) == trueTop.getString(0) &&
+      rows.head.getLong(1) == trueTop.getLong(1),
+      "sketch report disagrees with the brute-force heaviest term")
+  }
+
   test("t28: weights normalize, the budget is exhausted, temperature flattens toward the mean") {
     val rows = q("t28_mixture_plan").collect()
     assert(rows.length > 1)
