@@ -1206,18 +1206,31 @@ object TextQueries {
     * sketch: at 100 TB the counters fit in L2, only the top-k exact
     * verification pays a vocabulary aggregate (and a production serve
     * path drops it). */
+  private def bucket(i: Int): org.apache.spark.sql.Column =
+    (col("v") * lit(2L * i + 1) + lit(40503L * i)) % CmsP % CmsWidth
+
+  /** The CMS counter table over any frame with a `text` column — ONE
+    * definition serving the batch query and the streaming twin
+    * (`StreamingCmsSpec`): because counters are a sum-merge, the SAME
+    * plan runs as a streaming aggregation unchanged — the mergeable-
+    * sketch property demonstrated rather than claimed. */
+  private[graft] def cmsCounters(docFrame: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docFrame.sparkSession)
+    docFrame
+      .select(explode(split(col("text"), " ")).as("x"))
+      .withColumn("v", expr(DedupQueries.shingleHashSpark))
+      .select(explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("i"), bucket(i).as("bucket"))): _*)).as("hb"))
+      .groupBy(col("hb.i").as("i"), col("hb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   private def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val occ = docs(s, dir)
       .select(explode(split(col("text"), " ")).as("x"))
       .withColumn("v", expr(DedupQueries.shingleHashSpark))
-    def bucket(i: Int) =
-      (col("v") * lit(2L * i + 1) + lit(40503L * i)) % CmsP % CmsWidth
-    val counters = occ
-      .select(explode(array((0 until CmsDepth).map(i =>
-        struct(lit(i).as("i"), bucket(i).as("bucket"))): _*)).as("hb"))
-      .groupBy(col("hb.i").as("i"), col("hb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+    val counters = cmsCounters(docs(s, dir))
     val top = occ.groupBy(col("x"))
       .agg(count(lit(1)).as("exact_count"), max(col("v")).as("v"))
       .orderBy(col("exact_count").desc, col("x"))
