@@ -109,6 +109,10 @@ object TrainingExport {
     require(clash.isEmpty,
       s"packSequences input already has column(s) ${clash.mkString(", ")} — " +
         "rename them first; they would be silently overwritten/dropped")
+    // `h64` is deliberately NOT reserved (the assignShards convention):
+    // callers passing a pre-computed hash COLUMN named h64 re-derive it
+    // identically (t27/t29). A caller with a semantically different h64
+    // must rename it or accept the overwrite.
     val h = hash
     val inRange = Window.partitionBy(col("__range"))
       .orderBy(col("h64"), col(idCol))

@@ -31,20 +31,33 @@ object MultimodalQueries {
     * 80 ms/token audio, 1 fps × 28px patches for video), so the scan
     * never touches the payload column (the m03 pruning property), and
     * all arithmetic is exact integer ceil-division. */
-  private def mediaTokenBudget(s: SparkSession, dir: String): DataFrame = {
-    // SQL `div`, not Column `/`: `/` on longs is IEEE double division
-    // plus a truncating cast — exact only below 2^53. `div` is true
-    // integer division at any magnitude, matching the DuckDB twin's
-    // `//` (same rule as TrainingExport's shard arithmetic).
-    val tokens = when(col("kind") === "image",
+  /** THE modality token estimator (ViT 14px patches / 80 ms audio
+    * tokens / 1 fps × 28px video patches) — ONE definition for the m04
+    * budget and the m13 curation card, over a `MediaPipeline.load`
+    * frame (the d15/d16 no-drift rule). SQL `div`, not Column `/`:
+    * `/` on longs is IEEE double division plus a truncating cast —
+    * exact only below 2^53; `div` is true integer division at any
+    * magnitude, matching the DuckDB twin's `//`. */
+  private def estTokensCol: org.apache.spark.sql.Column =
+    when(col("kind") === "image",
         expr("(CAST(meta.width AS BIGINT) + 13) div 14") *
         expr("(CAST(meta.height AS BIGINT) + 13) div 14"))
       .when(col("kind") === "audio", expr("(meta.durationMs + 79) div 80"))
       .otherwise(expr("(meta.durationMs + 999) div 1000") *
         expr("(CAST(meta.width AS BIGINT) + 27) div 28") *
         expr("(CAST(meta.height AS BIGINT) + 27) div 28"))
+
+  /** DuckDB twin of [[estTokensCol]], over (kind, w, h, dur) columns —
+    * spliced by the m04 and m13 oracles so the two cannot drift. */
+  private val estTokensDuck = """CASE kind
+            WHEN 'image' THEN ((w + 13) // 14) * ((h + 13) // 14)
+            WHEN 'audio' THEN (dur + 79) // 80
+            ELSE ((dur + 999) // 1000) * ((w + 27) // 28) * ((h + 27) // 28)
+          END"""
+
+  private def mediaTokenBudget(s: SparkSession, dir: String): DataFrame = {
     MediaPipeline.load(s, dir).toDF()
-      .select(col("kind"), tokens.as("est_tokens"))
+      .select(col("kind"), estTokensCol.as("est_tokens"))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_media"),
         sum(col("est_tokens")).as("sum_tokens"),
@@ -379,12 +392,7 @@ object MultimodalQueries {
                CAST(n_chars * 10 AS BIGINT) AS dur
         FROM documents),
       t AS (
-        SELECT kind,
-          CASE kind
-            WHEN 'image' THEN ((w + 13) // 14) * ((h + 13) // 14)
-            WHEN 'audio' THEN (dur + 79) // 80
-            ELSE ((dur + 999) // 1000) * ((w + 27) // 28) * ((h + 27) // 28)
-          END AS est_tokens
+        SELECT kind, $estTokensDuck AS est_tokens
         FROM m)
       SELECT kind, COUNT(*) AS n_media,
         CAST(SUM(est_tokens) AS BIGINT) AS sum_tokens,
@@ -497,12 +505,7 @@ object MultimodalQueries {
           CAST(n_chars * 10 AS BIGINT) AS dur
         FROM documents),
       mtok AS (
-        SELECT media_id, kind, payload_bytes,
-          CASE kind
-            WHEN 'image' THEN ((w + 13) // 14) * ((h + 13) // 14)
-            WHEN 'audio' THEN (dur + 79) // 80
-            ELSE ((dur + 999) // 1000) * ((w + 27) // 28) * ((h + 27) // 28)
-          END AS est_tokens
+        SELECT media_id, kind, payload_bytes, $estTokensDuck AS est_tokens
         FROM mbase),
       mjj AS (SELECT mlab.media, mlab.cluster, b.payload_bytes
               FROM mlab JOIN mtok b ON b.media_id = mlab.media),
@@ -690,17 +693,10 @@ object MultimodalQueries {
     * rollup; the final aggregate is 3 rows. */
   private def mediaCurationCard(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType}
-    val tokens = when(col("kind") === "image",
-        expr("(CAST(meta.width AS BIGINT) + 13) div 14") *
-        expr("(CAST(meta.height AS BIGINT) + 13) div 14"))
-      .when(col("kind") === "audio", expr("(meta.durationMs + 79) div 80"))
-      .otherwise(expr("(meta.durationMs + 999) div 1000") *
-        expr("(CAST(meta.width AS BIGINT) + 27) div 28") *
-        expr("(CAST(meta.height AS BIGINT) + 27) div 28"))
     val base = MediaPipeline.load(s, dir).toDF()
       .select(col("media_id"), col("kind"),
         length(col("bytes")).cast(LongType).as("payload_bytes"),
-        tokens.as("est_tokens"))
+        estTokensCol.as("est_tokens"))
     val labels = mediaClusterLabels(s, dir)
     val keepers = labels
       .join(base.select(col("media_id"), col("payload_bytes")),

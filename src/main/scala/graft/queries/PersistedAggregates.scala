@@ -47,6 +47,28 @@ private[queries] object PersistedAggregates {
   }
 
   private val diskPaths = TrieMap.empty[(String, String), String]
+  private val localCleanup = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      localCleanup.forEach { p =>
+        try {
+          val root = toLocalPath(p)
+          if (root != null && java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+        } catch { case _: Throwable => () }
+      }
+    }))
+
+  /** Local filesystem Path for `p`, or null when `p` lives on shared
+    * storage (hdfs:/s3:/…) whose lifecycle the deployment owns. */
+  private def toLocalPath(p: String): java.nio.file.Path = {
+    val uri = new java.net.URI(p)
+    if (uri.getScheme == null) java.nio.file.Paths.get(p)
+    else if (uri.getScheme == "file") java.nio.file.Paths.get(uri)
+    else null
+  }
 
   /** Disk-MATERIALIZED memo for results whose build is checkpoint-backed
     * and therefore banned from [[memo]] (CC labels: localCheckpoint
@@ -54,21 +76,44 @@ private[queries] object PersistedAggregates {
     * bottoms out at executor-local blocks — an executor loss becomes a
     * permanent failure). Writing the frame to parquet once and serving
     * every later consumer from the SCAN removes that hazard instead of
-    * working around it: the file survives executor loss, the returned
-    * plan is scan-rooted, and this is exactly what a production
-    * pipeline does with a cluster map anyway (materialize it as a
-    * table; three downstream jobs read it). Keyed by (key, dir) across
-    * sessions — the builds are deterministic functions of the dir
-    * tables (the memo contract), so a second session reuses the file
-    * rather than rewriting it. Measured (CcConsumersProbe, sf0.1,
-    * warm): m09/m10/m13 each re-ran the CC contraction at 1.4-1.8 s;
-    * label-serving consumers drop to the ~0.3 s scan+join tail. */
+    * working around it: the relation survives executor loss, the
+    * returned plan is scan-rooted, and this is exactly what a
+    * production pipeline does with a cluster map anyway (materialize
+    * it as a table; three downstream jobs read it).
+    *
+    * The materialization lands under `spark.sql.warehouse.dir` — the
+    * one location that is SHARED storage on a real cluster (a
+    * driver-local java.io.tmpdir would silently shard the executors'
+    * task commits across machines and serve a truncated relation).
+    * Local mode resolves to a local dir, cleaned by a shutdown hook;
+    * shared-storage schemes are left to the deployment's lifecycle.
+    * A fresh UUID token per JVM avoids cross-run staleness when the
+    * source tables regenerate between runs. Note the build runs
+    * EAGERLY at first plan construction (a DataFrame must point at an
+    * existing file) — consumers constructing plans purely for
+    * inspection pay it once per JVM. Measured (CcConsumersProbe,
+    * sf0.1, warm): m09/m10/m13 each re-ran the CC contraction at
+    * 1.4-1.8 s; label-serving consumers drop to the ~0.3 s scan+join
+    * tail. */
   def diskMemo(s: SparkSession, key: String, dir: String)(build: => DataFrame): DataFrame = {
     val path = diskPaths.getOrElseUpdate((key, dir), {
-      val base = java.nio.file.Files.createTempDirectory(s"graft-memo-$key-")
-      val p = base.resolve("data").toString
-      build.write.mode("overwrite").parquet(p)
-      base.toFile.deleteOnExit()
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val p = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_memo/$key-$token"
+      try build.write.mode("overwrite").parquet(p)
+      catch {
+        case e: Throwable =>
+          // drop the partial write so a retry can't serve it
+          try {
+            val root = toLocalPath(p)
+            if (root != null && java.nio.file.Files.exists(root))
+              java.nio.file.Files.walk(root)
+                .sorted(java.util.Comparator.reverseOrder())
+                .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+          } catch { case _: Throwable => () }
+          throw e
+      }
+      cleanupHook
+      localCleanup.add(p)
       p
     })
     s.read.parquet(path)

@@ -644,7 +644,8 @@ object SimilarityQueries {
   }
 
   private[graft] val LeakTau = 0.4 // s19 contamination flag: well above the corpus p99 cross-split cosine (~0.29)
-  private[graft] val EvalBucket = 98 // t14's validation/test buckets (hash % 100 >= 98)
+  /** t14's held-out cut, shared from the one split definition. */
+  private[graft] def EvalBucket: Int = TextQueries.ValidationBucket
   private[graft] val LeakTopK = 3 // train neighbors reported per held-out doc
 
   /** s19: embedding-space EVAL-SET DECONTAMINATION — for every held-out
@@ -667,6 +668,9 @@ object SimilarityQueries {
     * (a benchmark suite), making this exactly the bounded-Q serving
     * contract AnnContractSpec pins. */
   private def evalDecontamination(s: SparkSession, dir: String): DataFrame = {
+    // register BEFORE the first expr(graft_strhash) — the split frame is
+    // analyzed eagerly, before vecs() below would have registered
+    graft.functions.GraftFunctions.register(s)
     val split = Tables.documents(s, dir)
       .select(col("doc_id"),
         concat(col("doc_id").cast(StringType), lit(":split")).as("x"))

@@ -19,6 +19,13 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
+  /** THE t14 split cut points — one definition for t14/t29 (and
+    * s19's held-out side via [[graft.queries.SimilarityQueries]]):
+    * content-hash bucket < ValidationBucket → train, == → validation,
+    * > → test. Retuning the held-out share edits exactly this pair. */
+  private[graft] val ValidationBucket = 98
+  private[graft] val TestBucket = 99
+
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
   private val stopArraySpark = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
   private val stopArrayDuck  = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -393,8 +400,8 @@ object TextQueries {
       .withColumn("x", concat(col("doc_id").cast(StringType), lit(":split")))
       .withColumn("bucket", expr(s"${DedupQueries.shingleHashSpark} % 100"))
       .withColumn("split",
-        when(col("bucket") < 98, "train")
-          .when(col("bucket") === 98, "validation")
+        when(col("bucket") < ValidationBucket, "train")
+          .when(col("bucket") === ValidationBucket, "validation")
           .otherwise("test"))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"))
@@ -1159,8 +1166,8 @@ object TextQueries {
     val st = base.join(decisions, base("doc_id") === col("item_id"), "left")
       .withColumn("status",
         when(col("reason").isNotNull, concat(lit("drop:"), col("reason")))
-          .when(col("bucket") === 98, "validation")
-          .when(col("bucket") === 99, "test")
+          .when(col("bucket") === ValidationBucket, "validation")
+          .when(col("bucket") === TestBucket, "test")
           .otherwise("train"))
       .select(col("doc_id"), col("n_tokens"), col("status"))
     val train = st.filter(col("status") === "train")
@@ -1209,28 +1216,37 @@ object TextQueries {
   private def bucket(i: Int): org.apache.spark.sql.Column =
     (col("v") * lit(2L * i + 1) + lit(40503L * i)) % CmsP % CmsWidth
 
+  /** The hashed token stream (x, v) of any frame with a `text` column
+    * — the one tokenization both CMS aggregations start from. */
+  private def cmsTokens(docFrame: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docFrame.sparkSession)
+    docFrame
+      .select(explode(split(col("text"), " ")).as("x"))
+      .withColumn("v", expr(DedupQueries.shingleHashSpark))
+  }
+
+  private def countersFromTokens(tok: DataFrame): DataFrame =
+    tok.select(explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("i"), bucket(i).as("bucket"))): _*)).as("hb"))
+      .groupBy(col("hb.i").as("i"), col("hb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** The CMS counter table over any frame with a `text` column — ONE
     * definition serving the batch query and the streaming twin
     * (`StreamingCmsSpec`): because counters are a sum-merge, the SAME
     * plan runs as a streaming aggregation unchanged — the mergeable-
     * sketch property demonstrated rather than claimed. */
-  private[graft] def cmsCounters(docFrame: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(docFrame.sparkSession)
-    docFrame
-      .select(explode(split(col("text"), " ")).as("x"))
-      .withColumn("v", expr(DedupQueries.shingleHashSpark))
-      .select(explode(array((0 until CmsDepth).map(i =>
-        struct(lit(i).as("i"), bucket(i).as("bucket"))): _*)).as("hb"))
-      .groupBy(col("hb.i").as("i"), col("hb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-  }
+  private[graft] def cmsCounters(docFrame: DataFrame): DataFrame =
+    countersFromTokens(cmsTokens(docFrame))
 
   private def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val occ = docs(s, dir)
-      .select(explode(split(col("text"), " ")).as("x"))
-      .withColumn("v", expr(DedupQueries.shingleHashSpark))
-    val counters = cmsCounters(docs(s, dir))
+    // counters and top-k are two aggregations over one token stream;
+    // they deliberately RE-SCAN rather than cache it — at 100 TB a
+    // corpus-sized token cache costs more than a second pruned
+    // parquet pass (and the serve path drops the exact side anyway)
+    val occ = cmsTokens(docs(s, dir))
+    val counters = countersFromTokens(occ)
     val top = occ.groupBy(col("x"))
       .agg(count(lit(1)).as("exact_count"), max(col("v")).as("v"))
       .orderBy(col("exact_count").desc, col("x"))
@@ -1427,8 +1443,8 @@ object TextQueries {
         SELECT lang, ${DedupQueries.shingleHashDuck} % 100 AS bucket FROM t),
       sp AS (
         SELECT lang,
-          CASE WHEN bucket < 98 THEN 'train'
-               WHEN bucket = 98 THEN 'validation'
+          CASE WHEN bucket < $ValidationBucket THEN 'train'
+               WHEN bucket = $ValidationBucket THEN 'validation'
                ELSE 'test' END AS split
         FROM b),
       g AS (SELECT lang, split, COUNT(*) AS n_docs FROM sp GROUP BY 1, 2)
@@ -1676,7 +1692,11 @@ object TextQueries {
       WITH wsrc AS (SELECT doc_id, source, text, string_split(text, ' ') AS words
                     FROM documents),
       sx AS (SELECT doc_id, source, UNNEST(${DedupQueries.gramsDuck}) AS x FROM wsrc),
-      vx AS (SELECT source, ${DedupQueries.shingleHashDuck} AS v FROM sx),
+      -- DISTINCT on the HASHED value per doc (the DedupQueries twin
+      -- convention): the Spark side dedups array_distinct(gramhash),
+      -- so a mod-collision of two distinct trigram strings in one doc
+      -- must collapse here too or ndoc diverges
+      vx AS (SELECT DISTINCT doc_id, source, ${DedupQueries.shingleHashDuck} AS v FROM sx),
       sg AS (SELECT source, v, COUNT(*) AS ndoc FROM vx GROUP BY source, v),
       fs AS (SELECT source, v, ndoc, MIN(source) OVER (PARTITION BY v) AS first_source
              FROM sg)
@@ -1744,8 +1764,8 @@ object TextQueries {
       t29st AS (
         SELECT t.doc_id, t.n_tokens,
           CASE WHEN dd.item_id IS NOT NULL THEN 'drop:' || dd.reason
-               WHEN b.bucket = 98 THEN 'validation'
-               WHEN b.bucket = 99 THEN 'test'
+               WHEN b.bucket = $ValidationBucket THEN 'validation'
+               WHEN b.bucket = $TestBucket THEN 'test'
                ELSE 'train' END AS status
         FROM t29tok t JOIN t29spb b ON b.doc_id = t.doc_id
         LEFT JOIN dd ON dd.item_id = t.doc_id),
