@@ -730,6 +730,59 @@ object SimilarityQueries {
       .orderBy(col("label"))
   }
 
+  /** s21: the POST-DEDUP DIVERSITY audit — the measurement SemDeDup's
+    * claim rests on (Abbas et al. 2023 report it as their headline):
+    * removing semantic duplicates should DECREASE each survivor's
+    * nearest-neighbor cosine (the kept set spreads out). One row:
+    * corpus vs kept-set mean in-cell nearest-neighbor cosine and the
+    * gain between them — the number that says whether the s10 pass
+    * bought diversity or just shrank the corpus. Vectors alone in
+    * their cell have no in-cell neighbor and are excluded from both
+    * means (counted in the nn_*_vecs columns so the exclusion is
+    * visible).
+    *
+    * Exactness: per-vector NN cosines integerize at 2^20 (bit-
+    * identical doubles on both engines — the s18 discipline), sums
+    * are exact BIGINTs, each mean one fixed-order division chain.
+    * Scale shape: both NN passes are in-cell self-joins — the same
+    * Σ|cell|² bound the s10 pass itself runs under (the index exists
+    * to keep the quadratic term per-cell); the drop set arrives from
+    * the already-audited s10 relation; the final join is three 1-row
+    * broadcast frames. */
+  private def dedupDiversity(s: SparkSession, dir: String): DataFrame = {
+    val cells = vecs(s, dir).join(ivfAssigned(s, dir), "vec_id")
+      .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+    val dropped = semanticDedup(s, dir).select(col("vec_id"))
+    val kept = cells.join(dropped, Seq("vec_id"), "left_anti")
+    def nnAgg(set: DataFrame): DataFrame = {
+      val a = set.select(col("cell"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = set.select(col("cell"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("cell")).filter(col("id_a") =!= col("id_b"))
+        .withColumn("cos", expr(dotSpark("va", "vb")) / (col("na") * col("nb")))
+        .groupBy(col("id_a")).agg(max(col("cos")).as("nn"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("nn") * lit(1048576.0) + lit(0.5)).cast(LongType)).as("sum_u"))
+    }
+    val f = nnAgg(cells).select(col("cnt").as("nn_full_vecs"), col("sum_u").as("sum_nn_full_u"))
+    val k = nnAgg(kept).select(col("cnt").as("nn_kept_vecs"), col("sum_u").as("sum_nn_kept_u"))
+    val counts = cells.agg(count(lit(1)).as("n_full"))
+      .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_kept"))))
+      .crossJoin(broadcast(dropped.agg(count(lit(1)).as("n_dropped"))))
+    counts.crossJoin(broadcast(f)).crossJoin(broadcast(k))
+      .select(col("n_full"), col("n_kept"), col("n_dropped"),
+        col("nn_full_vecs"), col("nn_kept_vecs"),
+        col("sum_nn_full_u"), col("sum_nn_kept_u"),
+        (col("sum_nn_full_u").cast(DoubleType) / col("nn_full_vecs") / lit(1048576.0))
+          .as("mean_nn_full"),
+        (col("sum_nn_kept_u").cast(DoubleType) / col("nn_kept_vecs") / lit(1048576.0))
+          .as("mean_nn_kept"),
+        (col("sum_nn_full_u").cast(DoubleType) / col("nn_full_vecs") / lit(1048576.0) -
+          col("sum_nn_kept_u").cast(DoubleType) / col("nn_kept_vecs") / lit(1048576.0))
+          .as("diversity_gain"))
+  }
+
   /** s18: the INDEX-HEALTH report — the one-row maintenance artifact
     * an IVF deployment monitors between rebuilds: live cell count vs
     * seeds (dead seeds = cells that attracted nothing during the fit),
@@ -1791,5 +1844,37 @@ object SimilarityQueries {
         CAST(SUM(CASE WHEN mutual THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual,
         CAST(SUM(CASE WHEN mutual THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS mutual_share
       FROM kl GROUP BY q_label ORDER BY label"""),
-      "kNN label-consistency audit over the s16 graph: per-label neighborhood agreement + mutual-edge share (embedding label-noise signal)"))
+      "kNN label-consistency audit over the s16 graph: per-label neighborhood agreement + mutual-edge share (embedding label-noise signal)"),
+
+    "s21_dedup_diversity" -> QueryDef(dedupDiversity, Some(s"""$vecsDuckCte,
+      $ivfAsgDuckCte,
+      $semDedupDuckCte,
+      sdkept AS (SELECT c.* FROM sdcells c
+                 LEFT JOIN (SELECT DISTINCT id_b FROM sdrop) d ON d.id_b = c.vec_id
+                 WHERE d.id_b IS NULL),
+      sdfp AS (SELECT q.vec_id AS id, MAX($cosDuck) AS nn
+               FROM sdcells q JOIN sdcells c
+                 ON q.cell = c.cell AND q.vec_id <> c.vec_id
+               GROUP BY q.vec_id),
+      sdkp AS (SELECT q.vec_id AS id, MAX($cosDuck) AS nn
+               FROM sdkept q JOIN sdkept c
+                 ON q.cell = c.cell AND q.vec_id <> c.vec_id
+               GROUP BY q.vec_id),
+      sdfa AS (SELECT COUNT(*) AS nn_full_vecs,
+                 CAST(SUM(CAST(floor(nn * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_u
+               FROM sdfp),
+      sdka AS (SELECT COUNT(*) AS nn_kept_vecs,
+                 CAST(SUM(CAST(floor(nn * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_u
+               FROM sdkp),
+      sdcn AS (SELECT (SELECT COUNT(*) FROM sdcells) AS n_full,
+                 (SELECT COUNT(*) FROM sdkept) AS n_kept,
+                 (SELECT COUNT(DISTINCT id_b) FROM sdrop) AS n_dropped)
+      SELECT n_full, n_kept, n_dropped, nn_full_vecs, nn_kept_vecs,
+        f.sum_u AS sum_nn_full_u, k.sum_u AS sum_nn_kept_u,
+        CAST(f.sum_u AS DOUBLE) / nn_full_vecs / 1048576.0 AS mean_nn_full,
+        CAST(k.sum_u AS DOUBLE) / nn_kept_vecs / 1048576.0 AS mean_nn_kept,
+        CAST(f.sum_u AS DOUBLE) / nn_full_vecs / 1048576.0 -
+          CAST(k.sum_u AS DOUBLE) / nn_kept_vecs / 1048576.0 AS diversity_gain
+      FROM sdcn, sdfa f, sdka k"""),
+      "post-dedup diversity audit: corpus vs kept-set mean in-cell nearest-neighbor cosine + the gain (the SemDeDup headline measurement)"))
 }

@@ -164,6 +164,23 @@ class CurationAuditSpec extends graft.streaming.SparkTestBase {
       "expected held-out docs in the manifest")
   }
 
+  test("s21: population accounting closes over s10 and dedup buys measurable diversity") {
+    val r = q("s21_dedup_diversity").collect().head
+    val (nFull, nKept, nDropped) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nKept + nDropped == nFull, "kept/dropped do not partition the corpus")
+    assert(nDropped == q("s10_semantic_dedup").count(),
+      "drop count disagrees with the s10 drop list")
+    assert(r.getLong(3) <= nFull && r.getLong(4) <= nKept,
+      "more NN-bearing vectors than vectors")
+    val (meanFull, meanKept, gain) = (r.getDouble(7), r.getDouble(8), r.getDouble(9))
+    assert(meanFull >= -1.0 && meanFull <= 1.0 && meanKept >= -1.0 && meanKept <= 1.0)
+    assert(gain == meanFull - meanKept, "gain is not the declared difference")
+    // deterministic fixture: the s10 pass must spread the kept set out
+    // (per-vector NN cosine can only shrink when candidates are
+    // removed; on this corpus the mean moves the same way)
+    assert(gain > 0.0, s"semantic dedup bought no diversity: $r")
+  }
+
   test("t30: CMS estimates dominate exact counts and the sketch finds the true heaviest term") {
     val rows = q("t30_heavy_hitters").collect()
     assert(rows.length == 20)
