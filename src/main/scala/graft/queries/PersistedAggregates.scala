@@ -46,29 +46,33 @@ private[queries] object PersistedAggregates {
     perSession.getOrElseUpdate((key, dir), build.persist())
   }
 
-  private val diskPaths = TrieMap.empty[(String, String), String]
+  private val diskPaths = TrieMap.empty[(String, String, String), String]
   private val localCleanup = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       localCleanup.forEach { p =>
         try {
           val root = toLocalPath(p)
-          if (root != null && java.nio.file.Files.exists(root))
+          if (root != null && java.nio.file.Files.exists(root)) {
             java.nio.file.Files.walk(root)
               .sorted(java.util.Comparator.reverseOrder())
               .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+            // drop the graft_memo parent too if this was its last entry
+            try java.nio.file.Files.deleteIfExists(root.getParent)
+            catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+          }
         } catch { case _: Throwable => () }
       }
     }))
 
   /** Local filesystem Path for `p`, or null when `p` lives on shared
-    * storage (hdfs:/s3:/…) whose lifecycle the deployment owns. */
-  private def toLocalPath(p: String): java.nio.file.Path = {
-    val uri = new java.net.URI(p)
-    if (uri.getScheme == null) java.nio.file.Paths.get(p)
-    else if (uri.getScheme == "file") java.nio.file.Paths.get(uri)
-    else null
-  }
+    * storage (hdfs:/s3:/…) whose lifecycle the deployment owns. NOT
+    * a bare `new URI(p)`: a scheme-less path with URI-illegal chars
+    * (a space in the warehouse dir) must still clean up locally. */
+  private def toLocalPath(p: String): java.nio.file.Path =
+    if (p.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(p))
+    else if (p.contains("://")) null // remote scheme: deployment-owned
+    else java.nio.file.Paths.get(p)
 
   /** Disk-MATERIALIZED memo for results whose build is checkpoint-backed
     * and therefore banned from [[memo]] (CC labels: localCheckpoint
@@ -96,9 +100,13 @@ private[queries] object PersistedAggregates {
     * 1.4-1.8 s; label-serving consumers drop to the ~0.3 s scan+join
     * tail. */
   def diskMemo(s: SparkSession, key: String, dir: String)(build: => DataFrame): DataFrame = {
-    val path = diskPaths.getOrElseUpdate((key, dir), {
+    // the warehouse dir is part of the key: two sessions in one JVM
+    // pointing at different warehouses (local dev + cluster) must not
+    // serve each other's materialization paths
+    val warehouse = s.conf.get("spark.sql.warehouse.dir")
+    val path = diskPaths.getOrElseUpdate((key, dir, warehouse), {
       val token = java.util.UUID.randomUUID().toString.take(8)
-      val p = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_memo/$key-$token"
+      val p = s"$warehouse/graft_memo/$key-$token"
       try build.write.mode("overwrite").parquet(p)
       catch {
         case e: Throwable =>

@@ -744,29 +744,32 @@ object SimilarityQueries {
     * Exactness: per-vector NN cosines integerize at 2^20 (bit-
     * identical doubles on both engines — the s18 discipline), sums
     * are exact BIGINTs, each mean one fixed-order division chain.
-    * Scale shape: both NN passes are in-cell self-joins — the same
-    * Σ|cell|² bound the s10 pass itself runs under (the index exists
-    * to keep the quadratic term per-cell); the drop set arrives from
-    * the already-audited s10 relation; the final join is three 1-row
-    * broadcast frames. */
+    * Scale shape: the Σ|cell|² dot-product term runs ONCE — the
+    * memoized [[cellPairs]] relation (the same bound the s10 pass
+    * itself runs under; the index exists to keep the quadratic term
+    * per-cell) serves the s10 drop list, the full-set NN, and — via
+    * anti-joins of the small drop list on both endpoints — the
+    * kept-set NN, with no cosine recomputed; the final join is three
+    * 1-row broadcast frames. */
   private def dedupDiversity(s: SparkSession, dir: String): DataFrame = {
     val cells = vecs(s, dir).join(ivfAssigned(s, dir), "vec_id")
-      .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+      .select(col("vec_id"), col("cell"))
     val dropped = semanticDedup(s, dir).select(col("vec_id"))
     val kept = cells.join(dropped, Seq("vec_id"), "left_anti")
-    def nnAgg(set: DataFrame): DataFrame = {
-      val a = set.select(col("cell"), col("vec_id").as("id_a"),
-        col("v").as("va"), col("nrm").as("na"))
-      val b = set.select(col("cell"), col("vec_id").as("id_b"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, Seq("cell")).filter(col("id_a") =!= col("id_b"))
-        .withColumn("cos", expr(dotSpark("va", "vb")) / (col("na") * col("nb")))
-        .groupBy(col("id_a")).agg(max(col("cos")).as("nn"))
+    // ONE quadratic pass serves everything: the memoized directed pair
+    // relation yields the full-set NN directly, and the kept-set NN by
+    // anti-joining the (small) drop list on BOTH endpoints — no dot
+    // product is ever recomputed.
+    val pairs = cellPairs(s, dir)
+    def nnAgg(pairSet: DataFrame): DataFrame =
+      pairSet.groupBy(col("id_a")).agg(max(col("cos")).as("nn"))
         .agg(count(lit(1)).as("cnt"),
           sum(floor(col("nn") * lit(1048576.0) + lit(0.5)).cast(LongType)).as("sum_u"))
-    }
-    val f = nnAgg(cells).select(col("cnt").as("nn_full_vecs"), col("sum_u").as("sum_nn_full_u"))
-    val k = nnAgg(kept).select(col("cnt").as("nn_kept_vecs"), col("sum_u").as("sum_nn_kept_u"))
+    val keptPairs = pairs
+      .join(dropped.select(col("vec_id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(dropped.select(col("vec_id").as("id_b")), Seq("id_b"), "left_anti")
+    val f = nnAgg(pairs).select(col("cnt").as("nn_full_vecs"), col("sum_u").as("sum_nn_full_u"))
+    val k = nnAgg(keptPairs).select(col("cnt").as("nn_kept_vecs"), col("sum_u").as("sum_nn_kept_u"))
     val counts = cells.agg(count(lit(1)).as("n_full"))
       .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_kept"))))
       .crossJoin(broadcast(dropped.agg(count(lit(1)).as("n_dropped"))))
@@ -1392,16 +1395,29 @@ object SimilarityQueries {
     * the drop list with provenance (keeper, max cosine, close-
     * neighbor count); cosines are raw doubles (bit-identical
     * cross-engine, the s01 rule). */
-  private[queries] def semanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
-    val cells = e.join(ivfAssigned(s, dir), "vec_id")
-    val a = cells.select(col("cell"), col("vec_id").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = cells.select(col("cell"), col("vec_id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("cell"))
+  /** The DIRECTED in-cell pair relation (cell, id_a, id_b, cos) — the
+    * one quadratic pass s10 and s21 both start from, session-memoized:
+    * it is scan-rooted (vecs → assignment join → in-cell pairs, fully
+    * recomputable after eviction, the d11/jacc_pairs rule), carries no
+    * vector payload past the cosine projection, and without the memo
+    * one s21 execution paid the Σ|cell|² dot-product term three times
+    * (s10's drop pass + the full-set and kept-set NN passes). */
+  private[graft] def cellPairs(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.memo(s, "sd_cell_pairs", dir) {
+      val cells = vecs(s, dir).join(ivfAssigned(s, dir), "vec_id")
+      val a = cells.select(col("cell"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = cells.select(col("cell"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("cell"))
+        .filter(col("id_a") =!= col("id_b"))
+        .withColumn("cos", expr(dotSpark("va", "vb")) / (col("na") * col("nb")))
+        .select(col("cell"), col("id_a"), col("id_b"), col("cos"))
+    }
+
+  private[queries] def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    cellPairs(s, dir)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", expr(dotSpark("va", "vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= SemDedupTau)
       .groupBy(col("cell"), col("id_b"))
       .agg(min(col("id_a")).as("keeper"), max(col("cos")).as("max_cos"),
@@ -1409,7 +1425,6 @@ object SimilarityQueries {
       .select(col("id_b").as("vec_id"), col("cell"), col("keeper"),
         col("max_cos"), col("n_close"))
       .orderBy(col("vec_id"))
-  }
 
   /** DuckDB twin chain of [[semanticDedup]] up to the drop list
     * `sdrop(cell, id_b, keeper, max_cos, n_close)` — sd-prefixed so

@@ -19,12 +19,14 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
-  /** THE t14 split cut points — one definition for t14/t29 (and
+  /** THE t14 split cut point — one definition for t14/t29 (and
     * s19's held-out side via [[graft.queries.SimilarityQueries]]):
     * content-hash bucket < ValidationBucket → train, == → validation,
-    * > → test. Retuning the held-out share edits exactly this pair. */
+    * > → test. Every consumer encodes test as `> ValidationBucket`
+    * (never an equality on a second constant), so retuning the
+    * held-out share edits exactly this value and the three splits
+    * cannot diverge. */
   private[graft] val ValidationBucket = 98
-  private[graft] val TestBucket = 99
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
   private val stopArraySpark = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
@@ -1167,7 +1169,7 @@ object TextQueries {
       .withColumn("status",
         when(col("reason").isNotNull, concat(lit("drop:"), col("reason")))
           .when(col("bucket") === ValidationBucket, "validation")
-          .when(col("bucket") === TestBucket, "test")
+          .when(col("bucket") > ValidationBucket, "test")
           .otherwise("train"))
       .select(col("doc_id"), col("n_tokens"), col("status"))
     val train = st.filter(col("status") === "train")
@@ -1765,7 +1767,7 @@ object TextQueries {
         SELECT t.doc_id, t.n_tokens,
           CASE WHEN dd.item_id IS NOT NULL THEN 'drop:' || dd.reason
                WHEN b.bucket = $ValidationBucket THEN 'validation'
-               WHEN b.bucket = $TestBucket THEN 'test'
+               WHEN b.bucket > $ValidationBucket THEN 'test'
                ELSE 'train' END AS status
         FROM t29tok t JOIN t29spb b ON b.doc_id = t.doc_id
         LEFT JOIN dd ON dd.item_id = t.doc_id),

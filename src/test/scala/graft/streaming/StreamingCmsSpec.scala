@@ -17,16 +17,16 @@ class StreamingCmsSpec extends SparkTestBase {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    // the file-stream source wants a directory; stage the single-file
-    // table behind a symlink dir (the EventStream.stagedDir pattern)
+    // Stage the table as MULTIPLE parquet files: with
+    // maxFilesPerTrigger=1 each file is its own micro-batch, so the
+    // cross-batch state MERGE is actually exercised (one staged file
+    // would verify the sum-merge trivially in a single batch).
     val staged = {
-      import java.nio.file.{Files, Paths}
-      val dir = Files.createTempDirectory("graft-docs-stream")
-      val link = Files.createSymbolicLink(
-        dir.resolve("documents.parquet"),
-        Paths.get(s"$sf/documents.parquet").toAbsolutePath)
-      dir.toFile.deleteOnExit(); link.toFile.deleteOnExit()
-      dir.toString
+      val dir = java.nio.file.Files.createTempDirectory("graft-docs-stream")
+      dir.toFile.deleteOnExit()
+      graft.Tables.documents(s, sf).repartition(3)
+        .write.mode("overwrite").parquet(dir.resolve("docs").toString)
+      dir.resolve("docs").toString
     }
     val stream = s.readStream.schema(docsSchema)
       .option("maxFilesPerTrigger", 1)
@@ -37,6 +37,9 @@ class StreamingCmsSpec extends SparkTestBase {
       .start()
     try {
       q.processAllAvailable()
+      assert(q.lastProgress.batchId >= 2,
+        s"expected >=3 micro-batches, got batchId ${q.lastProgress.batchId} — " +
+          "the cross-batch merge was not exercised")
       val streaming = s.sql("SELECT i, bucket, cnt FROM cms_out ORDER BY i, bucket")
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
       val batch = graft.queries.TextQueries
