@@ -104,7 +104,7 @@ object TrainingExport {
       seqTokens: Long, numRanges: Int, hash: Column): DataFrame = {
     require(seqTokens > 0 && numRanges > 0)
     val reserved = Seq("start_off", "seq_first", "seq_last",
-      "__range", "__cum_in_range", "__offset", "__cum")
+      "__range", "__cum_in_range", "__offset", "__cum", "__tok")
     val clash = docs.columns.toSeq.intersect(reserved)
     require(clash.isEmpty,
       s"packSequences input already has column(s) ${clash.mkString(", ")} — " +
@@ -114,13 +114,25 @@ object TrainingExport {
     // identically (t27/t29). A caller with a semantically different h64
     // must rename it or accept the overwrite.
     val h = hash
+    // Enforced precondition (r13 ADVICE): a 0-token doc would emit an
+    // INVERTED span (seq_last < seq_first), and a NULL count would
+    // silently poison every later row's cumulative sum in its range.
+    // Row-level raise_error, not a driver-side count: no extra job,
+    // and the failing doc is named. The guarded value threads through
+    // the sum and the span arithmetic so it cannot be pruned away.
+    val guardedTok = when(col(tokenCol).isNull || col(tokenCol) <= 0,
+      expr(s"raise_error(concat('packSequences: `$tokenCol` must be a positive " +
+        s"non-null token count, got ', COALESCE(CAST(`$tokenCol` AS STRING), 'NULL'), " +
+        s"' for $idCol ', COALESCE(CAST(`$idCol` AS STRING), 'NULL')))").cast("long"))
+      .otherwise(col(tokenCol).cast("long"))
     val inRange = Window.partitionBy(col("__range"))
       .orderBy(col("h64"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     val tagged = docs
       .withColumn("h64", h)
+      .withColumn("__tok", guardedTok)
       .withColumn("__range", pmod(col("h64"), lit(numRanges.toLong)))
-      .withColumn("__cum_in_range", sum(col(tokenCol)).over(inRange))
+      .withColumn("__cum_in_range", sum(col("__tok")).over(inRange))
     val offsets = tagged.groupBy(col("__range"))
       .agg(max(col("__cum_in_range")).as("__range_total"))
       .withColumn("__offset",
@@ -132,10 +144,10 @@ object TrainingExport {
       .join(broadcast(offsets), "__range")
       .withColumn("__cum", col("__cum_in_range") + col("__offset"))
       // integer div/pmod throughout (the assignShards 2^53 rule)
-      .withColumn("start_off", expr(s"pmod(__cum - `$tokenCol`, ${seqTokens}L)"))
-      .withColumn("seq_first", expr(s"(__cum - `$tokenCol`) div ${seqTokens}L"))
+      .withColumn("start_off", expr(s"pmod(__cum - __tok, ${seqTokens}L)"))
+      .withColumn("seq_first", expr(s"(__cum - __tok) div ${seqTokens}L"))
       .withColumn("seq_last", expr(s"(__cum - 1) div ${seqTokens}L"))
-      .drop("__range", "__cum_in_range", "__offset", "__cum")
+      .drop("__range", "__cum_in_range", "__offset", "__cum", "__tok")
   }
 
   /** [[assignShards]] then write JSONL partitioned by shard. */

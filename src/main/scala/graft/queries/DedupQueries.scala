@@ -856,9 +856,8 @@ object DedupQueries {
     val lexical = vp.groupBy(col("doc_b")).agg(min(col("doc_a")).as("keeper"))
       .select(col("doc_b").as("item_id"), col("keeper"),
         lit("lexical_neardup").as("reason"), lit(1).as("priority"))
-    // CC labels rebuilt per call (the d12 rule: localCheckpoint-backed
-    // labels served from the shared disk materialization (r13) — the
-    // same relation d07/d12 read, see [[docClusterLabels]]
+    // CC labels served from the shared disk materialization (r13) —
+    // the same relation d07/d12 read, see [[docClusterLabels]]
     val labels = docClusterLabels(s, dir)
     val scored = TextQueries.withStats(docs(s, dir))
       .withColumn("quality_score", TextQueries.qualityScoreCol)

@@ -479,7 +479,7 @@ object MultimodalQueries {
       WITH RECURSIVE $m07DuckCte,
       $m08DuckCte,
       $mediaCcDuckCte,
-      mlen AS (SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS payload_bytes
+      mlen AS (SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS payload_bytes
                FROM documents),
       mj AS (SELECT mlab.media, mlab.cluster, mlen.payload_bytes
              FROM mlab JOIN mlen ON mlen.media_id = mlab.media),
@@ -499,7 +499,7 @@ object MultimodalQueries {
       $mediaCcDuckCte,
       mbase AS (
         SELECT doc_id AS media_id, $kindDuck AS kind,
-          CAST(length(text) AS BIGINT) AS payload_bytes,
+          CAST(strlen(text) AS BIGINT) AS payload_bytes,
           CAST(16 + doc_id % 113 AS BIGINT) AS w,
           CAST(16 + doc_id % 71 AS BIGINT) AS h,
           CAST(n_chars * 10 AS BIGINT) AS dur
@@ -667,10 +667,13 @@ object MultimodalQueries {
     * each m09 cluster keep the copy with the LARGEST payload (the
     * highest-fidelity original among re-encodes; resolution/bitrate
     * collapses to byte count for the deterministic fake codec), min
-    * media id as tiebreak. Payload size is `length(text)` on both
-    * engines — the corpus is single-byte ASCII (the same assumption
-    * m05/m08's substr arithmetic already pins), so char count IS the
-    * payload byte count of the UTF-8-encoded fake payload.
+    * media id as tiebreak. Payload size is the UTF-8 BYTE count on
+    * every path (r13 ADVICE fix): Spark `octet_length(text)` here,
+    * `length(bytes)` on m13's binary payload, `strlen(text)` in both
+    * Duck twins — all four agree on ANY corpus, not just single-byte
+    * ASCII, so the keeper choice can never drift between the survivor
+    * manifest, the curation card, and the oracles
+    * (`MediaPayloadLengthSpec` pins the non-ASCII agreement).
     *
     * Scale shape: the struct-argmax per cluster is map-side
     * combinable (the d12/M4 pattern, never a window); the byte-length
@@ -727,7 +730,8 @@ object MultimodalQueries {
   private def mediaSurvivors(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val lens = Tables.documents(s, dir)
-      .select(col("doc_id").as("media_id"), length(col("text")).cast(LongType).as("payload_bytes"))
+      .select(col("doc_id").as("media_id"),
+        expr("octet_length(text)").cast(LongType).as("payload_bytes"))
     mediaClusterLabels(s, dir)
       .join(lens, col("doc") === col("media_id"))
       .groupBy(col("cluster"))

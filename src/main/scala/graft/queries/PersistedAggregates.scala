@@ -30,11 +30,38 @@ import scala.collection.concurrent.TrieMap
 private[queries] object PersistedAggregates {
 
   private val bySession =
-    new java.util.WeakHashMap[SparkSession, TrieMap[(String, String), DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, TrieMap[(String, String), (String, DataFrame)]]()
+
+  /** Cheap source-staleness fingerprint for `dir`: FNV-1a over the
+    * (name, length, mtime) of its directory listing, via the Hadoop
+    * FileSystem of the path (works for local AND shared storage — no
+    * local-only walk). The r11 hazard this closes: the driver has
+    * regenerated the testdata parquet MID-SESSION; a memo keyed only
+    * on (key, dir) then serves stale labels with no canary. One
+    * listing RPC per memo call — noise next to any query it guards.
+    * Unreachable listing ⇒ "na": the memo degrades to the r13
+    * same-key behavior instead of failing the query. */
+  private def fingerprint(s: SparkSession, dir: String): String =
+    try {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      var h = -3750763034362895579L // FNV-1a 64 offset basis
+      def mix(v: Long): Unit = { h ^= v; h *= 1099511628211L }
+      fs.listStatus(path).sortBy(_.getPath.getName).foreach { st =>
+        mix(st.getPath.getName.hashCode.toLong)
+        mix(st.getLen)
+        mix(st.getModificationTime)
+      }
+      java.lang.Long.toHexString(h)
+    } catch { case _: Throwable => "na" }
 
   /** The persisted `build` result for (`s`, `key`, `dir`), built and
-    * persisted once. `build` must be deterministic for the key (all
-    * callers pass a closed-over plan over the `dir` tables). */
+    * persisted once per source-dir fingerprint. `build` must be
+    * deterministic for the key (all callers pass a closed-over plan
+    * over the `dir` tables). A fingerprint change (source tables
+    * regenerated) unpersists the stale entry and rebuilds; the
+    * per-session lock is coarse but cheap — build is a lazy plan +
+    * persist(), no job runs under it. */
   def memo(s: SparkSession, key: String, dir: String)(build: => DataFrame): DataFrame = {
     val perSession = bySession.synchronized {
       val it = bySession.entrySet().iterator()
@@ -43,10 +70,23 @@ private[queries] object PersistedAggregates {
       }
       bySession.computeIfAbsent(s, _ => TrieMap.empty)
     }
-    perSession.getOrElseUpdate((key, dir), build.persist())
+    val fp = fingerprint(s, dir)
+    perSession.synchronized {
+      perSession.get((key, dir)) match {
+        case Some((`fp`, df)) => df
+        case stale =>
+          stale.foreach { case (_, df) =>
+            try df.unpersist() catch { case _: Throwable => () }
+          }
+          val df = build.persist()
+          perSession.put((key, dir), (fp, df))
+          df
+      }
+    }
   }
 
-  private val diskPaths = TrieMap.empty[(String, String, String), String]
+  private val diskPaths =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, String), String]()
   private val localCleanup = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -102,9 +142,15 @@ private[queries] object PersistedAggregates {
   def diskMemo(s: SparkSession, key: String, dir: String)(build: => DataFrame): DataFrame = {
     // the warehouse dir is part of the key: two sessions in one JVM
     // pointing at different warehouses (local dev + cluster) must not
-    // serve each other's materialization paths
+    // serve each other's materialization paths. The source fingerprint
+    // is part of the key too (r13 ADVICE): a mid-session testdata
+    // regeneration gets a fresh materialization instead of stale
+    // labels; and computeIfAbsent gives per-key atomicity, so
+    // concurrent first callers of one key run the eager parquet write
+    // exactly once (keys hashing to other bins proceed in parallel).
     val warehouse = s.conf.get("spark.sql.warehouse.dir")
-    val path = diskPaths.getOrElseUpdate((key, dir, warehouse), {
+    val fp = fingerprint(s, dir)
+    val path = diskPaths.computeIfAbsent((key, dir, warehouse, fp), _ => {
       val token = java.util.UUID.randomUUID().toString.take(8)
       val p = s"$warehouse/graft_memo/$key-$token"
       try build.write.mode("overwrite").parquet(p)

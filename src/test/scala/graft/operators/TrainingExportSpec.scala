@@ -120,6 +120,26 @@ class TrainingExportSpec extends graft.streaming.SparkTestBase {
     assert(maxLast == (total - 1) / 1000L, "sequence ids do not tile the token stream")
   }
 
+  test("packSequences refuses 0-token and NULL token counts loudly") {
+    // r13 ADVICE: a 0-token doc yields an inverted span (seq_last <
+    // seq_first) and a NULL poisons the range's cumulative sum — both
+    // must fail with the named error, not propagate silently.
+    val s = spark
+    import s.implicits._
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    for (bad <- Seq(Some(0L), None)) {
+      val rows = Seq((1L, Some(10L)), (2L, bad), (3L, Some(7L)))
+      val in = rows.toDF("doc_id", "toks")
+      val e = intercept[Exception] {
+        TrainingExport.packSequences(in, "doc_id", "toks", 64L, 4,
+          abs(xxhash64(col("doc_id")))).collect()
+      }
+      assert(messages(e).exists(_.contains("packSequences")),
+        s"token=$bad: expected the named guard error, got ${e.getMessage}")
+    }
+  }
+
   test("writeShards produces shard-partitioned JSONL that round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
     try {

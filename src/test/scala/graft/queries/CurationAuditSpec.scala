@@ -85,6 +85,25 @@ class CurationAuditSpec extends graft.streaming.SparkTestBase {
     assert(rows.map(_.getLong(6)).sum > 0, "no characters removed")
   }
 
+  test("t31: planted IPv6/SSN/card spans found exactly; Luhn rejects the invalid plants") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val rows = q("t31_pii_extended").collect()
+    assert(rows.map(_.getAs[Long]("n_ipv6")).sum == docs.count(_ % 17 == 0), "ipv6 hits")
+    assert(rows.map(_.getAs[Long]("n_ssns")).sum == docs.count(_ % 19 == 0), "ssn hits")
+    // shaped = valid plants (% 23) + invalid plants (% 29); a doc can carry both
+    val shaped = docs.count(_ % 23 == 0) + docs.count(_ % 29 == 0)
+    assert(rows.map(_.getAs[Long]("n_cards_shaped")).sum == shaped, "card-shaped hits")
+    // the checksum is computed, not assumed: exactly the valid plants
+    // survive and every % 29 plant is rejected
+    assert(rows.map(_.getAs[Long]("n_cards_valid")).sum == docs.count(_ % 23 == 0),
+      "Luhn-valid count != planted valid cards")
+    val expectAffected =
+      docs.count(d => d % 17 == 0 || d % 19 == 0 || d % 23 == 0 || d % 29 == 0)
+    assert(rows.map(_.getAs[Long]("docs_with_pii")).sum == expectAffected, "docs_with_pii")
+    assert(rows.map(_.getAs[Long]("chars_removed")).sum > 0, "no characters removed")
+  }
+
   test("t26: novelty partitions the vocabulary — first sources sum to the distinct gram count") {
     val rows = q("t26_source_novelty").collect()
     assert(rows.nonEmpty)

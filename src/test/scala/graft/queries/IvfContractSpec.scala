@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** The r14 IVF scale contract (AnnContractSpec pattern): the index's
+  * root parameters are bounded by CONSTANTS, never by corpus size.
+  *
+  *  - seed rule: K = ceil(N/stride), stride = ceil(N/IvfKCap) — so the
+  *    centroid broadcast is ≤ IvfKCap rows for EVERY corpus size (the
+  *    r13 `vec_id % 47` rule grew K linearly with N);
+  *  - pair pass: a cell larger than MaxCellPairs emits no pairs (the
+  *    d03 MaxBucket discipline), bounding the s10/s16/s20/s21 shared
+  *    quadratic term at K·MaxCellPairs² regardless of N.
+  */
+class IvfContractSpec extends graft.streaming.SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  import SimilarityQueries._
+
+  /** Dense synthetic corpus (vec_id 0..n-1) with non-degenerate 2-dim
+    * unit-scale vectors — enough structure for seeds and pair cells. */
+  private def synthVecs(n: Int) = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.range(n.toLong).select(
+      col("id").as("vec_id"),
+      array(lit(1.0f), ((col("id") % 7) - 3).cast("float").as("y")).as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+  }
+
+  test("seed count is ceil(N/stride) and <= IvfKCap across two decades of N") {
+    for (n <- Seq(10, 100, 640, 1000, 5000, 20000)) {
+      val k = ivfSeeds(synthVecs(n)).count()
+      val stride = math.max(1L, (n + IvfKCap - 1L) / IvfKCap)
+      val expected = (n + stride - 1) / stride
+      assert(k == expected, s"N=$n: seed count $k != ceil(N/stride) $expected")
+      assert(k <= IvfKCap, s"N=$n: K=$k exceeds the IvfKCap=$IvfKCap broadcast bound")
+      assert(k > 0, s"N=$n produced an empty index")
+    }
+  }
+
+  test("real corpus: the fitted centroid broadcast obeys the same cap") {
+    val k = ivfCentroids(spark, sf).count()
+    assert(k > 0 && k <= IvfKCap,
+      s"fitted centroid count $k outside (0, $IvfKCap]")
+  }
+
+  test("an over-cap cell emits NO pairs; bounded cells emit exactly |c|*(|c|-1)") {
+    graft.functions.GraftFunctions.register(spark)
+    val big = MaxCellPairs + 1 // one vector over the pair-pass cap
+    val small = 5L
+    val cells = spark.range(big + small).select(
+      col("id").as("vec_id"),
+      array(lit(1.0f), (col("id") % 3).cast("float")).as("v"),
+      when(col("id") < big, lit(0L)).otherwise(lit(1L)).as("cell"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val pairs = cappedCellPairs(cells)
+    assert(pairs.filter(col("cell") === 0L).count() == 0,
+      s"cell of ${big} members (> MaxCellPairs=$MaxCellPairs) leaked pairs")
+    assert(pairs.filter(col("cell") === 1L).count() == small * (small - 1),
+      "bounded cell lost directed pairs under the cap")
+  }
+
+  test("real corpus: every pair-pass cell is within cap; count matches sum |c|*(|c|-1)") {
+    val sizes = vecs(spark, sf).join(ivfAssigned(spark, sf), "vec_id")
+      .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(1))
+    val expected = sizes.filter(_ <= MaxCellPairs).map(c => c * (c - 1)).sum
+    val got = cellPairs(spark, sf).count()
+    assert(got == expected,
+      s"cellPairs count $got != capped-cell bound $expected")
+    assert(got <= IvfKCap.toLong * MaxCellPairs * MaxCellPairs,
+      "pair pass exceeded the K*cap^2 worst case")
+  }
+}

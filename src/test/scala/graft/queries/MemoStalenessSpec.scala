@@ -1,0 +1,44 @@
+package graft.queries
+
+import java.nio.file.Files
+
+/** The r11 hazard, made a contract: the driver HAS regenerated the
+  * testdata parquet mid-session. Both memo flavors key on a source-dir
+  * fingerprint (listing name/size/mtime), so a regeneration rebuilds
+  * instead of serving stale rows. */
+class MemoStalenessSpec extends graft.streaming.SparkTestBase {
+
+  /** Writes `rows` ids as a 1-file parquet table under `dir`/t. Row
+    * count differs per call, so size (not just mtime granularity)
+    * flips the fingerprint. */
+  private def writeTable(dir: String, rows: Long): Unit =
+    spark.range(rows).coalesce(1).write.mode("overwrite").parquet(s"$dir/t")
+
+  test("memo rebuilds after the source dir regenerates") {
+    val dir = Files.createTempDirectory("graft_memo_stale").toString
+    writeTable(dir, 3)
+    var builds = 0
+    def call() = PersistedAggregates.memo(spark, "spec_memo_stale", dir) {
+      builds += 1; spark.read.parquet(s"$dir/t")
+    }.count()
+    assert(call() == 3 && builds == 1)
+    assert(call() == 3 && builds == 1, "unchanged dir must serve the memo")
+    writeTable(dir, 5)
+    assert(call() == 5, "regenerated dir served stale rows")
+    assert(builds == 2, "regeneration did not trigger a rebuild")
+  }
+
+  test("diskMemo rebuilds after the source dir regenerates") {
+    val dir = Files.createTempDirectory("graft_diskmemo_stale").toString
+    writeTable(dir, 4)
+    var builds = 0
+    def call() = PersistedAggregates.diskMemo(spark, "spec_diskmemo_stale", dir) {
+      builds += 1; spark.read.parquet(s"$dir/t")
+    }.count()
+    assert(call() == 4 && builds == 1)
+    assert(call() == 4 && builds == 1, "unchanged dir must serve the materialization")
+    writeTable(dir, 7)
+    assert(call() == 7, "regenerated dir served a stale materialization")
+    assert(builds == 2, "regeneration did not trigger a rematerialization")
+  }
+}
