@@ -267,8 +267,9 @@ class QueriesSpec extends SparkTestBase {
   test("Lloyd-fitted IVF centroids beat the raw seeds on mean in-cell cosine") {
     // The k-means objective: a Lloyd round re-centers each cell on its
     // members' mean, so the fitted index must bind vectors to their
-    // cells more tightly than the raw vec_id%47 seeds do. A fit that
-    // regressed to (or broke) the seeds fails this strict inequality.
+    // cells more tightly than the raw stride-thinned seeds do. A fit
+    // that regressed to (or broke) the seeds fails this strict
+    // inequality.
     import org.apache.spark.sql.functions._
     import graft.queries.SimilarityQueries
     val e = SimilarityQueries.vecs(spark, sf)
