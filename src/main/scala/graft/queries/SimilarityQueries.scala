@@ -788,7 +788,10 @@ object SimilarityQueries {
       .filter(col("probe_rank") <= maxProbe)
       .select(col("e_id"), col("s_id").as("cell"), col("probe_rank"),
         col("qv"), col("qn"))
-    val candPlan = probes.join(train, Seq("cell"))
+    // probes are Q·nProbe rows (bounded by the serving contract) —
+    // broadcast explicitly so the train side NEVER shuffles by cell
+    // for this query (the s19 broadcast-eval discipline)
+    val candPlan = broadcast(probes).join(train, Seq("cell"))
       .filter(col("e_id") =!= col("t_id"))
       .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
       .select(col("e_id"), col("probe_rank"), col("t_id"), col("cos"))

@@ -527,6 +527,44 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     assert(leaky.isEmpty, s"s20 shuffles embedding vectors:\n${leaky.mkString("\n")}")
   }
 
+  test("s22 decon sweep: probes broadcast onto train cells — train vectors never shuffle by cell") {
+    // The bounded-Q discipline: the Q·nProbe probe frame is the
+    // explicit broadcast side of the cell join, so the training
+    // corpus never shuffles its vectors for this query. An Exchange
+    // input carrying cv# means the broadcast was lost and the train
+    // side rode a shuffle join. (The eval-side window shuffle carries
+    // qv# — bounded by Q, the documented serving contract.)
+    val qe = queries("s22_decon_ivf_sweep")(spark, sf).queryExecution
+    val inputs = PlanTestUtils.exchangeInputs(qe)
+    val leaky = inputs.filter(_.contains("cv#"))
+    assert(leaky.isEmpty, s"s22 shuffles train vectors by cell:\n${leaky.mkString("\n")}")
+    assert(PlanTestUtils.formatted(qe).contains("InMemoryTableScan"),
+      "s22 lost the memoized candidate/truth frames")
+  }
+
+  test("t31 extended PII: detection, checksum and redaction fuse into the scan — counters only shuffle") {
+    // The t25 contract extended: regex + Luhn integer arithmetic are
+    // row-local; the only Exchange is the #sources rollup. text#/red#
+    // in an Input line means the corpus shuffled (twice) instead.
+    val inputs = PlanTestUtils.exchangeInputs(
+      queries("t31_pii_extended")(spark, sf).queryExecution)
+    assert(inputs.nonEmpty, "expected the per-source rollup shuffle in t31")
+    val leaky = inputs.filter(l => l.contains("text#") || l.contains("red#"))
+    assert(leaky.isEmpty, s"t31 shuffles document text:\n${leaky.mkString("\n")}")
+  }
+
+  test("t32 CMS serve: counters, total and summary all join as broadcasts") {
+    // The serve path probes a BROADCAST counter table and thresholds
+    // against a broadcast 1-row total; the summary columns attach the
+    // same way. A SortMergeJoin against the counter table means the
+    // 4×1024 sketch — the whole point of which is fitting anywhere —
+    // got shuffled instead.
+    val text = PlanTestUtils.formatted(
+      queries("t32_cms_served_topk")(spark, sf).queryExecution)
+    assert(text.contains("BroadcastExchange"), "t32 lost its broadcast joins")
+    assert(!text.contains("CartesianProduct"))
+  }
+
   test("d21 edit verify: DP runs row-local above bounded pair joins — no cartesian, memoized pairs") {
     // Text meets the pair relation through two equi-joins keyed by doc
     // id, bounded by the memoized Jaccard-verified pairs; the Levenshtein
