@@ -67,7 +67,15 @@ object SimilarityQueries {
     * pins the zero-pairs behavior of an over-cap cell. */
   private[graft] val MaxCellPairs = 512
   private[graft] val PqM = 4        // PQ subspaces (64-dim → 4×16, derived per-row)
-  private[graft] val PqSeedMod = 43 // codebook seeds per subspace: vec_id % 43 == 0
+  /** PQ codewords-per-subspace cap — the [[IvfKCap]] policy applied to
+    * the codebook fit (same r13 flaw family: the old `vec_id % 43`
+    * seed rule grew k linearly with N, where real PQ uses a FIXED
+    * k ≤ 256 so codes stay ≤ 8 bits). Seeds thin at stride
+    * ceil(N/[[PqKCap]]); the codeword broadcast is ≤ PqM·PqKCap rows
+    * for every corpus and the ADC LUT stays Q·nProbe·m·k with k
+    * capped. Pinned because both engines regenerate the stride from
+    * this constant with exact integer arithmetic. */
+  private[graft] val PqKCap = 64
 
   /** Bounded-query-set contract — the serving-path assumption made
     * EXPLICIT (r10 judge note): every ANN serving query below takes its
@@ -1145,9 +1153,24 @@ object SimilarityQueries {
       .select(keys.map(col) ++ Seq(
         col("sub"), expr("slice(v, lo + 1, hi - lo)").as("sv")): _*)
 
+  /** The stride-thinned PQ seed codebooks — k = ceil(N/stride) ≤
+    * [[PqKCap]] codewords per subspace for every corpus size (the
+    * ivfSeeds r14 rule applied to the PQ fit; stride is a broadcast
+    * 1-row scalar from count(1), regenerated identically in
+    * [[pqFitDuckChain]]). Also the spec seam: the fitted-beats-seeds
+    * distortion test measures THESE seeds, not a re-derivation. */
+  private[graft] def pqSeeds(e: DataFrame): DataFrame = {
+    val st = e.agg(greatest(lit(1L),
+      expr(s"(count(1) + ${PqKCap - 1}) DIV $PqKCap")).as("pst"))
+    subvecs(e).crossJoin(broadcast(st))
+      .filter(col("vec_id") % col("pst") === 0)
+      .select(col("sub"), col("vec_id").as("s_id"), col("sv").as("cw"))
+  }
+
   /** Per-subspace k-means codebook fit (the PQ training step, Jégou et
     * al. 2011): within each of the [[PqM]] subspaces, deterministic
-    * seeds (`vec_id % PqSeedMod == 0`) refined by [[LloydRounds]] Lloyd
+    * stride-thinned seeds ([[pqSeeds]] — k ≤ [[PqKCap]] independent of
+    * corpus size) refined by [[LloydRounds]] Lloyd
     * rounds under squared-L2 — PQ's metric, unlike the IVF fit's cosine.
     * Same exactness discipline as [[fitCentroids]]: assignment is a
     * broadcast(m·k codewords) + map-side argmin (ties to the lowest
@@ -1157,8 +1180,7 @@ object SimilarityQueries {
     * for the price of one plan. */
   private[graft] def fitCodebooks(e: DataFrame): DataFrame = {
     val sv = subvecs(e)
-    var cb = sv.filter(col("vec_id") % PqSeedMod === 0)
-      .select(col("sub"), col("vec_id").as("s_id"), col("sv").as("cw"))
+    var cb = pqSeeds(e)
     for (_ <- 1 to LloydRounds) {
       cb = sv.join(broadcast(cb), Seq("sub"))
         .withColumn("d2", expr(l2Spark("sv", "cw")))
@@ -1472,8 +1494,11 @@ object SimilarityQueries {
     val fitted = s"${pfx}cb${LloydRounds - 1}"
     s"""
       ${pfx}sv AS (${subvecDuck("vec_id", src)}),
+      ${pfx}stc AS (SELECT GREATEST(CAST(1 AS BIGINT),
+                 (COUNT(DISTINCT vec_id) + ${PqKCap - 1}) // $PqKCap) AS pst
+                 FROM ${pfx}sv),
       ${pfx}seeds AS (SELECT sub, vec_id AS s_id, sv AS cw
-                 FROM ${pfx}sv WHERE vec_id % $PqSeedMod = 0),
+                 FROM ${pfx}sv, ${pfx}stc WHERE vec_id % pst = 0),
       $rounds,
       ${pfx}cb AS (SELECT sub, s_id, cw FROM $fitted),
       ${pfx}fsc AS (

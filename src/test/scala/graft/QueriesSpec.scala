@@ -356,15 +356,12 @@ class QueriesSpec extends SparkTestBase {
     // members' mean cannot increase the summed squared-L2 assignment
     // error; on real data the improvement is strict. A fit that
     // regressed to (or broke) the seed codebooks fails here. The
-    // subspace decomposition and seed modulus come from
-    // SimilarityQueries itself — the test measures the REAL fit, not a
-    // re-implementation that could drift.
-    import org.apache.spark.sql.functions._
+    // subspace decomposition and seed rule come from
+    // SimilarityQueries itself (pqSeeds, the spec seam) — the test
+    // measures the REAL fit, not a re-implementation that could drift.
     import graft.queries.SimilarityQueries
     val e = SimilarityQueries.vecs(spark, sf)
-    val seeds = SimilarityQueries
-      .subvecs(e.filter(col("vec_id") % SimilarityQueries.PqSeedMod === 0))
-      .select(col("sub"), col("vec_id").as("s_id"), col("sv").as("cw"))
+    val seeds = SimilarityQueries.pqSeeds(e)
     val seedErr = QueriesSpec.pqDistortion(e, seeds)
     val fitErr = QueriesSpec.pqDistortion(e, SimilarityQueries.pqCodebooks(spark, sf))
     assert(fitErr < seedErr,

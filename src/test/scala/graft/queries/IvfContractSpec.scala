@@ -38,6 +38,17 @@ class IvfContractSpec extends graft.streaming.SparkTestBase {
     }
   }
 
+  test("PQ seed codebooks stay <= PqM * PqKCap rows across two decades of N") {
+    for (n <- Seq(10, 640, 5000, 20000)) {
+      val rows = pqSeeds(synthVecs(n)).count()
+      val stride = math.max(1L, (n + PqKCap - 1L) / PqKCap)
+      val k = (n + stride - 1) / stride
+      assert(k <= PqKCap, s"N=$n: k=$k exceeds PqKCap=$PqKCap")
+      assert(rows == PqM.toLong * k,
+        s"N=$n: seed codebook rows $rows != PqM*k = $PqM*$k")
+    }
+  }
+
   test("real corpus: the fitted centroid broadcast obeys the same cap") {
     val k = ivfCentroids(spark, sf).count()
     assert(k > 0 && k <= IvfKCap,
