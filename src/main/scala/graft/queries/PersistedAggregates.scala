@@ -33,35 +33,55 @@ private[queries] object PersistedAggregates {
     new java.util.WeakHashMap[SparkSession, TrieMap[(String, String), (String, DataFrame)]]()
 
   /** Cheap source-staleness fingerprint for `dir`: FNV-1a over the
-    * (name, length, mtime) of its directory listing, via the Hadoop
-    * FileSystem of the path (works for local AND shared storage — no
-    * local-only walk). The r11 hazard this closes: the driver has
-    * regenerated the testdata parquet MID-SESSION; a memo keyed only
-    * on (key, dir) then serves stale labels with no canary. One
-    * listing RPC per memo call — noise next to any query it guards.
-    * Unreachable listing ⇒ "na": the memo degrades to the r13
-    * same-key behavior instead of failing the query. */
+    * (name, length, mtime) of its listing, via the Hadoop FileSystem
+    * of the path (works for local AND shared storage — no local-only
+    * walk). Child DIRECTORIES are listed one level deep: a table
+    * stored as `dir/t/part-*.parquet` on an object store exposes no
+    * meaningful mtime/length on the synthetic directory entry itself,
+    * so a top-level-only listing would miss its regeneration — the
+    * child files are where the change is visible. One level bounds
+    * the cost at (#tables + 1) listing RPCs per memo call — noise
+    * next to any query it guards. The r11 hazard this closes: the
+    * driver has regenerated the testdata parquet MID-SESSION; a memo
+    * keyed only on (key, dir) then serves stale labels with no
+    * canary. Unreachable listing ⇒ "na": the memo degrades to the
+    * r13 same-key behavior instead of failing the query. */
   private def fingerprint(s: SparkSession, dir: String): String =
     try {
       val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
       var h = -3750763034362895579L // FNV-1a 64 offset basis
       def mix(v: Long): Unit = { h ^= v; h *= 1099511628211L }
-      fs.listStatus(path).sortBy(_.getPath.getName).foreach { st =>
+      def mixStatus(st: org.apache.hadoop.fs.FileStatus, recurse: Boolean): Unit = {
         mix(st.getPath.getName.hashCode.toLong)
         mix(st.getLen)
         mix(st.getModificationTime)
+        if (recurse && st.isDirectory)
+          fs.listStatus(st.getPath).sortBy(_.getPath.getName)
+            .foreach(mixStatus(_, recurse = false))
       }
+      fs.listStatus(path).sortBy(_.getPath.getName)
+        .foreach(mixStatus(_, recurse = true))
       java.lang.Long.toHexString(h)
     } catch { case _: Throwable => "na" }
+
+  /** Per-(key, dir) build locks: same-key first callers serialize (one
+    * build), different keys proceed in parallel — memo() must not hold
+    * a session-wide monitor across a build, because a build closure
+    * may run a REAL Spark job (doc_decisions → docClusterLabels →
+    * diskMemo's eager parquet write). */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Object]()
 
   /** The persisted `build` result for (`s`, `key`, `dir`), built and
     * persisted once per source-dir fingerprint. `build` must be
     * deterministic for the key (all callers pass a closed-over plan
     * over the `dir` tables). A fingerprint change (source tables
-    * regenerated) unpersists the stale entry and rebuilds; the
-    * per-session lock is coarse but cheap — build is a lazy plan +
-    * persist(), no job runs under it. */
+    * regenerated) unpersists the stale entry and rebuilds. Locking is
+    * per (key, dir) — a build closure may run a real Spark job (the
+    * doc_decisions chain reaches diskMemo's eager write), so two
+    * DIFFERENT keys must never serialize on each other; two callers
+    * of the SAME key build once. */
   def memo(s: SparkSession, key: String, dir: String)(build: => DataFrame): DataFrame = {
     val perSession = bySession.synchronized {
       val it = bySession.entrySet().iterator()
@@ -71,7 +91,8 @@ private[queries] object PersistedAggregates {
       bySession.computeIfAbsent(s, _ => TrieMap.empty)
     }
     val fp = fingerprint(s, dir)
-    perSession.synchronized {
+    val lock = buildLocks.computeIfAbsent((key, dir), _ => new Object)
+    lock.synchronized {
       perSession.get((key, dir)) match {
         case Some((`fp`, df)) => df
         case stale =>
@@ -87,6 +108,11 @@ private[queries] object PersistedAggregates {
 
   private val diskPaths =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String, String), String]()
+
+  /** Latest materialization per (key, dir, warehouse) — the seam the
+    * supersede-on-regeneration cleanup pivots on: (fingerprint, path). */
+  private val diskLatest =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), (String, String)]()
   private val localCleanup = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -170,6 +196,24 @@ private[queries] object PersistedAggregates {
       localCleanup.add(p)
       p
     })
+    // Supersede: a fingerprint change (source regenerated) leaves the
+    // previous materialization orphaned — delete it NOW via the same
+    // FileSystem (works for shared storage too, which the shutdown
+    // hook deliberately never touches), instead of accumulating one
+    // full copy per regeneration for the JVM lifetime. A still-live
+    // plan over the old path fails its scan loudly on next execution
+    // — the correct direction: it would otherwise silently serve
+    // labels computed from data that no longer exists (the canary
+    // rule: loud beats stale).
+    val prev = diskLatest.put((key, dir, warehouse), (fp, path))
+    if (prev != null && prev._1 != fp && prev._2 != path) {
+      diskPaths.remove((key, dir, warehouse, prev._1), prev._2)
+      localCleanup.remove(prev._2)
+      try {
+        val old = new org.apache.hadoop.fs.Path(prev._2)
+        old.getFileSystem(s.sparkContext.hadoopConfiguration).delete(old, true)
+      } catch { case _: Throwable => () }
+    }
     s.read.parquet(path)
   }
 }

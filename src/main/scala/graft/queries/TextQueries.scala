@@ -565,11 +565,14 @@ object TextQueries {
     * text evaluates identically in both engines (see header note).
     * Guarded: a count above [[IlogVerifiedMax]] fails the query loudly
     * (`ILOG_PARITY_BOUND`) rather than entering the unverified libm
-    * region. The CASE is lazy (raise_error evaluates only on the
-    * over-bound branch) and the duplicated `$n` occurrences are
-    * common-subexpression-eliminated by codegen. */
+    * region. A NULL count passes the guard and flows to ln(NULL) =
+    * NULL exactly as the unguarded pre-r14 expression (and the Duck
+    * twins) behaved — NULL is absent data, not an over-bound count.
+    * The CASE is lazy (raise_error evaluates only on the over-bound
+    * branch) and the duplicated `$n` occurrences are common-
+    * subexpression-eliminated by codegen. */
   private[graft] def ilogSql(n: String): String =
-    s"""CAST(floor(ln(CAST(CASE WHEN ($n) <= $IlogVerifiedMax THEN ($n)
+    s"""CAST(floor(ln(CAST(CASE WHEN ($n) IS NULL OR ($n) <= $IlogVerifiedMax THEN ($n)
        ELSE raise_error(concat('ILOG_PARITY_BOUND: count ',
          CAST(($n) AS STRING),
          ' exceeds the LnProbe-verified cross-engine bound $IlogVerifiedMax',
@@ -1059,15 +1062,23 @@ object TextQueries {
 
   // t31: extended detectors (r13 judge ask #5), same escape-free
   // parity discipline as t25 — every pattern is valid and identical in
-  // Java regex and RE2. The card detector is two-stage: the regex
-  // finds SHAPED 16-digit runs; the Luhn checksum (pure integer
-  // arithmetic over substr digits — the same expression TEXT evaluates
-  // in both engines' lambda syntax) separates valid card numbers from
-  // digit noise. Both counts ship: shaped is what redaction removes,
-  // valid is what compliance counts.
-  private[queries] val PiiIpv6Pat = "[0-9a-f]{1,4}(:[0-9a-f]{1,4}){7}"
-  private[queries] val PiiSsnPat  = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
-  private[queries] val PiiCardPat = "[0-9]{16}"
+  // Java regex and RE2. Every detector is TWO-STAGE (the Luhn design
+  // generalized): the regex extracts a MAXIMAL run (open-ended
+  // quantifiers, so a 20-digit order number extracts whole instead of
+  // leaking its first 16 digits as a fake card — boundary guards
+  // without backslash escapes or lookarounds, which RE2 lacks), and a
+  // row-local shape check on the extracted string decides whether the
+  // run counts: exactly 16 digits for cards (then Luhn), exactly
+  // 3-2-4 for SSNs (length 11 is sufficient — the extraction pattern
+  // already fixes dash positions and segment minimums), exactly 7
+  // colons with no 5+-hex segment for IPv6. Redaction stays
+  // conservative: it removes the MAXIMAL runs, including over-length
+  // ones that fail the shape check (redacting a 20-digit run is the
+  // safe direction; counting it as a card is not).
+  private[queries] val PiiIpv6Pat = "[0-9a-f]+(:[0-9a-f]+){7,}"
+  private[queries] val PiiHex5Pat = "[0-9a-f]{5}" // IPv6 shape reject: any 5+ hex segment
+  private[queries] val PiiSsnPat  = "[0-9]{3,}-[0-9]{2,}-[0-9]{4,}"
+  private[queries] val PiiCardPat = "[0-9]{16,}"
 
   /** Luhn digit sum of the first `n` digits of string expression `v` —
     * doubling at ODD 1-based positions (= even positions from the
@@ -1088,11 +1099,16 @@ object TextQueries {
     * noise, so the shaped hits are CHECKSUMMED (integer arithmetic,
     * identical expression text in both engines) and the manifest
     * reports shaped vs Luhn-valid separately — redaction still removes
-    * every shaped run (the conservative rule), while the valid count
-    * is the auditable PII figure. Fixture: the digit-free corpus gets
-    * deterministic planted spans per type, INCLUDING Luhn-invalid
-    * cards (doc_id % 29) that the checksum must reject — the negative
-    * control proving the verdict is computed, not assumed.
+    * every maximal run (the conservative rule), while the valid count
+    * is the auditable PII figure. Every detector extracts MAXIMAL runs
+    * and shape-checks the extracted string (see the pattern-block
+    * note), so an over-length digit run can never leak a prefix as a
+    * fake hit. Fixture: the digit-free corpus gets deterministic
+    * planted spans per type, INCLUDING two negative controls — Luhn-
+    * invalid cards (doc_id % 29) the checksum must reject, and
+    * 20-digit runs (doc_id % 31) the boundary guard must extract
+    * whole and count as nothing — proving both verdicts are computed,
+    * not assumed.
     *
     * Scale shape: identical to t25 — detection, checksum, and
     * redaction fuse into the scan projection (row-local regex +
@@ -1123,16 +1139,28 @@ object TextQueries {
             .otherwise(lit("")),
           when(col("doc_id") % 29 === 0,
             concat(lit(" card "), col("c15b"), expr(ckb), lit(" no")))
-            .otherwise(lit(""))).as("text"))
+            .otherwise(lit("")),
+          // negative control for the boundary guard: a 20-digit run
+          // that must extract WHOLE (never leak a 16-digit prefix as
+          // a fake card) — redacted, but counted by nothing
+          when(col("doc_id") % 31 === 0,
+            concat(lit(" ref "),
+              lpad((col("doc_id") % 1000000000).cast(StringType), 20, "0"),
+              lit(" x"))).otherwise(lit(""))).as("text"))
     px
-      .withColumn("n_v6",
-        size(regexp_extract_all(col("text"), lit(PiiIpv6Pat), lit(0))).cast(LongType))
-      .withColumn("n_ssn",
-        size(regexp_extract_all(col("text"), lit(PiiSsnPat), lit(0))).cast(LongType))
+      .withColumn("v6s", regexp_extract_all(col("text"), lit(PiiIpv6Pat), lit(0)))
+      .withColumn("n_v6", expr(
+        s"""CAST(size(filter(v6s, c -> length(c) - length(replace(c, ':', '')) = 7
+           AND NOT c RLIKE '$PiiHex5Pat')) AS BIGINT)"""))
+      .withColumn("ssns", regexp_extract_all(col("text"), lit(PiiSsnPat), lit(0)))
+      .withColumn("n_ssn", expr(
+        "CAST(size(filter(ssns, c -> length(c) = 11)) AS BIGINT)"))
       .withColumn("cards", regexp_extract_all(col("text"), lit(PiiCardPat), lit(0)))
-      .withColumn("n_card", size(col("cards")).cast(LongType))
+      .withColumn("n_card", expr(
+        "CAST(size(filter(cards, c -> length(c) = 16)) AS BIGINT)"))
       .withColumn("n_card_valid", expr(
-        s"CAST(size(filter(cards, c -> (${luhnSumSql("c", 16)}) % 10 = 0)) AS BIGINT)"))
+        s"""CAST(size(filter(cards, c -> length(c) = 16
+           AND (${luhnSumSql("c", 16)}) % 10 = 0)) AS BIGINT)"""))
       .withColumn("red", regexp_replace(regexp_replace(regexp_replace(col("text"),
         PiiIpv6Pat, "<IPV6>"), PiiSsnPat, "<SSN>"), PiiCardPat, "<CARD>"))
       .groupBy(col("source"))
@@ -1330,6 +1358,13 @@ object TextQueries {
     * path drops it). */
   private def bucket(i: Int): org.apache.spark.sql.Column =
     (col("v") * lit(2L * i + 1) + lit(40503L * i)) % CmsP % CmsWidth
+
+  /** DuckDB twin of [[bucket]] over a column `v` — the ONE definition
+    * every counter/probe CTE in the t30 and t32 oracles interpolates,
+    * so the sketch's hash family can never desync between the Spark
+    * side and any of its twins. */
+  private def bucketDuck(i: Int): String =
+    s"((v * ${2 * i + 1} + ${40503L * i}) % $CmsP) % $CmsWidth"
 
   /** The hashed token stream (x, v) of any frame with a `text` column
     * — the one tokenization both CMS aggregations start from. */
@@ -1972,11 +2007,10 @@ object TextQueries {
 
     "t30_heavy_hitters" -> QueryDef(heavyHitters, Some {
       val branches = (0 until CmsDepth).map(i =>
-        s"SELECT $i AS i, ((v * ${2 * i + 1} + ${40503L * i}) % $CmsP) % $CmsWidth AS bucket FROM tv")
+        s"SELECT $i AS i, ${bucketDuck(i)} AS bucket FROM tv")
         .mkString(" UNION ALL ")
       val probeBuckets = (0 until CmsDepth).map(i =>
-        s"""SELECT x, exact_count, $i AS i,
-            ((v * ${2 * i + 1} + ${40503L * i}) % $CmsP) % $CmsWidth AS bucket FROM top""")
+        s"SELECT x, exact_count, $i AS i, ${bucketDuck(i)} AS bucket FROM top")
         .mkString(" UNION ALL ")
       s"""
       WITH occ AS (SELECT UNNEST(string_split(text, ' ')) AS x FROM documents),
@@ -1998,10 +2032,10 @@ object TextQueries {
 
     "t32_cms_served_topk" -> QueryDef(cmsServedTopk, Some {
       val branches = (0 until CmsDepth).map(i =>
-        s"SELECT $i AS i, ((v * ${2 * i + 1} + ${40503L * i}) % $CmsP) % $CmsWidth AS bucket FROM tv")
+        s"SELECT $i AS i, ${bucketDuck(i)} AS bucket FROM tv")
         .mkString(" UNION ALL ")
       val probeBuckets = (0 until CmsDepth).map(i =>
-        s"SELECT x, $i AS i, ((v * ${2 * i + 1} + ${40503L * i}) % $CmsP) % $CmsWidth AS bucket FROM pv")
+        s"SELECT x, $i AS i, ${bucketDuck(i)} AS bucket FROM pv")
         .mkString(" UNION ALL ")
       s"""
       WITH occ AS (SELECT UNNEST(string_split(text, ' ')) AS x FROM documents),
@@ -2055,13 +2089,16 @@ object TextQueries {
                     || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' on file'
                ELSE '' END ||
           CASE WHEN doc_id % 23 = 0 THEN ' card ' || c15 || $ckv || ' ok' ELSE '' END ||
-          CASE WHEN doc_id % 29 = 0 THEN ' card ' || c15b || $ckb || ' no' ELSE '' END
+          CASE WHEN doc_id % 29 = 0 THEN ' card ' || c15b || $ckb || ' no' ELSE '' END ||
+          CASE WHEN doc_id % 31 = 0
+               THEN ' ref ' || lpad(CAST(doc_id % 1000000000 AS STRING), 20, '0') || ' x'
+               ELSE '' END
           AS text
         FROM cf),
       det AS (
         SELECT source, text,
-          len(regexp_extract_all(text, '$PiiIpv6Pat')) AS n_v6,
-          len(regexp_extract_all(text, '$PiiSsnPat')) AS n_ssn,
+          regexp_extract_all(text, '$PiiIpv6Pat') AS v6s,
+          regexp_extract_all(text, '$PiiSsnPat') AS ssns,
           regexp_extract_all(text, '$PiiCardPat') AS cards,
           regexp_replace(regexp_replace(regexp_replace(text,
             '$PiiIpv6Pat', '<IPV6>', 'g'),
@@ -2069,10 +2106,13 @@ object TextQueries {
             '$PiiCardPat', '<CARD>', 'g') AS red
         FROM px),
       dv AS (
-        SELECT source, text, n_v6, n_ssn, red,
-          len(cards) AS n_card,
-          len(list_filter(cards, c -> (${luhnSumSql("c", 16)}) % 10 = 0))
-            AS n_card_valid
+        SELECT source, text, red,
+          len(list_filter(v6s, c -> length(c) - length(replace(c, ':', '')) = 7
+            AND NOT regexp_matches(c, '$PiiHex5Pat'))) AS n_v6,
+          len(list_filter(ssns, c -> length(c) = 11)) AS n_ssn,
+          len(list_filter(cards, c -> length(c) = 16)) AS n_card,
+          len(list_filter(cards, c -> length(c) = 16
+            AND (${luhnSumSql("c", 16)}) % 10 = 0)) AS n_card_valid
         FROM det)
       SELECT source, COUNT(*) AS n_docs,
         CAST(SUM(CASE WHEN n_v6 + n_ssn + n_card > 0 THEN 1 ELSE 0 END) AS BIGINT)

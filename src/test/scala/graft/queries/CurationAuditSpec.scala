@@ -98,9 +98,16 @@ class CurationAuditSpec extends graft.streaming.SparkTestBase {
     // survive and every % 29 plant is rejected
     assert(rows.map(_.getAs[Long]("n_cards_valid")).sum == docs.count(_ % 23 == 0),
       "Luhn-valid count != planted valid cards")
+    // boundary guard negative control: the % 31 20-digit runs must not
+    // leak a 16-digit prefix into the card counts (already covered by
+    // the exact shaped-count assertion above), and docs carrying ONLY
+    // such a run must not count as PII-affected...
     val expectAffected =
       docs.count(d => d % 17 == 0 || d % 19 == 0 || d % 23 == 0 || d % 29 == 0)
     assert(rows.map(_.getAs[Long]("docs_with_pii")).sum == expectAffected, "docs_with_pii")
+    // ...while conservative redaction still removes them: docs with a
+    // % 31 plant and nothing else contribute removed chars (span is 20
+    // + ' ref '/' x' framing minus '<CARD>' = strictly positive)
     assert(rows.map(_.getAs[Long]("chars_removed")).sum > 0, "no characters removed")
   }
 

@@ -19,6 +19,12 @@ class IlogGuardSpec extends graft.streaming.SparkTestBase {
     }
   }
 
+  test("NULL counts flow through as NULL (absent data), never a spurious bound error") {
+    val row = spark.range(1)
+      .selectExpr(TextQueries.ilogSql("CAST(NULL AS BIGINT)")).collect()(0)
+    assert(row.isNullAt(0), "NULL count must yield NULL, as the unguarded twins do")
+  }
+
   test("an over-bound count raises the named ILOG_PARITY_BOUND error") {
     val e = intercept[Exception] { ilogOf(TextQueries.IlogVerifiedMax + 1) }
     def messages(t: Throwable): Seq[String] =

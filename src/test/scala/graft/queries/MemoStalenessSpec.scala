@@ -40,5 +40,13 @@ class MemoStalenessSpec extends graft.streaming.SparkTestBase {
     writeTable(dir, 7)
     assert(call() == 7, "regenerated dir served a stale materialization")
     assert(builds == 2, "regeneration did not trigger a rematerialization")
+    // the superseded copy is deleted eagerly, not hoarded until JVM exit
+    val whConf = spark.conf.get("spark.sql.warehouse.dir")
+    val wh = if (whConf.startsWith("file:"))
+      java.nio.file.Paths.get(java.net.URI.create(whConf)).toString else whConf
+    val copies = Option(new java.io.File(wh, "graft_memo").listFiles()).getOrElse(Array())
+      .filter(_.getName.startsWith("spec_diskmemo_stale-"))
+    assert(copies.length == 1,
+      s"expected exactly the live materialization, found ${copies.map(_.getName).toSeq}")
   }
 }
