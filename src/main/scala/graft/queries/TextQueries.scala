@@ -1368,7 +1368,7 @@ object TextQueries {
 
   /** The hashed token stream (x, v) of any frame with a `text` column
     * — the one tokenization both CMS aggregations start from. */
-  private def cmsTokens(docFrame: DataFrame): DataFrame = {
+  private[graft] def cmsTokens(docFrame: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docFrame.sparkSession)
     docFrame
       .select(explode(split(col("text"), " ")).as("x"))
@@ -1421,22 +1421,33 @@ object TextQueries {
     * serve path touches nothing vocabulary-ordered — the counters fit
     * in L2 and the candidate stream is the vocabulary's distinct
     * digests, never its counts. */
-  private def cmsServedTopk(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val occ = cmsTokens(docs(s, dir))
-    val counters = countersFromTokens(occ)
+  /** The t32 SERVE-path candidate selection over ANY counter table —
+    * (x, est_count, n_total) of every term whose sketch ESTIMATE
+    * clears the [[CmsHhDivisor]] mass threshold. The seam the
+    * streaming twin drives (`StreamingCmsSpec`): because the counter
+    * table is a sum-merge, serving off a STREAMING-built table must
+    * select exactly the candidates the batch table selects. */
+  private[graft] def cmsServe(occ: DataFrame, counters: DataFrame): DataFrame = {
     val total = occ.agg(count(lit(1)).as("n_total"))
-    // ---- serve path: estimates only ----
-    val est = occ.select(col("x"), col("v")).distinct()
+    occ.select(col("x"), col("v")).distinct()
       .select(col("x"), col("v"), explode(array((0 until CmsDepth).map(i =>
         struct(lit(i).as("i"), bucket(i).as("bucket"))): _*)).as("hb"))
       .join(broadcast(counters),
         col("hb.i") === counters("i") && col("hb.bucket") === counters("bucket"))
       .groupBy(col("x"))
       .agg(min(col("cnt")).as("est_count"))
-    val cand = est.crossJoin(broadcast(total))
+      .crossJoin(broadcast(total))
       .filter(col("est_count") * CmsHhDivisor >= col("n_total"))
+  }
+
+  private def cmsServedTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val occ = cmsTokens(docs(s, dir))
+    val counters = countersFromTokens(occ)
+    // ---- serve path: estimates only ----
+    val cand = cmsServe(occ, counters)
     // ---- measurement side: exact counts + precision/recall ----
+    val total = occ.agg(count(lit(1)).as("n_total"))
     val exact = occ.groupBy(col("x")).agg(count(lit(1)).as("exact_count"))
     val judged = cand.join(exact, Seq("x"))
       .withColumn("is_true_hh",

@@ -48,6 +48,23 @@ class StreamingCmsSpec extends SparkTestBase {
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
       assert(streaming.nonEmpty && streaming == batch,
         s"streaming counters diverge from batch (${streaming.length} vs ${batch.length} rows)")
+      // The t32 SERVE path off the STREAMING-built table: because the
+      // counter table is a sum-merge, candidate selection against the
+      // converged streaming counters must pick exactly the candidates
+      // the batch table picks — the sketch-serve property a streaming
+      // heavy-hitter deployment rests on, demonstrated not claimed.
+      import graft.queries.TextQueries
+      val occ = TextQueries.cmsTokens(graft.Tables.documents(s, sf))
+      def served(counters: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+        TextQueries.cmsServe(occ, counters)
+          .select(col("x"), col("est_count"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val fromStream = served(
+        s.sql("SELECT i, bucket, cnt FROM cms_out"))
+      val fromBatch = served(
+        TextQueries.cmsCounters(graft.Tables.documents(s, sf)))
+      assert(fromStream.nonEmpty && fromStream == fromBatch,
+        s"serve path diverges: stream ${fromStream.size} vs batch ${fromBatch.size} candidates")
     } finally q.stop()
   }
 }
