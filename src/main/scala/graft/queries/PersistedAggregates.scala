@@ -94,7 +94,11 @@ private[queries] object PersistedAggregates {
     val lock = buildLocks.computeIfAbsent((key, dir), _ => new Object)
     lock.synchronized {
       perSession.get((key, dir)) match {
-        case Some((`fp`, df)) => df
+        // "na" (transient listing failure) serves whatever is cached —
+        // the promised r13 degradation — instead of treating the
+        // sentinel as a distinct fingerprint and churning
+        // unpersist/rebuild for the duration of a storage hiccup
+        case Some((oldFp, df)) if oldFp == fp || fp == "na" => df
         case stale =>
           stale.foreach { case (_, df) =>
             try df.unpersist() catch { case _: Throwable => () }
@@ -114,8 +118,20 @@ private[queries] object PersistedAggregates {
   private val diskLatest =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), (String, String)]()
   private val localCleanup = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** Superseded SHARED-storage materializations, deleted through their
+    * FileSystem at shutdown (the local queue can't reach them and the
+    * deployment shouldn't inherit per-JVM scratch copies). */
+  private val sharedCleanup = new java.util.concurrent.ConcurrentLinkedQueue[
+    (String, org.apache.hadoop.conf.Configuration)]()
   private lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      sharedCleanup.forEach { case (p, conf) =>
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).delete(hp, true)
+          ()
+        } catch { case _: Throwable => () }
+      }
       localCleanup.forEach { p =>
         try {
           val root = toLocalPath(p)
@@ -176,6 +192,13 @@ private[queries] object PersistedAggregates {
     // exactly once (keys hashing to other bins proceed in parallel).
     val warehouse = s.conf.get("spark.sql.warehouse.dir")
     val fp = fingerprint(s, dir)
+    // "na" (transient listing failure): serve the latest known
+    // materialization rather than minting a sentinel-keyed copy —
+    // the same degradation memo() applies
+    if (fp == "na") {
+      val cur = diskLatest.get((key, dir, warehouse))
+      if (cur != null) return s.read.parquet(cur._2)
+    }
     val path = diskPaths.computeIfAbsent((key, dir, warehouse, fp), _ => {
       val token = java.util.UUID.randomUUID().toString.take(8)
       val p = s"$warehouse/graft_memo/$key-$token"
@@ -196,24 +219,21 @@ private[queries] object PersistedAggregates {
       localCleanup.add(p)
       p
     })
-    // Supersede: a fingerprint change (source regenerated) leaves the
-    // previous materialization orphaned — delete it NOW via the same
-    // FileSystem (works for shared storage too, which the shutdown
-    // hook deliberately never touches), instead of accumulating one
-    // full copy per regeneration for the JVM lifetime. A still-live
-    // plan over the old path fails its scan loudly on next execution
-    // — the correct direction: it would otherwise silently serve
-    // labels computed from data that no longer exists (the canary
-    // rule: loud beats stale).
+    // Supersede (r14, revised after review): a fingerprint change
+    // (source regenerated) RETIRES the previous materialization to
+    // the shutdown cleanup instead of deleting it mid-run — an
+    // in-flight plan over the old path keeps working, and the races
+    // eager deletion invites (a transient-"na" caller or a caller
+    // whose fingerprint straddles the regeneration deleting the
+    // CURRENT copy) cannot arise. Local copies are already queued at
+    // build time; shared-storage copies join a deferred queue the
+    // hook deletes through the FileSystem. Storage is bounded at one
+    // copy per regeneration per JVM lifetime, shared storage
+    // included.
     val prev = diskLatest.put((key, dir, warehouse), (fp, path))
-    if (prev != null && prev._1 != fp && prev._2 != path) {
-      diskPaths.remove((key, dir, warehouse, prev._1), prev._2)
-      localCleanup.remove(prev._2)
-      try {
-        val old = new org.apache.hadoop.fs.Path(prev._2)
-        old.getFileSystem(s.sparkContext.hadoopConfiguration).delete(old, true)
-      } catch { case _: Throwable => () }
-    }
+    if (prev != null && prev._1 != fp && prev._2 != path &&
+        toLocalPath(prev._2) == null)
+      sharedCleanup.add((prev._2, s.sparkContext.hadoopConfiguration))
     s.read.parquet(path)
   }
 }

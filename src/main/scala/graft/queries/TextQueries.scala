@@ -1423,12 +1423,15 @@ object TextQueries {
     * digests, never its counts. */
   /** The t32 SERVE-path candidate selection over ANY counter table —
     * (x, est_count, n_total) of every term whose sketch ESTIMATE
-    * clears the [[CmsHhDivisor]] mass threshold. The seam the
-    * streaming twin drives (`StreamingCmsSpec`): because the counter
-    * table is a sum-merge, serving off a STREAMING-built table must
-    * select exactly the candidates the batch table selects. */
-  private[graft] def cmsServe(occ: DataFrame, counters: DataFrame): DataFrame = {
-    val total = occ.agg(count(lit(1)).as("n_total"))
+    * clears the [[CmsHhDivisor]] mass threshold against the supplied
+    * 1-row `total` frame (caller-owned so t32 shares ONE total
+    * subtree between the serve filter and the measurement side). The
+    * seam the streaming twin drives (`StreamingCmsSpec`): because the
+    * counter table is a sum-merge, serving off a STREAMING-built
+    * table must select exactly the candidates the batch table
+    * selects. */
+  private[graft] def cmsServe(occ: DataFrame, counters: DataFrame,
+      total: DataFrame): DataFrame = {
     occ.select(col("x"), col("v")).distinct()
       .select(col("x"), col("v"), explode(array((0 until CmsDepth).map(i =>
         struct(lit(i).as("i"), bucket(i).as("bucket"))): _*)).as("hb"))
@@ -1444,10 +1447,10 @@ object TextQueries {
     graft.functions.GraftFunctions.register(s)
     val occ = cmsTokens(docs(s, dir))
     val counters = countersFromTokens(occ)
-    // ---- serve path: estimates only ----
-    val cand = cmsServe(occ, counters)
-    // ---- measurement side: exact counts + precision/recall ----
     val total = occ.agg(count(lit(1)).as("n_total"))
+    // ---- serve path: estimates only ----
+    val cand = cmsServe(occ, counters, total)
+    // ---- measurement side: exact counts + precision/recall ----
     val exact = occ.groupBy(col("x")).agg(count(lit(1)).as("exact_count"))
     val judged = cand.join(exact, Seq("x"))
       .withColumn("is_true_hh",

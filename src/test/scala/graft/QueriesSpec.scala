@@ -544,9 +544,12 @@ class QueriesSpec extends SparkTestBase {
     assert(r.length == 1, "health report must be one row")
     val row = r.head
     val (nVecs, nSeeds, nCells, nDead) =
-      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      (row.getAs[Long]("n_vecs"), row.getAs[Long]("n_seeds"),
+        row.getAs[Long]("n_cells"), row.getAs[Long]("n_dead_seeds"))
     val (minC, maxC, imb, sumU, meanCos) =
-      (row.getLong(4), row.getLong(5), row.getDouble(6), row.getLong(7), row.getDouble(8))
+      (row.getAs[Long]("min_cell"), row.getAs[Long]("max_cell"),
+        row.getAs[Double]("imbalance"), row.getAs[Long]("sum_cos_u"),
+        row.getAs[Double]("mean_cos"))
     assert(nVecs == graft.queries.SimilarityQueries.vecs(spark, sf).count(),
       "health n_vecs drifted from the corpus")
     assert(nCells >= 1 && nCells <= nSeeds && nDead == nSeeds - nCells)
@@ -555,6 +558,12 @@ class QueriesSpec extends SparkTestBase {
     assert(imb >= 1.0, "imbalance below 1 — max cell smaller than the mean is impossible")
     assert(meanCos == sumU.toDouble / nVecs / 1048576.0, "mean cosine drifted")
     assert(meanCos > 0.0 && meanCos <= 1.0, s"mean in-cell cosine out of range: $meanCos")
+    // the r14 pair-pass coverage canary: no over-cap cells at this SF,
+    // and the two columns tie to each other (zero cells => zero vecs)
+    val (overC, overV) =
+      (row.getAs[Long]("n_cells_over_cap"), row.getAs[Long]("n_vecs_over_cap"))
+    assert(overC == 0 && overV == 0,
+      s"unexpected over-cap cells at this SF: $overC cells / $overV vecs")
   }
 
   test("s17 probe sweep: recall and candidate cost monotone in nProbe, totals consistent") {

@@ -27,6 +27,37 @@ class IvfContractSpec extends graft.streaming.SparkTestBase {
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
   }
 
+  /** Same shape over an explicit (possibly sparse/offset) id set. */
+  private def synthVecsIds(ids: Seq[Long]) = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    ids.toDF("vec_id").select(
+      col("vec_id"),
+      array(lit(1.0f), ((col("vec_id") % 7) - 3).cast("float").as("y")).as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+  }
+
+  test("seed cap holds on sparse, offset, parity-skewed, and singleton id sets") {
+    // The id-range stride rule's whole point (r14 review): a
+    // count-based stride over raw ids can overshoot the broadcast
+    // bound on sparse ids, or select ZERO seeds on parity-skewed ones
+    // — K must stay in [1, IvfKCap] for ANY distinct id set.
+    val cases: Seq[(String, Seq[Long])] = Seq(
+      ("sparse+offset", (0L until 1000L).map(_ * 997 + 13)),
+      ("all-odd", (0L until 500L).map(_ * 2 + 1)),
+      ("singleton", Seq(42L)),
+      ("quadratic gaps", (0L until 2000L).map(i => i * i)))
+    for ((labelTxt, ids) <- cases) {
+      val e = synthVecsIds(ids)
+      val k = ivfSeeds(e).count()
+      assert(k >= 1 && k <= IvfKCap,
+        s"$labelTxt: K=$k outside [1, $IvfKCap]")
+      val pq = pqSeeds(e).count()
+      assert(pq >= PqM && pq <= PqM.toLong * PqKCap,
+        s"$labelTxt: PQ seed rows $pq outside [PqM, PqM*cap]")
+    }
+  }
+
   test("seed count is ceil(N/stride) and <= IvfKCap across two decades of N") {
     for (n <- Seq(10, 100, 640, 1000, 5000, 20000)) {
       val k = ivfSeeds(synthVecs(n)).count()

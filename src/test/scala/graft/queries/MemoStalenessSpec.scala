@@ -28,6 +28,26 @@ class MemoStalenessSpec extends graft.streaming.SparkTestBase {
     assert(builds == 2, "regeneration did not trigger a rebuild")
   }
 
+  test("concurrent same-key memo callers build exactly once") {
+    val dir = Files.createTempDirectory("graft_memo_conc").toString
+    writeTable(dir, 6)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            PersistedAggregates.memo(spark, "spec_memo_conc", dir) {
+              builds.incrementAndGet(); spark.read.parquet(s"$dir/t")
+            }.count()
+        })
+      }
+      assert(futures.map(_.get()).forall(_ == 6))
+      assert(builds.get() == 1,
+        s"per-key lock failed: ${builds.get()} builds for one key")
+    } finally pool.shutdown()
+  }
+
   test("diskMemo rebuilds after the source dir regenerates") {
     val dir = Files.createTempDirectory("graft_diskmemo_stale").toString
     writeTable(dir, 4)
@@ -40,13 +60,16 @@ class MemoStalenessSpec extends graft.streaming.SparkTestBase {
     writeTable(dir, 7)
     assert(call() == 7, "regenerated dir served a stale materialization")
     assert(builds == 2, "regeneration did not trigger a rematerialization")
-    // the superseded copy is deleted eagerly, not hoarded until JVM exit
+    // The superseded copy is RETIRED, not deleted mid-run (in-flight
+    // plans over it keep working; the shutdown hook reclaims it) — so
+    // after one regeneration exactly two copies exist: the retired
+    // one and the live one. Bounded, never unbounded growth.
     val whConf = spark.conf.get("spark.sql.warehouse.dir")
     val wh = if (whConf.startsWith("file:"))
       java.nio.file.Paths.get(java.net.URI.create(whConf)).toString else whConf
     val copies = Option(new java.io.File(wh, "graft_memo").listFiles()).getOrElse(Array())
       .filter(_.getName.startsWith("spec_diskmemo_stale-"))
-    assert(copies.length == 1,
-      s"expected exactly the live materialization, found ${copies.map(_.getName).toSeq}")
+    assert(copies.length == 2,
+      s"expected retired + live materializations, found ${copies.map(_.getName).toSeq}")
   }
 }

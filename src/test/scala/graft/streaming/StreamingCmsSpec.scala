@@ -55,8 +55,10 @@ class StreamingCmsSpec extends SparkTestBase {
       // heavy-hitter deployment rests on, demonstrated not claimed.
       import graft.queries.TextQueries
       val occ = TextQueries.cmsTokens(graft.Tables.documents(s, sf))
+      val total = occ.agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_total"))
       def served(counters: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
-        TextQueries.cmsServe(occ, counters)
+        TextQueries.cmsServe(occ, counters, total)
           .select(col("x"), col("est_count"))
           .collect().map(r => (r.getString(0), r.getLong(1))).toSet
       val fromStream = served(
