@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The write-side end of a corpus-assembly pipeline: deterministic
@@ -54,37 +53,26 @@ object TrainingExport {
     // dropped. `h64` alone is permitted — callers passing a
     // pre-computed hash COLUMN named h64 (the portable-hash pattern,
     // t15) re-derive it identically.
-    val reserved = Seq("shard", "__range", "__cum_in_range", "__offset")
+    val reserved = Seq("shard", "__cum")
     val clash = docs.columns.toSeq.intersect(reserved)
     require(clash.isEmpty,
       s"assignShards input already has column(s) ${clash.mkString(", ")} — " +
         "rename them first; they would be silently overwritten/dropped")
-    val h = hash
-    val rangeId = pmod(h, lit(numRanges.toLong))
-    val inRange = Window.partitionBy(col("__range"))
-      .orderBy(col("h64"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val tagged = docs
-      .withColumn("h64", h)
-      .withColumn("__range", rangeId)
-      .withColumn("__cum_in_range", sum(col(tokenCol)).over(inRange))
-    // Per-range totals are numRanges rows — the broadcastable prefix
-    // offsets of the hierarchical cumulative sum.
-    val offsets = tagged.groupBy(col("__range"))
-      .agg(max(col("__cum_in_range")).as("__range_total"))
-      .withColumn("__offset",
-        coalesce(sum(col("__range_total")).over(
-          Window.orderBy(col("__range"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__range"), col("__offset"))
-    tagged
-      .join(broadcast(offsets), "__range")
+    // The hierarchical running sum is the shared [[PrefixSum]]
+    // mechanism (r14 extraction — t07/t21 run the same shape); the
+    // export order (hash mod R, hash, id) is the range-first form of
+    // its order contract.
+    val cum = PrefixSum.partitionedCumSum(
+      docs.withColumn("h64", hash),
+      Seq.empty, pmod(col("h64"), lit(numRanges.toLong)),
+      Seq(col("h64"), col(idCol)), col(tokenCol), "__cum")
+    cum
       // integer `div`, not `/`: Column `/` is IEEE double division,
       // which goes inexact once the global prefix sum passes 2^53
       // tokens — silent off-by-one shard assignment at extreme scale
       .withColumn("shard",
-        expr(s"(__cum_in_range + __offset - `$tokenCol`) div ${shardTokens}L"))
-      .drop("__range", "__cum_in_range", "__offset")
+        expr(s"(__cum - `$tokenCol`) div ${shardTokens}L"))
+      .drop("__cum")
   }
 
   /** Concat-and-chunk SEQUENCE PACKING (the GPT-2/3 pretraining
@@ -104,7 +92,7 @@ object TrainingExport {
       seqTokens: Long, numRanges: Int, hash: Column): DataFrame = {
     require(seqTokens > 0 && numRanges > 0)
     val reserved = Seq("start_off", "seq_first", "seq_last",
-      "__range", "__cum_in_range", "__offset", "__cum", "__tok")
+      "__cum", "__tok")
     val clash = docs.columns.toSeq.intersect(reserved)
     require(clash.isEmpty,
       s"packSequences input already has column(s) ${clash.mkString(", ")} — " +
@@ -125,29 +113,16 @@ object TrainingExport {
         s"non-null token count, got ', COALESCE(CAST(`$tokenCol` AS STRING), 'NULL'), " +
         s"' for $idCol ', COALESCE(CAST(`$idCol` AS STRING), 'NULL')))").cast("long"))
       .otherwise(col(tokenCol).cast("long"))
-    val inRange = Window.partitionBy(col("__range"))
-      .orderBy(col("h64"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val tagged = docs
-      .withColumn("h64", h)
-      .withColumn("__tok", guardedTok)
-      .withColumn("__range", pmod(col("h64"), lit(numRanges.toLong)))
-      .withColumn("__cum_in_range", sum(col("__tok")).over(inRange))
-    val offsets = tagged.groupBy(col("__range"))
-      .agg(max(col("__cum_in_range")).as("__range_total"))
-      .withColumn("__offset",
-        coalesce(sum(col("__range_total")).over(
-          Window.orderBy(col("__range"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__range"), col("__offset"))
-    tagged
-      .join(broadcast(offsets), "__range")
-      .withColumn("__cum", col("__cum_in_range") + col("__offset"))
+    val cum = PrefixSum.partitionedCumSum(
+      docs.withColumn("h64", h).withColumn("__tok", guardedTok),
+      Seq.empty, pmod(col("h64"), lit(numRanges.toLong)),
+      Seq(col("h64"), col(idCol)), col("__tok"), "__cum")
+    cum
       // integer div/pmod throughout (the assignShards 2^53 rule)
       .withColumn("start_off", expr(s"pmod(__cum - __tok, ${seqTokens}L)"))
       .withColumn("seq_first", expr(s"(__cum - __tok) div ${seqTokens}L"))
       .withColumn("seq_last", expr(s"(__cum - 1) div ${seqTokens}L"))
-      .drop("__range", "__cum_in_range", "__offset", "__cum", "__tok")
+      .drop("__cum", "__tok")
   }
 
   /** [[assignShards]] then write JSONL partitioned by shard. */

@@ -1102,11 +1102,19 @@ object DedupQueries {
     * prune-then-VERIFY (d04) rather than prune-then-trust: thresholds
     * read off the unconditional MinHash theorem would keep garbage.
     *
-    * Scale shape: the pair frame is the broadcast-small side of both
-    * signature joins, so the corpus-wide signature projection streams
-    * map-side (no pair-key shuffle of signatures); the rollup is ≤17
-    * rows. Signatures are the same single-scan projection d03 uses —
-    * no new corpus pass beyond it. */
+    * Scale shape: candidate pairs are Θ(N) at a constant dup rate
+    * (MaxBucket caps each bucket's MEMBERS, not the bucket count), so
+    * the pair frame must never be a broadcast side — the r13 shape
+    * hinted it broadcast onto both signature streams, which is the
+    * same O(N)-sized-broadcast failure the IVF seed rule had (fine at
+    * test SF, a driver/executor OOM at the 100 TB target). r14 flips
+    * it to two digest-only shuffle joins: pairs and the 16-int
+    * signature projection co-partition on doc_a, then doc_b — linear,
+    * spillable, no text or gram arrays in either exchange — and AQE
+    * still promotes the pair side to a runtime broadcast at SFs where
+    * it genuinely fits. The rollup is ≤17 rows. Signatures are the
+    * same single-scan projection d03 uses — no new corpus pass beyond
+    * it. */
   private def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
     val vp = jaccardPairs(s, dir) // unfiltered: full candidate spread
     val sig = signatures(s, dir, withGrams = false)
@@ -1119,10 +1127,10 @@ object DedupQueries {
     val matches = (0 until NumPerms)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    // pairs broadcast onto BOTH signature streams (never the reverse:
-    // the signature projection is corpus-wide)
-    val withA = sa.join(broadcast(vp), Seq("doc_a"))
-    sb.join(broadcast(withA), Seq("doc_b"))
+    // shuffle joins on the doc keys (NOT a pair broadcast: the pair
+    // frame scales with the corpus — see the scale-shape note above)
+    val withA = vp.join(sa, Seq("doc_a"))
+    withA.join(sb, Seq("doc_b"))
       .withColumn("est_matches", matches)
       .groupBy(col("est_matches"))
       .agg(count(lit(1)).as("n_pairs"),

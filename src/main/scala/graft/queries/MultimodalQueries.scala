@@ -692,8 +692,13 @@ object MultimodalQueries {
     *
     * Scale shape: tokens and bytes are metadata/scan-local arithmetic
     * (the m04 rule — payload never decoded); the drop set is
-    * cluster-bounded (≪ corpus) and broadcasts onto the per-modality
-    * rollup; the final aggregate is 3 rows. */
+    * cluster-bounded but grows LINEARLY with the corpus at a constant
+    * dup rate, so it is deliberately NOT hinted as a broadcast side
+    * (the r13 IVF lesson: an O(N)-sized broadcast is a hard OOM at
+    * the 100 TB target, however small it looks at test SF) — the flag
+    * join is a plain media_id-keyed left join and AQE still promotes
+    * it to a broadcast at runtime whenever the drop set actually
+    * fits; the final aggregate is 3 rows. */
   private def mediaCurationCard(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val base = MediaPipeline.load(s, dir).toDF()
@@ -711,7 +716,7 @@ object MultimodalQueries {
     val dropped = labels
       .join(keepers, col("doc") === col("keeper_id"), "left_anti")
       .select(col("doc").as("media_id"), lit(true).as("is_dropped"))
-    base.join(broadcast(dropped), Seq("media_id"), "left")
+    base.join(dropped, Seq("media_id"), "left")
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_media"),
         sum(when(col("is_dropped"), 1L).otherwise(0L)).as("n_dropped"),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -157,20 +157,30 @@ object TextQueries {
   // a TOKEN budget rather than a document rate. Docs are ordered by a
   // deterministic shuffle hash (so "the first B tokens" is a stable
   // uniform sample, not a doc_id-ordered prefix) and kept while the
-  // running token total stays within budget. The cumulative sum is a
-  // per-source window over exact integers — partition-independent, and
-  // the classic one-shuffle shape for quota problems at scale.
+  // running token total stays within budget. The cumulative sum runs
+  // over exact integers in the shared hierarchical form (PrefixSum) —
+  // partition-independent, and no task ever sorts a whole source.
   private val TokenBudgetPerSource = 800L
+  private val TokenMixRanges = 64L // PrefixSum parallelism for t07's h-order
 
   private def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(s, dir)
+    // The running sum is the shared hierarchical prefix sum (r14 —
+    // the t27 mechanism extracted to graft.operators.PrefixSum): a
+    // plain partitionBy(source) running-sum window sorts a whole
+    // source in ONE task, the t21-class skew hazard. The hash h is
+    // uniform in [0, 1e9+7) (the shingle modulus), so fixed-width
+    // h-ranges are order-aligned (monotone in h — the PrefixSum
+    // contract) AND balanced; results are bit-identical to the single
+    // window (exact BIGINT sums over the same total order).
+    val width = (1000000007L + TokenMixRanges - 1) / TokenMixRanges
+    val base = docs(s, dir)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
       .withColumn("x", col("doc_id").cast(StringType))
       .withColumn("h", expr(DedupQueries.shingleHashSpark))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    graft.operators.PrefixSum.partitionedCumSum(base, Seq("source"),
+      expr(s"h div ${width}L"), Seq(col("h"), col("doc_id")),
+      col("n_tokens"), "cum_tokens")
       .filter(col("cum_tokens") <= TokenBudgetPerSource)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("doc_id"))
@@ -450,19 +460,22 @@ object TextQueries {
     * into head/middle/tail terciles by the t01 quality score, the
     * partition used to pick (or weight) training data by quality tier.
     *
-    * Terciles come from `ntile(3)` over (score, doc_id) — a total order,
-    * so assignment is deterministic and both engines implement the same
-    * SQL-standard ntile split (first `n mod 3` tiles take the extra
-    * row). The window is per-language over the corpus — the t07 quota
-    * shape: one shuffle on `lang`, rows spill individually. At extreme
-    * per-language cardinality a production run swaps the exact ntile
-    * for approx-percentile thresholds; the tercile CONTRACT (which dock
-    * lands in which tier) is what this query pins. */
-  private def qualityBuckets(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("quality_score"), col("doc_id"))
-    withStats(docs(s, dir))
-      .withColumn("quality_score", qualityScoreCol)
-      .withColumn("tile", ntile(3).over(w))
+    * Terciles are the SQL-standard `ntile(3)` over (score, doc_id) — a
+    * total order, so assignment is deterministic and both engines
+    * implement the same split (first `n mod 3` tiles take the extra
+    * row) — but computed HIERARCHICALLY (r14): ntile is row_number
+    * plus arithmetic on the group size, and row_number is a running
+    * count, so [[graft.operators.PrefixSum.partitionedNtile]] runs it
+    * as the shared two-level prefix sum over score-derived ranges. No
+    * task ever sorts a whole language (the caveat this query used to
+    * NARRATE — "at extreme cardinality swap the exact ntile for
+    * approx thresholds" — is retired; the exact tile is now the scale
+    * path, t17's sketch remains as the cheaper alternative, not the
+    * only escape). The DuckDB twin keeps its plain NTILE(3): the
+    * arithmetic replication is bit-identical, pinned by
+    * PrefixSumSpec. */
+  private def qualityBuckets(s: SparkSession, dir: String): DataFrame =
+    scoredTerciles(s, dir)
       .withColumn("bucket",
         when(col("tile") === 1, "tail")
           .when(col("tile") === 2, "middle")
@@ -472,6 +485,42 @@ object TextQueries {
         min(col("quality_score")).as("min_score"),
         max(col("quality_score")).as("max_score"))
       .orderBy(col("lang"), col("bucket"))
+
+  /** PrefixSum parallelism for the t16/t18 tercile orders. */
+  private val NtileRanges = 64L
+
+  /** Score-derived order-aligned range id for the hierarchical ntile:
+    * fixed-width tiles of [lo, hi] from a broadcast 1-row bounds
+    * scalar (the t21 pattern). Monotone in `c` (IEEE subtraction and
+    * division by a positive constant are order-preserving; floor is
+    * monotone), equal scores share a range, so the PrefixSum order
+    * contract holds with tiebreak columns never straddling a range.
+    * Degenerate hi == lo (or a single row) collapses to one range —
+    * the plain window, never wrong. `lo`/`hi` must be non-null
+    * aggregates of `c` itself. */
+  private def boundsRange(c: String, lo: String, hi: String): Column =
+    expr(s"""CASE WHEN $hi > $lo
+             |  THEN CAST(floor(($c - $lo) / (($hi - $lo) / ${NtileRanges}.0)) AS BIGINT)
+             |  ELSE 0L END""".stripMargin)
+
+  /** The (doc_id, lang, quality_score, tile) frame t16 aggregates and
+    * t18 cuts its head stratum from — ONE memoized scored projection
+    * (narrow: never the text), one bounds pass, one hierarchical
+    * ntile serve both. */
+  private def scoredTerciles(s: SparkSession, dir: String): DataFrame = {
+    val scored = PersistedAggregates.memo(s, "txt_scored", dir) {
+      withStats(docs(s, dir))
+        .withColumn("quality_score", qualityScoreCol)
+        .select(col("doc_id"), col("lang"), col("quality_score"))
+    }
+    val bounds = scored.agg(min(col("quality_score")).as("__qlo"),
+      max(col("quality_score")).as("__qhi"))
+    val ranged = scored.crossJoin(broadcast(bounds))
+      .withColumn("__qrng", boundsRange("quality_score", "__qlo", "__qhi"))
+      .drop("__qlo", "__qhi")
+    graft.operators.PrefixSum.partitionedNtile(ranged, Seq("lang"),
+      col("__qrng"), Seq(col("quality_score"), col("doc_id")), 3, "tile")
+      .drop("__qrng")
   }
 
   /** t17: approx-percentile quality terciles — t16's documented 100 TB
@@ -587,8 +636,9 @@ object TextQueries {
     * the explode happens scan-side, so only gram-level tuples and
     * (gram, count) aggregates ever move:
     *
-    *  1. head stratum: t16's exact ntile cut over (quality_score,
-    *     doc_id) — on the narrow projection, not the documents;
+    *  1. head stratum: t16's exact tercile cut over (quality_score,
+    *     doc_id) — the shared hierarchical PrefixSum-ntile frame, on
+    *     the narrow projection, not the documents;
     *  2. training counts: head-doc bigrams → c2 = count per (lang, w1,
     *     w2) (one (gram, count) shuffle, memoized — read three ways);
     *     c1 (context totals) and V (bigram vocabulary) RE-AGGREGATE c2
@@ -596,8 +646,10 @@ object TextQueries {
     *  3. scoring: every doc's bigrams left-join c2 on the gram and c1
     *     on the context (unseen grams fall back to the smoothing
     *     floor), fold to one exact integer sum per doc;
-    *  4. bucketing: per-language perplexity terciles via ntile over the
-    *     doc-level (avg_logprob, doc_id) — post-aggregation rows.
+    *  4. bucketing: per-language perplexity terciles over the
+    *     doc-level (avg_logprob, doc_id) — post-aggregation rows, cut
+    *     by the same hierarchical ntile (bounds-derived ranges, the
+    *     t21 pattern; no single-task per-language sort).
     *
     * Docs with fewer than 2 tokens have no bigrams and are excluded
     * (CCNet scores sentences, which always have context). A language
@@ -609,11 +661,11 @@ object TextQueries {
     * bucket by the smoothing floor alone, i.e. by noise. Buckets:
     * "head" = highest avg log-prob = lowest perplexity = most LM-like. */
   private def lmQualityFilter(s: SparkSession, dir: String): DataFrame = {
-    val scored = withStats(docs(s, dir))
-      .withColumn("quality_score", qualityScoreCol)
-      .select(col("doc_id"), col("lang"), col("quality_score"))
-    val wq = Window.partitionBy(col("lang")).orderBy(col("quality_score"), col("doc_id"))
-    val headIds = scored.withColumn("tile", ntile(3).over(wq))
+    // Head stratum from the SAME hierarchical tercile frame t16
+    // aggregates (r14: one memoized scored projection + one
+    // PrefixSum-ntile serve both; the per-language single-task ntile
+    // sort is retired on both of this query's windows).
+    val headIds = scoredTerciles(s, dir)
       .filter(col("tile") === 3).select(col("doc_id"))
     val grams = docs(s, dir)
       .withColumn("ws", split(col("text"), " "))
@@ -632,19 +684,30 @@ object TextQueries {
       .union(c2.select(col("lang"), col("w2").as("w")))
       .distinct()
       .groupBy(col("lang")).agg(count(lit(1)).as("v"))
-    val perDoc = grams
-      .join(c2, Seq("lang", "w1", "w2"), "left")
-      .join(c1, Seq("lang", "w1"), "left")
-      .join(broadcast(vocab), Seq("lang"))
-      .withColumn("lp_u",
-        expr(ilogSql("COALESCE(n2, 0) + 1")) -
-          expr(ilogSql("GREATEST(COALESCE(n1, 0) + v, 1)")))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_u")).as("sum_u"))
-      .withColumn("avg_logprob",
-        col("sum_u").cast(DoubleType) / col("n_bigrams") / lit(1048576.0))
-    val wb = Window.partitionBy(col("lang")).orderBy(col("avg_logprob"), col("doc_id"))
-    perDoc.withColumn("tile", ntile(3).over(wb))
+    // Memoized: the perplexity-tercile below needs a bounds pass plus
+    // the ntile pass over this doc-grain frame — one gram-join build
+    // serves both reads (narrow rows: ids + exact integers).
+    val perDoc = PersistedAggregates.memo(s, "t18_perdoc", dir) {
+      grams
+        .join(c2, Seq("lang", "w1", "w2"), "left")
+        .join(c1, Seq("lang", "w1"), "left")
+        .join(broadcast(vocab), Seq("lang"))
+        .withColumn("lp_u",
+          expr(ilogSql("COALESCE(n2, 0) + 1")) -
+            expr(ilogSql("GREATEST(COALESCE(n1, 0) + v, 1)")))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_u")).as("sum_u"))
+        .withColumn("avg_logprob",
+          col("sum_u").cast(DoubleType) / col("n_bigrams") / lit(1048576.0))
+    }
+    val pBounds = perDoc.agg(min(col("avg_logprob")).as("__plo"),
+      max(col("avg_logprob")).as("__phi"))
+    val pRanged = perDoc.crossJoin(broadcast(pBounds))
+      .withColumn("__prng", boundsRange("avg_logprob", "__plo", "__phi"))
+      .drop("__plo", "__phi")
+    graft.operators.PrefixSum.partitionedNtile(pRanged, Seq("lang"),
+      col("__prng"), Seq(col("avg_logprob"), col("doc_id")), 3, "tile")
+      .drop("__prng")
       .withColumn("bucket",
         when(col("tile") === 1, "tail")
           .when(col("tile") === 2, "middle")
@@ -782,6 +845,7 @@ object TextQueries {
   // gram rows before the doc-grain shuffle). Two passes over the
   // corpus total — the paper's fit-then-score structure.
   private val DsirBuckets = 256
+  private val DsirSelectRanges = 64L // PrefixSum parallelism for t21's u-order
 
   /** One row per (doc gram instance): bucket id only, hashed scan-side. */
   private def dsirGramBuckets(s: SparkSession, dir: String): DataFrame = {
@@ -868,25 +932,36 @@ object TextQueries {
     * sampling-without-replacement noise (Gumbel top-k) adds nothing an
     * oracle could check.
     *
-    * Skew honesty (the t16→t17 caveat): one window partition per
-    * source means a billion-doc source sorts in one task. At that
-    * cardinality production swaps the exact prefix for a per-source
-    * GK weight-quantile cutoff (the t17 move: select u ≥ cut where
-    * cut targets the token budget) — the selection CONTRACT this
-    * query pins is unchanged; only the cut becomes approximate. */
+    * Skew (r14: the caveat RETIRED, not narrated): the exact prefix
+    * runs as the shared hierarchical PrefixSum — u-ranges from a
+    * broadcast 1-row (min, max) scalar tile the (u desc) order, each
+    * (source, range) sorts independently, offsets re-assemble the
+    * exact per-source running total — so a billion-doc source never
+    * sorts in one task and the selection stays EXACT (no GK-cutoff
+    * approximation needed; u-ranges can skew if u concentrates, worst
+    * case degenerating to the old single-task sort, never worse). The
+    * per-doc (u, tokens) frame is session-memoized so the bounds
+    * scalar, the budgets, and the prefix all read one build. */
   private def dsirSelect(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
-      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
-    val j = dsirPerDoc(s, dir).select(col("doc_id"), col("source"), col("u"))
-      .join(toks, "doc_id")
+    val j = PersistedAggregates.memo(s, "t21_ud", dir) {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      dsirPerDoc(s, dir).select(col("doc_id"), col("source"), col("u"))
+        .join(toks, "doc_id")
+    }
     val bud = j.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("src_tokens"))
       .withColumn("budget_tokens", expr("(src_tokens * 2) div 5"))
       .select(col("source"), col("budget_tokens"))
-    val wsrc = Window.partitionBy(col("source"))
-      .orderBy(col("u").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    j.withColumn("cum", sum(col("n_tokens")).over(wsrc))
+    val bounds = j.agg(min(col("u")).as("__ulo"), max(col("u")).as("__uhi"))
+    val ranged = j.crossJoin(broadcast(bounds))
+      .withColumn("__urng",
+        expr(s"(__uhi - u) div ((__uhi - __ulo) div ${DsirSelectRanges}L + 1L)"))
+      .drop("__ulo", "__uhi")
+    graft.operators.PrefixSum.partitionedCumSum(ranged, Seq("source"),
+      col("__urng"), Seq(col("u").desc, col("doc_id")),
+      col("n_tokens"), "cum")
+      .drop("__urng")
       .join(broadcast(bud), "source")
       .withColumn("keep", col("cum") <= col("budget_tokens"))
       .groupBy(col("source"), col("budget_tokens"))
@@ -916,10 +991,16 @@ object TextQueries {
     * map tasks, so the (source, term) shuffle carries vocabulary-
     * bounded rows, not the token stream; document frequencies
     * re-aggregate the per-doc DISTINCT projection the same way; N is
-    * a broadcast scalar and the df table broadcasts onto the tf side
-    * (vocabulary ≪ corpus — the t08 probe-side rule). The only window
-    * ranks the per-source vocabulary aggregate (|sources|·|vocab|
-    * rows), never documents. */
+    * a broadcast scalar. The df table is vocabulary-sized — sublinear
+    * in the corpus (Heaps) but UNBOUNDED (noise, URLs, numbers push
+    * web-scale vocabularies past 10⁸ terms) — so r14 dropped its r13
+    * broadcast hint for a term-keyed shuffle join (the IVF lesson: a
+    * frame that grows with the data is never a pinned broadcast side;
+    * AQE still promotes it at SFs where it fits). The rank windows
+    * see only the vocabulary aggregate, never documents, and the
+    * per-source top-5 is computed hierarchically so no single task
+    * ever sorts a whole source's vocabulary (see the in-body note). */
+  private[graft] val TfidfRankBuckets = 64
   private def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
     val words = docs(s, dir)
       .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("term"))
@@ -927,12 +1008,29 @@ object TextQueries {
     val df = words.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    // Exact hierarchical top-5 (r14 scale fix): a single
+    // partitionBy(source) rank window sorts |vocab| rows in ONE task
+    // per source — the t16 skew hazard with no approx twin to hide
+    // behind. Stage 1 ranks within (source, hash-bucket) partitions
+    // (|vocab|/B rows per task, B the tunable [[TfidfRankBuckets]]);
+    // any global top-5 term is necessarily top-5 in its own bucket
+    // under the SAME total order (score desc, term asc — terms are
+    // unique per source), so stage 2 re-ranks only the ≤ 5·B bucket
+    // survivors per source. EXACT, not approximate — unlike t17's
+    // sketch, nothing here trades accuracy for the partition bound.
+    // The bucket id never reaches the output, so the murmur3 hash
+    // needs no cross-engine twin.
+    val wb = Window.partitionBy(col("source"), col("tb"))
+      .orderBy(col("score_u").desc, col("term"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("score_u").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("idf_u", expr(ilogSql("n_docs")) - expr(ilogSql("df")))
       .withColumn("score_u", col("tf") * col("idf_u"))
+      .withColumn("tb", pmod(hash(col("term")), lit(TfidfRankBuckets)))
+      .withColumn("brnk", row_number().over(wb))
+      .filter(col("brnk") <= 5)
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 5)
       .withColumn("tfidf", col("score_u").cast(DoubleType) / lit(1048576.0))

@@ -135,9 +135,38 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     assert(text.contains("BroadcastHashJoin"), "s11 lost its broadcast joins")
   }
 
+  test("t16 quality terciles: hierarchical ntile — no per-language single-task sort") {
+    // r14: ntile(3) is row_number + arithmetic, so the tercile runs as
+    // the shared PrefixSum (in-range window on (lang, __rng), offsets
+    // window on (lang) over the ≤ numRanges-per-lang aggregate). A
+    // single lang-partitioned window here means the one-task-per-
+    // language ntile sort came back.
+    val plan = queries("t16_quality_buckets")(spark, sf).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.length == 2,
+      s"t16 must plan the in-range + offsets windows, found ${windows.length}:\n$plan")
+    val partKeys = windows.map(_.partitionSpec.flatMap(_.references.map(_.name)).toSet)
+    assert(partKeys.contains(Set("lang", "__rng")) && partKeys.contains(Set("lang")),
+      s"t16 window partition keys drifted: $partKeys")
+  }
+
+  test("t18 perplexity terciles: hierarchical ntile on the bucketing window too") {
+    // Both of t18's former ntile windows are PrefixSum-served now; the
+    // head-stratum pair lives inside the memoized c2 build, so the
+    // VISIBLE windows are exactly the perplexity-tercile pair.
+    val plan = queries("t18_lm_quality_filter")(spark, sf).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.length == 2,
+      s"t18 must plan the in-range + offsets windows, found ${windows.length}:\n$plan")
+    val partKeys = windows.map(_.partitionSpec.flatMap(_.references.map(_.name)).toSet)
+    assert(partKeys.contains(Set("lang", "__rng")) && partKeys.contains(Set("lang")),
+      s"t18 window partition keys drifted: $partKeys")
+  }
+
   test("t17 approx terciles: window-free — GK sketch aggregate plus broadcast thresholds") {
-    // t17 exists BECAUSE t16's exact ntile totally orders each language
-    // through one window. Its plan must never contain a Window (a
+    // t17 is the CHEAP tercile alternative (one sketch pass, no total
+    // order at all — t16's exact hierarchical ntile still sorts every
+    // range task). Its plan must never contain a Window (a
     // refactor that 'simplifies' back to ntile keeps values green and
     // breaks only here), and the threshold table must come back as a
     // broadcast, not a shuffle join on lang.
@@ -248,24 +277,44 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     assert(leaky.isEmpty, s"t20 shuffles raw text/grams:\n${leaky.mkString("\n")}")
   }
 
-  test("t21 DSIR select: one prefix-sum window, partitioned by source — never a global sort") {
-    // Stratified selection is the scale story: the paper's global
-    // weighted sample becomes per-source windows. An empty partition
-    // spec here IS the corpus-wide total sort the stratification
-    // exists to avoid.
+  test("t21 DSIR select: hierarchical prefix sum — no partition ever holds a whole source") {
+    // Stratified selection is half the scale story (per-source, never
+    // a corpus-wide total sort); r14 finished it: the running sum is
+    // the shared PrefixSum, so the plan must show the two-level shape
+    // — the in-range window partitioned by (source, __rng) and the
+    // ≤ numRanges-row offsets window by (source). A single
+    // source-partitioned window here means the one-task-per-source
+    // sort came back; an empty partition spec means the global sort
+    // did.
     val plan = queries("t21_dsir_select")(spark, sf).queryExecution.optimizedPlan
     val windows = plan.collect { case w: LWindow => w }
-    assert(windows.length == 1,
-      s"t21 must plan exactly the prefix-sum window, found ${windows.length}:\n$plan")
-    val partCols = windows.head.partitionSpec.flatMap(_.references.map(_.name))
-    assert(partCols == Seq("source"),
-      s"t21's window must partition by source, got $partCols")
+    assert(windows.length == 2,
+      s"t21 must plan the in-range + offsets windows, found ${windows.length}:\n$plan")
+    val partKeys = windows.map(_.partitionSpec.flatMap(_.references.map(_.name)).toSet)
+    assert(partKeys.contains(Set("source", "__rng")) && partKeys.contains(Set("source")),
+      s"t21 window partition keys drifted: $partKeys")
     // and it inherits t20's no-text-in-shuffle contract
     val inputs = PlanTestUtils.exchangeInputs(
       queries("t21_dsir_select")(spark, sf).queryExecution)
+    // bare `x#` only (the gram-string column): min#/max# from the
+    // bounds scalar are 8-byte partial-agg longs, fine to shuffle.
     val leaky = inputs.filter(l =>
-      l.contains("text#") || l.contains("words#") || l.contains("x#"))
+      l.contains("text#") || l.contains("words#") ||
+        l.matches(""".*(?<![a-z_])x#.*"""))
     assert(leaky.isEmpty, s"t21 shuffles raw text/grams:\n${leaky.mkString("\n")}")
+  }
+
+  test("t07 token budget: hierarchical prefix sum — no partition ever holds a whole source") {
+    // Same r14 upgrade as t21: the per-source running total must plan
+    // as the two-level PrefixSum — (source, __rng) in-range window +
+    // (source) offsets window — never one window partition per source.
+    val plan = queries("t07_token_budget_mix")(spark, sf).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.length == 2,
+      s"t07 must plan the in-range + offsets windows, found ${windows.length}")
+    val partKeys = windows.map(_.partitionSpec.flatMap(_.references.map(_.name)).toSet)
+    assert(partKeys.contains(Set("source", "__rng")) && partKeys.contains(Set("source")),
+      s"t07 window partition keys drifted: $partKeys")
   }
 
   test("s15 filtered ANN: the label predicate lives in a join condition, not a post-join filter") {
@@ -332,25 +381,38 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     assert(leaky.isEmpty, s"m12 shuffles media payloads:\n${leaky.mkString("\n")}")
   }
 
-  test("t22 TF-IDF: ranking window sits above the vocabulary aggregate; df and N broadcast") {
-    // The window's input must be the (source, term) aggregate
-    // (vocabulary-bounded), never token-grain rows; and the df table +
-    // corpus count come back as broadcasts — a SortMergeJoin would
-    // shuffle the tf aggregate by term a second time.
-    val qe = queries("t22_tfidf_terms")(spark, sf).queryExecution
-    val plan = qe.optimizedPlan
-    val windows = plan.collect { case w: LWindow => w }
-    assert(windows.length == 1, s"t22 must plan exactly the rank window, found ${windows.length}")
-    def containsAggregate(p: LogicalPlan): Boolean =
-      p.collectFirst { case a: Aggregate => a }.isDefined
-    assert(containsAggregate(windows.head.child),
-      "t22 window is not over the aggregated vocabulary rows")
-    val text = PlanTestUtils.formatted(qe)
-    assert(!text.contains("SortMergeJoin"),
-      "t22 shuffle-joins the df/N side; expected broadcast")
-    val inputs = PlanTestUtils.exchangeInputs(qe)
-    val leaky = inputs.filter(_.contains("text#"))
-    assert(leaky.isEmpty, s"t22 shuffles raw text:\n${leaky.mkString("\n")}")
+  test("t22 TF-IDF: hierarchical rank windows over aggregates; no pinned vocab-sized broadcast") {
+    // r14 flipped two r13 pins, both instances of the IVF lesson
+    // (nothing that grows with the data may be a FORCED broadcast or
+    // a single-task sort): the df join must survive with broadcasts
+    // unavailable (the old shape HINTED the vocabulary-sized df frame
+    // broadcast — auto-broadcast off would still have planned it),
+    // and the per-source top-5 must rank in two stages so no window
+    // partition holds a whole source's vocabulary. Windows still sit
+    // above the (source, term) aggregate, and raw text never enters
+    // an exchange.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val qe = queries("t22_tfidf_terms")(spark, sf).queryExecution
+      val plan = qe.optimizedPlan
+      val windows = plan.collect { case w: LWindow => w }
+      assert(windows.length == 2,
+        s"t22 must plan the bucket + final rank windows, found ${windows.length}")
+      val partKeys = windows.map(_.partitionSpec.flatMap(_.references.map(_.name)).toSet)
+      assert(partKeys.contains(Set("source", "tb")) && partKeys.contains(Set("source")),
+        s"t22 window partition keys drifted: $partKeys")
+      def containsAggregate(p: LogicalPlan): Boolean =
+        p.collectFirst { case a: Aggregate => a }.isDefined
+      windows.foreach(w => assert(containsAggregate(w.child),
+        "t22 window is not over the aggregated vocabulary rows"))
+      val text = PlanTestUtils.formatted(qe)
+      assert(text.contains("SortMergeJoin"),
+        "t22 with auto-broadcast off must shuffle-join the df side — a broadcast here means the vocab-sized hint came back")
+      val inputs = PlanTestUtils.exchangeInputs(qe)
+      val leaky = inputs.filter(_.contains("text#"))
+      assert(leaky.isEmpty, s"t22 shuffles raw text:\n${leaky.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
   test("s16 kNN graph: the only window ranks per vector; mutual join reuses the memoized graph") {
@@ -375,18 +437,48 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
       "s16 mutual join lost the memoized kNN frame — the pair join runs twice")
   }
 
-  test("d19 calibration: pairs broadcast onto both signature streams — no signature shuffle join") {
-    // The corpus-wide signature projection must stream map-side with
-    // the small pair frame broadcast twice; a SortMergeJoin here means
-    // signatures got shuffled by pair keys. Text stays scan-local (the
-    // d10 rule) — only m0..m15 ints and gram-hash arrays move.
-    val qe = queries("d19_minhash_calibration")(spark, sf).queryExecution
-    val text = PlanTestUtils.formatted(qe)
-    assert(!text.contains("SortMergeJoin"),
-      "d19 shuffle-joins the signature projection; expected broadcast pairs")
-    val inputs = PlanTestUtils.exchangeInputs(qe)
-    val leaky = inputs.filter(l => l.contains("text#") || l.contains("words#"))
-    assert(leaky.isEmpty, s"d19 shuffles raw text:\n${leaky.mkString("\n")}")
+  test("d19 calibration: no pinned pair-frame broadcast — doc-keyed shuffle joins, digests only") {
+    // r14 flip of an r13 pin: candidate pairs are Θ(N) at a constant
+    // dup rate, so HINTING them broadcast (the old shape: pairs onto
+    // both signature streams) is the IVF O(N)-broadcast failure mode.
+    // With auto-broadcast off the joins must plan as doc-keyed shuffle
+    // joins — proof no hint forces the pair frame resident on every
+    // executor — and the exchanges may carry only ints/digests: text
+    // stays scan-local (the d10 rule), and the gram-hash arrays die in
+    // the memoized pair frame, never re-entering a shuffle here.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val qe = queries("d19_minhash_calibration")(spark, sf).queryExecution
+      val text = PlanTestUtils.formatted(qe)
+      assert(text.contains("SortMergeJoin"),
+        "d19 with auto-broadcast off must shuffle-join pairs and signatures — a broadcast here means the O(N) pair hint came back")
+      val inputs = PlanTestUtils.exchangeInputs(qe)
+      val leaky = inputs.filter(l => l.contains("text#") || l.contains("words#"))
+      assert(leaky.isEmpty, s"d19 shuffles raw text:\n${leaky.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
+  test("m13 curation card: the corpus-scaling drop set is never a pinned broadcast side") {
+    // Same IVF lesson, media domain: the drop list is O(N·dup_rate).
+    // With auto-broadcast off the is_dropped flag join must plan as a
+    // shuffle join (AQE may still promote it at runtime where it
+    // fits — the point is no HINT forces it), and media payloads
+    // (bytes) stay out of every exchange.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val qe = queries("m13_media_curation_card")(spark, sf).queryExecution
+      val text = PlanTestUtils.formatted(qe)
+      assert(text.contains("SortMergeJoin"),
+        "m13 with auto-broadcast off must shuffle-join the drop set — a broadcast here means the O(N) hint came back")
+      val inputs = PlanTestUtils.exchangeInputs(qe)
+      // bare `bytes#` only: payload_bytes#/kept_bytes# are derived
+      // LONGS (fine to shuffle); the raw binary column must die at
+      // the scan's length() projection.
+      val leaky = inputs.filter(_.matches(""".*(?<![a-z_])bytes#.*"""))
+      assert(leaky.isEmpty, s"m13 shuffles media payloads:\n${leaky.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
   test("s18 index health: embeddings never shuffle — centroids broadcast, aggregates only") {
@@ -581,7 +673,8 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
 
   test("t27 sequence packing: hierarchical prefix sum — corpus window per range, offsets broadcast") {
     // The one global ordering must never funnel through a single
-    // partition: the corpus-side running sum partitions by __range, and
+    // partition: the corpus-side running sum partitions by __rng (the
+    // shared PrefixSum range tag), and
     // the only empty-partition window runs over the numRanges-row
     // offsets aggregate (the t12 bounded-cardinality rule). The offsets
     // then join back as a broadcast, and no shuffle carries text.
@@ -590,10 +683,10 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     val (global, ranged) = windows.partition(_.partitionSpec.isEmpty)
     // the tagged frame plans twice (corpus side + inside the offsets
     // aggregate), so >=1 ranged window — what matters is that EVERY
-    // corpus-grain window partitions by __range
+    // corpus-grain window partitions by __rng
     assert(ranged.nonEmpty && ranged.forall(
-      _.partitionSpec.flatMap(_.references.map(_.name)) == Seq("__range")),
-      "the corpus prefix sum must partition by __range")
+      _.partitionSpec.flatMap(_.references.map(_.name)) == Seq("__rng")),
+      "the corpus prefix sum must partition by __rng")
     assert(global.length == 1, "expected exactly the offsets window")
     def containsAggregate(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
       p.collectFirst { case a: Aggregate => a }.isDefined
