@@ -195,13 +195,21 @@ object DedupQueries {
         (col("total_docs") - col("distinct_docs")).as("dups_removed"))
 
   /** Prefix-fingerprint dedup: emit every doc that would be dropped in
-    * favor of the smallest doc_id sharing its 40-char-prefix hash. */
+    * favor of the smallest doc_id sharing its 40-char-prefix hash.
+    *
+    * Scale shape (r14): keep_doc = min(doc_id) per fingerprint as a
+    * MAP-SIDE COMBINABLE aggregate joined back on fp, and "dropped" ≡
+    * doc_id > keep_doc (doc_id unique, so this is exactly the old
+    * rn > 1). The previous rn/min WINDOW put every member of a hot
+    * prefix family — identical boilerplate can be O(corpus) — into
+    * one task; the aggregate partial-combines to one row per fp
+    * before its shuffle, and the join back is a key-shuffle AQE can
+    * skew-split (a window has no such mitigation). */
   private def prefixDedup(s: SparkSession, dir: String): DataFrame = {
     val t = docs(s, dir).select(col("doc_id"), md5(substring(col("text"), 1, 40)).as("fp"))
-    val part = Window.partitionBy(col("fp"))
-    t.withColumn("rn", row_number().over(part.orderBy(col("doc_id"))))
-      .withColumn("keep_doc", min(col("doc_id")).over(part))
-      .filter(col("rn") > 1)
+    val keep = t.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_doc"))
+    t.join(keep, "fp")
+      .filter(col("doc_id") > col("keep_doc"))
       .select(col("doc_id"), col("keep_doc"), col("fp"))
       .orderBy(col("doc_id"))
   }
@@ -350,11 +358,21 @@ object DedupQueries {
     * ~10 rounds, not thousands. The driver-side `while` only checks a
     * scalar convergence checksum — all data movement is distributed.
     * The DuckDB twin is a recursive CTE over the same verified pairs. */
-  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    docClusterLabels(s, dir)
-      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    // Cluster sizes as a map-side-combinable aggregate joined back on
+    // the cluster key (r14): the count-over-cluster WINDOW funneled
+    // every member of a giant component (boilerplate families are
+    // O(corpus) worst-case) into one task; the aggregate
+    // partial-combines, the size table is one row per cluster (grows
+    // with the corpus — NOT broadcast-hinted, the IVF lesson), and
+    // the join back is AQE-skew-splittable. Labels are the shared
+    // disk materialization — both reads are parquet scans.
+    val labels = docClusterLabels(s, dir)
+    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "cluster")
       .select(col("doc").as("doc_id"), col("cluster").as("cluster_id"), col("n_members"))
       .orderBy(col("doc_id"))
+  }
 
   /** The shared CC labels over the Jaccard-verified pairs — ONE
     * definition of "near-dup cluster" for d07/d12/d15(+d16/t29),
@@ -490,27 +508,43 @@ object DedupQueries {
     *
     * Scale shape: the chunk string dies at the md5 projection — only
     * (doc_id, digest) rows shuffle, 16 B of payload each. The global
-    * occurrence count is a window over the digest partition (rows spill
-    * individually; a degenerate boilerplate chunk costs disk, not an
-    * aggregation buffer), and the per-doc rollup is the second and last
-    * shuffle. Flag arithmetic is integer cross-multiplication — no float
-    * threshold parity risk. */
+    * occurrence count is a map-side-combinable aggregate whose ≥2 dup
+    * set joins back on the digest (r14 — see the in-body note; a
+    * degenerate boilerplate chunk partial-combines instead of
+    * funneling O(corpus) rows into one window task), and the per-doc
+    * rollup is the last shuffle. Flag arithmetic is integer
+    * cross-multiplication — no float threshold parity risk. */
   /** Shared base for d10 and d15's chunk_duplication verdict: per-doc
     * (n_chunks, n_dup_chunks) over the fixed 16-word chunk grid. No
     * filter, no sort — callers apply their own, so d15 composes it
     * without inheriting d10's presentation ORDER BY. */
   private def chunkDocStats(s: SparkSession, dir: String): DataFrame = {
-    val chunks = docs(s, dir)
-      .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, CAST((size(words) + ${ChunkWords - 1}) div $ChunkWords AS INT)),
-            i -> md5(concat_ws(' ', slice(words, (i - 1) * $ChunkWords + 1, $ChunkWords))))"""))
-        .as("ch"))
-    chunks
-      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("ch"))))
+    // Memoized: the dup-set aggregate below and the flag join both
+    // read this corpus-grain digest frame — one explode serves both
+    // (and d13 shares the same build through chunkDocStats).
+    val chunks = PersistedAggregates.memo(s, "d10_chunks", dir) {
+      docs(s, dir)
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, CAST((size(words) + ${ChunkWords - 1}) div $ChunkWords AS INT)),
+              i -> md5(concat_ws(' ', slice(words, (i - 1) * $ChunkWords + 1, $ChunkWords))))"""))
+          .as("ch"))
+    }
+    // Duplicated-chunk membership via aggregate + join, not a
+    // count-over-digest window (r14): a boilerplate chunk shared by
+    // O(corpus) docs made the window's one-task partition unbounded;
+    // the count partial-combines to one row per digest, ≥2 keeps only
+    // the dup set (linear in dup mass — never broadcast-hinted), and
+    // the left join back is AQE-skew-splittable. n_occ counts ROW
+    // occurrences (within-doc repeats included), exactly the window's
+    // semantics.
+    val dup = chunks.groupBy(col("ch")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("ch"), lit(1L).as("__dup"))
+    chunks.join(dup, Seq("ch"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dup_chunks"))
   }
 
   private def chunkDedup(s: SparkSession, dir: String): DataFrame =
@@ -570,8 +604,9 @@ object DedupQueries {
     *
     * Scale shape is d10's: window strings die at the md5 projection
     * (only 16 B digests shuffle), within-doc repeats collapse with a
-    * DISTINCT, the cross-doc count is a spillable window over the
-    * digest partition, and the per-doc rollup is the last shuffle. */
+    * DISTINCT, the cross-doc count is the d10 aggregate-plus-join
+    * form (r14 — partial-combined, AQE-skew-splittable, no one-task
+    * digest partition), and the per-doc rollup is the last shuffle. */
   /** All stride-1 window-digest occurrences (doc_id, i, wh) — the
     * shared upstream of d14 (detection) and d20 (removal), memoized:
     * the n·W md5 pass is the families' dominant cost and d20 alone
@@ -590,12 +625,25 @@ object DedupQueries {
     }
 
   private def substringDedup(s: SparkSession, dir: String): DataFrame = {
-    val wins = windowOcc(s, dir).select(col("doc_id"), col("wh")).distinct()
-    wins
-      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("wh"))))
+    // Memoized on top of the memoized occurrence frame: the shared-set
+    // aggregate and the flag join both read the distinct projection —
+    // one DISTINCT shuffle serves both.
+    val wins = PersistedAggregates.memo(s, "d14_wins", dir) {
+      windowOcc(s, dir).select(col("doc_id"), col("wh")).distinct()
+    }
+    // Shared-window membership via aggregate + join (r14, the d10
+    // conversion): rows are distinct per (doc, wh), so the digest
+    // count IS the doc count; ≥2 keeps the shared set (linear in dup
+    // mass — never broadcast-hinted) and the left join back is
+    // AQE-skew-splittable, where the old count-over-digest window
+    // funneled every holder of a viral window into one task.
+    val shared = wins.groupBy(col("wh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("wh"), lit(1L).as("__dup"))
+    wins.join(shared, Seq("wh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared_windows"))
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_shared_windows"))
       .filter(col("n_shared_windows") > 0)
       .select(col("doc_id"), col("n_windows"), col("n_shared_windows"),
         round(col("n_shared_windows").cast(DoubleType) / col("n_windows"), 4)

@@ -73,20 +73,28 @@ object MultimodalQueries {
     *
     * Scale shape: frames reduce to (media_id, digest) rows at the
     * sampling projection — payloads never shuffle. The per-media
-    * DISTINCT collapses within-video repeats (static scenes), the
-    * cross-media occurrence count is a window over the digest partition
-    * (spillable rows, the d10 shape), and the rollup is the last
-    * shuffle. */
+    * DISTINCT collapses within-video repeats (static scenes, memoized
+    * so the shared-set aggregate and the flag join read one build);
+    * cross-media membership is an aggregate + join, not a
+    * count-over-digest window (r14, the d10 conversion): an intro
+    * frame shared by O(corpus) re-uploads made the window's one-task
+    * partition unbounded, while the count partial-combines, the ≥2
+    * shared set stays linear in dup mass (never broadcast-hinted),
+    * and the left join back is AQE-skew-splittable. The rollup is the
+    * last shuffle. */
   private[queries] def frameDedup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DoubleType
-    val frames = MediaPipeline.sampleFrames(MediaPipeline.load(s, dir)).toDF()
-      .select(col("media_id"), col("frame_md5")).distinct()
-    frames
-      .withColumn("n_media", count(lit(1)).over(Window.partitionBy(col("frame_md5"))))
+    val frames = PersistedAggregates.memo(s, "m05_frames", dir) {
+      MediaPipeline.sampleFrames(MediaPipeline.load(s, dir)).toDF()
+        .select(col("media_id"), col("frame_md5")).distinct()
+    }
+    val shared = frames.groupBy(col("frame_md5")).agg(count(lit(1)).as("n_media"))
+      .filter(col("n_media") >= 2)
+      .select(col("frame_md5"), lit(1L).as("__dup"))
+    frames.join(shared, Seq("frame_md5"), "left")
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"),
-        sum(when(col("n_media") >= 2, 1L).otherwise(0L)).as("n_shared_frames"))
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_shared_frames"))
       .filter(col("n_shared_frames") > 0)
       .select(col("media_id"), col("n_frames"), col("n_shared_frames"),
         round(col("n_shared_frames").cast(DoubleType) / col("n_frames"), 4).as("shared_ratio"))
@@ -614,9 +622,13 @@ object MultimodalQueries {
     * CTE over the SAME spliced m07p/m08p chains the family oracles
     * and the d15 manifest run. */
   private def mediaDedupClusters(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    mediaClusterLabels(s, dir)
-      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+    // Cluster sizes via aggregate + join on the cluster key (r14, the
+    // d07 conversion — see dedupClusters for the hot-component
+    // rationale); labels are the shared disk materialization, so both
+    // reads are parquet scans.
+    val labels = mediaClusterLabels(s, dir)
+    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "cluster")
       .select(col("doc").as("media_id"), col("cluster").as("cluster_id"), col("n_members"))
       .orderBy(col("media_id"))
   }

@@ -135,6 +135,22 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     assert(text.contains("BroadcastHashJoin"), "s11 lost its broadcast joins")
   }
 
+  test("hot-key count/min windows are gone: d02/d07/d10/d14/m05/m09 plan window-free") {
+    // r14: count-over-partition (and d02's rn/min) windows on
+    // data-dependent hot keys — digest, prefix fingerprint, cluster id
+    // — funneled every member of a viral family into ONE task. Each is
+    // now a map-side-combinable aggregate joined back on the key
+    // (AQE-skew-splittable), so these plans must contain no Window at
+    // all; one coming back means the single-task shape regressed.
+    for (q <- Seq("d02_prefix_dedup", "d07_dedup_clusters", "d10_chunk_dedup",
+        "d14_substring_dedup", "m05_frame_dedup", "m09_media_dedup_clusters")) {
+      val plan = queries(q)(spark, sf).queryExecution.optimizedPlan
+      val windows = plan.collect { case w: LWindow => w }
+      assert(windows.isEmpty,
+        s"$q must plan window-free after the aggregate+join conversion, found ${windows.length}:\n$plan")
+    }
+  }
+
   test("t16 quality terciles: hierarchical ntile — no per-language single-task sort") {
     // r14: ntile(3) is row_number + arithmetic, so the tercile runs as
     // the shared PrefixSum (in-range window on (lang, __rng), offsets
