@@ -61,10 +61,13 @@ object PrefixSum {
     * number and `n` the group size, `base = n div k`, `rem = n mod k`,
     * the first `rem` tiles hold `base+1` rows — so
     * `rn ≤ rem·(base+1)` ⇒ tile `(rn−1) div (base+1) + 1`, else
-    * `rem + (rn−1−rem·(base+1)) div base + 1`. `rn` is the
-    * hierarchical running COUNT ([[partitionedCumSum]] of 1), and `n`
-    * is a `partCols`-grain aggregate (≤ |groups| rows, broadcast) —
-    * both linear, both exact, same order contract as the sum.
+    * `rem + (rn−1−rem·(base+1)) div base + 1`. `rn` is the in-range
+    * row_number plus a per-range rank offset, and ONE per-(partition,
+    * range) count aggregate (map-side combined) yields both the
+    * offsets AND the group sizes via two windows over its
+    * ≤ |partitions|·numRanges rows — the corpus-grain work is exactly
+    * one ranked shuffle; everything else is aggregate-grain. Same
+    * order contract as [[partitionedCumSum]].
     *
     * This retires the one place the r13 docs could only NARRATE scale
     * (t16/t18: "at extreme per-language cardinality swap the exact
@@ -74,24 +77,35 @@ object PrefixSum {
       rangeCol: Column, orderCols: Seq[Column], k: Int,
       out: String): DataFrame = {
     require(k > 0, s"ntile bucket count must be positive, got $k")
-    val reserved = Seq("__one", "__rn", "__n", out)
+    val reserved = Seq("__rng", "__cnt", "__offset", "__n", "__rn", out)
     val clash = df.columns.toSeq.intersect(reserved)
     require(clash.isEmpty,
       s"partitionedNtile input already has column(s) ${clash.mkString(", ")} — " +
         "rename them first; they would be silently overwritten/dropped")
     val pc = partCols.map(col)
-    val rn = partitionedCumSum(df.withColumn("__one", lit(1L)),
-      partCols, rangeCol, orderCols, col("__one"), "__rn")
-    val sizes =
-      if (partCols.isEmpty) df.agg(count(lit(1)).as("__n"))
-      else df.groupBy(pc: _*).agg(count(lit(1)).as("__n"))
-    val joined =
-      if (partCols.isEmpty) rn.crossJoin(broadcast(sizes))
-      else rn.join(broadcast(sizes), partCols)
+    val tagged = df.withColumn("__rng", rangeCol)
+    val inRange = Window.partitionBy(pc :+ col("__rng"): _*)
+      .orderBy(orderCols: _*)
+    // ONE per-(partition, range) count aggregate yields BOTH the rank
+    // offsets and the group sizes (two tiny windows over the
+    // ≤ |partitions|·numRanges aggregate rows) — no second corpus
+    // pass for n; the corpus-grain work is exactly the in-range
+    // row_number plus the map-side-combined count.
+    val offsets = tagged.groupBy(pc :+ col("__rng"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.partitionBy(pc: _*).orderBy(col("__rng"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(Window.partitionBy(pc: _*)))
+      .select(pc :+ col("__rng") :+ col("__offset") :+ col("__n"): _*)
     // Integer div/pmod throughout (the TrainingExport 2^53 rule). The
     // base=0 branch (n < k) never divides: rem = n makes the first
     // predicate cover every row.
-    joined
+    tagged
+      .withColumn("__rn", row_number().over(inRange).cast("long"))
+      .join(broadcast(offsets), partCols :+ "__rng")
+      .withColumn("__rn", col("__rn") + col("__offset"))
       .withColumn(out, expr(
         s"""CASE WHEN __rn <= (__n % ${k}L) * ((__n div ${k}L) + 1L)
            |     THEN (__rn - 1L) div ((__n div ${k}L) + 1L) + 1L
@@ -99,7 +113,7 @@ object PrefixSum {
            |          (__rn - 1L - (__n % ${k}L) * ((__n div ${k}L) + 1L))
            |            div (__n div ${k}L) + 1L
            |END""".stripMargin))
-      .drop("__one", "__rn", "__n")
+      .drop("__rng", "__cnt", "__offset", "__n", "__rn")
   }
 
   /** The input plus `out` = running sum of `valueCol` over the order

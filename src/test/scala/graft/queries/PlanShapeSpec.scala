@@ -153,30 +153,39 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
 
   test("t16 quality terciles: hierarchical ntile — no per-language single-task sort") {
     // r14: ntile(3) is row_number + arithmetic, so the tercile runs as
-    // the shared PrefixSum (in-range window on (lang, __rng), offsets
-    // window on (lang) over the ≤ numRanges-per-lang aggregate). A
-    // single lang-partitioned window here means the one-task-per-
-    // language ntile sort came back.
+    // the hierarchical PrefixSum form — ONE corpus-grain window
+    // partitioned by (lang, __rng) (the in-range rank), and the
+    // offset/size windows on (lang) over the ≤ numRanges-per-lang
+    // count aggregate. A lang-only window over non-aggregate rows
+    // means the one-task-per-language ntile sort came back.
     val plan = queries("t16_quality_buckets")(spark, sf).queryExecution.optimizedPlan
+    assertHierarchicalNtile(plan, "t16")
+  }
+
+  /** The partitionedNtile plan contract: exactly one corpus-grain
+    * window, partitioned by (lang, __rng); every lang-only window sits
+    * above an Aggregate (the bounded offsets/sizes rows). */
+  private def assertHierarchicalNtile(plan: LogicalPlan, q: String): Unit = {
     val windows = plan.collect { case w: LWindow => w }
-    assert(windows.length == 2,
-      s"t16 must plan the in-range + offsets windows, found ${windows.length}:\n$plan")
-    val partKeys = windows.map(_.partitionSpec.flatMap(_.references.map(_.name)).toSet)
-    assert(partKeys.contains(Set("lang", "__rng")) && partKeys.contains(Set("lang")),
-      s"t16 window partition keys drifted: $partKeys")
+    val byKeys = windows.groupBy(_.partitionSpec.flatMap(_.references.map(_.name)).toSet)
+    assert(byKeys.getOrElse(Set("lang", "__rng"), Nil).length == 1,
+      s"$q must plan exactly one (lang, __rng) in-range window, got ${byKeys.keySet}:\n$plan")
+    val langOnly = byKeys.getOrElse(Set("lang"), Nil)
+    assert(langOnly.nonEmpty && windows.length == 1 + langOnly.length,
+      s"$q window partition keys drifted: ${byKeys.keySet}")
+    def containsAggregate(p: LogicalPlan): Boolean =
+      p.collectFirst { case a: Aggregate => a }.isDefined
+    langOnly.foreach(w => assert(containsAggregate(w.child),
+      s"$q has a lang-only window over non-aggregate rows — the single-task sort is back:\n$w"))
   }
 
   test("t18 perplexity terciles: hierarchical ntile on the bucketing window too") {
     // Both of t18's former ntile windows are PrefixSum-served now; the
-    // head-stratum pair lives inside the memoized c2 build, so the
-    // VISIBLE windows are exactly the perplexity-tercile pair.
+    // head-stratum machinery lives inside the memoized c2 build, so
+    // the VISIBLE windows are exactly the perplexity-tercile set —
+    // the same hierarchical contract as t16.
     val plan = queries("t18_lm_quality_filter")(spark, sf).queryExecution.optimizedPlan
-    val windows = plan.collect { case w: LWindow => w }
-    assert(windows.length == 2,
-      s"t18 must plan the in-range + offsets windows, found ${windows.length}:\n$plan")
-    val partKeys = windows.map(_.partitionSpec.flatMap(_.references.map(_.name)).toSet)
-    assert(partKeys.contains(Set("lang", "__rng")) && partKeys.contains(Set("lang")),
-      s"t18 window partition keys drifted: $partKeys")
+    assertHierarchicalNtile(plan, "t18")
   }
 
   test("t17 approx terciles: window-free — GK sketch aggregate plus broadcast thresholds") {
