@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The r14 aggregate+join replacements for count-over-partition
+  * windows on data-dependent HOT keys (digests, fingerprints, cluster
+  * ids): a window funnels every row of a hot key into ONE task with no
+  * skew mitigation, while these shapes partial-combine map-side and
+  * join back through a key shuffle AQE can skew-split. The per-key
+  * frames they produce grow with the data, so neither is ever
+  * broadcast-hinted (the corpus-scaling-frame rule) — AQE promotes
+  * them to runtime broadcasts at scales where they genuinely fit.
+  *
+  * ONE definition so the five call sites (d02's sibling min-join is
+  * bespoke; d07/d10/d14/m05/m09 use these) cannot drift — a future
+  * hint or guard lands here once.
+  *
+  * Key nullability: both joins are equi-joins, so a NULL key row is
+  * left unflagged by [[flagRepeated]] (its left join keeps the row)
+  * and DROPPED by [[withGroupSize]] (inner). Every current caller
+  * keys on a non-null digest/label column. */
+object KeyedCounts {
+
+  /** The input plus `__dup` = 1L where the row's `key` value occurs in
+    * at least `minOcc` rows of `df` (NULL otherwise — aggregate the
+    * flag with `count(col("__dup"))`, which skips NULLs). The ≥minOcc
+    * set is linear in dup mass; the join is a left equi-join on the
+    * key. */
+  def flagRepeated(df: DataFrame, key: String, minOcc: Long = 2L): DataFrame = {
+    val clash = df.columns.toSeq.intersect(Seq("__dup", "__occ"))
+    require(clash.isEmpty,
+      s"flagRepeated input already has column(s) ${clash.mkString(", ")} — " +
+        "rename them first; they would be silently overwritten/dropped")
+    val set = df.groupBy(col(key)).agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= minOcc)
+      .select(col(key), lit(1L).as("__dup"))
+    df.join(set, Seq(key), "left")
+  }
+
+  /** The input plus `out` = the number of rows sharing this row's
+    * `key` value — the window-free `count(*) over (partition by key)`. */
+  def withGroupSize(df: DataFrame, key: String, out: String): DataFrame = {
+    require(!df.columns.contains(out),
+      s"withGroupSize input already has column $out — rename it first")
+    df.join(df.groupBy(col(key)).agg(count(lit(1)).as(out)), Seq(key))
+  }
+}

@@ -38,10 +38,15 @@ import org.apache.spark.sql.functions._
   * [[TrainingExport]] pattern, where the export order is
   * `(hash mod R, hash, id)` by construction.
   *
-  * `rangeCol` must be NON-NULL on every row: the offsets come back
-  * through an equi-join on the range id, and a null key would silently
-  * drop its rows (null never equi-matches). Every caller derives the
-  * range from a non-null order column, which makes this free.
+  * `rangeCol` AND every `partCols` column must be NON-NULL on every
+  * row: the offsets come back through an equi-join on (partition,
+  * range), and a null key never equi-matches. The contract is
+  * ENFORCED, not narrated (the ilog-guard rule): the join is a left
+  * join whose unmatched side trips a row-level `raise_error`, so a
+  * violation fails the query loudly instead of silently dropping the
+  * null-key rows. Every caller derives the range from a non-null
+  * order column and partitions by non-null domain dimensions, so the
+  * guard is free in practice (a never-taken codegen branch).
   *
   * Scale bounds, explicit: the offsets frame is |partitions|·numRanges
   * rows. `partCols` must be domain dimensions (source, lang — bounded
@@ -104,8 +109,8 @@ object PrefixSum {
     // predicate cover every row.
     tagged
       .withColumn("__rn", row_number().over(inRange).cast("long"))
-      .join(broadcast(offsets), partCols :+ "__rng")
-      .withColumn("__rn", col("__rn") + col("__offset"))
+      .join(broadcast(offsets), partCols :+ "__rng", "left")
+      .withColumn("__rn", col("__rn") + guardedOffset)
       .withColumn(out, expr(
         s"""CASE WHEN __rn <= (__n % ${k}L) * ((__n div ${k}L) + 1L)
            |     THEN (__rn - 1L) div ((__n div ${k}L) + 1L) + 1L
@@ -148,8 +153,20 @@ object PrefixSum {
       .select(pc :+ col("__rng") :+ col("__offset"): _*)
     tagged
       .withColumn(out, sum(valueCol).over(inRange))
-      .join(broadcast(offsets), partCols :+ "__rng")
-      .withColumn(out, col(out) + col("__offset"))
+      .join(broadcast(offsets), partCols :+ "__rng", "left")
+      .withColumn(out, col(out) + guardedOffset)
       .drop("__rng", "__offset")
   }
+
+  /** `__offset`, with the null-key contract enforced: after the left
+    * join, a NULL offset can only mean the row's (partition, range)
+    * key contained a NULL (the offsets aggregate covers every non-null
+    * key of the same frame), so it trips a named row-level error
+    * instead of silently excluding the row. */
+  private def guardedOffset: Column =
+    when(col("__offset").isNotNull, col("__offset"))
+      .otherwise(expr(
+        "raise_error('graft.PrefixSum: NULL partition or range key — " +
+          "partCols and rangeCol must be non-null (a null equi-key " +
+          "would silently drop its rows)')").cast("long"))
 }

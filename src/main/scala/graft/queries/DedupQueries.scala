@@ -204,11 +204,21 @@ object DedupQueries {
     * prefix family — identical boilerplate can be O(corpus) — into
     * one task; the aggregate partial-combines to one row per fp
     * before its shuffle, and the join back is a key-shuffle AQE can
-    * skew-split (a window has no such mitigation). */
+    * skew-split (a window has no such mitigation). The join is
+    * NULL-SAFE (`<=>`): a window PARTITION BY groups null keys
+    * together, so a null-text corpus row (fp = md5(NULL) = NULL)
+    * must stay a dup family, not silently vanish through a
+    * null-rejecting equi-join — both engines' window semantics and
+    * this join then agree on any corpus. The projection memoizes:
+    * both sides of the self-join read one build instead of scanning
+    * documents (and hashing) twice. */
   private def prefixDedup(s: SparkSession, dir: String): DataFrame = {
-    val t = docs(s, dir).select(col("doc_id"), md5(substring(col("text"), 1, 40)).as("fp"))
+    val t = PersistedAggregates.memo(s, "d02_fp", dir) {
+      docs(s, dir).select(col("doc_id"), md5(substring(col("text"), 1, 40)).as("fp"))
+    }
     val keep = t.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_doc"))
-    t.join(keep, "fp")
+      .withColumnRenamed("fp", "__kfp")
+    t.join(keep, col("fp") <=> col("__kfp"))
       .filter(col("doc_id") > col("keep_doc"))
       .select(col("doc_id"), col("keep_doc"), col("fp"))
       .orderBy(col("doc_id"))
@@ -359,17 +369,14 @@ object DedupQueries {
     * scalar convergence checksum — all data movement is distributed.
     * The DuckDB twin is a recursive CTE over the same verified pairs. */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    // Cluster sizes as a map-side-combinable aggregate joined back on
-    // the cluster key (r14): the count-over-cluster WINDOW funneled
-    // every member of a giant component (boilerplate families are
-    // O(corpus) worst-case) into one task; the aggregate
-    // partial-combines, the size table is one row per cluster (grows
-    // with the corpus — NOT broadcast-hinted, the IVF lesson), and
-    // the join back is AQE-skew-splittable. Labels are the shared
-    // disk materialization — both reads are parquet scans.
-    val labels = docClusterLabels(s, dir)
-    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
-    labels.join(sizes, "cluster")
+    // Cluster sizes via the shared KeyedCounts aggregate+join (r14):
+    // the count-over-cluster WINDOW funneled every member of a giant
+    // component (boilerplate families are O(corpus) worst-case) into
+    // one task; the shared shape partial-combines and skew-splits.
+    // Labels are the disk materialization — both reads are parquet
+    // scans.
+    graft.operators.KeyedCounts
+      .withGroupSize(docClusterLabels(s, dir), "cluster", "n_members")
       .select(col("doc").as("doc_id"), col("cluster").as("cluster_id"), col("n_members"))
       .orderBy(col("doc_id"))
   }
@@ -521,7 +528,9 @@ object DedupQueries {
   private def chunkDocStats(s: SparkSession, dir: String): DataFrame = {
     // Memoized: the dup-set aggregate below and the flag join both
     // read this corpus-grain digest frame — one explode serves both
-    // (and d13 shares the same build through chunkDocStats).
+    // (and d15's chunk-duplication verdict composes chunkDocStats, so
+    // it reads the same build; d13 deliberately does NOT — it rebuilds
+    // the explode in user shape to exercise CapCollectBuckets).
     val chunks = PersistedAggregates.memo(s, "d10_chunks", dir) {
       docs(s, dir)
         .withColumn("words", split(col("text"), " "))
@@ -530,21 +539,17 @@ object DedupQueries {
               i -> md5(concat_ws(' ', slice(words, (i - 1) * $ChunkWords + 1, $ChunkWords))))"""))
           .as("ch"))
     }
-    // Duplicated-chunk membership via aggregate + join, not a
-    // count-over-digest window (r14): a boilerplate chunk shared by
-    // O(corpus) docs made the window's one-task partition unbounded;
-    // the count partial-combines to one row per digest, ≥2 keeps only
-    // the dup set (linear in dup mass — never broadcast-hinted), and
-    // the left join back is AQE-skew-splittable. n_occ counts ROW
-    // occurrences (within-doc repeats included), exactly the window's
+    // Duplicated-chunk membership via [[graft.operators.KeyedCounts]]
+    // (r14): a boilerplate chunk shared by O(corpus) docs made the
+    // count-over-digest window's one-task partition unbounded; the
+    // shared aggregate+join shape partial-combines and skew-splits
+    // (rationale in KeyedCounts' scaladoc). The occurrence count is
+    // per ROW (within-doc repeats included), exactly the window's
     // semantics.
-    val dup = chunks.groupBy(col("ch")).agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= 2)
-      .select(col("ch"), lit(1L).as("__dup"))
-    chunks.join(dup, Seq("ch"), "left")
+    graft.operators.KeyedCounts.flagRepeated(chunks, "ch")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dup_chunks"))
+        count(col("__dup")).as("n_dup_chunks"))
   }
 
   private def chunkDedup(s: SparkSession, dir: String): DataFrame =
@@ -631,19 +636,14 @@ object DedupQueries {
     val wins = PersistedAggregates.memo(s, "d14_wins", dir) {
       windowOcc(s, dir).select(col("doc_id"), col("wh")).distinct()
     }
-    // Shared-window membership via aggregate + join (r14, the d10
-    // conversion): rows are distinct per (doc, wh), so the digest
-    // count IS the doc count; ≥2 keeps the shared set (linear in dup
-    // mass — never broadcast-hinted) and the left join back is
-    // AQE-skew-splittable, where the old count-over-digest window
-    // funneled every holder of a viral window into one task.
-    val shared = wins.groupBy(col("wh")).agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= 2)
-      .select(col("wh"), lit(1L).as("__dup"))
-    wins.join(shared, Seq("wh"), "left")
+    // Shared-window membership via the shared KeyedCounts shape (r14,
+    // the d10 conversion): rows are distinct per (doc, wh), so the
+    // digest occurrence count IS the doc count, and the viral-window
+    // hot key partial-combines instead of funneling into one task.
+    graft.operators.KeyedCounts.flagRepeated(wins, "wh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_shared_windows"))
+        count(col("__dup")).as("n_shared_windows"))
       .filter(col("n_shared_windows") > 0)
       .select(col("doc_id"), col("n_windows"), col("n_shared_windows"),
         round(col("n_shared_windows").cast(DoubleType) / col("n_windows"), 4)

@@ -88,13 +88,10 @@ object MultimodalQueries {
       MediaPipeline.sampleFrames(MediaPipeline.load(s, dir)).toDF()
         .select(col("media_id"), col("frame_md5")).distinct()
     }
-    val shared = frames.groupBy(col("frame_md5")).agg(count(lit(1)).as("n_media"))
-      .filter(col("n_media") >= 2)
-      .select(col("frame_md5"), lit(1L).as("__dup"))
-    frames.join(shared, Seq("frame_md5"), "left")
+    graft.operators.KeyedCounts.flagRepeated(frames, "frame_md5")
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"),
-        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_shared_frames"))
+        count(col("__dup")).as("n_shared_frames"))
       .filter(col("n_shared_frames") > 0)
       .select(col("media_id"), col("n_frames"), col("n_shared_frames"),
         round(col("n_shared_frames").cast(DoubleType) / col("n_frames"), 4).as("shared_ratio"))
@@ -622,13 +619,12 @@ object MultimodalQueries {
     * CTE over the SAME spliced m07p/m08p chains the family oracles
     * and the d15 manifest run. */
   private def mediaDedupClusters(s: SparkSession, dir: String): DataFrame = {
-    // Cluster sizes via aggregate + join on the cluster key (r14, the
-    // d07 conversion — see dedupClusters for the hot-component
-    // rationale); labels are the shared disk materialization, so both
-    // reads are parquet scans.
-    val labels = mediaClusterLabels(s, dir)
-    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
-    labels.join(sizes, "cluster")
+    // Cluster sizes via the shared KeyedCounts aggregate+join (r14,
+    // the d07 conversion — hot-component rationale in KeyedCounts'
+    // scaladoc); labels are the disk materialization, so both reads
+    // are parquet scans.
+    graft.operators.KeyedCounts
+      .withGroupSize(mediaClusterLabels(s, dir), "cluster", "n_members")
       .select(col("doc").as("media_id"), col("cluster").as("cluster_id"), col("n_members"))
       .orderBy(col("media_id"))
   }

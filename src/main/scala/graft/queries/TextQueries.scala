@@ -504,9 +504,15 @@ object TextQueries {
              |  ELSE 0L END""".stripMargin)
 
   /** The (doc_id, lang, quality_score, tile) frame t16 aggregates and
-    * t18 cuts its head stratum from — ONE memoized scored projection
-    * (narrow: never the text), one bounds pass, one hierarchical
-    * ntile serve both. */
+    * t18 cuts its head stratum from. What is SHARED is the memoized
+    * scored projection (narrow: never the text) — the bounds pass and
+    * the ntile machinery above it run per caller (t16 once; t18's
+    * copy lives inside its memoized c2 build, so it too runs once per
+    * session). Memoizing the tiled frame instead was considered and
+    * rejected: it would hide the in-range window inside an
+    * InMemoryRelation and blind the t16/t18 plan pins that guard the
+    * hierarchical shape, to save one aggregate-grain pass plus a
+    * single ranked shuffle per session. */
   private def scoredTerciles(s: SparkSession, dir: String): DataFrame = {
     val scored = PersistedAggregates.memo(s, "txt_scored", dir) {
       withStats(docs(s, dir))
@@ -974,6 +980,9 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Stage-1 rank parallelism for t22's hierarchical per-source top-5. */
+  private[graft] val TfidfRankBuckets = 64
+
   /** t22: per-source characteristic terms by TF-IDF — the corpus-
     * description primitive behind dataset cards and topic drift
     * monitoring: which words make each source DIFFERENT from the rest
@@ -991,7 +1000,8 @@ object TextQueries {
     * map tasks, so the (source, term) shuffle carries vocabulary-
     * bounded rows, not the token stream; document frequencies
     * re-aggregate the per-doc DISTINCT projection the same way; N is
-    * a broadcast scalar. The df table is vocabulary-sized — sublinear
+    * a broadcast scalar; [[TfidfRankBuckets]] is the stage-1 rank
+    * parallelism knob. The df table is vocabulary-sized — sublinear
     * in the corpus (Heaps) but UNBOUNDED (noise, URLs, numbers push
     * web-scale vocabularies past 10⁸ terms) — so r14 dropped its r13
     * broadcast hint for a term-keyed shuffle join (the IVF lesson: a
@@ -1000,7 +1010,6 @@ object TextQueries {
     * see only the vocabulary aggregate, never documents, and the
     * per-source top-5 is computed hierarchically so no single task
     * ever sorts a whole source's vocabulary (see the in-body note). */
-  private[graft] val TfidfRankBuckets = 64
   private def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
     val words = docs(s, dir)
       .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("term"))

@@ -122,6 +122,37 @@ class PrefixSumSpec extends graft.streaming.SparkTestBase {
     assert(got == expect)
   }
 
+  test("NULL partition/range keys fail loudly instead of silently dropping rows") {
+    // The offsets come back through an equi-join; a null key never
+    // equi-matches, so without the guard the null-key rows would
+    // silently vanish (where the replaced window kept them as their
+    // own partition). The contract is enforced via a row-level
+    // raise_error on the unmatched left-join side.
+    val df = synth().withColumn("nk",
+      when(col("id") === 5L, lit(null)).otherwise(col("k")))
+    // agg over the guarded column, NOT count(): count() lets Catalyst
+    // column-prune the raise_error projection away entirely
+    val e = intercept[Exception] {
+      PrefixSum.partitionedCumSum(df, Seq("grp"), expr("nk div 9L"),
+        Seq(col("k"), col("id")), col("v"), "cum")
+        .agg(sum(col("cum"))).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(e).contains("graft.PrefixSum"),
+      s"expected the named null-key error, got: ${messages(e).take(300)}")
+    // null PARTITION keys trip the same guard
+    val df2 = synth().withColumn("ng",
+      when(col("id") === 5L, lit(null)).otherwise(col("grp")))
+    val e2 = intercept[Exception] {
+      PrefixSum.partitionedNtile(df2, Seq("ng"), expr("k div 9L"),
+        Seq(col("k"), col("id")), 3, "tile")
+        .agg(sum(col("tile"))).collect()
+    }
+    assert(messages(e2).contains("graft.PrefixSum"),
+      s"expected the named null-key error, got: ${messages(e2).take(300)}")
+  }
+
   test("reserved column names are rejected loudly") {
     val df = synth().withColumn("__rng", lit(1L))
     val e = intercept[IllegalArgumentException] {
