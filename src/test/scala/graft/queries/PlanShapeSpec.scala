@@ -770,5 +770,43 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
       normalize("MediaPipeline$$$Lambda$2606/0x00007ff94cd887c0@6bbd4048, obj#43"))
     // but structure still distinguishes:
     assert(normalize("BroadcastHashJoin") != normalize("SortMergeJoin"))
+
+    // Cached-plan bodies (r14): the subtree under InMemoryRelation is
+    // AQE-finalized from RUNTIME stage statistics, so two JVMs
+    // legitimately render different join shapes inside the same cache
+    // — the normalizer must erase the body but keep the relation, its
+    // siblings, and the details section.
+    val cachedA =
+      """*() Project
+        |+- *() Filter
+        |   +- InMemoryTableScan
+        |         +- InMemoryRelation
+        |               +- AdaptiveSparkPlan
+        |                  +- == Final Plan ==
+        |                     *() BroadcastHashJoin Inner BuildRight
+        |+- Exchange
+        |
+        |() Scan parquet""".stripMargin
+    val cachedB = cachedA.replace("BuildRight", "BuildLeft")
+    assert(normalize(cachedA) == normalize(cachedB),
+      "AQE decisions inside a cached body must not change the fingerprint")
+    assert(normalize(cachedA).contains("InMemoryRelation"),
+      "the relation line itself must survive")
+    assert(normalize(cachedA).contains("Exchange") &&
+      normalize(cachedA).contains("Scan parquet"),
+      "siblings after the cached body and the details section must survive")
+
+    // Codegen ids and AQE stage ids number parallel branches in
+    // completion/submission order — swapped between runs of the SAME
+    // plan (the residual d15/d16/d18/t29 flap, r14).
+    assert(normalize("() HashAggregate [codegen id : 22]") ==
+      normalize("() HashAggregate [codegen id : 23]"))
+    val stageA = "(12) ShuffleQueryStage\nOutput [1]: [x#3L]\nArguments: 24"
+    val stageB = "(12) ShuffleQueryStage\nOutput [1]: [x#3L]\nArguments: 25"
+    assert(normalize(stageA) == normalize(stageB),
+      "QueryStage stage-id Arguments must normalize")
+    // …but a GlobalLimit's integer argument is SEMANTIC and must not:
+    assert(normalize("(3) GlobalLimit\nArguments: 50") !=
+      normalize("(3) GlobalLimit\nArguments: 100"))
   }
 }
