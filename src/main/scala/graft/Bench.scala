@@ -50,6 +50,16 @@ object Bench {
           val warm = fn(spark, sfDir)
           warm.count() // warmup run, discarded
           val fingerprint = graft.tools.PlanFingerprint(warm)
+          // Forensics for fingerprint flaps (r14): dump each query's
+          // NORMALIZED plan so two bench runs can be text-diffed.
+          sys.env.get("SPARK_GRAFT_PLAN_DUMP").foreach { d =>
+            val p = java.nio.file.Paths.get(d, s"$name.txt")
+            java.nio.file.Files.createDirectories(p.getParent)
+            java.nio.file.Files.writeString(p,
+              graft.tools.PlanFingerprint.normalize(
+                warm.queryExecution.explainString(
+                  org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))))
+          }
           val raw = Array.fill(iters)(once())
           val sorted = raw.sorted
           // true median: mean of the two middles for even iter counts

@@ -28,10 +28,11 @@ object KeyedCounts {
     * set is linear in dup mass; the join is a left equi-join on the
     * key. */
   def flagRepeated(df: DataFrame, key: String, minOcc: Long = 2L): DataFrame = {
-    val clash = df.columns.toSeq.intersect(Seq("__dup", "__occ"))
-    require(clash.isEmpty,
-      s"flagRepeated input already has column(s) ${clash.mkString(", ")} — " +
-        "rename them first; they would be silently overwritten/dropped")
+    // only __dup can clash: __occ lives and dies inside the aggregated
+    // sub-frame and never touches the input's columns
+    require(!df.columns.contains("__dup"),
+      "flagRepeated input already has column __dup — rename it first; " +
+        "it would collide with the produced flag")
     val set = df.groupBy(col(key)).agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= minOcc)
       .select(col(key), lit(1L).as("__dup"))

@@ -41,10 +41,12 @@ import org.apache.spark.sql.functions._
   * `rangeCol` AND every `partCols` column must be NON-NULL on every
   * row: the offsets come back through an equi-join on (partition,
   * range), and a null key never equi-matches. The contract is
-  * ENFORCED, not narrated (the ilog-guard rule): the join is a left
-  * join whose unmatched side trips a row-level `raise_error`, so a
-  * violation fails the query loudly instead of silently dropping the
-  * null-key rows. Every caller derives the range from a non-null
+  * ENFORCED, not narrated (the ilog-guard rule): the range tag itself
+  * is guarded — a null range or partition value trips a row-level
+  * `raise_error` when the tag is evaluated, and since the tag is both
+  * the window partition key and the join key, every consumer
+  * evaluates it (column pruning cannot remove it, unlike a guard on
+  * the output column). Every caller derives the range from a non-null
   * order column and partitions by non-null domain dimensions, so the
   * guard is free in practice (a never-taken codegen branch).
   *
@@ -88,7 +90,7 @@ object PrefixSum {
       s"partitionedNtile input already has column(s) ${clash.mkString(", ")} — " +
         "rename them first; they would be silently overwritten/dropped")
     val pc = partCols.map(col)
-    val tagged = df.withColumn("__rng", rangeCol)
+    val tagged = df.withColumn("__rng", guardedRangeTag(rangeCol, pc))
     val inRange = Window.partitionBy(pc :+ col("__rng"): _*)
       .orderBy(orderCols: _*)
     // ONE per-(partition, range) count aggregate yields BOTH the rank
@@ -109,8 +111,8 @@ object PrefixSum {
     // predicate cover every row.
     tagged
       .withColumn("__rn", row_number().over(inRange).cast("long"))
-      .join(broadcast(offsets), partCols :+ "__rng", "left")
-      .withColumn("__rn", col("__rn") + guardedOffset)
+      .join(broadcast(offsets), partCols :+ "__rng")
+      .withColumn("__rn", col("__rn") + col("__offset"))
       .withColumn(out, expr(
         s"""CASE WHEN __rn <= (__n % ${k}L) * ((__n div ${k}L) + 1L)
            |     THEN (__rn - 1L) div ((__n div ${k}L) + 1L) + 1L
@@ -135,7 +137,7 @@ object PrefixSum {
       s"partitionedCumSum input already has column(s) ${clash.mkString(", ")} — " +
         "rename them first; they would be silently overwritten/dropped")
     val pc = partCols.map(col)
-    val tagged = df.withColumn("__rng", rangeCol)
+    val tagged = df.withColumn("__rng", guardedRangeTag(rangeCol, pc))
     val inRange = Window.partitionBy(pc :+ col("__rng"): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -153,20 +155,27 @@ object PrefixSum {
       .select(pc :+ col("__rng") :+ col("__offset"): _*)
     tagged
       .withColumn(out, sum(valueCol).over(inRange))
-      .join(broadcast(offsets), partCols :+ "__rng", "left")
-      .withColumn(out, col(out) + guardedOffset)
+      .join(broadcast(offsets), partCols :+ "__rng")
+      .withColumn(out, col(out) + col("__offset"))
       .drop("__rng", "__offset")
   }
 
-  /** `__offset`, with the null-key contract enforced: after the left
-    * join, a NULL offset can only mean the row's (partition, range)
-    * key contained a NULL (the offsets aggregate covers every non-null
-    * key of the same frame), so it trips a named row-level error
-    * instead of silently excluding the row. */
-  private def guardedOffset: Column =
-    when(col("__offset").isNotNull, col("__offset"))
+  /** The range tag with the null-key contract enforced AT THE KEY: if
+    * the range value or any partition column is NULL, evaluating the
+    * tag trips a named row-level error. Guarding the key (rather than
+    * the post-join offset, the first r14 attempt) matters twice over:
+    * the equi-join back stays INNER (no cardinality change in the
+    * violation case), and the guard is UNPRUNABLE — `__rng` is the
+    * join key and the window partition key, so every consumer
+    * evaluates it even when the output column itself is pruned (a
+    * post-join guard died under `count()`, silently KEEPING the
+    * null-key rows the old inner join dropped). */
+  private def guardedRangeTag(rangeCol: Column, pc: Seq[Column]): Column = {
+    val allKeysNonNull = (rangeCol.isNotNull +: pc.map(_.isNotNull)).reduce(_ && _)
+    when(allKeysNonNull, rangeCol)
       .otherwise(expr(
         "raise_error('graft.PrefixSum: NULL partition or range key — " +
           "partCols and rangeCol must be non-null (a null equi-key " +
           "would silently drop its rows)')").cast("long"))
+  }
 }

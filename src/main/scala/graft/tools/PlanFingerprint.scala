@@ -46,6 +46,19 @@ import org.apache.spark.sql.execution.ExplainMode
   *    same plan legitimately swap numbers between runs (found r14 as
   *    the residual d15/d16/d18/t29 flap after the cached-body fix).
   *
+  * KNOWN RESIDUAL, deliberately NOT normalized: AQE's broadcast
+  * build-side choice. Where a join's two sides are both
+  * corpus-scaling (so neither may carry a broadcast hint — the r14
+  * rule) and both fit at test SF, AQE broadcasts whichever measured
+  * smaller AT RUNTIME, and near-equal sides flip between runs
+  * (`BuildLeft` ↔ `BuildRight` plus the moved stage wrapper; observed
+  * on d15/s20/s21, diagnosed with Bench's SPARK_GRAFT_PLAN_DUMP).
+  * Erasing the build side would blind the tool to exactly the
+  * broadcast-flip regressions it exists to catch, so the occasional
+  * benign flip on those entries is the honest trade — a flap
+  * confined to BuildLeft/BuildRight in the dump diff is environment,
+  * not drift.
+  *
   * Callers must EXECUTE the DataFrame first (any action): under AQE the
   * pre-execution plan is `isFinalPlan=false` with no stage decisions —
   * fingerprinting it would hash the undecided initial plan. The
@@ -88,30 +101,54 @@ object PlanFingerprint {
     }.mkString("\n")
   }
 
-  /** Drop every tree line nested UNDER an `InMemoryRelation` node. A
-    * tree line's DEPTH is the column where its content starts (first
-    * char outside the `' '`/`':'`/`'+'`/`'-'` gutter alphabet); the
-    * cached body renders strictly deeper than the relation line (this
-    * also holds for the marker-less lines AQE emits inside it, like
-    * `ResultQueryStage`), and the subtree ends at the first line at
-    * the relation's depth or shallower — a sibling, a parent, a blank
-    * line, or the details section (whose own `() InMemoryRelation`
-    * entries start at column 0 and carry only Arguments, no nested
-    * plan). Nested InMemoryRelations inside the skipped region are
-    * deeper and skipped with it. */
+  /** Drop every tree line nested UNDER an `InMemoryRelation` node AND
+    * the details-section blocks of the operators that lived there.
+    *
+    * Tree pass: a line's DEPTH is the column where its content starts
+    * (first char outside the `' '`/`':'`/`'+'`/`'-'` gutter
+    * alphabet); the cached body renders strictly deeper than the
+    * relation line (this also holds for the marker-less lines AQE
+    * emits inside it, like `ResultQueryStage`), and the subtree ends
+    * at the first line at the relation's depth or shallower — a
+    * sibling, a parent, a blank line, or the details section. Nested
+    * InMemoryRelations inside the skipped region are deeper and
+    * skipped with it.
+    *
+    * Details pass: formatted explain numbers cached-body operators in
+    * the SAME global sequence as the outer plan and emits a details
+    * block for each (`(3) Scan parquet` under a cached relation gets
+    * a real `(3) …` entry) — stripping only the tree would leave the
+    * cached body's AQE decisions fingerprint-visible through those
+    * blocks. Every operator id seen on a skipped tree line therefore
+    * has its details block (header line through the next blank)
+    * dropped too. The relation's own block survives: its Arguments
+    * carry schema + storage level, no nested plan. */
   private[graft] def stripCachedPlanBodies(plan: String): String = {
     val gutter = Set(' ', ':', '+', '-')
     def contentCol(l: String): Int = l.indexWhere(ch => !gutter.contains(ch))
-    val out = new StringBuilder
+    val id = java.util.regex.Pattern.compile("\\((\\d+)\\)")
+    val cachedIds = scala.collection.mutable.Set.empty[String]
+    val tree = new StringBuilder
     var skipDeeperThan = -1 // content column of the open InMemoryRelation
     plan.split("\n", -1).foreach { l =>
       val c = contentCol(l)
-      if (skipDeeperThan >= 0 && c > skipDeeperThan) () // inside a cached body
-      else {
+      if (skipDeeperThan >= 0 && c > skipDeeperThan) {
+        val m = id.matcher(l)
+        while (m.find()) cachedIds += m.group(1)
+      } else {
         skipDeeperThan = -1
-        out.append(l).append('\n')
+        tree.append(l).append('\n')
         if (l.contains("InMemoryRelation") && c > 0) skipDeeperThan = c
       }
+    }
+    val header = java.util.regex.Pattern.compile("^\\((\\d+)\\) ")
+    val out = new StringBuilder
+    var skippingBlock = false
+    tree.toString.split("\n", -1).foreach { l =>
+      val h = header.matcher(l)
+      if (h.find()) skippingBlock = cachedIds.contains(h.group(1))
+      else if (l.trim.isEmpty) skippingBlock = false
+      if (!skippingBlock) out.append(l).append('\n')
     }
     out.dropRight(1).toString
   }

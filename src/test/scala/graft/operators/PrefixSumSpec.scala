@@ -127,15 +127,15 @@ class PrefixSumSpec extends graft.streaming.SparkTestBase {
     // equi-matches, so without the guard the null-key rows would
     // silently vanish (where the replaced window kept them as their
     // own partition). The contract is enforced via a row-level
-    // raise_error on the unmatched left-join side.
+    // raise_error on the range tag itself.
     val df = synth().withColumn("nk",
       when(col("id") === 5L, lit(null)).otherwise(col("k")))
-    // agg over the guarded column, NOT count(): count() lets Catalyst
-    // column-prune the raise_error projection away entirely
+    // count(), deliberately: the guard lives on the RANGE TAG (window
+    // partition key + join key), which no consumer can column-prune —
+    // a guard on the output column died under exactly this action.
     val e = intercept[Exception] {
       PrefixSum.partitionedCumSum(df, Seq("grp"), expr("nk div 9L"),
-        Seq(col("k"), col("id")), col("v"), "cum")
-        .agg(sum(col("cum"))).collect()
+        Seq(col("k"), col("id")), col("v"), "cum").count()
     }
     def messages(t: Throwable): String =
       if (t == null) "" else t.toString + messages(t.getCause)
@@ -146,8 +146,7 @@ class PrefixSumSpec extends graft.streaming.SparkTestBase {
       when(col("id") === 5L, lit(null)).otherwise(col("grp")))
     val e2 = intercept[Exception] {
       PrefixSum.partitionedNtile(df2, Seq("ng"), expr("k div 9L"),
-        Seq(col("k"), col("id")), 3, "tile")
-        .agg(sum(col("tile"))).collect()
+        Seq(col("k"), col("id")), 3, "tile").count()
     }
     assert(messages(e2).contains("graft.PrefixSum"),
       s"expected the named null-key error, got: ${messages(e2).take(300)}")

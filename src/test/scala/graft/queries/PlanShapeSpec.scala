@@ -776,22 +776,43 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     // legitimately render different join shapes inside the same cache
     // — the normalizer must erase the body but keep the relation, its
     // siblings, and the details section.
+    // The cached body's operators are numbered in the SAME global
+    // sequence and get real details blocks — both the nested tree
+    // lines AND those blocks must go (ids 7/8 below), while the outer
+    // plan's block (id 9) and the relation's own block (id 2) stay.
     val cachedA =
-      """*() Project
-        |+- *() Filter
+      """* Project (1)
+        |+- * Filter (9)
         |   +- InMemoryTableScan
-        |         +- InMemoryRelation
-        |               +- AdaptiveSparkPlan
+        |         +- InMemoryRelation (2)
+        |               +- AdaptiveSparkPlan (7)
         |                  +- == Final Plan ==
-        |                     *() BroadcastHashJoin Inner BuildRight
+        |                     * BroadcastHashJoin Inner BuildRight (8)
         |+- Exchange
         |
-        |() Scan parquet""".stripMargin
-    val cachedB = cachedA.replace("BuildRight", "BuildLeft")
+        |(8) BroadcastHashJoin
+        |Arguments: BuildRight
+        |
+        |(9) Filter
+        |Input [1]: [x#3L]
+        |
+        |(2) InMemoryRelation
+        |Arguments: [x#3L], StorageLevel(disk, memory)
+        |
+        |(5) Scan parquet""".stripMargin
+    val cachedB = cachedA
+      .replace("BuildRight (8)", "BuildLeft (8)")
+      .replace("Arguments: BuildRight", "Arguments: BuildLeft")
     assert(normalize(cachedA) == normalize(cachedB),
       "AQE decisions inside a cached body must not change the fingerprint")
     assert(normalize(cachedA).contains("InMemoryRelation"),
       "the relation line itself must survive")
+    assert(!normalize(cachedA).contains("BroadcastHashJoin"),
+      "the cached body's tree line and details block must both be stripped")
+    assert(normalize(cachedA).contains("Filter\nInput"),
+      "an outer operator's details block must survive")
+    assert(normalize(cachedA).contains("StorageLevel"),
+      "the relation's own details block must survive")
     assert(normalize(cachedA).contains("Exchange") &&
       normalize(cachedA).contains("Scan parquet"),
       "siblings after the cached body and the details section must survive")
