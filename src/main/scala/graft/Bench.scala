@@ -122,6 +122,15 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"detail":"slow_iters","slow_iters":$m}"""
     }
+    // Per-family median rollup (r14 verdict ask #4): the r14 artifact
+    // needed a judge A/B rerun just to localize a regression to the
+    // s-family — one ~70-char map in the captured tail shows
+    // family-vs-noise from the artifact alone. Family = the query
+    // name's leading letter (a/d/m/p/s/t, the registry convention).
+    val famLine = results.filter(_._2 >= 0).groupBy(_._1.head.toString)
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) => s"\"$f\":" + fmt(rs.map(_._2).sum) }
+      .mkString("{", ",", "}")
     def compactLine(n: Int): String = {
       val top = slowFirst.take(n)
       val topQs = top.map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
@@ -136,7 +145,7 @@ object Bench {
         .mkString("{", ",", "}")
       val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":$total,"value_min":${fmt(totalMin)},"unit":"sec","queries":$topQs,""" +
-        s""""mins":$topMins,"failed":$failed,"canary":$canaryCount,""" +
+        s""""mins":$topMins,"families":$famLine,"failed":$failed,"canary":$canaryCount,""" +
         s""""queries_shown":${top.length},"queries_total":${results.length},""" +
         s""""sf":"$sfDir","iters":$iters,"stat":"median"}"""
     }

@@ -16,11 +16,30 @@ import org.apache.spark.sql.functions._
   * bespoke; d07/d10/d14/m05/m09 use these) cannot drift — a future
   * hint or guard lands here once.
   *
-  * Key nullability: both joins are equi-joins, so a NULL key row is
-  * left unflagged by [[flagRepeated]] (its left join keeps the row)
-  * and DROPPED by [[withGroupSize]] (inner). Every current caller
-  * keys on a non-null digest/label column. */
+  * Key nullability: both joins are equi-joins, under which a NULL key
+  * row would be silently left unflagged by [[flagRepeated]] and
+  * silently DROPPED by [[withGroupSize]] — so the non-null-key
+  * contract is ENFORCED, not narrated (the PrefixSum.guardedRangeTag
+  * rule): the key column is rewrapped in a row-level `raise_error`
+  * guard that trips on the first NULL key evaluated. The guard is
+  * unprunable because the wrapped column IS the group/join key —
+  * every consumer evaluates it even when it prunes the output. Every
+  * current caller keys on a non-null digest/label column, so the
+  * guard never fires in the registered queries. */
 object KeyedCounts {
+
+  /** `df` with `key` replaced by a guarded copy that raises a named
+    * row-level error on NULL — evaluated wherever the key is, so a
+    * future caller with a nullable key fails loudly instead of losing
+    * rows through the equi-joins. */
+  private def guarded(df: DataFrame, key: String, site: String): DataFrame = {
+    val dt = df.schema(key).dataType
+    df.withColumn(key,
+      when(col(key).isNotNull, col(key)).otherwise(
+        expr(s"raise_error('graft.KeyedCounts.$site: NULL key — the " +
+          "key column must be non-null (a null equi-key would " +
+          "silently drop or unflag its rows)')").cast(dt)))
+  }
 
   /** The input plus `__dup` = 1L where the row's `key` value occurs in
     * at least `minOcc` rows of `df` (NULL otherwise — aggregate the
@@ -33,10 +52,11 @@ object KeyedCounts {
     require(!df.columns.contains("__dup"),
       "flagRepeated input already has column __dup — rename it first; " +
         "it would collide with the produced flag")
-    val set = df.groupBy(col(key)).agg(count(lit(1)).as("__occ"))
+    val g = guarded(df, key, "flagRepeated")
+    val set = g.groupBy(col(key)).agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= minOcc)
       .select(col(key), lit(1L).as("__dup"))
-    df.join(set, Seq(key), "left")
+    g.join(set, Seq(key), "left")
   }
 
   /** The input plus `out` = the number of rows sharing this row's
@@ -44,6 +64,7 @@ object KeyedCounts {
   def withGroupSize(df: DataFrame, key: String, out: String): DataFrame = {
     require(!df.columns.contains(out),
       s"withGroupSize input already has column $out — rename it first")
-    df.join(df.groupBy(col(key)).agg(count(lit(1)).as(out)), Seq(key))
+    val g = guarded(df, key, "withGroupSize")
+    g.join(g.groupBy(col(key)).agg(count(lit(1)).as(out)), Seq(key))
   }
 }

@@ -194,7 +194,10 @@ private[queries] object PersistedAggregates {
     val fp = fingerprint(s, dir)
     // "na" (transient listing failure): serve the latest known
     // materialization rather than minting a sentinel-keyed copy —
-    // the same degradation memo() applies
+    // the same degradation memo() applies. If the VERY FIRST call
+    // hits the failure there is nothing cached yet and one
+    // "na"-keyed copy is built below — bounded (one copy, shutdown-
+    // cleaned) and only reachable on a storage hiccup at JVM start.
     if (fp == "na") {
       val cur = diskLatest.get((key, dir, warehouse))
       if (cur != null) return s.read.parquet(cur._2)
@@ -219,21 +222,50 @@ private[queries] object PersistedAggregates {
       localCleanup.add(p)
       p
     })
-    // Supersede (r14, revised after review): a fingerprint change
-    // (source regenerated) RETIRES the previous materialization to
-    // the shutdown cleanup instead of deleting it mid-run — an
-    // in-flight plan over the old path keeps working, and the races
-    // eager deletion invites (a transient-"na" caller or a caller
-    // whose fingerprint straddles the regeneration deleting the
-    // CURRENT copy) cannot arise. Local copies are already queued at
-    // build time; shared-storage copies join a deferred queue the
-    // hook deletes through the FileSystem. Storage is bounded at one
-    // copy per regeneration per JVM lifetime, shared storage
-    // included.
-    val prev = diskLatest.put((key, dir, warehouse), (fp, path))
-    if (prev != null && prev._1 != fp && prev._2 != path &&
-        toLocalPath(prev._2) == null)
-      sharedCleanup.add((prev._2, s.sparkContext.hadoopConfiguration))
+    // Supersede (r14, revised twice): a fingerprint change (source
+    // regenerated) RETIRES the previous materialization to the
+    // shutdown cleanup instead of deleting it mid-run — an in-flight
+    // plan over the old path keeps working. The r15 ADVICE hardening:
+    // the update is a compute-MERGE, not an unconditional put — a
+    // caller whose fingerprint was listed BEFORE a mid-run
+    // regeneration must not overwrite 'latest' back to its stale
+    // materialization (and queue the CURRENT shared copy for
+    // deletion), because a later transient-"na" listing would then
+    // serve the stale path. When two distinct fingerprints contend,
+    // the dir is re-listed and the entry matching the FRESH listing
+    // wins; only the losing copy is retired. Storage stays bounded at
+    // one copy per regeneration per JVM lifetime, shared included.
+    var retired: Option[String] = None
+    diskLatest.compute((key, dir, warehouse), (_, cur) => {
+      val (winner, r) = mergeLatest(cur, (fp, path), () => fingerprint(s, dir))
+      retired = r
+      winner
+    })
+    retired.foreach { p =>
+      if (toLocalPath(p) == null)
+        sharedCleanup.add((p, s.sparkContext.hadoopConfiguration))
+    }
     s.read.parquet(path)
   }
+
+  /** The supersede decision, pure so the race it closes is unit-
+    * testable: which (fingerprint, path) stays 'latest' when `incoming`
+    * lands on an existing `cur`, and which path (if any) is retired to
+    * shutdown cleanup. Same fingerprint or same path passes through;
+    * on a genuine contention the dir is re-listed and the entry
+    * matching the FRESH listing wins — so a caller whose fingerprint
+    * straddled a regeneration cannot roll 'latest' back to its stale
+    * copy (it keeps serving its own consistent copy; only its copy is
+    * retired). When neither matches (the dir moved again), the newest
+    * build wins. */
+  private[queries] def mergeLatest(
+      cur: (String, String), incoming: (String, String),
+      relist: () => String): ((String, String), Option[String]) =
+    if (cur == null || cur._1 == incoming._1 || cur._2 == incoming._2)
+      (incoming, None)
+    else {
+      val now = relist()
+      if (now == cur._1 && now != incoming._1) (cur, Some(incoming._2))
+      else (incoming, Some(cur._2))
+    }
 }

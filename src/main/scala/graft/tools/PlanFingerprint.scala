@@ -126,7 +126,12 @@ object PlanFingerprint {
   private[graft] def stripCachedPlanBodies(plan: String): String = {
     val gutter = Set(' ', ':', '+', '-')
     def contentCol(l: String): Int = l.indexWhere(ch => !gutter.contains(ch))
-    val id = java.util.regex.Pattern.compile("\\((\\d+)\\)")
+    // anchored to the formatted-explain tree convention — operator
+    // ids render as a TRAILING "(n)" on the tree line; an unanchored
+    // match would also harvest any parenthesized integer inside a
+    // skipped line's argument text and over-strip a same-numbered
+    // OUTER operator's details block (r15 ADVICE)
+    val id = java.util.regex.Pattern.compile("\\((\\d+)\\)\\s*$")
     val cachedIds = scala.collection.mutable.Set.empty[String]
     val tree = new StringBuilder
     var skipDeeperThan = -1 // content column of the open InMemoryRelation

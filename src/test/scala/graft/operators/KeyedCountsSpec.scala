@@ -60,16 +60,26 @@ class KeyedCountsSpec extends graft.streaming.SparkTestBase {
     assert(got == expect)
   }
 
-  test("documented null-key behavior: flagRepeated keeps-unflagged, withGroupSize drops") {
+  test("null key fails loudly in both shapes (enforced, not narrated — the r14 ADVICE fix)") {
     val df = synth().withColumn("k",
       when(col("id") === 9L, lit(null)).otherwise(col("k")))
-    val flagged = KeyedCounts.flagRepeated(df, "k")
-    assert(flagged.count() == 9, "left join keeps the null-key row")
-    assert(flagged.filter(col("id") === 9L).head().isNullAt(
-      flagged.columns.indexOf("__dup")), "null-key row is unflagged")
-    assert(KeyedCounts.withGroupSize(df, "k", "n").count() == 8,
-      "inner join drops the null-key row — the documented contract")
+    // the guard is the key itself, so it trips even under count() —
+    // the unprunability property PrefixSum.guardedRangeTag established
+    val e1 = intercept[Exception] { KeyedCounts.flagRepeated(df, "k").count() }
+    assert(exceptionChain(e1).exists(_.contains("graft.KeyedCounts.flagRepeated")),
+      s"expected the named guard, got: ${e1.getMessage}")
+    val e2 = intercept[Exception] { KeyedCounts.withGroupSize(df, "k", "n").count() }
+    assert(exceptionChain(e2).exists(_.contains("graft.KeyedCounts.withGroupSize")),
+      s"expected the named guard, got: ${e2.getMessage}")
+    // non-null keys are untouched by the guard: full equivalence re-checked
+    val clean = synth()
+    assert(KeyedCounts.flagRepeated(clean, "k").count() == 9)
+    assert(KeyedCounts.withGroupSize(clean, "k", "n").count() == 9)
   }
+
+  private def exceptionChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
 
   test("reserved output names are rejected loudly; input __occ passes through") {
     val df = synth()

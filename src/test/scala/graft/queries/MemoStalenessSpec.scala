@@ -72,4 +72,44 @@ class MemoStalenessSpec extends graft.streaming.SparkTestBase {
     assert(copies.length == 2,
       s"expected retired + live materializations, found ${copies.map(_.getName).toSeq}")
   }
+
+  test("diskMemo 'latest' merge: a straddling stale writer cannot roll latest back (r15 ADVICE)") {
+    import PersistedAggregates.mergeLatest
+    // no contention: first entry, same fingerprint, same path pass through
+    assert(mergeLatest(null, ("f1", "p1"), () => fail("must not re-list")) ==
+      (("f1", "p1"), None))
+    assert(mergeLatest(("f1", "p1"), ("f1", "p1b"), () => fail("must not re-list")) ==
+      (("f1", "p1b"), None))
+    // the hazard: incoming fingerprint was listed BEFORE a mid-run
+    // regeneration (relist still matches the existing entry) — the
+    // existing, fresher materialization stays latest; only the stale
+    // writer's own copy is retired
+    assert(mergeLatest(("f2", "p2"), ("f1", "p1"), () => "f2") ==
+      (("f2", "p2"), Some("p1")))
+    // genuine regeneration: relist matches the incoming build — it wins
+    assert(mergeLatest(("f1", "p1"), ("f2", "p2"), () => "f2") ==
+      (("f2", "p2"), Some("p1")))
+    // dir moved again under both (relist matches neither): newest build
+    // wins — deterministic, and the next caller re-fingerprints anyway
+    assert(mergeLatest(("f1", "p1"), ("f2", "p2"), () => "f3") ==
+      (("f2", "p2"), Some("p1")))
+  }
+
+  test("diskMemo serves the latest materialization when the source listing fails") {
+    val dir = Files.createTempDirectory("graft_diskmemo_na").toString
+    writeTable(dir, 5)
+    var builds = 0
+    def call() = PersistedAggregates.diskMemo(spark, "spec_diskmemo_na", dir) {
+      builds += 1; spark.read.parquet(s"$dir/t")
+    }.count()
+    assert(call() == 5 && builds == 1)
+    // source dir vanishes → fingerprint degrades to "na" → the cached
+    // materialization is served instead of failing or minting a copy
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(root)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    assert(call() == 5, "'na' listing must serve the latest materialization")
+    assert(builds == 1, "'na' listing must not trigger a rebuild")
+  }
 }

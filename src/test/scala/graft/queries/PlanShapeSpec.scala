@@ -816,6 +816,23 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     assert(normalize(cachedA).contains("Exchange") &&
       normalize(cachedA).contains("Scan parquet"),
       "siblings after the cached body and the details section must survive")
+    // Harvested ids are anchored to the TRAILING "(n)" tree convention
+    // (r15 ADVICE): a parenthesized integer inside a skipped line's
+    // argument text — decimal(10) below — must not mark the outer
+    // operator (10)'s details block for deletion.
+    val argInt =
+      """* Filter (10)
+        |+- InMemoryRelation (2)
+        |      +- * Project [cast(x as decimal(10)) AS y] (8)
+        |
+        |(10) Filter
+        |Input [1]: [x#3L]
+        |
+        |(8) Project""".stripMargin
+    assert(normalize(argInt).contains("Filter\nInput"),
+      "mid-line integers in skipped lines must not strip outer details")
+    assert(!normalize(argInt).contains("Project"),
+      "the cached Project's tree line and details block are still stripped")
 
     // Codegen ids and AQE stage ids number parallel branches in
     // completion/submission order — swapped between runs of the SAME
