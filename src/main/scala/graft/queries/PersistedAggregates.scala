@@ -202,26 +202,42 @@ private[queries] object PersistedAggregates {
       val cur = diskLatest.get((key, dir, warehouse))
       if (cur != null) return s.read.parquet(cur._2)
     }
-    val path = diskPaths.computeIfAbsent((key, dir, warehouse, fp), _ => {
-      val token = java.util.UUID.randomUUID().toString.take(8)
-      val p = s"$warehouse/graft_memo/$key-$token"
-      try build.write.mode("overwrite").parquet(p)
-      catch {
-        case e: Throwable =>
-          // drop the partial write so a retry can't serve it
-          try {
-            val root = toLocalPath(p)
-            if (root != null && java.nio.file.Files.exists(root))
-              java.nio.file.Files.walk(root)
-                .sorted(java.util.Comparator.reverseOrder())
-                .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
-          } catch { case _: Throwable => () }
-          throw e
+    // The build runs OUTSIDE any ConcurrentHashMap mapping function:
+    // a diskMemo build may itself call diskMemo (cellPairs builds on
+    // refinedCells, r15), and a nested computeIfAbsent on the same map
+    // throws "Recursive update". Per-key atomicity comes from the same
+    // buildLocks discipline memo() uses — same-key first callers
+    // serialize (one eager parquet write), different keys (including a
+    // nested build's key) take different locks and never deadlock.
+    val pathKey = (key, dir, warehouse, fp)
+    var path = diskPaths.get(pathKey)
+    if (path == null) {
+      val lock = buildLocks.computeIfAbsent(("disk:" + key, dir), _ => new Object)
+      lock.synchronized {
+        path = diskPaths.get(pathKey)
+        if (path == null) {
+          val token = java.util.UUID.randomUUID().toString.take(8)
+          val p = s"$warehouse/graft_memo/$key-$token"
+          try build.write.mode("overwrite").parquet(p)
+          catch {
+            case e: Throwable =>
+              // drop the partial write so a retry can't serve it
+              try {
+                val root = toLocalPath(p)
+                if (root != null && java.nio.file.Files.exists(root))
+                  java.nio.file.Files.walk(root)
+                    .sorted(java.util.Comparator.reverseOrder())
+                    .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+              } catch { case _: Throwable => () }
+              throw e
+          }
+          cleanupHook
+          localCleanup.add(p)
+          diskPaths.put(pathKey, p)
+          path = p
+        }
       }
-      cleanupHook
-      localCleanup.add(p)
-      p
-    })
+    }
     // Supersede (r14, revised twice): a fingerprint change (source
     // regenerated) RETIRES the previous materialization to the
     // shutdown cleanup instead of deleting it mid-run — an in-flight
