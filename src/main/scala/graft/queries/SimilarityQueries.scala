@@ -477,7 +477,15 @@ object SimilarityQueries {
     * checkpoint-backed labels cannot meet. This is the in-query analog
     * of the production build/serve split (fit once, serve many). */
   private[graft] def ivfCentroids(s: SparkSession, dir: String): DataFrame =
-    PersistedAggregates.memo(s, "ivf_centroids", dir) { fitCentroids(vecs(s, dir)) }
+    // diskMemo since r15 (was persist-memo): every s06+ query
+    // references the index from several join branches, and a
+    // persist-memo re-inlines the whole fit lineage into each
+    // reference — the plan-size disease measured on s21/s12/s13
+    // (15-26k-line formatted plans, seconds of per-execution
+    // planning). A parquet materialization roots every consumer at a
+    // scan; the K-row write is trivial and the source-dir fingerprint
+    // still rebuilds on regeneration.
+    PersistedAggregates.diskMemo(s, "ivf_centroids", dir) { fitCentroids(vecs(s, dir)) }
 
   /** The raw 2-round fit plan (unmemoized — see [[ivfCentroids]]). */
   private[graft] def fitCentroids(e: DataFrame): DataFrame = {
@@ -523,7 +531,7 @@ object SimilarityQueries {
     * lineage), so the N×K argmax runs once per session instead of
     * twice per query. */
   private[graft] def ivfAssigned(s: SparkSession, dir: String): DataFrame =
-    PersistedAggregates.memo(s, "ivf_cells", dir) {
+    PersistedAggregates.diskMemo(s, "ivf_cells", dir) {
       assignCells(vecs(s, dir), ivfCentroids(s, dir))
     }
 
@@ -1358,7 +1366,7 @@ object SimilarityQueries {
   /** Fitted PQ codebooks, memoized per session like [[ivfCentroids]]
     * (m·k rows; persist keeps the scan-rooted recompute lineage). */
   private[graft] def pqCodebooks(s: SparkSession, dir: String): DataFrame =
-    PersistedAggregates.memo(s, "pq_codebooks", dir) { fitCodebooks(vecs(s, dir)) }
+    PersistedAggregates.diskMemo(s, "pq_codebooks", dir) { fitCodebooks(vecs(s, dir)) }
 
   /** PQ encode: each subvector of `e` (vec_id, v) to its nearest
     * codeword of `cb` by squared-L2, ties to the lowest codeword id —
@@ -1376,7 +1384,7 @@ object SimilarityQueries {
     * × 4 B → m=4 codes). Memoized: s11 reads it as the candidate
     * corpus, the spec reads it for the contract. */
   private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
-    PersistedAggregates.memo(s, "pq_codes", dir) {
+    PersistedAggregates.diskMemo(s, "pq_codes", dir) {
       pqEncode(vecs(s, dir), pqCodebooks(s, dir))
     }
 
@@ -1389,7 +1397,7 @@ object SimilarityQueries {
     * Row-local after two memoized broadcast joins; memoized because the
     * fit, the encode and the query LUT all read it. */
   private[graft] def ivfResiduals(s: SparkSession, dir: String): DataFrame =
-    PersistedAggregates.memo(s, "ivfpq_residuals", dir) {
+    PersistedAggregates.diskMemo(s, "ivfpq_residuals", dir) {
       vecs(s, dir).join(ivfAssigned(s, dir), "vec_id")
         .join(broadcast(ivfCentroids(s, dir)), col("cell") === col("s_id"))
         .select(col("vec_id"), col("cell"),
@@ -1399,13 +1407,13 @@ object SimilarityQueries {
   /** Residual-space PQ codebooks — same deterministic fit as
     * [[pqCodebooks]], trained on [[ivfResiduals]]. */
   private[graft] def ivfPqCodebooks(s: SparkSession, dir: String): DataFrame =
-    PersistedAggregates.memo(s, "ivfpq_codebooks", dir) {
+    PersistedAggregates.diskMemo(s, "ivfpq_codebooks", dir) {
       fitCodebooks(ivfResiduals(s, dir).select(col("vec_id"), col("v")))
     }
 
   /** Residual PQ encoding (vec_id, sub, code). */
   private[graft] def ivfPqCodes(s: SparkSession, dir: String): DataFrame =
-    PersistedAggregates.memo(s, "ivfpq_codes", dir) {
+    PersistedAggregates.diskMemo(s, "ivfpq_codes", dir) {
       pqEncode(ivfResiduals(s, dir).select(col("vec_id"), col("v")),
         ivfPqCodebooks(s, dir))
     }
@@ -1832,7 +1840,7 @@ object SimilarityQueries {
     * — serves queries after the ingest slice arrives; `IngestSpec`
     * pins it (and that it differs from a refit over the merged set). */
   private[graft] def ingestBaseCentroids(s: SparkSession, dir: String): DataFrame =
-    PersistedAggregates.memo(s, "ivf_centroids_base", dir) {
+    PersistedAggregates.diskMemo(s, "ivf_centroids_base", dir) {
       fitCentroids(vecs(s, dir).filter(col("vec_id") % IngestMod =!= 0))
     }
 
