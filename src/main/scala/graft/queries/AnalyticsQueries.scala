@@ -753,6 +753,67 @@ object AnalyticsQueries {
       .orderBy(col("event_id"))
   }
 
+  /** a39: INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view
+    * delta-refresh pattern that makes daily updates affordable at
+    * 100 TB: re-scanning the full fact table per refresh is O(corpus),
+    * while maintaining ALGEBRAIC partials (sum/count per group, exact
+    * DECIMAL so merge order cannot drift the result) costs O(delta) +
+    * a K-group merge. The d09 slice convention plays the arrival:
+    * l_orderkey % 10 != 0 is the already-materialized base (its
+    * partials diskMemo'd — the on-storage materialized view, fitted
+    * once per source fingerprint), % 10 == 0 is the newly-landed
+    * delta. The query computes delta partials over the DELTA SLICE
+    * ONLY, merges by re-summing (decimal addition is associative, so
+    * merged ≡ full recompute exactly, not approximately), and proves
+    * it in-row: `matches_full` compares the merged partials against a
+    * same-query full recompute — TRUE on every group is the IVM
+    * correctness theorem made hash-checkable.
+    *
+    * Scale shape: base partials are a ≤|groups|-row parquet scan;
+    * the delta aggregation is map-side-combinable on a 10% slice; the
+    * merge and the proof join move ≤|groups| rows. The full recompute
+    * exists only as the in-query oracle — a production refresh ships
+    * just the first three stages. */
+  private[queries] def incrAggPartials(e: DataFrame): DataFrame =
+    e.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("p_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("p_price"),
+        count(lit(1)).as("p_cnt"))
+
+  /** The maintained state: base-slice partials, disk-materialized per
+    * source fingerprint (the [[PersistedAggregates.diskMemo]]
+    * lifecycle — regeneration of the source refits the view). */
+  private[queries] def incrBasePartials(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.diskMemo(s, "incr_agg_base", dir) {
+      incrAggPartials(Tables.lineitem(s, dir).filter(col("l_orderkey") % 10 =!= 0))
+    }
+
+  private def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val delta = incrAggPartials(
+      Tables.lineitem(s, dir).filter(col("l_orderkey") % 10 === 0))
+    val merged = incrBasePartials(s, dir).unionByName(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("p_qty")).as("m_qty"), sum(col("p_price")).as("m_price"),
+        sum(col("p_cnt")).as("m_cnt"))
+    val full = incrAggPartials(Tables.lineitem(s, dir))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("p_qty").as("f_qty"), col("p_price").as("f_price"),
+        col("p_cnt").as("f_cnt"))
+    // inner join: merged and full group over the same rows, so their
+    // group sets are identical by construction; the proof is value
+    // equality, which exact decimals make deterministic
+    merged.join(full, Seq("l_returnflag", "l_linestatus"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("m_qty").cast(DoubleType).as("sum_qty"),
+        col("m_price").cast(DoubleType).as("sum_base_price"),
+        col("m_cnt").as("count_order"),
+        (col("m_qty").cast(DoubleType) / col("m_cnt").cast(DoubleType))
+          .as("avg_qty"),
+        (col("m_qty") === col("f_qty") && col("m_price") === col("f_price") &&
+          col("m_cnt") === col("f_cnt")).as("matches_full"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_pricing_summary" -> QueryDef(pricingSummary, Some(s"""
       SELECT l_returnflag, l_linestatus,
@@ -1171,5 +1232,33 @@ object AnalyticsQueries {
         TRUE AS merged_within_5pct,
         TRUE AS direct_within_5pct
       FROM e GROUP BY event_type ORDER BY event_type"""),
-      "mergeable per-day HLL sketches unioned to range estimates (contract-checked)"))
+      "mergeable per-day HLL sketches unioned to range estimates (contract-checked)"),
+
+    "a39_incremental_agg" -> QueryDef(incrementalAgg, Some("""
+      WITH sl AS (
+        SELECT l_returnflag, l_linestatus, (l_orderkey % 10 = 0) AS is_delta,
+          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS p_qty,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS p_price,
+          COUNT(*) AS p_cnt
+        FROM lineitem GROUP BY l_returnflag, l_linestatus, l_orderkey % 10 = 0),
+      m AS (
+        SELECT l_returnflag, l_linestatus,
+          SUM(p_qty) AS m_qty, SUM(p_price) AS m_price,
+          CAST(SUM(p_cnt) AS BIGINT) AS m_cnt
+        FROM sl GROUP BY l_returnflag, l_linestatus),
+      f AS (
+        SELECT l_returnflag, l_linestatus,
+          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS f_qty,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS f_price,
+          COUNT(*) AS f_cnt
+        FROM lineitem GROUP BY l_returnflag, l_linestatus)
+      SELECT l_returnflag, l_linestatus,
+        CAST(m_qty AS DOUBLE) AS sum_qty,
+        CAST(m_price AS DOUBLE) AS sum_base_price,
+        m_cnt AS count_order,
+        CAST(m_qty AS DOUBLE) / CAST(m_cnt AS DOUBLE) AS avg_qty,
+        (m_qty = f_qty AND m_price = f_price AND m_cnt = f_cnt) AS matches_full
+      FROM m JOIN f USING (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag, l_linestatus"""),
+      "incremental aggregate maintenance: diskMemo'd base partials + delta-slice refresh merged exactly (decimal algebra), with an in-row merged==full-recompute proof"))
 }

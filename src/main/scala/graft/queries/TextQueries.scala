@@ -1605,6 +1605,66 @@ object TextQueries {
       .orderBy(col("exact_count").desc, col("term"))
   }
 
+  /** t33's fit width: the rank cutoff the regression runs over. The
+    * driver corpus's whole vocabulary (31 distinct terms at every SF)
+    * fits under it, so the fit covers the full rank curve there; a
+    * real corpus fits its head, which is where Zipf holds anyway. */
+  private[graft] val ZipfTopV = 128
+
+  /** t33: ZIPF RANK-SLOPE FIT — the corpus-statistics health check a
+    * curation pipeline runs per source/snapshot: natural language has
+    * log-log rank-frequency slope ≈ −1 (Zipf), and a corpus that
+    * drifts far off (boilerplate floods, dedup failures, synthetic
+    * spam) shows it here first. Least squares of ln(freq) on ln(rank)
+    * over the top-[[ZipfTopV]] terms.
+    *
+    * Cross-engine exactness (the t18 discipline): both logs go through
+    * [[ilogSql]] — rank and freq are INTEGERS, so x_u = L(rank), y_u =
+    * L(freq) are exact libm-parity-verified integers; every regression
+    * sum (Σx, Σy, Σxy, Σx², Σy²) is a BIGINT; the normal-equation
+    * numerator/denominator are formed in DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB) — both exact 128-bit-class integer arithmetic,
+    * magnitudes ≤ ~1e36 by construction (n ≤ 128, x_u ≤ L(128), y_u ≤
+    * L(IlogVerifiedMax)) — and the only doubles are the final
+    * divisions, IEEE-deterministic on identical inputs. The 2^20
+    * scaling cancels in the slope and is divided out of the intercept.
+    *
+    * Scale shape: term counting is one map-side-combinable (term,
+    * count) aggregate; the top-V cut is a distributed TakeOrdered (no
+    * global sort materializes); the rank window runs AFTER the limit,
+    * over ≤V rows — bounded at any corpus size (the
+    * collectCappedBuckets adjudication). */
+  private def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    val top = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(ZipfTopV)
+    val wr = Window.orderBy(col("freq").desc, col("term"))
+    val xy = top
+      .withColumn("rnk", row_number().over(wr).cast(LongType))
+      .select(expr(ilogSql("rnk")).as("x_u"), expr(ilogSql("freq")).as("y_u"))
+    val d38 = DecimalType(38, 0)
+    val sums = xy.agg(count(lit(1)).as("n"),
+      sum(col("x_u")).as("sx"), sum(col("y_u")).as("sy"),
+      sum(col("x_u") * col("x_u")).as("sxx"),
+      sum(col("x_u") * col("y_u")).as("sxy"),
+      sum(col("y_u") * col("y_u")).as("syy"))
+    val num = col("n").cast(d38) * col("sxy").cast(d38) -
+      col("sx").cast(d38) * col("sy").cast(d38)
+    val den = col("n").cast(d38) * col("sxx").cast(d38) -
+      col("sx").cast(d38) * col("sx").cast(d38)
+    val denY = col("n").cast(d38) * col("syy").cast(d38) -
+      col("sy").cast(d38) * col("sy").cast(d38)
+    sums
+      .withColumn("slope", num.cast(DoubleType) / den.cast(DoubleType))
+      .select(col("n").as("n_terms"), col("sx").as("sum_x_u"),
+        col("sy").as("sum_y_u"), col("slope"),
+        ((col("sy").cast(DoubleType) - col("slope") * col("sx").cast(DoubleType))
+          / col("n") / lit(1048576.0)).as("intercept_ln"),
+        ((num * num).cast(DoubleType) / (den * denY).cast(DoubleType)).as("r2"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t01_doc_quality" -> QueryDef(docQuality, Some(s"""$statsDuckCte
       SELECT doc_id, n_tokens,
@@ -2246,5 +2306,34 @@ object TextQueries {
         CAST(SUM(CASE WHEN n_v6 + n_ssn + n_card > 0 THEN 1 ELSE 0 END) AS DOUBLE)
           / COUNT(*) AS pii_rate
       FROM dv GROUP BY source ORDER BY source"""
-    }, "extended PII manifest: IPv6 + SSN-shaped + Luhn-checked card numbers per source (shaped vs checksum-valid counts, conservative redaction)"))
+    }, "extended PII manifest: IPv6 + SSN-shaped + Luhn-checked card numbers per source (shaped vs checksum-valid counts, conservative redaction)"),
+
+    "t33_zipf_fit" -> QueryDef(zipfFit, Some(s"""
+      WITH tf AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      c AS (SELECT term, COUNT(*) AS freq FROM tf GROUP BY term),
+      top AS (SELECT term, freq FROM c ORDER BY freq DESC, term LIMIT $ZipfTopV),
+      rk AS (SELECT freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rnk FROM top),
+      xy AS (SELECT ${ilogDuck("rnk")} AS x_u, ${ilogDuck("freq")} AS y_u FROM rk),
+      sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x_u) AS BIGINT) AS sx, CAST(SUM(y_u) AS BIGINT) AS sy,
+               CAST(SUM(x_u * x_u) AS BIGINT) AS sxx,
+               CAST(SUM(x_u * y_u) AS BIGINT) AS sxy,
+               CAST(SUM(y_u * y_u) AS BIGINT) AS syy
+             FROM xy),
+      st AS (SELECT *,
+               CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+                 - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+               CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+                 - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den,
+               CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+                 - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS deny
+             FROM sm),
+      sl AS (SELECT *, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope FROM st)
+      SELECT n AS n_terms, sx AS sum_x_u, sy AS sum_y_u, slope,
+        (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n / 1048576.0
+          AS intercept_ln,
+        CAST(num * num AS DOUBLE) / CAST(den * deny AS DOUBLE) AS r2
+      FROM sl"""),
+      "Zipf rank-frequency slope fit over the top-V terms: exact integer regression sums via the ilog parity machinery, slope/intercept/r2 as end-divisions"))
 }

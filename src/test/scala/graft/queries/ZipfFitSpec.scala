@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** t33 contract: the integer-exact regression reproduces an
+  * independently computed double-precision least-squares fit, and the
+  * reported statistics are internally consistent. The independent
+  * replica below computes x/y through the SAME integerization rule
+  * (floor(ln·2^20 + 0.5)) but with plain Scala math and double sums —
+  * a different code path whose result must agree to float tolerance,
+  * pinning the normal-equation algebra rather than echoing the SQL. */
+class ZipfFitSpec extends graft.streaming.SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("t33: slope/intercept/r2 match an independent least-squares replica") {
+    val row = graft.SparkEntry.queries("t33_zipf_fit")(spark, sf).collect().head
+    // independent term counting + fit
+    val freqs = graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, f) => (-f, t) }
+      .take(TextQueries.ZipfTopV)
+    def l(n: Long): Long = math.floor(math.log(n.toDouble) * 1048576.0 + 0.5).toLong
+    val xy = freqs.zipWithIndex.map { case ((_, f), i) => (l(i + 1L), l(f)) }
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum.toDouble, xy.map(_._2).sum.toDouble)
+    val sxx = xy.map(p => p._1.toDouble * p._1).sum
+    val sxy = xy.map(p => p._1.toDouble * p._2).sum
+    val syy = xy.map(p => p._2.toDouble * p._2).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val slope = num / den
+    assert(row.getAs[Long]("n_terms") == xy.length)
+    assert(row.getAs[Long]("sum_x_u") == xy.map(_._1).sum)
+    assert(row.getAs[Long]("sum_y_u") == xy.map(_._2).sum)
+    assert(math.abs(row.getAs[Double]("slope") - slope) < 1e-9,
+      s"slope ${row.getAs[Double]("slope")} != replica $slope")
+    val intercept = (sy - slope * sx) / n / 1048576.0
+    assert(math.abs(row.getAs[Double]("intercept_ln") - intercept) < 1e-9)
+    val r2 = num * num / (den * (n * syy - sy * sy))
+    assert(math.abs(row.getAs[Double]("r2") - r2) < 1e-9)
+  }
+
+  test("t33: the fit is sane — negative slope, r2 in [0,1], bounded width") {
+    val row = graft.SparkEntry.queries("t33_zipf_fit")(spark, sf).collect().head
+    assert(row.getAs[Long]("n_terms") >= 2)
+    assert(row.getAs[Long]("n_terms") <= TextQueries.ZipfTopV)
+    assert(row.getAs[Double]("slope") < 0.0,
+      "frequency did not decrease with rank — the counting is broken")
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+  }
+}
