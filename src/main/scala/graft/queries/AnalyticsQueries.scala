@@ -774,7 +774,7 @@ object AnalyticsQueries {
     * merge and the proof join move ≤|groups| rows. The full recompute
     * exists only as the in-query oracle — a production refresh ships
     * just the first three stages. */
-  private[queries] def incrAggPartials(e: DataFrame): DataFrame =
+  private[graft] def incrAggPartials(e: DataFrame): DataFrame =
     e.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("p_qty"),
         sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("p_price"),
