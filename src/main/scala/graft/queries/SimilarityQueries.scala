@@ -1936,6 +1936,96 @@ object SimilarityQueries {
         col("n_queries"), col("n_results"), col("n_ingest_hits"))
   }
 
+  /** s24's tombstone slice: vec_id ≡ [[DeleteRem]] (mod [[DeleteMod]])
+    * plays the deletion batch (~14% of the corpus) — a different
+    * residue system than the ingest/query slices so the three
+    * lifecycle workloads overlap the way real ones do. */
+  private[graft] val DeleteMod = 7
+  private[graft] val DeleteRem = 3
+
+  /** s24: TOMBSTONED ANN SERVING — the deletion half of the index
+    * lifecycle (fit s06 → serve s07-s13 → measure s17/s18 → ingest
+    * s23 → DELETE here → refit when the health numbers say so). A
+    * production IVF index does not refit on deletes: vectors leave as
+    * a tombstone SET and serving must exclude them at the candidate
+    * stage. The index (full-corpus centroids + assignment) is
+    * unchanged; the live assignment is the tombstone ANTI-JOIN —
+    * expressed as a relation join, not a predicate pushdown, because
+    * at 100 TB the tombstone list is a table that arrives from
+    * elsewhere, and the anti-join shuffles only the narrow (vec_id,
+    * cell) assignment. s07-shape multi-probe serving runs over BOTH
+    * assignments: the pre-delete pass counts how many of its served
+    * results are now tombstoned (`n_stale_served_pre` — the staleness
+    * a delete-blind index ships), the post-delete pass proves
+    * `n_tombstone_hits` = 0 (deleted vectors are unservable) while
+    * still answering every query. Health for the refit decision: the
+    * s18 mean-assigned-cosine over the LIVE set (exact integer sum +
+    * end division) and `n_cells_emptied` — fully-vacated cells, the
+    * index-garbage metric that drives compaction. */
+  /** The s07 serve shape over an ASSIGNMENT RELATION — the seam
+    * `TombstoneSpec` drives with constructed fixtures. `probes` is
+    * (q_id, cell, qv, qn), `e` the corpus (vec_id, v, nrm), `a` the
+    * assignment to serve from (vec_id, cell); whatever `a` omits is
+    * unservable, which is the whole tombstone mechanism. Per-query
+    * bounded windows (partitioned by q_id); candidates never carry
+    * text. Output (q_id, c_id), exact top-5 by cosine. */
+  private[graft] def serveOverAssignment(probes: DataFrame, e: DataFrame,
+      a: DataFrame): DataFrame = {
+    val c = e.join(a, "vec_id").select(col("vec_id").as("c_id"),
+      col("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    val wt = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    probes.join(c, Seq("cell")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(wt))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("c_id"))
+  }
+
+  private def annDeleteReport(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cent = ivfCentroids(s, dir)
+    val asg = ivfAssigned(s, dir)
+    val tomb = e.filter(col("vec_id") % DeleteMod === DeleteRem)
+      .select(col("vec_id"))
+    val liveAsg = asg.join(tomb, Seq("vec_id"), "left_anti")
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("scos").desc, col("s_id"))
+    val probes = SampleQueries(e)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(broadcast(cent))
+      .withColumn("scos", expr(dotSpark("qv", "sv")) / (col("qn") * col("sn")))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= IngestProbes)
+      .select(col("q_id"), col("s_id").as("cell"), col("qv"), col("qn"))
+    def topServe(a: DataFrame): DataFrame = serveOverAssignment(probes, e, a)
+    val pre = topServe(asg)
+      .agg(count(lit(1)).as("n_results_pre"),
+        sum(when(col("c_id") % DeleteMod === DeleteRem, 1L).otherwise(0L))
+          .as("n_stale_served_pre"))
+    val post = topServe(liveAsg)
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_results_post"),
+        sum(when(col("c_id") % DeleteMod === DeleteRem, 1L).otherwise(0L))
+          .as("n_tombstone_hits"))
+    val lh = assignedCosHealth(e, liveAsg, cent)
+      .select(col("n").as("n_live"), col("sum_u").as("sum_cos_live_u"))
+    val cells = asg.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+    val emptied = cells
+      .join(liveAsg.select(col("cell")).distinct(), Seq("cell"), "left_anti")
+      .agg(count(lit(1)).as("n_cells_emptied"))
+    val nc = cells.agg(count(lit(1)).as("n_cells"))
+    tomb.agg(count(lit(1)).as("n_deleted"))
+      .crossJoin(broadcast(lh)).crossJoin(broadcast(nc))
+      .crossJoin(broadcast(emptied)).crossJoin(broadcast(pre))
+      .crossJoin(broadcast(post))
+      .select(col("n_deleted"), col("n_live"), col("n_cells"),
+        col("n_cells_emptied"), col("n_queries"),
+        col("n_results_pre"), col("n_stale_served_pre"),
+        col("n_results_post"), col("n_tombstone_hits"),
+        col("sum_cos_live_u"),
+        (col("sum_cos_live_u").cast(DoubleType) / col("n_live") / lit(1048576.0))
+          .as("mean_cos_live"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "s01_ann_bruteforce" -> QueryDef((s, d) => annBruteForce(s, d), Some(s"""$vecsDuckCte,
       p AS (
@@ -2488,5 +2578,61 @@ object SimilarityQueries {
           CAST(sum_cos_post_u AS DOUBLE) / n_post / $IvfScaleSql AS drift,
         imbalance_base, imbalance_post, n_queries, n_results, n_ingest_hits
       FROM hb, hp, ib, ip, svr, icn"""),
-      "incremental ANN ingest: new vectors assigned to the FITTED index with no refit, s07-shape serving over the merged index, drift delta vs the s18 health metrics (the re-fit trigger's input)"))
+      "incremental ANN ingest: new vectors assigned to the FITTED index with no refit, s07-shape serving over the merged index, drift delta vs the s18 health metrics (the re-fit trigger's input)"),
+
+    "s24_ann_delete" -> QueryDef((s, d) => annDeleteReport(s, d), Some(s"""$vecsDuckCte,
+      $ivfAsgDuckCte,
+      tmb AS (SELECT vec_id FROM n WHERE vec_id % $DeleteMod = $DeleteRem),
+      lasg AS (SELECT a.vec_id, a.cell FROM asg a
+               LEFT JOIN tmb t ON t.vec_id = a.vec_id WHERE t.vec_id IS NULL),
+      qsc2 AS (
+        SELECT n.vec_id, s_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, len(n.v)), i -> n.v[i] * sv[i])), (a, z) -> a + z)
+            / (n.nrm * sn) AS scos
+        FROM n, fitc WHERE n.vec_id % $QueryMod = 0),
+      qpr2 AS (SELECT vec_id AS q_id, s_id AS cell FROM (
+          SELECT vec_id, s_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
+          FROM qsc2) t WHERE rn <= $IngestProbes),
+      prec AS (SELECT qpr2.q_id, c.vec_id AS c_id, $cosDuck AS cos
+               FROM qpr2 JOIN n q ON q.vec_id = qpr2.q_id
+                    JOIN asg m ON m.cell = qpr2.cell
+                    JOIN n c ON c.vec_id = m.vec_id AND c.vec_id <> qpr2.q_id),
+      pret AS (SELECT q_id, c_id FROM (
+          SELECT q_id, c_id,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+          FROM prec) t WHERE rnk <= 5),
+      pres AS (SELECT COUNT(*) AS n_results_pre,
+                 CAST(SUM(CASE WHEN c_id % $DeleteMod = $DeleteRem THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_stale_served_pre
+               FROM pret),
+      poc AS (SELECT qpr2.q_id, c.vec_id AS c_id, $cosDuck AS cos
+              FROM qpr2 JOIN n q ON q.vec_id = qpr2.q_id
+                   JOIN lasg m ON m.cell = qpr2.cell
+                   JOIN n c ON c.vec_id = m.vec_id AND c.vec_id <> qpr2.q_id),
+      pot AS (SELECT q_id, c_id FROM (
+          SELECT q_id, c_id,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+          FROM poc) t WHERE rnk <= 5),
+      pos AS (SELECT COUNT(DISTINCT q_id) AS n_queries,
+                COUNT(*) AS n_results_post,
+                CAST(SUM(CASE WHEN c_id % $DeleteMod = $DeleteRem THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_tombstone_hits
+              FROM pot),
+      lh AS (SELECT COUNT(*) AS n_live,
+               CAST(SUM(CAST(floor(scos * $IvfScaleSql + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cos_live_u
+             FROM lasg a JOIN sc s ON s.vec_id = a.vec_id AND s.s_id = a.cell),
+      cl AS (SELECT cell, COUNT(*) AS c FROM asg GROUP BY cell),
+      emp AS (SELECT COUNT(*) AS n_cells_emptied FROM cl
+              WHERE cell NOT IN (SELECT DISTINCT cell FROM lasg)),
+      ncl AS (SELECT COUNT(*) AS n_cells FROM cl),
+      dct AS (SELECT COUNT(*) AS n_deleted FROM tmb)
+      SELECT n_deleted, n_live, n_cells, n_cells_emptied, n_queries,
+        n_results_pre, n_stale_served_pre, n_results_post, n_tombstone_hits,
+        sum_cos_live_u,
+        CAST(sum_cos_live_u AS DOUBLE) / n_live / $IvfScaleSql AS mean_cos_live
+      FROM dct, lh, ncl, emp, pres, pos"""),
+      "tombstoned ANN serving: delete a slice with NO refit, anti-join the live assignment, prove post-delete serving never returns a tombstone while the pre-delete pass counts its stale results; live-set health + emptied-cell garbage metric for the refit decision"))
 }
