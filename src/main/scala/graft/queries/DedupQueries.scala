@@ -504,6 +504,75 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The materialized LSH index d22 probes: base-slice band rows
+    * (doc_id, b, bkey), disk-materialized per source fingerprint — the
+    * on-storage bucket index a production dedup service keeps between
+    * crawl batches (signatures are NOT recomputed for the corpus at
+    * each arrival; the [[PersistedAggregates.diskMemo]] lifecycle
+    * refits it only when the source regenerates). */
+  private[graft] def lshBandsBase(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.diskMemo(s, "lsh_bands_base", dir) {
+      bands(s, dir).filter(col("doc_id") % 10 =!= 0)
+    }
+
+  /** d22: INCREMENTAL MinHash-LSH dedup — d09's exact-digest pattern
+    * lifted to NEAR-dup: the new batch (doc_id % 10 == 0, the d09
+    * convention) is banded fresh and probed against the MATERIALIZED
+    * base bucket index ([[lshBandsBase]]); candidates verify with the
+    * d04 exact hashed-gram Jaccard at [[JaccThreshold]]. Per ingest
+    * doc: candidate/verified counts, the winning index doc, best
+    * Jaccard — the row a crawl pipeline routes on (drop vs keep).
+    *
+    * Scale shape: the base corpus is touched ONLY through the band
+    * index (narrow (doc_id, b, bkey) rows) and its per-bucket counts —
+    * base buckets over [[MaxBucket]] emit no candidates (the d03 cap
+    * discipline, mirrored in the twin). Signature work is O(ingest);
+    * gram sets for verification are computed AFTER the candidate ids
+    * join back to `documents` (the d21 adjudication: the pair side is
+    * bounded and broadcasts, text never crosses a shuffle, the gram
+    * hash runs once per candidate row, not per corpus row). */
+  private def incrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val base = lshBandsBase(s, dir)
+    val ing = bands(s, dir).filter(col("doc_id") % 10 === 0)
+    val okBuckets = base.groupBy(col("b"), col("bkey"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") <= MaxBucket).select(col("b"), col("bkey"))
+    val cand = ing.join(okBuckets, Seq("b", "bkey"))
+      .select(col("doc_id").as("in_doc"), col("b"), col("bkey"))
+      .join(base.select(col("doc_id").as("base_doc"), col("b"), col("bkey")),
+        Seq("b", "bkey"))
+      .select(col("in_doc"), col("base_doc")).distinct()
+    val t = docs(s, dir).select(col("doc_id"), col("text"))
+    def ghOf(ids: DataFrame): DataFrame = ids.distinct()
+      .join(t, "doc_id")
+      .select(col("doc_id"),
+        expr(s"array_sort($gramHashSpark)").as("gh"))
+    val pairs = cand
+      .join(ghOf(cand.select(col("in_doc").as("doc_id")))
+        .select(col("doc_id").as("in_doc"), col("gh").as("gha")), "in_doc")
+      .join(ghOf(cand.select(col("base_doc").as("doc_id")))
+        .select(col("doc_id").as("base_doc"), col("gh").as("ghb")), "base_doc")
+      .withColumn("n_inter", expr("graft_sorted_icount(gha, ghb)"))
+      .withColumn("n_union",
+        (size(col("gha")) + size(col("ghb"))).cast(LongType) - col("n_inter"))
+      .withColumn("jacc", col("n_inter").cast(DoubleType) / col("n_union"))
+    val agg = pairs.groupBy(col("in_doc"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jacc") >= JaccThreshold, 1L).otherwise(0L)).as("n_verified"),
+        min(when(col("jacc") >= JaccThreshold, col("base_doc"))).as("best_base"),
+        max(when(col("jacc") >= JaccThreshold, col("jacc"))).as("best_j"))
+    docs(s, dir).filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+      .join(agg, col("doc_id") === col("in_doc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        (coalesce(col("n_verified"), lit(0L)) > 0).as("is_neardup"),
+        coalesce(col("best_base"), lit(-1L)).as("index_doc"),
+        round(coalesce(col("best_j"), lit(0.0)), 4).as("best_jacc"))
+      .orderBy(col("doc_id"))
+  }
+
   private val ChunkWords = 16
 
   /** d10: chunk-level dedup — the paragraph/line-dedup pass (CCNet-style)
@@ -1603,7 +1672,38 @@ object DedupQueries {
       SELECT doc_a, doc_b, len_a, len_b, lev, edit_sim,
         (edit_sim >= CAST($EditSimTau AS DOUBLE)) AS confirmed
       FROM es ORDER BY doc_a, doc_b"""),
-      "character-level edit-distance confirmation of the Jaccard-verified near-dup pairs (Levenshtein over candidate pairs only)"))
+      "character-level edit-distance confirmation of the Jaccard-verified near-dup pairs (Levenshtein over candidate pairs only)"),
+
+    "d22_incremental_lsh" -> QueryDef(incrementalLsh, Some(s"""$bandsDuckCte,
+      bbands AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+      ibands AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+      bbsz AS (SELECT b, bkey, COUNT(*) AS c FROM bbands GROUP BY b, bkey),
+      icand AS (SELECT DISTINCT i.doc_id AS in_doc, bb.doc_id AS base_doc
+                FROM ibands i JOIN bbands bb ON bb.b = i.b AND bb.bkey = i.bkey
+                JOIN bbsz s ON s.b = i.b AND s.bkey = i.bkey AND s.c <= $MaxBucket),
+      g AS (SELECT doc_id, list_sort(list_distinct(list(v))) AS gh FROM vx GROUP BY doc_id),
+      ivj AS (SELECT in_doc, base_doc,
+                CAST(len(list_intersect(ga.gh, gb.gh)) AS DOUBLE) /
+                  (len(ga.gh) + len(gb.gh) - len(list_intersect(ga.gh, gb.gh))) AS jacc
+              FROM icand JOIN g ga ON ga.doc_id = icand.in_doc
+                   JOIN g gb ON gb.doc_id = icand.base_doc),
+      iagg AS (SELECT in_doc,
+                 COUNT(*) AS n_candidates,
+                 CAST(SUM(CASE WHEN jacc >= $JaccThreshold THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_verified,
+                 MIN(CASE WHEN jacc >= $JaccThreshold THEN base_doc END) AS best_base,
+                 MAX(CASE WHEN jacc >= $JaccThreshold THEN jacc END) AS best_j
+               FROM ivj GROUP BY in_doc),
+      iing AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+      SELECT iing.doc_id,
+        COALESCE(n_candidates, 0) AS n_candidates,
+        COALESCE(n_verified, 0) AS n_verified,
+        (COALESCE(n_verified, 0) > 0) AS is_neardup,
+        COALESCE(best_base, -1) AS index_doc,
+        ROUND(COALESCE(best_j, 0.0), 4) AS best_jacc
+      FROM iing LEFT JOIN iagg ON iagg.in_doc = iing.doc_id
+      ORDER BY iing.doc_id"""),
+      "incremental near-dup dedup: the new batch banded against the MATERIALIZED base LSH bucket index (no base recompute), candidates verified by exact hashed-gram Jaccard, per-doc drop/keep routing row"))
 
   /** Shared DuckDB CTE computing (doc_id, simhash) — twin of
     * [[simhashBase]] (trigram bit votes from the same polynomial hash). */
