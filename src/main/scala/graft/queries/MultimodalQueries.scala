@@ -98,6 +98,45 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** The materialized frame-digest index m14 probes: (frame_md5 →
+    * canonical base media id), disk-materialized per source
+    * fingerprint — the lookup table a media-dedup service keeps
+    * between ingest batches, so arriving videos are checked without
+    * re-decoding or re-hashing the base corpus (the d22/a39/s23
+    * lifecycle discipline applied to the media modality). */
+  private[graft] def frameIndexBase(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.diskMemo(s, "m14_frame_index", dir) {
+      MediaPipeline.sampleFrames(MediaPipeline.load(s, dir)).toDF()
+        .select(col("media_id"), col("frame_md5")).distinct()
+        .filter(col("media_id") % 10 =!= 0)
+        .groupBy(col("frame_md5")).agg(min(col("media_id")).as("idx_media"))
+    }
+
+  /** m14: INCREMENTAL media dedup — d22's arrival pattern on the video
+    * modality: the new batch (media_id % 10 == 0, the d09 convention)
+    * is decoded and frame-sampled fresh, its frame digests probed
+    * against [[frameIndexBase]], and each arriving video gets the
+    * routing row (frames hit, majority-overlap drop flag, canonical
+    * index media). Decode/hash work at each arrival is O(ingest); the
+    * base corpus is touched only through the digest→keeper index. */
+  private def incrementalFrameDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val ing = MediaPipeline.sampleFrames(MediaPipeline.load(s, dir)).toDF()
+      .select(col("media_id"), col("frame_md5")).distinct()
+      .filter(col("media_id") % 10 === 0)
+    ing.join(frameIndexBase(s, dir), Seq("frame_md5"), "left")
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("idx_media").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        min(col("idx_media")).as("index_media"))
+      .select(col("media_id"), col("n_frames"),
+        col("n_hit").as("n_frames_in_index"),
+        round(col("n_hit").cast(DoubleType) / col("n_frames"), 4).as("hit_ratio"),
+        (col("n_hit") * 2 >= col("n_frames")).as("is_dup"),
+        coalesce(col("index_media"), lit(-1L)).as("index_media"))
+      .orderBy(col("media_id"))
+  }
+
   /** m06: the modality mix manifest — the artifact a multimodal
     * training run actually signs off: per source, how many tokens each
     * modality contributes (text by whitespace tokenization; image/
@@ -600,7 +639,26 @@ object MultimodalQueries {
         MAX(frame_idx) AS end_frame
       FROM sg GROUP BY media_id, seg_idx
       ORDER BY media_id, seg_idx"""),
-      "energy (VAD-style) segmentation: active/quiet segment manifest per audio-bearing media, mean-relative integer threshold"))
+      "energy (VAD-style) segmentation: active/quiet segment manifest per audio-bearing media, mean-relative integer threshold"),
+
+    "m14_incremental_frame_dedup" -> QueryDef(incrementalFrameDedup, Some(s"""
+      WITH $m05DuckCte,
+      m14i AS (SELECT fh, MIN(media_id) AS idx_media
+               FROM m05h WHERE media_id % 10 <> 0 GROUP BY fh),
+      m14f AS (SELECT media_id, fh FROM m05h WHERE media_id % 10 = 0),
+      m14j AS (SELECT f.media_id, f.fh, i.idx_media
+               FROM m14f f LEFT JOIN m14i i ON i.fh = f.fh),
+      m14a AS (SELECT media_id, COUNT(*) AS n_frames,
+                 CAST(SUM(CASE WHEN idx_media IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hit,
+                 MIN(idx_media) AS index_media
+               FROM m14j GROUP BY media_id)
+      SELECT media_id, n_frames, n_hit AS n_frames_in_index,
+        ROUND(CAST(n_hit AS DOUBLE) / n_frames, 4) AS hit_ratio,
+        (n_hit * 2 >= n_frames) AS is_dup,
+        COALESCE(index_media, -1) AS index_media
+      FROM m14a ORDER BY media_id"""),
+      "incremental media dedup: new videos' sampled-frame digests probed against the MATERIALIZED base frame index (no base re-decode), majority-overlap drop rule"))
 
   /** m09: media dedup clusters — the d07 step for the media domain:
     * the m07 (audio) and m08 (image) near-dup pairs merged into one
