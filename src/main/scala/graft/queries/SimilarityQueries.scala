@@ -1981,6 +1981,76 @@ object SimilarityQueries {
       .select(col("q_id"), col("c_id"))
   }
 
+  /** s25 decision thresholds. FAISS folklore treats imbalance > ~1.5
+    * as "re-train the coarse quantizer"; drift is the s23 delta of
+    * mean assigned cosine (0.05 ≈ a 10% relative degradation on this
+    * corpus's ~0.5 means); the garbage bar is an exact binary fraction
+    * so the comparison is bit-stable. On the driver corpus the three
+    * rules land FALSE/TRUE/TRUE — a non-degenerate table, spec-pinned. */
+  private[graft] val DriftTau = 0.05
+  private[graft] val ImbalanceTau = 1.5
+  private[graft] val GarbageTau = 0.125
+
+  /** s25: REFIT DECISION — the lifecycle capstone: the operator a
+    * production vector store actually schedules on. s18 ships the
+    * health metrics, s23 the ingest drift, s24 the deletion garbage;
+    * this query joins the three single-row reports' INPUTS (all from
+    * the same memoized index frames — nothing is re-fitted) and applies
+    * the decision table: refit when ingest drift exceeds [[DriftTau]]
+    * or the FAISS imbalance factor exceeds [[ImbalanceTau]]; compact
+    * when the tombstone fraction reaches [[GarbageTau]] or any cell
+    * has fully emptied. Every metric is an exact integer sum with one
+    * end-division, so the boolean cells — not just the numbers — are
+    * hash-checked against the twin. One row; everything broadcasts. */
+  private def refitDecision(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val asg = ivfAssigned(s, dir)
+    // production-index health (s18): imbalance + dead seeds
+    val sz = asg.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+    val ss = sz.agg(count(lit(1)).as("n_cells"),
+      max(col("c")).cast(LongType).as("max_cell"))
+    val nv = e.agg(count(lit(1)).as("n_vecs"))
+    val sd = ivfSeeds(e).agg(count(lit(1)).as("n_seeds"))
+    // ingest drift on the base-fit index (the s23 chain, re-served
+    // from its memo)
+    val bcent = ingestBaseCentroids(s, dir)
+    val basg = assignCells(e.filter(col("vec_id") % IngestMod =!= 0), bcent)
+    val masg = basg.union(
+      assignCells(e.filter(col("vec_id") % IngestMod === 0), bcent))
+    val bh = assignedCosHealth(e, basg, bcent)
+      .select(col("n").as("n_base"), col("sum_u").as("sum_pre_u"))
+    val ph = assignedCosHealth(e, masg, bcent)
+      .select(col("n").as("n_post"), col("sum_u").as("sum_post_u"))
+    // deletion garbage (the s24 slices)
+    val tomb = e.filter(col("vec_id") % DeleteMod === DeleteRem)
+      .select(col("vec_id"))
+    val liveAsg = asg.join(tomb, Seq("vec_id"), "left_anti")
+    val emptied = sz
+      .join(liveAsg.select(col("cell")).distinct(), Seq("cell"), "left_anti")
+      .agg(count(lit(1)).as("n_cells_emptied"))
+    val nt = tomb.agg(count(lit(1)).as("n_deleted"))
+    nv.crossJoin(broadcast(ss)).crossJoin(broadcast(sd))
+      .crossJoin(broadcast(bh)).crossJoin(broadcast(ph))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(emptied))
+      .withColumn("imbalance",
+        (col("max_cell") * col("n_cells")).cast(DoubleType) / col("n_vecs"))
+      .withColumn("drift",
+        col("sum_pre_u").cast(DoubleType) / col("n_base") / lit(1048576.0) -
+          col("sum_post_u").cast(DoubleType) / col("n_post") / lit(1048576.0))
+      .withColumn("tombstone_frac",
+        col("n_deleted").cast(DoubleType) / col("n_vecs"))
+      .select(col("n_vecs"), col("n_cells"),
+        (col("n_seeds") - col("n_cells")).as("n_dead_seeds"),
+        col("imbalance"), col("drift"), col("n_deleted"),
+        col("tombstone_frac"), col("n_cells_emptied"),
+        (col("drift") > DriftTau).as("refit_for_drift"),
+        (col("imbalance") > ImbalanceTau).as("refit_for_imbalance"),
+        (col("tombstone_frac") >= GarbageTau || col("n_cells_emptied") > 0)
+          .as("compact_for_garbage"),
+        (col("drift") > DriftTau || col("imbalance") > ImbalanceTau)
+          .as("refit_needed"))
+  }
+
   private def annDeleteReport(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val cent = ivfCentroids(s, dir)
@@ -2634,5 +2704,58 @@ object SimilarityQueries {
         sum_cos_live_u,
         CAST(sum_cos_live_u AS DOUBLE) / n_live / $IvfScaleSql AS mean_cos_live
       FROM dct, lh, ncl, emp, pres, pos"""),
-      "tombstoned ANN serving: delete a slice with NO refit, anti-join the live assignment, prove post-delete serving never returns a tombstone while the pre-delete pass counts its stale results; live-set health + emptied-cell garbage metric for the refit decision"))
+      "tombstoned ANN serving: delete a slice with NO refit, anti-join the live assignment, prove post-delete serving never returns a tombstone while the pre-delete pass counts its stale results; live-set health + emptied-cell garbage metric for the refit decision"),
+
+    "s25_refit_decision" -> QueryDef((s, d) => refitDecision(s, d), Some(s"""$vecsDuckCte,
+      $ivfAsgDuckCte,
+      nb AS (SELECT * FROM n WHERE vec_id % $IngestMod <> 0),
+      ni AS (SELECT * FROM n WHERE vec_id % $IngestMod = 0),
+      ${ivfFitDuckChainFor("nb", "b")},
+      r25isc AS (
+        SELECT ni.vec_id, s_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, len(ni.v)), i -> ni.v[i] * sv[i])), (a, z) -> a + z)
+            / (ni.nrm * sn) AS scos
+        FROM ni, bfitc),
+      r25iasg AS (SELECT vec_id, s_id AS cell FROM (
+          SELECT vec_id, s_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
+          FROM r25isc) t WHERE rn = 1),
+      r25masg AS (SELECT * FROM basg UNION ALL SELECT * FROM r25iasg),
+      r25msc AS (SELECT * FROM bsc UNION ALL SELECT * FROM r25isc),
+      r25hb AS (SELECT COUNT(*) AS n_base,
+                  CAST(SUM(CAST(floor(scos * $IvfScaleSql + 0.5) AS BIGINT)) AS BIGINT)
+                    AS sum_pre_u
+                FROM basg a JOIN bsc s ON s.vec_id = a.vec_id AND s.s_id = a.cell),
+      r25hp AS (SELECT COUNT(*) AS n_post,
+                  CAST(SUM(CAST(floor(scos * $IvfScaleSql + 0.5) AS BIGINT)) AS BIGINT)
+                    AS sum_post_u
+                FROM r25masg a JOIN r25msc s ON s.vec_id = a.vec_id AND s.s_id = a.cell),
+      r25sz AS (SELECT cell, COUNT(*) AS c FROM asg GROUP BY cell),
+      r25ss AS (SELECT COUNT(*) AS n_cells, CAST(MAX(c) AS BIGINT) AS max_cell FROM r25sz),
+      r25nv AS (SELECT COUNT(*) AS n_vecs FROM n),
+      r25sd AS (SELECT COUNT(*) AS n_seeds FROM seeds),
+      r25t AS (SELECT vec_id FROM n WHERE vec_id % $DeleteMod = $DeleteRem),
+      r25la AS (SELECT a.cell FROM asg a
+                LEFT JOIN r25t t ON t.vec_id = a.vec_id WHERE t.vec_id IS NULL),
+      r25emp AS (SELECT COUNT(*) AS n_cells_emptied FROM r25sz
+                 WHERE cell NOT IN (SELECT DISTINCT cell FROM r25la)),
+      r25nt AS (SELECT COUNT(*) AS n_deleted FROM r25t),
+      r25m AS (SELECT n_vecs, n_cells,
+                 CAST(n_seeds - n_cells AS BIGINT) AS n_dead_seeds,
+                 CAST(max_cell * n_cells AS DOUBLE) / n_vecs AS imbalance,
+                 CAST(sum_pre_u AS DOUBLE) / n_base / $IvfScaleSql -
+                   CAST(sum_post_u AS DOUBLE) / n_post / $IvfScaleSql AS drift,
+                 n_deleted,
+                 CAST(n_deleted AS DOUBLE) / n_vecs AS tombstone_frac,
+                 n_cells_emptied
+               FROM r25nv, r25ss, r25sd, r25hb, r25hp, r25nt, r25emp)
+      SELECT n_vecs, n_cells, n_dead_seeds, imbalance, drift, n_deleted,
+        tombstone_frac, n_cells_emptied,
+        (drift > $DriftTau) AS refit_for_drift,
+        (imbalance > $ImbalanceTau) AS refit_for_imbalance,
+        (tombstone_frac >= $GarbageTau OR n_cells_emptied > 0) AS compact_for_garbage,
+        (drift > $DriftTau OR imbalance > $ImbalanceTau) AS refit_needed
+      FROM r25m"""),
+      "index refit decision table: s18 imbalance + s23 ingest drift + s24 tombstone garbage joined into the schedule-a-refit/compaction booleans a production vector store acts on"))
 }
