@@ -538,11 +538,16 @@ object DedupQueries {
     val okBuckets = base.groupBy(col("b"), col("bkey"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") <= MaxBucket).select(col("b"), col("bkey"))
-    val cand = ing.join(okBuckets, Seq("b", "bkey"))
-      .select(col("doc_id").as("in_doc"), col("b"), col("bkey"))
-      .join(base.select(col("doc_id").as("base_doc"), col("b"), col("bkey")),
-        Seq("b", "bkey"))
-      .select(col("in_doc"), col("base_doc")).distinct()
+    // memoized: three consumers (the two gram-set fetches + the pair
+    // join) would otherwise each re-band the ingest slice and re-read
+    // the index
+    val cand = PersistedAggregates.memo(s, "d22_cand", dir) {
+      ing.join(okBuckets, Seq("b", "bkey"))
+        .select(col("doc_id").as("in_doc"), col("b"), col("bkey"))
+        .join(base.select(col("doc_id").as("base_doc"), col("b"), col("bkey")),
+          Seq("b", "bkey"))
+        .select(col("in_doc"), col("base_doc")).distinct()
+    }
     val t = docs(s, dir).select(col("doc_id"), col("text"))
     def ghOf(ids: DataFrame): DataFrame = ids.distinct()
       .join(t, "doc_id")

@@ -82,12 +82,18 @@ object MultimodalQueries {
     * shared set stays linear in dup mass (never broadcast-hinted),
     * and the left join back is AQE-skew-splittable. The rollup is the
     * last shuffle. */
-  private[queries] def frameDedup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
-    val frames = PersistedAggregates.memo(s, "m05_frames", dir) {
+  /** Distinct (media_id, frame_md5) rows, memoized per session — the
+    * ONE decode+sample pass m05 and m14 both read (the shared-build
+    * rule: duplicating the closure would let the two drift). */
+  private[queries] def distinctFrames(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.memo(s, "m05_frames", dir) {
       MediaPipeline.sampleFrames(MediaPipeline.load(s, dir)).toDF()
         .select(col("media_id"), col("frame_md5")).distinct()
     }
+
+  private[queries] def frameDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val frames = distinctFrames(s, dir)
     graft.operators.KeyedCounts.flagRepeated(frames, "frame_md5")
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"),
@@ -106,8 +112,7 @@ object MultimodalQueries {
     * lifecycle discipline applied to the media modality). */
   private[graft] def frameIndexBase(s: SparkSession, dir: String): DataFrame =
     PersistedAggregates.diskMemo(s, "m14_frame_index", dir) {
-      MediaPipeline.sampleFrames(MediaPipeline.load(s, dir)).toDF()
-        .select(col("media_id"), col("frame_md5")).distinct()
+      distinctFrames(s, dir)
         .filter(col("media_id") % 10 =!= 0)
         .groupBy(col("frame_md5")).agg(min(col("media_id")).as("idx_media"))
     }
@@ -121,9 +126,7 @@ object MultimodalQueries {
     * base corpus is touched only through the digest→keeper index. */
   private def incrementalFrameDedup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
-    val ing = MediaPipeline.sampleFrames(MediaPipeline.load(s, dir)).toDF()
-      .select(col("media_id"), col("frame_md5")).distinct()
-      .filter(col("media_id") % 10 === 0)
+    val ing = distinctFrames(s, dir).filter(col("media_id") % 10 === 0)
     ing.join(frameIndexBase(s, dir), Seq("frame_md5"), "left")
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"),
