@@ -847,4 +847,84 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     assert(normalize("(3) GlobalLimit\nArguments: 50") !=
       normalize("(3) GlobalLimit\nArguments: 100"))
   }
+
+  test("a39 incremental agg: refresh reads the materialized view; only delta + proof rescan the fact table") {
+    // The 100 TB property: the maintained partials arrive as a
+    // graft_memo parquet scan, so the refresh side never touches the
+    // base fact rows. lineitem appears exactly twice — the delta-slice
+    // aggregation and the full recompute that exists only as the
+    // in-query proof column.
+    val plan = PlanTestUtils.formatted(
+      queries("a39_incremental_agg")(spark, sf).queryExecution)
+    assert(plan.contains("graft_memo"),
+      "a39 does not read the materialized base partials")
+    val liScans = plan.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem"))
+    assert(liScans == 2, s"expected 2 lineitem scans (delta + proof), got $liScans")
+  }
+
+  test("t33 zipf: top-V is a distributed TakeOrdered; the rank window runs above the limit") {
+    // No global sort of the vocabulary materializes — the cut compiles
+    // to TakeOrderedAndProject — and the only window ranks the ALREADY
+    // LIMITED frame, so its single partition holds <= V rows at any
+    // corpus size (the collectCappedBuckets adjudication).
+    val qe = queries("t33_zipf_fit")(spark, sf).queryExecution
+    assert(PlanTestUtils.formatted(qe).contains("TakeOrderedAndProject"),
+      "the top-V cut is not a distributed TakeOrdered")
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.length == 1, s"expected 1 window, got ${windows.length}")
+    val bounded = windows.head.child.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+    }
+    assert(bounded.nonEmpty, "the rank window's input is not limit-bounded")
+  }
+
+  test("d22 incremental LSH: no shuffle carries document text — band keys, digests, gram-hash arrays only") {
+    // The gram sets are computed AFTER the bounded candidate ids join
+    // back to documents (the d21 adjudication): the id side broadcasts
+    // and text stays scan-side, so an Exchange input carrying text
+    // means the corpus went over the wire.
+    val inputs = PlanTestUtils.exchangeInputs(
+      queries("d22_incremental_lsh")(spark, sf).queryExecution)
+    assert(inputs.nonEmpty, "expected shuffles in d22")
+    val leaky = inputs.filter(l => l.contains("text#") || l.contains("words#"))
+    assert(leaky.isEmpty, s"d22 shuffles raw text:\n${leaky.mkString("\n")}")
+  }
+
+  test("m14 incremental frame dedup: no payload in any shuffle; probe join is keyed, not a pinned broadcast") {
+    // Payloads die at the sampling projection (the m05 property); the
+    // digest index and the ingest digests both scale with the corpus,
+    // so neither side may carry a FORCED broadcast hint (the r14
+    // inverted rule) — AQE may still promote at small SF.
+    val qe = queries("m14_incremental_frame_dedup")(spark, sf).queryExecution
+    val inputs = PlanTestUtils.exchangeInputs(qe)
+    val leaky = inputs.filter(l => l.contains("payload#") || l.contains("text#"))
+    assert(leaky.isEmpty, s"m14 shuffles media payload:\n${leaky.mkString("\n")}")
+    val hinted = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.exists(_.strategy.isDefined) ||
+             j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    assert(hinted.isEmpty, "m14 carries a forced join hint on a corpus-scaling side")
+  }
+
+  test("s24 delete: tombstones exclude via LeftAnti; every serve window partitions by q_id") {
+    val qe = queries("s24_ann_delete")(spark, sf).queryExecution
+    val anti = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(anti.nonEmpty, "the live assignment is not a tombstone anti-join")
+    val unpartitioned = qe.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      "an unpartitioned window would serialize the serve path")
+  }
+
+  test("s25 refit decision: window-free — one-row reports broadcast into the decision row") {
+    val qe = queries("s25_refit_decision")(spark, sf).queryExecution
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.isEmpty, s"s25 grew ${windows.length} windows — the decision row must compose aggregates only")
+  }
 }
