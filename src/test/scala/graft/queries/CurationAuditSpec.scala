@@ -241,4 +241,23 @@ class CurationAuditSpec extends graft.streaming.SparkTestBase {
     assert(byTokens.head.getDouble(4) >= byTokens.head.getDouble(3),
       "smallest source must not lose share under temperature")
   }
+
+  test("m14 => m05: every arriving video the incremental pass drops is visible to the batch pass") {
+    // If >= half an ingest video's frames exist in the base index, each
+    // of those frames is shared by >= 2 media in the FULL corpus, so the
+    // batch cross-video pass (m05) must report the video with
+    // n_shared_frames >= its m14 hit count — the incremental verdict is
+    // a restriction of the batch one, never a new claim.
+    val m14 = q("m14_incremental_frame_dedup").collect()
+      .filter(_.getAs[Boolean]("is_dup"))
+    assert(m14.nonEmpty, "no arriving video flagged - the implication tests nothing")
+    val m05 = q("m05_frame_dedup").collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("n_shared_frames")).toMap
+    m14.foreach { r =>
+      val m = r.getAs[Long]("media_id")
+      assert(m05.contains(m), s"m14 dropped media $m invisible to the batch pass")
+      assert(m05(m) >= r.getAs[Long]("n_frames_in_index"),
+        s"batch pass sees fewer shared frames than the incremental hits on $m")
+    }
+  }
 }
