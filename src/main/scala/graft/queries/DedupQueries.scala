@@ -548,16 +548,20 @@ object DedupQueries {
           Seq("b", "bkey"))
         .select(col("in_doc"), col("base_doc")).distinct()
     }
-    val t = docs(s, dir).select(col("doc_id"), col("text"))
-    def ghOf(ids: DataFrame): DataFrame = ids.distinct()
-      .join(t, "doc_id")
-      .select(col("doc_id"),
-        expr(s"array_sort($gramHashSpark)").as("gh"))
+    // ONE documents scan fetches both sides' gram sets (r15 review:
+    // a per-side fetch scanned the corpus twice): the union of
+    // candidate ids joins documents once, the gram hash runs post-join
+    // (only candidate rows hash), and the memo lets the two pair-side
+    // reads share that single build
+    val gh = PersistedAggregates.memo(s, "d22_gh", dir) {
+      cand.select(col("in_doc").as("doc_id"))
+        .union(cand.select(col("base_doc").as("doc_id"))).distinct()
+        .join(docs(s, dir).select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), expr(s"array_sort($gramHashSpark)").as("gh"))
+    }
     val pairs = cand
-      .join(ghOf(cand.select(col("in_doc").as("doc_id")))
-        .select(col("doc_id").as("in_doc"), col("gh").as("gha")), "in_doc")
-      .join(ghOf(cand.select(col("base_doc").as("doc_id")))
-        .select(col("doc_id").as("base_doc"), col("gh").as("ghb")), "base_doc")
+      .join(gh.select(col("doc_id").as("in_doc"), col("gh").as("gha")), "in_doc")
+      .join(gh.select(col("doc_id").as("base_doc"), col("gh").as("ghb")), "base_doc")
       .withColumn("n_inter", expr("graft_sorted_icount(gha, ghb)"))
       .withColumn("n_union",
         (size(col("gha")) + size(col("ghb"))).cast(LongType) - col("n_inter"))

@@ -126,7 +126,15 @@ object MultimodalQueries {
     * base corpus is touched only through the digest→keeper index. */
   private def incrementalFrameDedup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
-    val ing = distinctFrames(s, dir).filter(col("media_id") % 10 === 0)
+    // NOT the session memo: the arrival path's O(ingest) contract
+    // requires the % 10 slice filter to reach the scan, and a filter
+    // cannot prune an InMemoryRelation built over the full corpus — a
+    // memoized read would decode the 90% base slice on first call
+    // (r15 review). The filter commutes through the distinct
+    // (predicate on a grouping column), so only ingest media decode.
+    val ing = MediaPipeline.sampleFrames(MediaPipeline.load(s, dir)).toDF()
+      .select(col("media_id"), col("frame_md5")).distinct()
+      .filter(col("media_id") % 10 === 0)
     ing.join(frameIndexBase(s, dir), Seq("frame_md5"), "left")
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"),

@@ -1880,14 +1880,53 @@ object SimilarityQueries {
     * assignment is one broadcast-K scan of the NEW slice only —
     * nothing re-touches the base corpus except the health aggregates
     * (one scan each); serving follows the s07 bounded-Q contract. */
+  /** Top-`nProbe` probed cells per sample query over `cent` — the s07
+    * probe rule as ONE definition (r15 review: s23 and s24 carried
+    * byte-identical copies; a tie-break edit in one would silently
+    * desync serving semantics s25 then consumes). Output
+    * (q_id, cell, qv, qn); the per-query window is bounded. */
+  private[graft] def probeTopCells(e: DataFrame, cent: DataFrame,
+      nProbe: Int): DataFrame = {
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("scos").desc, col("s_id"))
+    SampleQueries(e)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(broadcast(cent))
+      .withColumn("scos", expr(dotSpark("qv", "sv")) / (col("qn") * col("sn")))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("s_id").as("cell"), col("qv"), col("qn"))
+  }
+
+  /** The s23 arrival frames — (base centroids, base assignment, ingest
+    * assignment, merged assignment) — shared with s25 so the drift the
+    * decision table acts on is STRUCTURALLY the drift s23 reports. */
+  private[graft] def ingestAssignments(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val e = vecs(s, dir)
+    val cent = ingestBaseCentroids(s, dir)
+    val basg = assignCells(e.filter(col("vec_id") % IngestMod =!= 0), cent)
+    val iasg = assignCells(e.filter(col("vec_id") % IngestMod === 0), cent)
+    (cent, basg, iasg, basg.union(iasg))
+  }
+
+  /** s24's tombstone slice / live assignment / vacated-cell count —
+    * shared seams (s24 report + s25 decision), so the spec-pinned
+    * metric identity between the two is structural, not copy-kept. */
+  private[graft] def tombstones(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % DeleteMod === DeleteRem).select(col("vec_id"))
+
+  private[graft] def liveAssignment(asg: DataFrame, tomb: DataFrame): DataFrame =
+    asg.join(tomb, Seq("vec_id"), "left_anti")
+
+  private[graft] def emptiedCells(asg: DataFrame, liveAsg: DataFrame): DataFrame =
+    asg.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .join(liveAsg.select(col("cell")).distinct(), Seq("cell"), "left_anti")
+      .agg(count(lit(1)).as("n_cells_emptied"))
+
   private def annIngestReport(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val base = e.filter(col("vec_id") % IngestMod =!= 0)
     val ing = e.filter(col("vec_id") % IngestMod === 0)
-    val cent = ingestBaseCentroids(s, dir)
-    val basg = assignCells(base, cent)
-    val iasg = assignCells(ing, cent)
-    val merged = basg.union(iasg)
+    val (cent, basg, _, merged) = ingestAssignments(s, dir)
     val bh = assignedCosHealth(e, basg, cent)
       .select(col("n").as("n_base"), col("sum_u").as("sum_cos_base_u"))
     val ph = assignedCosHealth(e, merged, cent)
@@ -1899,21 +1938,8 @@ object SimilarityQueries {
     // serving: the s07 shape over the merged index — queries probe
     // their top-IngestProbes base cells, candidates come from BOTH
     // populations, exact top-5 by cosine
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("scos").desc, col("s_id"))
-    val probes = SampleQueries(e)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      .join(broadcast(cent))
-      .withColumn("scos", expr(dotSpark("qv", "sv")) / (col("qn") * col("sn")))
-      .withColumn("pr", row_number().over(wq))
-      .filter(col("pr") <= IngestProbes)
-      .select(col("q_id"), col("s_id").as("cell"), col("qv"), col("qn"))
-    val c = e.join(merged, "vec_id").select(col("vec_id").as("c_id"),
-      col("cell"), col("v").as("cv"), col("nrm").as("cn"))
-    val wt = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    val served = probes.join(c, Seq("cell")).filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
-      .withColumn("rnk", row_number().over(wt))
-      .filter(col("rnk") <= 5)
+    val served = serveOverAssignment(
+        probeTopCells(e, cent, IngestProbes), e, merged)
       .agg(countDistinct(col("q_id")).as("n_queries"),
         count(lit(1)).as("n_results"),
         sum(when(col("c_id") % IngestMod === 0, 1L).otherwise(0L))
@@ -2011,23 +2037,16 @@ object SimilarityQueries {
       max(col("c")).cast(LongType).as("max_cell"))
     val nv = e.agg(count(lit(1)).as("n_vecs"))
     val sd = ivfSeeds(e).agg(count(lit(1)).as("n_seeds"))
-    // ingest drift on the base-fit index (the s23 chain, re-served
-    // from its memo)
-    val bcent = ingestBaseCentroids(s, dir)
-    val basg = assignCells(e.filter(col("vec_id") % IngestMod =!= 0), bcent)
-    val masg = basg.union(
-      assignCells(e.filter(col("vec_id") % IngestMod === 0), bcent))
+    // ingest drift — the SAME seams the s23 report is built from
+    val (bcent, basg, _, masg) = ingestAssignments(s, dir)
     val bh = assignedCosHealth(e, basg, bcent)
       .select(col("n").as("n_base"), col("sum_u").as("sum_pre_u"))
     val ph = assignedCosHealth(e, masg, bcent)
       .select(col("n").as("n_post"), col("sum_u").as("sum_post_u"))
-    // deletion garbage (the s24 slices)
-    val tomb = e.filter(col("vec_id") % DeleteMod === DeleteRem)
-      .select(col("vec_id"))
-    val liveAsg = asg.join(tomb, Seq("vec_id"), "left_anti")
-    val emptied = sz
-      .join(liveAsg.select(col("cell")).distinct(), Seq("cell"), "left_anti")
-      .agg(count(lit(1)).as("n_cells_emptied"))
+    // deletion garbage — the SAME seams the s24 report is built from
+    val tomb = tombstones(e)
+    val liveAsg = liveAssignment(asg, tomb)
+    val emptied = emptiedCells(asg, liveAsg)
     val nt = tomb.agg(count(lit(1)).as("n_deleted"))
     nv.crossJoin(broadcast(ss)).crossJoin(broadcast(sd))
       .crossJoin(broadcast(bh)).crossJoin(broadcast(ph))
@@ -2055,17 +2074,9 @@ object SimilarityQueries {
     val e = vecs(s, dir)
     val cent = ivfCentroids(s, dir)
     val asg = ivfAssigned(s, dir)
-    val tomb = e.filter(col("vec_id") % DeleteMod === DeleteRem)
-      .select(col("vec_id"))
-    val liveAsg = asg.join(tomb, Seq("vec_id"), "left_anti")
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("scos").desc, col("s_id"))
-    val probes = SampleQueries(e)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      .join(broadcast(cent))
-      .withColumn("scos", expr(dotSpark("qv", "sv")) / (col("qn") * col("sn")))
-      .withColumn("pr", row_number().over(wq))
-      .filter(col("pr") <= IngestProbes)
-      .select(col("q_id"), col("s_id").as("cell"), col("qv"), col("qn"))
+    val tomb = tombstones(e)
+    val liveAsg = liveAssignment(asg, tomb)
+    val probes = probeTopCells(e, cent, IngestProbes)
     def topServe(a: DataFrame): DataFrame = serveOverAssignment(probes, e, a)
     val pre = topServe(asg)
       .agg(count(lit(1)).as("n_results_pre"),
@@ -2078,11 +2089,9 @@ object SimilarityQueries {
           .as("n_tombstone_hits"))
     val lh = assignedCosHealth(e, liveAsg, cent)
       .select(col("n").as("n_live"), col("sum_u").as("sum_cos_live_u"))
-    val cells = asg.groupBy(col("cell")).agg(count(lit(1)).as("c"))
-    val emptied = cells
-      .join(liveAsg.select(col("cell")).distinct(), Seq("cell"), "left_anti")
-      .agg(count(lit(1)).as("n_cells_emptied"))
-    val nc = cells.agg(count(lit(1)).as("n_cells"))
+    val emptied = emptiedCells(asg, liveAsg)
+    val nc = asg.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_cells"))
     tomb.agg(count(lit(1)).as("n_deleted"))
       .crossJoin(broadcast(lh)).crossJoin(broadcast(nc))
       .crossJoin(broadcast(emptied)).crossJoin(broadcast(pre))

@@ -637,6 +637,47 @@ object TextQueries {
   private def ilogDuck(n: String): String =
     s"CAST(floor(ln(CAST($n AS DOUBLE)) * $LmScale + 0.5) AS BIGINT)"
 
+  /** L(2)·k addend for the big-count decomposition below — a literal
+    * computed once HERE and embedded in both engines' SQL text, so
+    * parity is by construction. */
+  private[graft] val Ln2U: Long = math.floor(math.log(2.0) * 1048576.0 + 0.5).toLong
+
+  /** Integerized log for counts of UNBOUNDED magnitude — the r15
+    * review fix for queries whose inputs grow linearly with corpus
+    * size (t33's term frequencies): [[ilogSql]]'s hard
+    * [[IlogVerifiedMax]] refusal is right for per-group counts that a
+    * deployment can re-probe, but the corpus-health query must not be
+    * the first thing to die at scale. Decomposition: for the k with
+    * n ∈ (5e6·2^(k-1), 5e6·2^k], L(n) ≈ L(n >> k) + k·L(2) — the
+    * shifted operand is provably in [2.5e6, 5e6], inside LnProbe's
+    * EXHAUSTIVELY verified parity range, and the k·L(2) addend is a
+    * literal, so both engines compute bit-identical integers at ANY
+    * count up to 2^63−1 (k ≤ 41). Math error vs true ln(n) is
+    * ≤ 1/(n>>k) ≤ 4e-7 — under half the 2^-20 quantum — and identical
+    * across engines, so hash parity is exact even where the value is
+    * approximate. Branch texts are generated from one Scala loop per
+    * engine; a NULL count falls through every branch to the ELSE and
+    * propagates as NULL, matching [[ilogSql]]. */
+  private[graft] def ilogBigSql(n: String): String = ilogBigText(n,
+    (x, k) => s"shiftright($x, $k)")
+
+  private def ilogBigDuck(n: String): String = ilogBigText(n,
+    (x, k) => s"(($x) >> $k)")
+
+  private def ilogBigText(n: String, shift: (String, Int) => String): String = {
+    def leaf(k: Int): String = {
+      val arg = if (k == 0) s"($n)" else shift(s"($n)", k)
+      val base = s"CAST(floor(ln(CAST($arg AS DOUBLE)) * $LmScale + 0.5) AS BIGINT)"
+      if (k == 0) base else s"($base + ${k}*$Ln2U)"
+    }
+    // thresholds 5e6·2^k stay within Long through k=40; k=41 is the
+    // ELSE (any BIGINT count shifts into range)
+    val branches = (0 to 40).map { k =>
+      s"WHEN ($n) <= ${IlogVerifiedMax << k} THEN ${leaf(k)}"
+    }.mkString(" ")
+    s"(CASE $branches ELSE ${leaf(41)} END)"
+  }
+
   /** t18: the plan keeps document text OUT of every shuffle — the
     * stratum window ranks a projected (doc_id, lang, score) frame, and
     * the explode happens scan-side, so only gram-level tuples and
@@ -1618,9 +1659,13 @@ object TextQueries {
     * spam) shows it here first. Least squares of ln(freq) on ln(rank)
     * over the top-[[ZipfTopV]] terms.
     *
-    * Cross-engine exactness (the t18 discipline): both logs go through
-    * [[ilogSql]] — rank and freq are INTEGERS, so x_u = L(rank), y_u =
-    * L(freq) are exact libm-parity-verified integers; every regression
+    * Cross-engine exactness (the t18 discipline): rank goes through
+    * [[ilogSql]] (≤ V, always in range) and freq through
+    * [[ilogBigSql]] — the shift decomposition that stays inside
+    * LnProbe's exhaustive parity range at ANY corpus size instead of
+    * tripping the ilog refusal on the one query guaranteed to see the
+    * corpus's largest counts (r15 review) — so x_u and y_u are exact
+    * cross-engine integers; every regression
     * sum (Σx, Σy, Σxy, Σx², Σy²) is a BIGINT; the normal-equation
     * numerator/denominator are formed in DECIMAL(38,0) (Spark) /
     * HUGEINT (DuckDB) — both exact 128-bit-class integer arithmetic,
@@ -1643,7 +1688,7 @@ object TextQueries {
     val wr = Window.orderBy(col("freq").desc, col("term"))
     val xy = top
       .withColumn("rnk", row_number().over(wr).cast(LongType))
-      .select(expr(ilogSql("rnk")).as("x_u"), expr(ilogSql("freq")).as("y_u"))
+      .select(expr(ilogSql("rnk")).as("x_u"), expr(ilogBigSql("freq")).as("y_u"))
     val d38 = DecimalType(38, 0)
     val sums = xy.agg(count(lit(1)).as("n"),
       sum(col("x_u")).as("sx"), sum(col("y_u")).as("sy"),
@@ -2314,7 +2359,7 @@ object TextQueries {
       top AS (SELECT term, freq FROM c ORDER BY freq DESC, term LIMIT $ZipfTopV),
       rk AS (SELECT freq,
                ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rnk FROM top),
-      xy AS (SELECT ${ilogDuck("rnk")} AS x_u, ${ilogDuck("freq")} AS y_u FROM rk),
+      xy AS (SELECT ${ilogDuck("rnk")} AS x_u, ${ilogBigDuck("freq")} AS y_u FROM rk),
       sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(x_u) AS BIGINT) AS sx, CAST(SUM(y_u) AS BIGINT) AS sy,
                CAST(SUM(x_u * x_u) AS BIGINT) AS sxx,

@@ -906,6 +906,18 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
              j.hint.rightHint.exists(_.strategy.isDefined) => j
     }
     assert(hinted.isEmpty, "m14 carries a forced join hint on a corpus-scaling side")
+    // the O(ingest) arrival contract: the ingest side is a FRESH scan
+    // with the slice filter pushed through the distinct (not a read of
+    // the full-corpus session memo, which a filter cannot prune), and
+    // the index side is the materialization — so exactly one documents
+    // scan appears, under a % 10 filter (r15 review finding)
+    val plan = PlanTestUtils.formatted(qe)
+    val docScans = plan.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents"))
+    assert(docScans == 1, s"expected 1 documents scan (ingest slice), got $docScans")
+    assert(plan.contains("% 10) = 0"), "the ingest slice filter is missing")
+    assert(!plan.contains("InMemoryRelation"),
+      "the arrival path reads a full-corpus session memo")
   }
 
   test("s24 delete: tombstones exclude via LeftAnti; every serve window partitions by q_id") {

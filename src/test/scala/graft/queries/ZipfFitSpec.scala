@@ -52,4 +52,36 @@ class ZipfFitSpec extends graft.streaming.SparkTestBase {
     val r2 = row.getAs[Double]("r2")
     assert(r2 >= 0.0 && r2 <= 1.0)
   }
+
+  test("ilogBig: shift decomposition matches a replica at every magnitude band") {
+    // the t33 y-input is unbounded in corpus size; this pins the CASE
+    // ladder (k = smallest k with n <= 5e6*2^k, ELSE 41) and the
+    // L(n>>k) + k*L(2) arithmetic against an independent Scala replica
+    // across band edges, including counts past the ilogSql refusal
+    val vals = Seq(1L, 2L, 4999999L, 5000000L, 5000001L, 9999999L,
+      10000000L, 10000001L, 20000001L, (37L << 40) + 12345L,
+      5000000L << 40, (5000000L << 40) + 1L, Long.MaxValue)
+    def replicaK(n: Long): Int =
+      (0 to 40).find(k => n <= (5000000L << k)).getOrElse(41)
+    def replica(n: Long): Long = {
+      val k = replicaK(n)
+      math.floor(math.log((n >> k).toDouble) * 1048576.0 + 0.5).toLong +
+        k.toLong * TextQueries.Ln2U
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(org.apache.spark.sql.Row(_)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+    val got = df.selectExpr("n", TextQueries.ilogBigSql("n") + " AS y")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vals.foreach { n =>
+      assert(got(n) == replica(n), s"ilogBig($n): ${got(n)} != ${replica(n)}")
+    }
+    // in-range counts reduce to plain ilog (k = 0)
+    val plain = df.filter("n <= 5000000")
+      .selectExpr("n", TextQueries.ilogSql("n") + " AS y")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    plain.foreach { case (n, y) => assert(got(n) == y, s"k=0 branch drifts at $n") }
+  }
 }

@@ -21,12 +21,11 @@ class StreamingCmsSpec extends SparkTestBase {
     // maxFilesPerTrigger=1 each file is its own micro-batch, so the
     // cross-batch state MERGE is actually exercised (one staged file
     // would verify the sum-merge trivially in a single batch).
+    val stagedRoot = java.nio.file.Files.createTempDirectory("graft-docs-stream")
     val staged = {
-      val dir = java.nio.file.Files.createTempDirectory("graft-docs-stream")
-      dir.toFile.deleteOnExit()
       graft.Tables.documents(s, sf).repartition(3)
-        .write.mode("overwrite").parquet(dir.resolve("docs").toString)
-      dir.resolve("docs").toString
+        .write.mode("overwrite").parquet(stagedRoot.resolve("docs").toString)
+      stagedRoot.resolve("docs").toString
     }
     val stream = s.readStream.schema(docsSchema)
       .option("maxFilesPerTrigger", 1)
@@ -67,6 +66,14 @@ class StreamingCmsSpec extends SparkTestBase {
         TextQueries.cmsCounters(graft.Tables.documents(s, sf)))
       assert(fromStream.nonEmpty && fromStream == fromBatch,
         s"serve path diverges: stream ${fromStream.size} vs batch ${fromBatch.size} candidates")
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // deleteOnExit on a non-empty directory is a no-op (r15 review):
+      // delete the staged tree here so repeated suite runs don't
+      // accumulate corpus copies in the system temp dir
+      java.nio.file.Files.walk(stagedRoot)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
   }
 }

@@ -17,11 +17,10 @@ class StreamingIncrAggSpec extends SparkTestBase {
     val li = graft.Tables.lineitem(s, sf)
     // stage as multiple files so maxFilesPerTrigger=1 forces real
     // cross-batch state merges (the StreamingCmsSpec discipline)
+    val stagedRoot = java.nio.file.Files.createTempDirectory("graft-li-stream")
     val staged = {
-      val dir = java.nio.file.Files.createTempDirectory("graft-li-stream")
-      dir.toFile.deleteOnExit()
-      li.repartition(3).write.mode("overwrite").parquet(dir.resolve("li").toString)
-      dir.resolve("li").toString
+      li.repartition(3).write.mode("overwrite").parquet(stagedRoot.resolve("li").toString)
+      stagedRoot.resolve("li").toString
     }
     val stream = s.readStream.schema(li.schema)
       .option("maxFilesPerTrigger", 1)
@@ -48,6 +47,14 @@ class StreamingIncrAggSpec extends SparkTestBase {
         assert(streaming(k) == batch(k),
           s"streaming view diverged from batch on $k: ${streaming(k)} vs ${batch(k)}")
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // deleteOnExit on a non-empty directory is a no-op (r15 review):
+      // delete the staged tree here so repeated suite runs don't
+      // accumulate corpus copies in the system temp dir
+      java.nio.file.Files.walk(stagedRoot)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
   }
 }
