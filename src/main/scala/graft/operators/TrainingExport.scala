@@ -128,8 +128,20 @@ object TrainingExport {
   /** [[assignShards]] then write JSONL partitioned by shard. */
   def writeShards(docs: DataFrame, idCol: String, tokenCol: String,
       shardTokens: Long, path: String): Unit =
-    assignShards(docs, idCol, tokenCol, shardTokens)
+    writeShards(docs, idCol, tokenCol, shardTokens, path, codec = None)
+
+  /** As above with an optional compression codec ("gzip" is what
+    * training pipelines actually ship — ~4-8× smaller shards, still
+    * splittable at the FILE level because sharding already bounded
+    * each file's size by the token budget; "none"/None writes plain
+    * JSONL). Reading back is the stock `spark.read.json` — Hadoop
+    * decompresses by extension, so the round-trip needs no custom
+    * reader (spec-pinned). */
+  def writeShards(docs: DataFrame, idCol: String, tokenCol: String,
+      shardTokens: Long, path: String, codec: Option[String]): Unit = {
+    val w = assignShards(docs, idCol, tokenCol, shardTokens)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard")
-      .json(path)
+    codec.fold(w)(c => w.option("compression", c)).json(path)
+  }
 }

@@ -155,4 +155,28 @@ class TrainingExportSpec extends graft.streaming.SparkTestBase {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("gzip-compressed shards round-trip identically to plain JSONL") {
+    // the codec a pipeline actually ships: Hadoop decompresses by
+    // extension on read, so the consumer side is unchanged — pinned by
+    // comparing the full row set against the uncompressed export
+    val plain = java.nio.file.Files.createTempDirectory("graft-shards-p").toString
+    val gz = java.nio.file.Files.createTempDirectory("graft-shards-z").toString
+    try {
+      TrainingExport.writeShards(docs, "doc_id", "n_chars", 50000L, plain)
+      TrainingExport.writeShards(docs, "doc_id", "n_chars", 50000L, gz, Some("gzip"))
+      val gzFiles = new java.io.File(gz).listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).map(_.getName).filter(_.endsWith(".json.gz"))
+      assert(gzFiles.nonEmpty, "expected .json.gz shard files")
+      def rows(p: String): Set[String] = spark.read.json(p)
+        .selectExpr("concat(cast(doc_id AS STRING), ':', cast(shard AS STRING)) AS k")
+        .collect().map(_.getString(0)).toSet
+      assert(rows(gz) == rows(plain),
+        "compressed shards do not round-trip to the plain export")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(plain)).deleteRecursively()
+      new Directory(new java.io.File(gz)).deleteRecursively()
+    }
+  }
 }
