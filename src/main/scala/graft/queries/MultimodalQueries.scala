@@ -130,11 +130,15 @@ object MultimodalQueries {
     // requires the % 10 slice filter to reach the scan, and a filter
     // cannot prune an InMemoryRelation built over the full corpus — a
     // memoized read would decode the 90% base slice on first call
-    // (r15 review). The filter commutes through the distinct
-    // (predicate on a grouping column), so only ingest media decode.
-    val ing = MediaPipeline.sampleFrames(MediaPipeline.load(s, dir)).toDF()
+    // (r15 review). The filter is applied to load's output BEFORE the
+    // typed sampling boundary: Catalyst cannot push a predicate
+    // through SerializeFromObject/MapPartitions (second review pass
+    // caught a post-sampling filter silently decoding the full
+    // corpus), but below the typed ops it reaches the documents scan,
+    // so only ingest media deserialize and hash. Plan-pinned.
+    val ing = MediaPipeline.sampleFrames(
+        MediaPipeline.load(s, dir).filter(col("media_id") % 10 === 0)).toDF()
       .select(col("media_id"), col("frame_md5")).distinct()
-      .filter(col("media_id") % 10 === 0)
     ing.join(frameIndexBase(s, dir), Seq("frame_md5"), "left")
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"),

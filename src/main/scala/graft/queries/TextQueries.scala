@@ -603,7 +603,8 @@ object TextQueries {
   // n). A doc's score sums the exact integers lp = L(c2+1) − L(c1+V),
   // so partial aggregation reorders nothing, and the one double
   // division per doc (sum/B/2^20) is IEEE-deterministic.
-  private val LmScale = "1048576.0" // 2^20, the IvfScaleSql constant's twin
+  private val LmScaleD: Double = 1048576.0 // 2^20, the IvfScaleSql constant's twin
+  private val LmScale = s"$LmScaleD" // the SQL-text rendering ("1048576.0")
 
   /** The LnProbe-verified cross-engine parity bound: L(n) agreement is
     * EXHAUSTIVELY proven for every n ≤ this (tools/LnProbe, 0
@@ -638,9 +639,10 @@ object TextQueries {
     s"CAST(floor(ln(CAST($n AS DOUBLE)) * $LmScale + 0.5) AS BIGINT)"
 
   /** L(2)·k addend for the big-count decomposition below — a literal
-    * computed once HERE and embedded in both engines' SQL text, so
-    * parity is by construction. */
-  private[graft] val Ln2U: Long = math.floor(math.log(2.0) * 1048576.0 + 0.5).toLong
+    * computed once HERE (from the same [[LmScaleD]] the base term
+    * scales by, so the two cannot desync) and embedded in both
+    * engines' SQL text, so parity is by construction. */
+  private[graft] val Ln2U: Long = math.floor(math.log(2.0) * LmScaleD + 0.5).toLong
 
   /** Integerized log for counts of UNBOUNDED magnitude — the r15
     * review fix for queries whose inputs grow linearly with corpus
@@ -652,9 +654,12 @@ object TextQueries {
     * shifted operand is provably in [2.5e6, 5e6], inside LnProbe's
     * EXHAUSTIVELY verified parity range, and the k·L(2) addend is a
     * literal, so both engines compute bit-identical integers at ANY
-    * count up to 2^63−1 (k ≤ 41). Math error vs true ln(n) is
-    * ≤ 1/(n>>k) ≤ 4e-7 — under half the 2^-20 quantum — and identical
-    * across engines, so hash parity is exact even where the value is
+    * count up to 2^63−1 (k ≤ 41). Math error vs round(ln(n)·2^20):
+    * the shift truncation contributes ≤ 2^20/(n>>k) ≤ 0.42 integer
+    * units, and L(2)'s own rounding (≈0.117 units) accumulates k
+    * times — ≤ ~5 units (≈5e-6 in ln terms) at the k=41 extreme,
+    * ≤ 1 unit for counts under 5e6·2^8. Identical across engines
+    * either way, so hash parity is exact even where the value is
     * approximate. Branch texts are generated from one Scala loop per
     * engine; a NULL count falls through every branch to the ELSE and
     * propagates as NULL, matching [[ilogSql]]. */

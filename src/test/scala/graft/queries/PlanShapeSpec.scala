@@ -907,17 +907,32 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     }
     assert(hinted.isEmpty, "m14 carries a forced join hint on a corpus-scaling side")
     // the O(ingest) arrival contract: the ingest side is a FRESH scan
-    // with the slice filter pushed through the distinct (not a read of
-    // the full-corpus session memo, which a filter cannot prune), and
-    // the index side is the materialization — so exactly one documents
-    // scan appears, under a % 10 filter (r15 review finding)
+    // (not the full-corpus session memo, which a filter cannot prune),
+    // and the % 10 slice filter sits BELOW the typed sampling boundary
+    // — Catalyst cannot push predicates through SerializeFromObject/
+    // MapPartitions, so a filter above them means the whole corpus is
+    // deserialized and hashed per call (second review pass: the first
+    // "fix" had exactly that shape and the original assertions —
+    // filter anywhere in the plan — green-lit it)
     val plan = PlanTestUtils.formatted(qe)
     val docScans = plan.linesIterator.count(l =>
       l.contains("Location") && l.contains("documents"))
     assert(docScans == 1, s"expected 1 documents scan (ingest slice), got $docScans")
-    assert(plan.contains("% 10) = 0"), "the ingest slice filter is missing")
     assert(!plan.contains("InMemoryRelation"),
       "the arrival path reads a full-corpus session memo")
+    val sliceFilters = qe.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("% 10") => f
+    }
+    assert(sliceFilters.nonEmpty, "the ingest slice filter is missing")
+    sliceFilters.foreach { f =>
+      val typedBelow = f.child.collectFirst {
+        case m: org.apache.spark.sql.catalyst.plans.logical.MapPartitions => m
+        case so: org.apache.spark.sql.catalyst.plans.logical.SerializeFromObject => so
+      }
+      assert(typedBelow.isEmpty,
+        "the slice filter sits ABOVE the typed decode boundary — full-corpus decode")
+    }
   }
 
   test("s24 delete: tombstones exclude via LeftAnti; every serve window partitions by q_id") {

@@ -22,6 +22,7 @@ class StreamingCmsSpec extends SparkTestBase {
     // cross-batch state MERGE is actually exercised (one staged file
     // would verify the sum-merge trivially in a single batch).
     val stagedRoot = java.nio.file.Files.createTempDirectory("graft-docs-stream")
+    try {
     val staged = {
       graft.Tables.documents(s, sf).repartition(3)
         .write.mode("overwrite").parquet(stagedRoot.resolve("docs").toString)
@@ -66,14 +67,16 @@ class StreamingCmsSpec extends SparkTestBase {
         TextQueries.cmsCounters(graft.Tables.documents(s, sf)))
       assert(fromStream.nonEmpty && fromStream == fromBatch,
         s"serve path diverges: stream ${fromStream.size} vs batch ${fromBatch.size} candidates")
+    } finally q.stop()
     } finally {
-      q.stop()
-      // deleteOnExit on a non-empty directory is a no-op (r15 review):
-      // delete the staged tree here so repeated suite runs don't
-      // accumulate corpus copies in the system temp dir
-      java.nio.file.Files.walk(stagedRoot)
-        .sorted(java.util.Comparator.reverseOrder())
+      // deleteOnExit on a non-empty directory is a no-op: delete the
+      // staged tree ourselves. The walk stream holds directory
+      // descriptors — close it (r15 review), and the try opened at
+      // staging time covers a mid-write failure too.
+      val walked = java.nio.file.Files.walk(stagedRoot)
+      try walked.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walked.close()
     }
   }
 }

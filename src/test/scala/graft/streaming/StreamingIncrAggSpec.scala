@@ -18,6 +18,7 @@ class StreamingIncrAggSpec extends SparkTestBase {
     // stage as multiple files so maxFilesPerTrigger=1 forces real
     // cross-batch state merges (the StreamingCmsSpec discipline)
     val stagedRoot = java.nio.file.Files.createTempDirectory("graft-li-stream")
+    try {
     val staged = {
       li.repartition(3).write.mode("overwrite").parquet(stagedRoot.resolve("li").toString)
       stagedRoot.resolve("li").toString
@@ -47,14 +48,16 @@ class StreamingIncrAggSpec extends SparkTestBase {
         assert(streaming(k) == batch(k),
           s"streaming view diverged from batch on $k: ${streaming(k)} vs ${batch(k)}")
       }
+    } finally q.stop()
     } finally {
-      q.stop()
-      // deleteOnExit on a non-empty directory is a no-op (r15 review):
-      // delete the staged tree here so repeated suite runs don't
-      // accumulate corpus copies in the system temp dir
-      java.nio.file.Files.walk(stagedRoot)
-        .sorted(java.util.Comparator.reverseOrder())
+      // deleteOnExit on a non-empty directory is a no-op: delete the
+      // staged tree ourselves. The walk stream holds directory
+      // descriptors — close it (r15 review), and the try opened at
+      // staging time covers a mid-write failure too.
+      val walked = java.nio.file.Files.walk(stagedRoot)
+      try walked.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walked.close()
     }
   }
 }
