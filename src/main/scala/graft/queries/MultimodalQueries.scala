@@ -82,13 +82,20 @@ object MultimodalQueries {
     * shared set stays linear in dup mass (never broadcast-hinted),
     * and the left join back is AQE-skew-splittable. The rollup is the
     * last shuffle. */
+  /** The sample→project→distinct frame pipeline over an arbitrary
+    * media source — ONE definition (the shared-build rule) serving the
+    * memoized full-corpus build below AND m14's filtered ingest slice,
+    * so the probe and the index it joins cannot drift in shape. */
+  private[queries] def framesOf(
+      media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord]): DataFrame =
+    MediaPipeline.sampleFrames(media).toDF()
+      .select(col("media_id"), col("frame_md5")).distinct()
+
   /** Distinct (media_id, frame_md5) rows, memoized per session — the
-    * ONE decode+sample pass m05 and m14 both read (the shared-build
-    * rule: duplicating the closure would let the two drift). */
+    * ONE decode+sample pass m05 and the m14 INDEX BUILD both read. */
   private[queries] def distinctFrames(s: SparkSession, dir: String): DataFrame =
     PersistedAggregates.memo(s, "m05_frames", dir) {
-      MediaPipeline.sampleFrames(MediaPipeline.load(s, dir)).toDF()
-        .select(col("media_id"), col("frame_md5")).distinct()
+      framesOf(MediaPipeline.load(s, dir))
     }
 
   private[queries] def frameDedup(s: SparkSession, dir: String): DataFrame = {
@@ -136,9 +143,8 @@ object MultimodalQueries {
     // caught a post-sampling filter silently decoding the full
     // corpus), but below the typed ops it reaches the documents scan,
     // so only ingest media deserialize and hash. Plan-pinned.
-    val ing = MediaPipeline.sampleFrames(
-        MediaPipeline.load(s, dir).filter(col("media_id") % 10 === 0)).toDF()
-      .select(col("media_id"), col("frame_md5")).distinct()
+    val ing = framesOf(
+      MediaPipeline.load(s, dir).filter(col("media_id") % 10 === 0))
     ing.join(frameIndexBase(s, dir), Seq("frame_md5"), "left")
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"),

@@ -925,6 +925,11 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
           if f.condition.toString.contains("% 10") => f
     }
     assert(sliceFilters.nonEmpty, "the ingest slice filter is missing")
+    // polarity matters: an inverted slice (=!= 0, the index build's
+    // predicate) below the boundary would decode the 90% BASE corpus
+    // per call while every structural assertion here still passed
+    assert(sliceFilters.exists(_.condition.toString.contains("% 10) = 0")),
+      "the slice filter is not the ingest polarity (= 0)")
     sliceFilters.foreach { f =>
       val typedBelow = f.child.collectFirst {
         case m: org.apache.spark.sql.catalyst.plans.logical.MapPartitions => m

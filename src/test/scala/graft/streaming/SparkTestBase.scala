@@ -6,6 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared session (one per forked test JVM) with the driver's configs. */
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
+
+  /** Delete a staged temp tree, deepest-first, closing the walk stream
+    * (its directory descriptors leak otherwise). deleteOnExit is a
+    * no-op on non-empty directories, so spec cleanup must call this. */
+  def deleteTree(root: java.nio.file.Path): Unit = SparkTestBase.deleteTree(root)
 }
 
 object SparkTestBase {
@@ -20,4 +25,14 @@ object SparkTestBase {
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** Delete a staged temp tree, deepest-first, closing the walk stream
+    * (its directory descriptors leak otherwise). deleteOnExit is a
+    * no-op on non-empty directories, so spec cleanup must call this. */
+  def deleteTree(root: java.nio.file.Path): Unit = {
+    val walked = java.nio.file.Files.walk(root)
+    try walked.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally walked.close()
+  }
 }

@@ -68,15 +68,6 @@ class StreamingCmsSpec extends SparkTestBase {
       assert(fromStream.nonEmpty && fromStream == fromBatch,
         s"serve path diverges: stream ${fromStream.size} vs batch ${fromBatch.size} candidates")
     } finally q.stop()
-    } finally {
-      // deleteOnExit on a non-empty directory is a no-op: delete the
-      // staged tree ourselves. The walk stream holds directory
-      // descriptors — close it (r15 review), and the try opened at
-      // staging time covers a mid-write failure too.
-      val walked = java.nio.file.Files.walk(stagedRoot)
-      try walked.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      finally walked.close()
-    }
+    } finally deleteTree(stagedRoot) // covers mid-staging failure too
   }
 }

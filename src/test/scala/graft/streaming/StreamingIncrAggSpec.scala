@@ -49,15 +49,6 @@ class StreamingIncrAggSpec extends SparkTestBase {
           s"streaming view diverged from batch on $k: ${streaming(k)} vs ${batch(k)}")
       }
     } finally q.stop()
-    } finally {
-      // deleteOnExit on a non-empty directory is a no-op: delete the
-      // staged tree ourselves. The walk stream holds directory
-      // descriptors — close it (r15 review), and the try opened at
-      // staging time covers a mid-write failure too.
-      val walked = java.nio.file.Files.walk(stagedRoot)
-      try walked.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      finally walked.close()
-    }
+    } finally deleteTree(stagedRoot) // covers mid-staging failure too
   }
 }
