@@ -131,12 +131,14 @@ object TrainingExport {
     writeShards(docs, idCol, tokenCol, shardTokens, path, codec = None)
 
   /** As above with an optional compression codec ("gzip" is what
-    * training pipelines actually ship — ~4-8× smaller shards, still
-    * splittable at the FILE level because sharding already bounded
-    * each file's size by the token budget; "none"/None writes plain
-    * JSONL). Reading back is the stock `spark.read.json` — Hadoop
-    * decompresses by extension, so the round-trip needs no custom
-    * reader (spec-pinned). */
+    * training pipelines actually ship — ~4-8× smaller shards). Gzip
+    * files are NOT splittable — each shard file is one read task —
+    * but parallelism is preserved anyway because sharding already
+    * bounded each FILE's size by the token budget, so the task count
+    * scales with the shard count, not with file-internal splits
+    * ("none"/None writes plain splittable JSONL). Reading back is the
+    * stock `spark.read.json` — Hadoop decompresses by extension, so
+    * the round-trip needs no custom reader (spec-pinned). */
   def writeShards(docs: DataFrame, idCol: String, tokenCol: String,
       shardTokens: Long, path: String, codec: Option[String]): Unit = {
     val w = assignShards(docs, idCol, tokenCol, shardTokens)

@@ -538,10 +538,16 @@ object DedupQueries {
     val okBuckets = base.groupBy(col("b"), col("bkey"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") <= MaxBucket).select(col("b"), col("bkey"))
-    // memoized: three consumers (the two gram-set fetches + the pair
-    // join) would otherwise each re-band the ingest slice and re-read
-    // the index
-    val cand = PersistedAggregates.memo(s, "d22_cand", dir) {
+    // Materialized, not session-persisted (r15 ADVICE): three
+    // consumers (the two gram-set fetches + the pair join) would
+    // otherwise each re-band the ingest slice and re-read the index,
+    // but a session-lifetime .persist() memo pins executor storage
+    // for frames only this query reads, growing with candidate
+    // volume. diskMemo gives the same build-once/read-many sharing
+    // with zero block-manager residency — consumers root at a scan of
+    // the bounded candidate parquet, and the materialization is
+    // superseded (and locally cleaned) when the source regenerates.
+    val cand = PersistedAggregates.diskMemo(s, "d22_cand", dir) {
       ing.join(okBuckets, Seq("b", "bkey"))
         .select(col("doc_id").as("in_doc"), col("b"), col("bkey"))
         .join(base.select(col("doc_id").as("base_doc"), col("b"), col("bkey")),
@@ -551,9 +557,10 @@ object DedupQueries {
     // ONE documents scan fetches both sides' gram sets (r15 review:
     // a per-side fetch scanned the corpus twice): the union of
     // candidate ids joins documents once, the gram hash runs post-join
-    // (only candidate rows hash), and the memo lets the two pair-side
-    // reads share that single build
-    val gh = PersistedAggregates.memo(s, "d22_gh", dir) {
+    // (only candidate rows hash), and the materialization lets the two
+    // pair-side reads share that single build without pinning it in
+    // executor memory for the rest of the session (r15 ADVICE)
+    val gh = PersistedAggregates.diskMemo(s, "d22_gh", dir) {
       cand.select(col("in_doc").as("doc_id"))
         .union(cand.select(col("base_doc").as("doc_id"))).distinct()
         .join(docs(s, dir).select(col("doc_id"), col("text")), "doc_id")

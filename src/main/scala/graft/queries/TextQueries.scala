@@ -1706,13 +1706,23 @@ object TextQueries {
       col("sx").cast(d38) * col("sx").cast(d38)
     val denY = col("n").cast(d38) * col("syy").cast(d38) -
       col("sy").cast(d38) * col("sy").cast(d38)
+    // Degenerate-vocabulary guard (r15 ADVICE): with a single term (or
+    // all top-V x or y values equal after integerization) den/denY are
+    // 0 and the fit is undefined. Spark's double 0/0 yields NaN while
+    // DuckDB's zero-division semantics vary by version (NULL vs IEEE),
+    // so hash parity would silently break on exactly those corpora.
+    // Both sides therefore divide by NULLIF(den, 0): slope/r2 agree on
+    // NULL when the regression is undefined (intercept follows by null
+    // propagation). The non-degenerate path is bit-unchanged.
+    def nz(c: org.apache.spark.sql.Column) = when(c =!= 0.0, c)
     sums
-      .withColumn("slope", num.cast(DoubleType) / den.cast(DoubleType))
+      .withColumn("slope", num.cast(DoubleType) / nz(den.cast(DoubleType)))
       .select(col("n").as("n_terms"), col("sx").as("sum_x_u"),
         col("sy").as("sum_y_u"), col("slope"),
         ((col("sy").cast(DoubleType) - col("slope") * col("sx").cast(DoubleType))
           / col("n") / lit(1048576.0)).as("intercept_ln"),
-        ((num * num).cast(DoubleType) / (den * denY).cast(DoubleType)).as("r2"))
+        ((num * num).cast(DoubleType) /
+          nz((den * denY).cast(DoubleType))).as("r2"))
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -2379,11 +2389,13 @@ object TextQueries {
                CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
                  - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS deny
              FROM sm),
-      sl AS (SELECT *, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope FROM st)
+      sl AS (SELECT *, CAST(num AS DOUBLE)
+               / NULLIF(CAST(den AS DOUBLE), 0) AS slope FROM st)
       SELECT n AS n_terms, sx AS sum_x_u, sy AS sum_y_u, slope,
         (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n / 1048576.0
           AS intercept_ln,
-        CAST(num * num AS DOUBLE) / CAST(den * deny AS DOUBLE) AS r2
+        CAST(num * num AS DOUBLE)
+          / NULLIF(CAST(den * deny AS DOUBLE), 0) AS r2
       FROM sl"""),
       "Zipf rank-frequency slope fit over the top-V terms: exact integer regression sums via the ilog parity machinery, slope/intercept/r2 as end-divisions"))
 }

@@ -53,6 +53,39 @@ class ZipfFitSpec extends graft.streaming.SparkTestBase {
     assert(r2 >= 0.0 && r2 <= 1.0)
   }
 
+  test("t33: degenerate vocabulary (single term) yields NULL slope/r2, not NaN") {
+    // r15 ADVICE: with one distinct term den = n*sxx - sx*sx = 0 and
+    // the regression is undefined. The guarded division must yield SQL
+    // NULL (matching the twin's NULLIF) rather than engine-dependent
+    // NaN — hash parity on degenerate corpora depends on it.
+    val dir = java.nio.file.Files.createTempDirectory("t33degen").toString
+    try {
+      val one = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(1L, "foo foo foo foo", "en", "web", 15L)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType))))
+      one.write.parquet(s"$dir/documents.parquet")
+      val row = graft.SparkEntry.queries("t33_zipf_fit")(spark, dir).collect().head
+      assert(row.getAs[Long]("n_terms") == 1L)
+      assert(row.isNullAt(row.fieldIndex("slope")),
+        s"degenerate slope should be NULL, got ${row.get(row.fieldIndex("slope"))}")
+      assert(row.isNullAt(row.fieldIndex("intercept_ln")))
+      assert(row.isNullAt(row.fieldIndex("r2")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("ilogBig: shift decomposition matches a replica at every magnitude band") {
     // the t33 y-input is unbounded in corpus size; this pins the CASE
     // ladder (k = smallest k with n <= 5e6*2^k, ELSE 41) and the
