@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding vocabulary training (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units") — the tokenizer-induction loop a training-data pipeline
+  * runs before anything is tokenized.
+  *
+  * The algorithm is inherently round-sequential (merge k depends on
+  * merge k-1), so the driver loops; what matters at 100 TB is WHAT
+  * each round touches. Like the reference implementations, training
+  * operates on the WORD-FREQUENCY TABLE, not the corpus: the corpus
+  * is scanned exactly once (by the word-count aggregate the caller
+  * provides — t34's first stage); every round after that is
+  * vocabulary-scale (distinct words — millions of rows where the
+  * corpus has trillions of tokens), distributed, and map-side
+  * combinable. Per round: one pair-count aggregate, ONE driver-side
+  * row (the argmax merge decision — the ConnectedComponents
+  * convergence-check discipline, not a collect of data), and one
+  * row-local fold applying the merge. Round results persist and the
+  * previous round unpersists, so lineage depth stays O(1) per round
+  * consumer and executor storage holds one vocabulary copy.
+  *
+  * Determinism: counts are exact BIGINTs; the argmax tie-breaks on
+  * (count DESC, a ASC, b ASC), so the merge sequence is a pure
+  * function of the input table — identical across partitionings,
+  * cluster sizes, and reruns (the t06/t14 reproducibility bar). */
+object BpeTrainer {
+
+  /** One chosen merge: pair (a, b) fused into a+b, with its
+    * corpus-weighted adjacent-position count at selection time. */
+  final case class Merge(a: String, b: String, count: Long)
+
+  /** (word, wcount) → (word, wcount, syms ARRAY<STRING>) with syms =
+    * the word's characters, BPE's starting symbol sequence. */
+  def charSymbols(words: DataFrame): DataFrame =
+    words.withColumn("syms",
+      expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))"))
+
+  /** Adjacent-pair counts over the current symbol table, weighted by
+    * word count — every adjacent position counts (the classic BPE
+    * rule, so "aaa" contributes (a,a) twice). Vocabulary-scale:
+    * explode + map-side-combinable aggregate, no corpus access. */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("syms")) >= 2)
+      .select(col("wcount"), explode(expr(
+        """transform(sequence(1, size(syms) - 1),
+             i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"""))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("wcount")).as("n"))
+
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Greedy left-to-right application of merge (a, b) to a symbol
+    * array — a row-local fold (no shuffle, no UDF): append each
+    * symbol, fusing it with the accumulator's tail when the tail is
+    * exactly `a` and the symbol is exactly `b`. Greediness is the
+    * standard BPE apply rule: in "aaa" with merge (a,a) the first two
+    * fuse and the third stays (the fused tail "aa" no longer equals
+    * "a", so the fold cannot re-match it). */
+  def applyMerge(symsCol: String, a: String, b: String): Column = {
+    val (la, lb, lm) = (sqlLit(a), sqlLit(b), sqlLit(a + b))
+    expr(
+      s"""aggregate($symsCol, cast(array() as array<string>),
+            (acc, x) -> CASE
+              WHEN size(acc) > 0 AND element_at(acc, size(acc)) = $la AND x = $lb
+              THEN concat(slice(acc, 1, size(acc) - 1), array($lm))
+              ELSE concat(acc, array(x)) END)""")
+  }
+
+  /** Train `k` merges over a (word, wcount) table. Returns the merge
+    * sequence (possibly shorter than k if the pair space exhausts)
+    * and the final symbol table, which stays persisted for the caller
+    * (earlier rounds are unpersisted as soon as superseded). */
+  def fit(words: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
+    require(k >= 0, s"merge count must be >= 0, got $k")
+    var vocab = charSymbols(words).select(col("word"), col("wcount"), col("syms"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    while (merges.length < k && !exhausted) {
+      // ONE row to the driver: the argmax merge decision
+      val best = pairCounts(vocab)
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val m = Merge(best.head.getAs[String]("a"),
+          best.head.getAs[String]("b"), best.head.getAs[Long]("n"))
+        merges += m
+        val next = vocab.withColumn("syms", applyMerge("syms", m.a, m.b))
+          .persist()
+        next.count() // materialize before dropping the parent
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+}

@@ -814,6 +814,84 @@ object AnalyticsQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** a40: SCD TYPE-2 HISTORY BUILD — the change-tracking dimension every
+    * warehouse keeps over a mutable attribute: per user, consecutive
+    * runs of the same `event_type` collapse into validity intervals
+    * (valid_from, valid_to, is_current, version), the gaps-and-islands
+    * shape. A row "changes" when its attribute differs from the
+    * previous observation; the island id is the running count of
+    * changes, and the interval closes when the next island opens
+    * (valid_to = next island's valid_from; NULL = current).
+    *
+    * Scale shape: both detection windows (lag + running sum) share one
+    * (user_id)-partitioned sort — no global window; the interval close
+    * (lead) runs over POST-aggregation island rows, bounded per user by
+    * its change count, not its event count. Hot users are the only
+    * skew surface, the same exposure a10 carries; every shuffled row
+    * is narrow (ids, type, two timestamps). */
+  private def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevType = lag(col("event_type"), 1).over(w)
+    val islands = Tables.events(s, dir)
+      .withColumn("chg",
+        when(prevType.isNull || prevType =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    val nextFrom = lead(col("valid_from"), 1).over(wv)
+    islands
+      .groupBy(col("user_id"), col("version"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      // the SCD2 open-interval sentinel: current rows carry
+      // 9999-12-31, not NULL — the convention BETWEEN-join consumers
+      // rely on (and NULL cells never reach the hash compare)
+      .withColumn("is_current", nextFrom.isNull)
+      .withColumn("valid_to",
+        coalesce(nextFrom, lit("9999-12-31").cast(TimestampType)))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** a41: Z-ORDER LAYOUT AUDIT — the multi-dimensional clustering key
+    * (Morton interleave of range-bucketed o_custkey × order epoch-day,
+    * [[graft.operators.ZOrder]]) with per-Z-bucket occupancy and
+    * bounding boxes. The bbox columns ARE the data-skipping index a
+    * lakehouse keeps per file: a 2-D box predicate — or a slice on
+    * EITHER single dimension — prunes every bucket whose bbox misses
+    * it, which a single-dimension sort only provides for its own
+    * leading key ([[graft.operators.ZOrderLayoutSpec]] measures the
+    * pruning on a partitioned write of this exact layout).
+    *
+    * Scale shape: dimension bounds are a one-row broadcast; bucketing,
+    * bit-spreading and interleaving are row-local exact BIGINT ops
+    * inside whole-stage codegen (no UDF, no doubles — the key is
+    * engine-portable by construction); the only shuffle carries
+    * (zbucket, partial min/max/count) — nothing row-scale crosses the
+    * wire after the map-side combine. */
+  private def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey").as("ck"),
+        // calendar-day index — exact integer, and robust to the
+        // driver's TIMESTAMP vs TIMESTAMP_NTZ flips (date cast first)
+        datediff(col("o_orderdate").cast(DateType),
+          lit("1970-01-01").cast(DateType)).cast(LongType).as("day"))
+    val bounds = o.agg(min(col("ck")).as("cklo"), max(col("ck")).as("ckhi"),
+      min(col("day")).as("dlo"), max(col("day")).as("dhi"))
+    o.join(broadcast(bounds))
+      .withColumn("u", expr(ZOrder.rangeBucketSpark("ck", "cklo", "ckhi")))
+      .withColumn("v", expr(ZOrder.rangeBucketSpark("day", "dlo", "dhi")))
+      .withColumn("zbucket", shiftright(ZOrder.interleave16(col("u"), col("v")), 22))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("u")).as("u_lo"), max(col("u")).as("u_hi"),
+        min(col("v")).as("v_lo"), max(col("v")).as("v_hi"))
+      .withColumn("bbox_area",
+        (col("u_hi") - col("u_lo") + lit(1L)) * (col("v_hi") - col("v_lo") + lit(1L)))
+      .orderBy(col("zbucket"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a01_pricing_summary" -> QueryDef(pricingSummary, Some(s"""
       SELECT l_returnflag, l_linestatus,
@@ -1260,5 +1338,49 @@ object AnalyticsQueries {
         (m_qty = f_qty AND m_price = f_price AND m_cnt = f_cnt) AS matches_full
       FROM m JOIN f USING (l_returnflag, l_linestatus)
       ORDER BY l_returnflag, l_linestatus"""),
-      "incremental aggregate maintenance: diskMemo'd base partials + delta-slice refresh merged exactly (decimal algebra), with an in-row merged==full-recompute proof"))
+      "incremental aggregate maintenance: diskMemo'd base partials + delta-slice refresh merged exactly (decimal algebra), with an in-row merged==full-recompute proof"),
+
+    "a40_scd2_history" -> QueryDef(scd2History, Some("""
+      WITH c AS (
+        SELECT user_id, event_id, ts, event_type,
+          CASE WHEN LAG(event_type) OVER w IS NULL
+                 OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      i AS (
+        SELECT user_id, ts, event_type,
+          CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        FROM c),
+      d AS (
+        SELECT user_id, version, event_type,
+          MIN(ts) AS valid_from, COUNT(*) AS n_events
+        FROM i GROUP BY user_id, version, event_type)
+      SELECT user_id, version, event_type, valid_from,
+        COALESCE(LEAD(valid_from) OVER wv, TIMESTAMP '9999-12-31') AS valid_to,
+        n_events,
+        LEAD(valid_from) OVER wv IS NULL AS is_current
+      FROM d WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+      ORDER BY user_id, version"""),
+      "SCD type-2 history: per-user event_type runs collapsed to validity intervals (gaps-and-islands), valid_to closed by the next island, is_current on the open row"),
+
+    "a41_zorder_layout" -> QueryDef(zorderLayout, Some {
+      import graft.operators.ZOrder.{rangeBucketDuck, spread16Duck}
+      s"""
+      WITH o AS (SELECT o_custkey AS ck,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS day FROM orders),
+      b AS (SELECT MIN(ck) AS cklo, MAX(ck) AS ckhi,
+                   MIN(day) AS dlo, MAX(day) AS dhi FROM o),
+      uv AS (SELECT ${rangeBucketDuck("ck", "cklo", "ckhi")} AS u,
+                    ${rangeBucketDuck("day", "dlo", "dhi")} AS v
+             FROM o CROSS JOIN b),
+      z AS (SELECT u, v,
+              (${spread16Duck("u")} | (${spread16Duck("v")} << 1)) AS zv
+            FROM uv)
+      SELECT zv >> 22 AS zbucket, COUNT(*) AS n_orders,
+        MIN(u) AS u_lo, MAX(u) AS u_hi, MIN(v) AS v_lo, MAX(v) AS v_hi,
+        (MAX(u) - MIN(u) + 1) * (MAX(v) - MIN(v) + 1) AS bbox_area
+      FROM z GROUP BY zv >> 22 ORDER BY zbucket"""
+    },
+      "Z-order layout audit: Morton key over range-bucketed (custkey, order day), per-Z-bucket occupancy + bbox — the data-skipping stats a clustered table prunes on"))
 }

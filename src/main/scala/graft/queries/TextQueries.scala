@@ -1657,6 +1657,44 @@ object TextQueries {
     * real corpus fits its head, which is where Zipf holds anyway. */
   private[graft] val ZipfTopV = 128
 
+  private[graft] val BpeTopPairs = 20
+
+  /** t34: BPE MERGE-INDUCTION STATISTICS — step 1 of byte-pair-encoding
+    * vocabulary training (Sennrich et al. 2016, the algorithm behind
+    * every GPT/Llama tokenizer): count adjacent SYMBOL pairs, where the
+    * starting symbols are characters, and the highest-count pair is the
+    * first merge. The decisive scale property is the same one real BPE
+    * trainers exploit: pair counting runs over the WORD-FREQUENCY
+    * TABLE (vocabulary-scale — millions of rows at 100 TB), weighted
+    * by word count — the corpus itself is touched exactly once, by the
+    * word-count aggregate. Emits the top [[BpeTopPairs]] merge
+    * candidates with corpus occurrence counts (every adjacent position
+    * counts, the classic rule) and the number of distinct vocabulary
+    * words containing the pair.
+    *
+    * The iterative trainer built on this pass (merge argmax, apply,
+    * recount) is [[graft.operators.BpeTrainer]]; its round-1 choice is
+    * by construction this query's first row (spec-pinned).
+    *
+    * Scale shape: one corpus explode feeding a map-side-combinable
+    * word count; the pair explode and everything after runs on the
+    * vocabulary relation; the final cut is a distributed TakeOrdered
+    * (no global sort, plan-pinned). */
+  private def bpeMergeStats(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+    words.filter(length(col("word")) >= 2)
+      .select(col("word"), col("wcount"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wcount")).as("n_occurrences"),
+        countDistinct(col("word")).as("n_words"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(BpeTopPairs)
+  }
+
   /** t33: ZIPF RANK-SLOPE FIT — the corpus-statistics health check a
     * curation pipeline runs per source/snapshot: natural language has
     * log-log rank-frequency slope ≈ −1 (Zipf), and a corpus that
@@ -2397,5 +2435,21 @@ object TextQueries {
         CAST(num * num AS DOUBLE)
           / NULLIF(CAST(den * deny AS DOUBLE), 0) AS r2
       FROM sl"""),
-      "Zipf rank-frequency slope fit over the top-V terms: exact integer regression sums via the ilog parity machinery, slope/intercept/r2 as end-divisions"))
+      "Zipf rank-frequency slope fit over the top-V terms: exact integer regression sums via the ilog parity machinery, slope/intercept/r2 as end-divisions"),
+
+    "t34_bpe_merge_stats" -> QueryDef(bpeMergeStats, Some(s"""
+      WITH w AS (
+        SELECT word, COUNT(*) AS wcount
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word),
+      p AS (
+        SELECT word, wcount, substr(word, CAST(i AS INTEGER), 2) AS pair
+        FROM (SELECT word, wcount,
+                unnest(generate_series(1, length(word) - 1)) AS i
+              FROM w WHERE length(word) >= 2))
+      SELECT pair, CAST(SUM(wcount) AS BIGINT) AS n_occurrences,
+        COUNT(DISTINCT word) AS n_words
+      FROM p GROUP BY pair
+      ORDER BY n_occurrences DESC, pair LIMIT $BpeTopPairs"""),
+      "BPE vocabulary-induction step 1: adjacent character-pair counts over the word-frequency table (corpus-weighted, every position), top merge candidates"))
 }

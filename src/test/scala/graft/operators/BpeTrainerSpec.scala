@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BpeTrainer contract: the distributed trainer reproduces classic BPE
+  * (Sennrich et al. 2016) exactly — merge sequence AND final symbol
+  * tables — against a plain-Scala replica, including the greedy
+  * overlap rule, and its round-1 decision coincides with the t34
+  * query's first row on the real corpus. */
+class BpeTrainerSpec extends graft.streaming.SparkTestBase {
+
+  // ---- plain-Scala replica of classic BPE ----
+  private def replicaPairs(vocab: Map[Vector[String], Long]): Map[(String, String), Long] =
+    vocab.toSeq.flatMap { case (syms, c) =>
+      syms.zip(syms.tail).map(p => p -> c)
+    }.groupMapReduce(_._1)(_._2)(_ + _)
+
+  private def replicaApply(syms: Vector[String], a: String, b: String): Vector[String] =
+    syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+      else acc :+ x
+    }
+
+  private def replicaFit(words: Map[String, Long], k: Int)
+      : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+    var vocab = words.map { case (w, c) => w.map(_.toString).toVector -> (w, c) }
+      .map { case (syms, (w, c)) => (w, syms, c) }.toSeq
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (merges.length < k && !done) {
+      val counts = replicaPairs(vocab.map(t => t._2 -> t._3).toMap)
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), n) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((a, b, n))
+        vocab = vocab.map { case (w, syms, c) => (w, replicaApply(syms, a, b), c) }
+      }
+    }
+    (merges.toSeq, vocab.map(t => t._1 -> t._2).toMap)
+  }
+
+  private def wordsDf(words: Map[String, Long]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        words.toSeq.map { case (w, c) => Row(w, c) }, 2),
+      StructType(Seq(StructField("word", StringType), StructField("wcount", LongType))))
+
+  test("fit reproduces the Sennrich example's merge sequence and symbol tables") {
+    // the worked example from the BPE paper: low/lower/newest/widest
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val (expMerges, expVocab) = replicaFit(words, 6)
+    val (gotMerges, vocabDf) = BpeTrainer.fit(wordsDf(words), 6)
+    try {
+      assert(gotMerges.map(m => (m.a, m.b, m.count)) == expMerges,
+        s"merge sequences diverge:\n got $gotMerges\n exp $expMerges")
+      val gotVocab = vocabDf.collect()
+        .map(r => r.getAs[String]("word") -> r.getSeq[String](r.fieldIndex("syms")).toVector)
+        .toMap
+      assert(gotVocab == expVocab)
+    } finally vocabDf.unpersist()
+  }
+
+  test("greedy overlap rule: merging (a,a) on runs fuses left-to-right") {
+    val words = Map("aaaa" -> 1L, "aaa" -> 2L, "aa" -> 3L)
+    val (merges, vocabDf) = BpeTrainer.fit(wordsDf(words), 1)
+    try {
+      // positions: aaaa→3, aaa→2·2, aa→1·3 ⇒ (a,a) count 10
+      assert(merges == Seq(BpeTrainer.Merge("a", "a", 10L)))
+      val syms = vocabDf.collect()
+        .map(r => r.getAs[String]("word") -> r.getSeq[String](r.fieldIndex("syms")).toVector)
+        .toMap
+      assert(syms("aaaa") == Vector("aa", "aa"))
+      assert(syms("aaa") == Vector("aa", "a"))
+      assert(syms("aa") == Vector("aa"))
+    } finally vocabDf.unpersist()
+  }
+
+  test("symbols with SQL-literal metacharacters survive the merge fold") {
+    val words = Map("d'o" -> 2L, "a\\b" -> 3L)
+    val (merges, vocabDf) = BpeTrainer.fit(wordsDf(words), 2)
+    try {
+      val (expMerges, expVocab) = replicaFit(words, 2)
+      assert(merges.map(m => (m.a, m.b, m.count)) == expMerges)
+      val gotVocab = vocabDf.collect()
+        .map(r => r.getAs[String]("word") -> r.getSeq[String](r.fieldIndex("syms")).toVector)
+        .toMap
+      assert(gotVocab == expVocab)
+    } finally vocabDf.unpersist()
+  }
+
+  test("on the corpus: 3 fitted merges match the replica, round 1 matches t34's top row") {
+    val sf = "/root/testdata/sf0.001"
+    val words = graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+    val collected = words.collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("wcount")).toMap
+    val (expMerges, _) = replicaFit(collected, 3)
+    val (gotMerges, vocabDf) = BpeTrainer.fit(words, 3)
+    try {
+      assert(gotMerges.map(m => (m.a, m.b, m.count)) == expMerges)
+      val top = graft.SparkEntry.queries("t34_bpe_merge_stats")(spark, sf)
+        .collect().head
+      assert(top.getAs[String]("pair") == gotMerges.head.a + gotMerges.head.b,
+        "t34's top merge candidate is not the trainer's first merge")
+      assert(top.getAs[Long]("n_occurrences") == gotMerges.head.count)
+    } finally vocabDf.unpersist()
+  }
+}
