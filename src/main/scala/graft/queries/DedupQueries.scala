@@ -151,9 +151,12 @@ object DedupQueries {
     * the sorted hashed gram set rides along as `gh` so downstream
     * verifiers (d04) reuse this single gram computation — a compact
     * BIGINT-hash array, never raw trigram strings. */
-  private def signatures(s: SparkSession, dir: String, withGrams: Boolean): DataFrame = {
+  private def signatures(s: SparkSession, dir: String, withGrams: Boolean): DataFrame =
+    signaturesOf(s, docs(s, dir), withGrams)
+
+  private def signaturesOf(s: SparkSession, d: DataFrame, withGrams: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val base = docs(s, dir).withColumn("g", expr(gramHashSpark))
+    val base = d.withColumn("g", expr(gramHashSpark))
     val mh = (0 until NumPerms).map(i =>
       element_at(col("mh"), i + 1).as(s"m$i"))
     val cols = Seq(col("doc_id")) ++
@@ -171,7 +174,12 @@ object DedupQueries {
 
   /** (doc_id, b, bkey): each doc emits `NumBands` LSH band keys. */
   private def bands(s: SparkSession, dir: String): DataFrame =
-    signatures(s, dir, withGrams = false)
+    bandsOf(s, docs(s, dir))
+
+  /** [[bands]] over an arbitrary (doc_id, text) slice — the seam the
+    * streaming arrival path shares with the batch queries. */
+  private[graft] def bandsOf(s: SparkSession, d: DataFrame): DataFrame =
+    signaturesOf(s, d, withGrams = false)
       .select(col("doc_id"), explode(array(bandKeyStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.bkey").as("bkey"))
 
@@ -531,10 +539,28 @@ object DedupQueries {
     * join back to `documents` (the d21 adjudication: the pair side is
     * bounded and broadcasts, text never crosses a shuffle, the gram
     * hash runs once per candidate row, not per corpus row). */
-  private def incrementalLsh(s: SparkSession, dir: String): DataFrame = {
+  private def incrementalLsh(s: SparkSession, dir: String): DataFrame =
+    probeLshIndex(s, dir,
+      docs(s, dir).filter(col("doc_id") % 10 === 0), memo = true)
+
+  /** The d22 probe path over an ARBITRARY arrival slice (doc_id,
+    * text, …) — the seam `StreamingIncrLshSpec` drives per
+    * micro-batch. Per-doc verdicts depend only on the slice row and
+    * the materialized base index, so any partition of the arrival set
+    * probed batch-by-batch unions to the one-shot result (the a39
+    * batch≡streaming property, here for near-dup routing). Text for
+    * the Jaccard verify resolves by id against the corpus store (the
+    * batch twin's single-scan shape; a live deployment would union
+    * the arrival slice's own text into that fetch). `memo=false`
+    * skips the cross-query disk materializations — per-batch frames
+    * are transient and must not collide on the memo key. */
+  private[graft] def probeLshIndex(s: SparkSession, dir: String,
+      ingestDocs: DataFrame, memo: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    def share(key: String)(b: => DataFrame): DataFrame =
+      if (memo) PersistedAggregates.diskMemo(s, key, dir)(b) else b
     val base = lshBandsBase(s, dir)
-    val ing = bands(s, dir).filter(col("doc_id") % 10 === 0)
+    val ing = bandsOf(s, ingestDocs)
     val okBuckets = base.groupBy(col("b"), col("bkey"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") <= MaxBucket).select(col("b"), col("bkey"))
@@ -547,7 +573,7 @@ object DedupQueries {
     // with zero block-manager residency — consumers root at a scan of
     // the bounded candidate parquet, and the materialization is
     // superseded (and locally cleaned) when the source regenerates.
-    val cand = PersistedAggregates.diskMemo(s, "d22_cand", dir) {
+    val cand = share("d22_cand") {
       ing.join(okBuckets, Seq("b", "bkey"))
         .select(col("doc_id").as("in_doc"), col("b"), col("bkey"))
         .join(base.select(col("doc_id").as("base_doc"), col("b"), col("bkey")),
@@ -560,7 +586,7 @@ object DedupQueries {
     // (only candidate rows hash), and the materialization lets the two
     // pair-side reads share that single build without pinning it in
     // executor memory for the rest of the session (r15 ADVICE)
-    val gh = PersistedAggregates.diskMemo(s, "d22_gh", dir) {
+    val gh = share("d22_gh") {
       cand.select(col("in_doc").as("doc_id"))
         .union(cand.select(col("base_doc").as("doc_id"))).distinct()
         .join(docs(s, dir).select(col("doc_id"), col("text")), "doc_id")
@@ -578,7 +604,7 @@ object DedupQueries {
         sum(when(col("jacc") >= JaccThreshold, 1L).otherwise(0L)).as("n_verified"),
         min(when(col("jacc") >= JaccThreshold, col("base_doc"))).as("best_base"),
         max(when(col("jacc") >= JaccThreshold, col("jacc"))).as("best_j"))
-    docs(s, dir).filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+    ingestDocs.select(col("doc_id"))
       .join(agg, col("doc_id") === col("in_doc"), "left")
       .select(col("doc_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),

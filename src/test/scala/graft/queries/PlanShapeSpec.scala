@@ -959,4 +959,52 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     val windows = qe.optimizedPlan.collect { case w: LWindow => w }
     assert(windows.isEmpty, s"s25 grew ${windows.length} windows — the decision row must compose aggregates only")
   }
+
+  test("a40 scd2: every window is user-partitioned; the interval close runs over island rows") {
+    // Hot users are the ONLY tolerated skew surface: an unpartitioned
+    // window (or one keyed on something else) would serialize the
+    // whole history build into one task at scale.
+    val qe = queries("a40_scd2_history")(spark, sf).queryExecution
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.length == 3, s"expected 3 windows (lag, running sum, lead), got ${windows.length}")
+    windows.foreach { w =>
+      assert(w.partitionSpec.exists(_.toString.contains("user_id")),
+        s"a window is not user-partitioned: ${w.partitionSpec}")
+    }
+    // the lead window must consume the AGGREGATE (islands), not events:
+    // its subtree contains the groupBy — bounded per user by change
+    // count, not event count
+    val leadAboveAgg = windows.exists(w => w.child.collectFirst {
+      case a: Aggregate => a
+    }.nonEmpty)
+    assert(leadAboveAgg, "the interval-close window does not run over island rows")
+  }
+
+  test("a41 zorder: window-free; bounds broadcast; the key math stays in one codegen stage") {
+    val qe = queries("a41_zorder_layout")(spark, sf).queryExecution
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.isEmpty, "a41 grew a window — the layout audit is pure aggregate")
+    val text = PlanTestUtils.formatted(qe)
+    assert(text.contains("BroadcastNestedLoopJoin") || text.contains("BroadcastExchange"),
+      "the dimension bounds are not a one-row broadcast")
+    val ordScans = text.linesIterator.count(l =>
+      l.contains("Location") && l.contains("orders"))
+    assert(ordScans == 2, s"expected 2 orders scans (bounds + keys), got $ordScans")
+    // the Morton arithmetic must be codegen'd row-local work — no UDF
+    // (BatchEvalPython/ScalaUDF) may appear anywhere in the key path
+    assert(!text.contains("UDF") && !text.contains("BatchEval"),
+      "the z-key math fell out of codegen")
+  }
+
+  test("t34 bpe: the merge-candidate cut is a distributed TakeOrdered over one documents scan") {
+    val qe = queries("t34_bpe_merge_stats")(spark, sf).queryExecution
+    assert(PlanTestUtils.formatted(qe).contains("TakeOrderedAndProject"),
+      "the top-pairs cut is not a distributed TakeOrdered")
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.isEmpty, "t34 grew a window")
+    val docScans = PlanTestUtils.formatted(qe).linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents"))
+    assert(docScans == 1,
+      s"expected 1 documents scan (pair counting is vocabulary-scale), got $docScans")
+  }
 }
