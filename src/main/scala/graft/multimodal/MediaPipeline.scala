@@ -171,11 +171,18 @@ object MediaPipeline {
   /** Derive the media table from `documents` (payload = UTF-8 text
     * bytes; deterministic fake dimensions — the data generator ships no
     * real binary column). */
-  def load(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+  def load(spark: SparkSession, sfDir: String): Dataset[MediaRecord] =
+    loadFrom(spark, Tables.documents(spark, sfDir))
+
+  /** [[load]] over an arbitrary documents-shaped frame (doc_id, text,
+    * n_chars, …) — the seam streaming arrival specs drive with a
+    * micro-batch instead of the table scan. Same projection, so batch
+    * and per-batch media rows are identical by construction. */
+  def loadFrom(spark: SparkSession, docs: org.apache.spark.sql.DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       (col("doc_id") % 3 + 1).cast("int"))
-    Tables.documents(spark, sfDir)
+    docs
       .select(
         col("doc_id").as("media_id"),
         kind.as("kind"),

@@ -131,8 +131,7 @@ object MultimodalQueries {
     * routing row (frames hit, majority-overlap drop flag, canonical
     * index media). Decode/hash work at each arrival is O(ingest); the
     * base corpus is touched only through the digest→keeper index. */
-  private def incrementalFrameDedup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
+  private def incrementalFrameDedup(s: SparkSession, dir: String): DataFrame =
     // NOT the session memo: the arrival path's O(ingest) contract
     // requires the % 10 slice filter to reach the scan, and a filter
     // cannot prune an InMemoryRelation built over the full corpus — a
@@ -143,8 +142,20 @@ object MultimodalQueries {
     // caught a post-sampling filter silently decoding the full
     // corpus), but below the typed ops it reaches the documents scan,
     // so only ingest media deserialize and hash. Plan-pinned.
-    val ing = framesOf(
+    probeFrameIndex(s, dir,
       MediaPipeline.load(s, dir).filter(col("media_id") % 10 === 0))
+
+  /** The m14 probe path over an ARBITRARY arrival slice of media
+    * records — the seam `StreamingFrameDedupSpec` drives per
+    * micro-batch. Per-media verdicts depend only on the slice's own
+    * frames and the (fixed) digest→keeper index, so any partition of
+    * the arrival set probed batch-by-batch unions to the one-shot
+    * result — the a39/d22 batch≡streaming property, here for the
+    * media modality. */
+  private[graft] def probeFrameIndex(s: SparkSession, dir: String,
+      ingestMedia: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord]): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val ing = framesOf(ingestMedia)
     ing.join(frameIndexBase(s, dir), Seq("frame_md5"), "left")
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"),
