@@ -869,7 +869,10 @@ object AnalyticsQueries {
     * engine-portable by construction); the only shuffle carries
     * (zbucket, partial min/max/count) — nothing row-scale crosses the
     * wire after the map-side combine. */
-  private def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+  /** The per-order (u, v, zbucket) keyed frame a41 aggregates and a42
+    * prunes — ONE definition (the shared-build rule), so the audit and
+    * the pruning decision can never disagree on the key. */
+  private def zorderKeyed(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.ZOrder
     val o = Tables.orders(s, dir)
       .select(col("o_custkey").as("ck"),
@@ -883,12 +886,76 @@ object AnalyticsQueries {
       .withColumn("u", expr(ZOrder.rangeBucketSpark("ck", "cklo", "ckhi")))
       .withColumn("v", expr(ZOrder.rangeBucketSpark("day", "dlo", "dhi")))
       .withColumn("zbucket", shiftright(ZOrder.interleave16(col("u"), col("v")), 22))
+  }
+
+  /** The shared DuckDB CTE chain producing the same (u, v, zbucket)
+    * rows — spliced verbatim into BOTH the a41 and a42 twins (the d15
+    * rule: shared seams are shared text, so oracles cannot drift). */
+  private val zorderKeyedDuckCte = {
+    import graft.operators.ZOrder.{rangeBucketDuck, spread16Duck}
+    s"""
+      WITH o AS (SELECT o_custkey AS ck,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS day FROM orders),
+      b AS (SELECT MIN(ck) AS cklo, MAX(ck) AS ckhi,
+                   MIN(day) AS dlo, MAX(day) AS dhi FROM o),
+      uv AS (SELECT ${rangeBucketDuck("ck", "cklo", "ckhi")} AS u,
+                    ${rangeBucketDuck("day", "dlo", "dhi")} AS v
+             FROM o CROSS JOIN b),
+      z AS (SELECT u, v,
+              ((${spread16Duck("u")} | (${spread16Duck("v")} << 1)) >> 22)
+                AS zbucket
+            FROM uv)"""
+  }
+
+  private def zorderLayout(s: SparkSession, dir: String): DataFrame =
+    zorderKeyed(s, dir)
       .groupBy(col("zbucket"))
       .agg(count(lit(1)).as("n_orders"),
         min(col("u")).as("u_lo"), max(col("u")).as("u_hi"),
         min(col("v")).as("v_lo"), max(col("v")).as("v_hi"))
       .withColumn("bbox_area",
         (col("u_hi") - col("u_lo") + lit(1L)) * (col("v_hi") - col("v_lo") + lit(1L)))
+      .orderBy(col("zbucket"))
+
+  /** The a42 query box, in normalized bucket units so it is
+    * scale-invariant: one 8th of each dimension, off-center so it
+    * crosses Z-cell boundaries (the interesting pruning case). */
+  private[queries] val ZBoxULo = 16384L
+  private[queries] val ZBoxUHi = 24575L
+  private[queries] val ZBoxVLo = 32768L
+  private[queries] val ZBoxVHi = 40959L
+
+  /** a42: the DATA-SKIPPING DECISION TABLE — what a lakehouse scan
+    * planner actually computes from a41's stats: for a fixed 2-D box
+    * predicate, which Z-buckets are kept (bbox intersects the box)
+    * and which are skipped, alongside the ground truth (how many rows
+    * in the bucket REALLY match). The in-row `skip_sound` column is
+    * the soundness theorem made hash-checkable: a bucket with
+    * matching rows must be kept — min/max envelopes cannot exclude a
+    * row they cover — so `n_matching > 0 ⇒ kept` on every row, at
+    * every scale ([[graft.operators.ZOrderLayoutSpec]] proves the
+    * same rule skips real FILES on a partitioned write; this query
+    * makes the decision itself oracle-gated).
+    *
+    * Scale shape: identical to a41 — one keyed pass, one narrow
+    * aggregate shuffle; the box is constant, so kept/skip is computed
+    * post-aggregation on ≤1024 rows. */
+  private def zorderPruning(s: SparkSession, dir: String): DataFrame = {
+    val inBox = col("u").between(ZBoxULo, ZBoxUHi) &&
+      col("v").between(ZBoxVLo, ZBoxVHi)
+    zorderKeyed(s, dir)
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("u")).as("u_lo"), max(col("u")).as("u_hi"),
+        min(col("v")).as("v_lo"), max(col("v")).as("v_hi"),
+        sum(when(inBox, 1L).otherwise(0L)).as("n_matching"))
+      .withColumn("kept",
+        col("u_lo") <= ZBoxUHi && col("u_hi") >= ZBoxULo &&
+          col("v_lo") <= ZBoxVHi && col("v_hi") >= ZBoxVLo)
+      .withColumn("skip_sound", !(col("n_matching") > 0) || col("kept"))
+      .select(col("zbucket"), col("n_orders"), col("n_matching"),
+        col("kept"), col("skip_sound"))
       .orderBy(col("zbucket"))
   }
 
@@ -1363,24 +1430,29 @@ object AnalyticsQueries {
       ORDER BY user_id, version"""),
       "SCD type-2 history: per-user event_type runs collapsed to validity intervals (gaps-and-islands), valid_to closed by the next island, is_current on the open row"),
 
-    "a41_zorder_layout" -> QueryDef(zorderLayout, Some {
-      import graft.operators.ZOrder.{rangeBucketDuck, spread16Duck}
-      s"""
-      WITH o AS (SELECT o_custkey AS ck,
-                   date_diff('day', DATE '1970-01-01',
-                             CAST(o_orderdate AS DATE)) AS day FROM orders),
-      b AS (SELECT MIN(ck) AS cklo, MAX(ck) AS ckhi,
-                   MIN(day) AS dlo, MAX(day) AS dhi FROM o),
-      uv AS (SELECT ${rangeBucketDuck("ck", "cklo", "ckhi")} AS u,
-                    ${rangeBucketDuck("day", "dlo", "dhi")} AS v
-             FROM o CROSS JOIN b),
-      z AS (SELECT u, v,
-              (${spread16Duck("u")} | (${spread16Duck("v")} << 1)) AS zv
-            FROM uv)
-      SELECT zv >> 22 AS zbucket, COUNT(*) AS n_orders,
+    "a41_zorder_layout" -> QueryDef(zorderLayout, Some(s"""
+      $zorderKeyedDuckCte
+      SELECT zbucket, COUNT(*) AS n_orders,
         MIN(u) AS u_lo, MAX(u) AS u_hi, MIN(v) AS v_lo, MAX(v) AS v_hi,
         (MAX(u) - MIN(u) + 1) * (MAX(v) - MIN(v) + 1) AS bbox_area
-      FROM z GROUP BY zv >> 22 ORDER BY zbucket"""
-    },
-      "Z-order layout audit: Morton key over range-bucketed (custkey, order day), per-Z-bucket occupancy + bbox — the data-skipping stats a clustered table prunes on"))
+      FROM z GROUP BY zbucket ORDER BY zbucket"""),
+      "Z-order layout audit: Morton key over range-bucketed (custkey, order day), per-Z-bucket occupancy + bbox — the data-skipping stats a clustered table prunes on"),
+
+    "a42_zorder_pruning" -> QueryDef(zorderPruning, Some(s"""
+      $zorderKeyedDuckCte,
+      st AS (
+        SELECT zbucket, COUNT(*) AS n_orders,
+          MIN(u) AS u_lo, MAX(u) AS u_hi, MIN(v) AS v_lo, MAX(v) AS v_hi,
+          CAST(SUM(CASE WHEN u BETWEEN $ZBoxULo AND $ZBoxUHi
+                         AND v BETWEEN $ZBoxVLo AND $ZBoxVHi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_matching
+        FROM z GROUP BY zbucket),
+      k AS (
+        SELECT *, (u_lo <= $ZBoxUHi AND u_hi >= $ZBoxULo AND
+                   v_lo <= $ZBoxVHi AND v_hi >= $ZBoxVLo) AS kept
+        FROM st)
+      SELECT zbucket, n_orders, n_matching, kept,
+        (NOT (n_matching > 0) OR kept) AS skip_sound
+      FROM k ORDER BY zbucket"""),
+      "data-skipping decision table: per-Z-bucket keep/skip for a fixed 2-D box via the bbox-intersect rule, with ground-truth match counts and the in-row soundness theorem (n_matching > 0 implies kept)"))
 }

@@ -980,20 +980,22 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     assert(leadAboveAgg, "the interval-close window does not run over island rows")
   }
 
-  test("a41 zorder: window-free; bounds broadcast; the key math stays in one codegen stage") {
-    val qe = queries("a41_zorder_layout")(spark, sf).queryExecution
-    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
-    assert(windows.isEmpty, "a41 grew a window — the layout audit is pure aggregate")
-    val text = PlanTestUtils.formatted(qe)
-    assert(text.contains("BroadcastNestedLoopJoin") || text.contains("BroadcastExchange"),
-      "the dimension bounds are not a one-row broadcast")
-    val ordScans = text.linesIterator.count(l =>
-      l.contains("Location") && l.contains("orders"))
-    assert(ordScans == 2, s"expected 2 orders scans (bounds + keys), got $ordScans")
-    // the Morton arithmetic must be codegen'd row-local work — no UDF
-    // (BatchEvalPython/ScalaUDF) may appear anywhere in the key path
-    assert(!text.contains("UDF") && !text.contains("BatchEval"),
-      "the z-key math fell out of codegen")
+  test("a41/a42 zorder: window-free; bounds broadcast; the key math stays in one codegen stage") {
+    Seq("a41_zorder_layout", "a42_zorder_pruning").foreach { q =>
+      val qe = queries(q)(spark, sf).queryExecution
+      val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.isEmpty, s"$q grew a window — the layout audit is pure aggregate")
+      val text = PlanTestUtils.formatted(qe)
+      assert(text.contains("BroadcastNestedLoopJoin") || text.contains("BroadcastExchange"),
+        s"$q: the dimension bounds are not a one-row broadcast")
+      val ordScans = text.linesIterator.count(l =>
+        l.contains("Location") && l.contains("orders"))
+      assert(ordScans == 2, s"$q: expected 2 orders scans (bounds + keys), got $ordScans")
+      // the Morton arithmetic must be codegen'd row-local work — no UDF
+      // (BatchEvalPython/ScalaUDF) may appear anywhere in the key path
+      assert(!text.contains("UDF") && !text.contains("BatchEval"),
+        s"$q: the z-key math fell out of codegen")
+    }
   }
 
   test("t34 bpe: the merge-candidate cut is a distributed TakeOrdered over one documents scan") {
