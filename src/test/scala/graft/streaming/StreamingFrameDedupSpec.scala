@@ -23,12 +23,15 @@ class StreamingFrameDedupSpec extends SparkTestBase {
       val schema = s.read.parquet(staged).schema
       val acc = new java.util.concurrent.ConcurrentLinkedQueue[
         (Long, Long, Long, Double, Boolean, Long)]()
-      var batches = 0
+      // atomic: foreachBatch runs on the stream thread; a plain var
+      // read from the test thread after processAllAvailable has no
+      // happens-before edge
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(staged)
         .writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            batches += 1
+            batches.incrementAndGet()
             graft.queries.MultimodalQueries
               .probeFrameIndex(s, sf, graft.multimodal.MediaPipeline.loadFrom(s, batch))
               .collect().foreach { r =>
@@ -42,7 +45,7 @@ class StreamingFrameDedupSpec extends SparkTestBase {
       try {
         q.processAllAvailable()
       } finally q.stop()
-      assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+      assert(batches.get() >= 3, s"expected >=3 micro-batches, got ${batches.get()}")
       val streaming = acc.toArray(Array.empty[(Long, Long, Long, Double, Boolean, Long)])
         .sortBy(_._1).toSeq
       val batchRows = graft.SparkEntry.queries("m14_incremental_frame_dedup")(s, sf)

@@ -22,12 +22,15 @@ class StreamingIncrLshSpec extends SparkTestBase {
       val schema = s.read.parquet(staged).schema
       val acc = new java.util.concurrent.ConcurrentLinkedQueue[
         (Long, Long, Long, Boolean, Long, Double)]()
-      var batches = 0
+      // atomic: foreachBatch runs on the stream thread; a plain var
+      // read from the test thread after processAllAvailable has no
+      // happens-before edge
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(staged)
         .writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            batches += 1
+            batches.incrementAndGet()
             graft.queries.DedupQueries
               .probeLshIndex(s, sf, batch, memo = false)
               .collect().foreach { r =>
@@ -41,7 +44,7 @@ class StreamingIncrLshSpec extends SparkTestBase {
       try {
         q.processAllAvailable()
       } finally q.stop()
-      assert(batches >= 3, s"expected >=3 micro-batches, got $batches — " +
+      assert(batches.get() >= 3, s"expected >=3 micro-batches, got ${batches.get()} — " +
         "the batch-boundary independence was not exercised")
       val streaming = acc.toArray(Array.empty[(Long, Long, Long, Boolean, Long, Double)])
         .sortBy(_._1).toSeq
