@@ -34,10 +34,17 @@ object BpeTrainer {
   final case class Merge(a: String, b: String, count: Long)
 
   /** (word, wcount) → (word, wcount, syms ARRAY<STRING>) with syms =
-    * the word's characters, BPE's starting symbol sequence. */
+    * the word's characters, BPE's starting symbol sequence. The empty
+    * word maps to an EMPTY array: Spark's `sequence(1, 0)` counts
+    * DOWN ([1, 0]), so the unguarded transform would fabricate two
+    * empty-string symbols — and a phantom ("", "") pair — out of a
+    * zero-length token (review pass; tokenizers see empty words the
+    * moment a splitter emits consecutive delimiters). */
   def charSymbols(words: DataFrame): DataFrame =
     words.withColumn("syms",
-      expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))"))
+      expr("""CASE WHEN length(word) >= 1
+              THEN transform(sequence(1, length(word)), i -> substr(word, i, 1))
+              ELSE cast(array() as array<string>) END"""))
 
   /** Adjacent-pair counts over the current symbol table, weighted by
     * word count — every adjacent position counts (the classic BPE

@@ -40,13 +40,13 @@ object ZOrder {
   def rangeBucketSpark(v: String, lo: String, hi: String): String =
     s"(((($v) - ($lo)) * ${DimBuckets}L) div (($hi) - ($lo) + 1L))"
 
-  /** The DuckDB twin of [[rangeBucket]]. */
+  /** The DuckDB twin of [[rangeBucketSpark]]. */
   def rangeBucketDuck(v: String, lo: String, hi: String): String =
-    s"(($v - $lo) * 65536) // ($hi - $lo + 1)"
+    s"((($v) - ($lo)) * 65536) // (($hi) - ($lo) + 1)"
 
   /** Spread the low 16 bits of `c` onto the even bit positions 0,2,…,30
     * (parallel-prefix masks; each step doubles the gap). Input must be
-    * in [0, 65536) — [[rangeBucket]] output. */
+    * in [0, 65536) — [[rangeBucketSpark]] output. */
   def spread16(c: Column): Column = {
     val s1 = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(0x00FF00FFL))
     val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(0x0F0F0F0FL))

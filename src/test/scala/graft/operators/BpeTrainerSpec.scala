@@ -77,6 +77,23 @@ class BpeTrainerSpec extends graft.streaming.SparkTestBase {
     } finally vocabDf.unpersist()
   }
 
+  test("empty and 1-char words contribute no pairs (sequence(1,0) counts DOWN)") {
+    // Unguarded, Spark's descending sequence(1, 0) would hand the
+    // empty word the symbol array ["", ""] and a phantom ("", "")
+    // pair outweighing every real merge at high empty-token counts.
+    val words = Map("" -> 1000000L, "x" -> 999L, "ab" -> 7L)
+    val (merges, vocabDf) = BpeTrainer.fit(wordsDf(words), 2)
+    try {
+      assert(merges == Seq(BpeTrainer.Merge("a", "b", 7L)),
+        s"expected the single real pair, got $merges")
+      val syms = vocabDf.collect()
+        .map(r => r.getAs[String]("word") -> r.getSeq[String](r.fieldIndex("syms")).toVector)
+        .toMap
+      assert(syms("") == Vector.empty)
+      assert(syms("x") == Vector("x"))
+    } finally vocabDf.unpersist()
+  }
+
   test("symbols with SQL-literal metacharacters survive the merge fold") {
     val words = Map("d'o" -> 2L, "a\\b" -> 3L)
     val (merges, vocabDf) = BpeTrainer.fit(wordsDf(words), 2)
