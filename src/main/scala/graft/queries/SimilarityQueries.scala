@@ -104,9 +104,16 @@ object SimilarityQueries {
     _.filter(col("vec_id") % QueryMod === 0)
 
   /** (vec_id, label, v FLOAT[], nrm) — normalized working set. */
-  private[graft] def vecs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def vecs(s: SparkSession, dir: String): DataFrame =
+    vecsOf(s, Tables.embeddings(s, dir))
+
+  /** [[vecs]] over an arbitrary embeddings-shaped frame (vec_id,
+    * label, embedding) — the seam `StreamingAnnIngestSpec` drives with
+    * a micro-batch instead of the table scan. Same projection, so
+    * batch and per-batch vector rows are identical by construction. */
+  private[graft] def vecsOf(s: SparkSession, emb: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.embeddings(s, dir)
+    emb
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm", expr(s"sqrt(${dotSpark("v", "v")})"))
   }
