@@ -79,6 +79,30 @@ object BpeTrainer {
               ELSE concat(acc, array(x)) END)""")
   }
 
+  /** Tokenize a corpus under a FITTED symbol table — the production
+    * apply path: real tokenizers do not re-run merges per document,
+    * they look each word up in the word→segmentation cache the
+    * trainer produced. One explode + one vocabulary-scale equi-join
+    * (the symbol table broadcasts when it fits; AQE decides), and a
+    * per-doc sum. Words absent from the table (an ingest batch the
+    * trainer has not refit over) fall back to character count — the
+    * worst-case segmentation, never a drop.
+    *
+    * Returns (doc id, n_words, n_tokens): `n_tokens / n_words` is the
+    * FERTILITY a tokenizer is judged by, monotone non-increasing in
+    * the merge count (each merge can only shorten segmentations —
+    * spec-pinned). */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+    words
+      .join(vocab.select(col("word"), size(col("syms")).as("n_syms")), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_syms").cast("long"), length(col("word")).cast("long")))
+          .as("n_tokens"))
+  }
+
   /** Train `k` merges over a (word, wcount) table. Returns the merge
     * sequence (possibly shorter than k if the pair space exhausts)
     * and the final symbol table, which stays persisted for the caller

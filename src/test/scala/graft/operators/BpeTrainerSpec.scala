@@ -107,6 +107,37 @@ class BpeTrainerSpec extends graft.streaming.SparkTestBase {
     } finally vocabDf.unpersist()
   }
 
+  test("tokenize: fertility is monotone non-increasing in merge count, exact vs replica") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), col("text")).cache()
+    try {
+      val words = docs
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+      val totals = Seq(0, 2, 5).map { k =>
+        val (merges, vocab) = BpeTrainer.fit(words, k)
+        try {
+          val t = BpeTrainer.tokenize(docs, "doc_id", "text", vocab)
+            .agg(sum(col("n_tokens")), sum(col("n_words"))).collect().head
+          (merges.length, t.getLong(0), t.getLong(1))
+        } finally vocab.unpersist()
+      }
+      // k=0: every token is a character — exact replica check
+      val charTotal = docs.collect().map(_.getString(1).split(" ", -1)
+        .map(_.length.max(0)).map(_.toLong).sum).sum
+      assert(totals.head._2 == charTotal,
+        s"k=0 token total ${totals.head._2} != character replica $charTotal")
+      // same word universe each time, so n_words is invariant…
+      assert(totals.map(_._3).distinct.size == 1)
+      // …and each merge can only shorten segmentations
+      assert(totals.sliding(2).forall { case Seq(a, b) => b._2 <= a._2 },
+        s"fertility not monotone: $totals")
+      assert(totals.last._2 < totals.head._2,
+        "5 merges shortened nothing — the fixture measures nothing")
+    } finally docs.unpersist()
+  }
+
   test("on the corpus: 3 fitted merges match the replica, round 1 matches t34's top row") {
     val sf = "/root/testdata/sf0.001"
     val words = graft.Tables.documents(spark, sf)
