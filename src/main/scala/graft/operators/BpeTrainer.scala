@@ -26,7 +26,19 @@ import org.apache.spark.sql.functions._
   * Determinism: counts are exact BIGINTs; the argmax tie-breaks on
   * (count DESC, a ASC, b ASC), so the merge sequence is a pure
   * function of the input table — identical across partitionings,
-  * cluster sizes, and reruns (the t06/t14 reproducibility bar). */
+  * cluster sizes, and reruns (the t06/t14 reproducibility bar).
+  *
+  * Honest bound: each merge is one vocabulary pass, so k merges cost
+  * O(k·V) — fine for the analysis-scale k this repo exercises, and
+  * for production k (30-100k merges) the standard move is exactly
+  * what this layout enables: the distributed word-count aggregate
+  * shrinks 100 TB of text to a word histogram that usually FITS ON
+  * ONE MACHINE (Sennrich's trainer is in-memory for this reason), so
+  * fit collects the histogram and loops locally, or keeps the
+  * distributed loop with incremental pair-delta updates (only words
+  * containing the merged pair change between rounds). The corpus
+  * scan count — ONE — is the part that matters at scale and is
+  * already minimal here. */
 object BpeTrainer {
 
   /** One chosen merge: pair (a, b) fused into a+b, with its
