@@ -71,6 +71,14 @@ object GraftSession {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // Parquet timestamps as µs int64, not INT96: INT96 is deprecated,
+      // unreadable by some engines, and nanosecond-based readers
+      // (pyarrow/pandas) decode out-of-ns-range values with int64
+      // wraparound — a40's SCD2 open-interval sentinel 9999-12-31
+      // came back as 1816-03-29 under the driver's hasher while DuckDB
+      // read the same cells correctly. TIMESTAMP_MICROS represents
+      // 9999-12-31 exactly and reads identically everywhere.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
   /** Local session with the recommended configs — what Bench/Verify
     * run; a cluster deployment passes its own master/executor confs

@@ -1,9 +1,31 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StructField, TimestampType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Normalize a result frame to the PORTABLE dump encoding: every
+    * top-level session-zoned timestamp column → `timestamp_ntz`, so
+    * the parquet carries INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false).
+    * Two reader hazards die here (r16, the a40 red row):
+    *  - INT96 (Spark's historical default for TimestampType) wraps
+    *    out-of-ns-range values under pyarrow/pandas — the 9999-12-31
+    *    SCD2 sentinel decoded as 1816-03-29; µs int64 is exact.
+    *  - adjusted-to-UTC µs (the TIMESTAMP_MICROS session default for
+    *    TimestampType) reads back tz-AWARE in DuckDB/pandas, while the
+    *    DuckDB oracle computes naive timestamps — same instant, failed
+    *    equality. NTZ µs reads naive everywhere.
+    * The session runs UTC ([[GraftSession]]), so the cast is
+    * wall-clock-preserving and value-identical to what naive readers
+    * displayed for the old INT96 dumps. [[DumpPortabilitySpec]] pins
+    * footer physical type + sentinel round-trip. */
+  def dumpPortable(df: DataFrame): DataFrame =
+    df.schema.fields.collect {
+      case StructField(n, TimestampType, _, _) => n
+    }.foldLeft(df)((d, n) => d.withColumn(n, col(n).cast("timestamp_ntz")))
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional trailing name prefixes: dump only matching queries (local
@@ -26,7 +48,7 @@ object Verify {
       }
     SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try dumpPortable(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

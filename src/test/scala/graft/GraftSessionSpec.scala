@@ -18,7 +18,8 @@ class GraftSessionSpec extends AnyFunSuite {
     "spark.sql.adaptive.skewJoin.enabled",
     "spark.sql.files.maxPartitionBytes",
     "spark.sql.ansi.enabled",
-    "spark.sql.session.timeZone")
+    "spark.sql.session.timeZone",
+    "spark.sql.parquet.outputTimestampType")
 
   private def withConfSnapshot[A](body: SparkSession => A): A = {
     val shared = graft.streaming.SparkTestBase.session
@@ -45,6 +46,10 @@ class GraftSessionSpec extends AnyFunSuite {
       assert(s2.conf.get("spark.sql.ansi.enabled") == "false")
       assert(s2.conf.get("spark.sql.session.timeZone") == "UTC")
       assert(s2.conf.get("spark.sql.shuffle.partitions") == "7")
+      // Dump portability: µs int64 timestamps, never INT96 (which
+      // nanosecond-based readers decode with wraparound for values
+      // past 2262 — the a40 SCD2 sentinel class).
+      assert(s2.conf.get("spark.sql.parquet.outputTimestampType") == "TIMESTAMP_MICROS")
     }
   }
 
