@@ -71,25 +71,27 @@ object BpeTrainer {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("wcount")).as("n"))
 
-  private def sqlLit(s: String): String =
-    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
   /** Greedy left-to-right application of merge (a, b) to a symbol
     * array — a row-local fold (no shuffle, no UDF): append each
     * symbol, fusing it with the accumulator's tail when the tail is
     * exactly `a` and the symbol is exactly `b`. Greediness is the
     * standard BPE apply rule: in "aaa" with merge (a,a) the first two
     * fuse and the third stays (the fused tail "aa" no longer equals
-    * "a", so the fold cannot re-match it). */
-  def applyMerge(symsCol: String, a: String, b: String): Column = {
-    val (la, lb, lm) = (sqlLit(a), sqlLit(b), sqlLit(a + b))
-    expr(
-      s"""aggregate($symsCol, cast(array() as array<string>),
-            (acc, x) -> CASE
-              WHEN size(acc) > 0 AND element_at(acc, size(acc)) = $la AND x = $lb
-              THEN concat(slice(acc, 1, size(acc) - 1), array($lm))
-              ELSE concat(acc, array(x)) END)""")
-  }
+    * "a", so the fold cannot re-match it).
+    *
+    * Built with the Column-based `aggregate` API, not spliced SQL
+    * literals: symbols are bound as typed `lit`s, so no string
+    * escaping is involved and the fold is correct for symbols
+    * containing quotes/backslashes regardless of
+    * `spark.sql.parser.escapedStringLiterals`. */
+  def applyMerge(symsCol: String, a: String, b: String): Column =
+    aggregate(
+      col(symsCol),
+      array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, size(acc)) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
 
   /** Tokenize a corpus under a FITTED symbol table — the production
     * apply path: real tokenizers do not re-run merges per document,

@@ -34,7 +34,11 @@ object ZOrder {
     * ((v - lo) * 65536) div (hi - lo + 1). Emitted as a SQL fragment
     * for `expr(...)` because BIGINT-exact division is the `div`
     * operator (`/` on longs is double division, whose rounding could
-    * cross a bucket boundary). Monotone in v; lo ↦ 0, hi ↦ 65535.
+    * cross a bucket boundary). Monotone in v; lo ↦ 0, and hi ↦ 65535
+    * when the value range has ≥ 65536 distinct values — for smaller
+    * domains of n = hi-lo+1 values, hi maps to floor((n-1)·65536/n)
+    * (< 65535; e.g. the ~2500-value order-day dimension tops out at
+    * 65509). Parity with the Duck twin is unaffected either way.
     * Safe while (v - lo) * 65536 fits in BIGINT, i.e. value ranges up
     * to ~1.4e14 — domain keys and epoch-days are far inside. */
   def rangeBucketSpark(v: String, lo: String, hi: String): String =

@@ -59,4 +59,32 @@ class StreamingIncrLshSpec extends SparkTestBase {
           s"(${streaming.size} vs ${batchRows.size} rows)")
     } finally deleteTree(stagedRoot)
   }
+
+  test("a genuinely-new arrival doc (id absent from the corpus) still " +
+      "verifies against the index") {
+    // r16 ADVICE regression: the gh text fetch resolved candidate ids
+    // against the corpus store only, so an arrival whose id is not in
+    // `documents` lost its candidates to the inner join and was
+    // reported n_candidates=0 / is_neardup=false. The fetch now unions
+    // the ingest slice's own (doc_id, text); an exact copy of a base
+    // doc under a brand-new id must verify at Jaccard 1.0.
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    import s.implicits._
+    val base = graft.Tables.documents(s, sf)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select("doc_id", "text").orderBy("doc_id").limit(1).collect().head
+    val newId = 1000000007L // far outside the corpus id space
+    val arrival = Seq((newId, base.getString(1))).toDF("doc_id", "text")
+    val out = graft.queries.DedupQueries
+      .probeLshIndex(s, sf, arrival, memo = false).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_id") == newId)
+    assert(r.getAs[Long]("n_candidates") > 0,
+      "corpus-absent arrival lost its candidates to the gh inner join")
+    assert(r.getAs[Boolean]("is_neardup"))
+    assert(r.getAs[Long]("index_doc") == base.getLong(0))
+    assert(r.getAs[Double]("best_jacc") == 1.0)
+  }
 }
