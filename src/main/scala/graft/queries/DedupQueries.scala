@@ -586,10 +586,25 @@ object DedupQueries {
     // (only candidate rows hash), and the materialization lets the two
     // pair-side reads share that single build without pinning it in
     // executor memory for the rest of the session (r15 ADVICE)
+    // r16 ADVICE: text resolution must also cover arrival docs whose
+    // ids are NOT yet in the corpus store — the gh join is inner, so
+    // a genuinely-new document would silently lose its candidates and
+    // report is_neardup=false. Union the ingest slice's own (doc_id,
+    // text) into the fetch and dedup by id, corpus text winning when
+    // both exist (keeps the batch twin's rows bit-identical: d22's
+    // ingest slice is corpus rows, so the dedup collapses to the old
+    // frame). The dedup groupBy runs AFTER the candidate-id join, so
+    // it shuffles only the bounded candidate set, not the corpus.
+    val textSource = docs(s, dir)
+      .select(col("doc_id"), col("text"), lit(0).as("src"))
+      .unionByName(ingestDocs
+        .select(col("doc_id"), col("text"), lit(1).as("src")))
     val gh = share("d22_gh") {
       cand.select(col("in_doc").as("doc_id"))
         .union(cand.select(col("base_doc").as("doc_id"))).distinct()
-        .join(docs(s, dir).select(col("doc_id"), col("text")), "doc_id")
+        .join(textSource, "doc_id")
+        .groupBy(col("doc_id"))
+        .agg(min_by(col("text"), col("src")).as("text"))
         .select(col("doc_id"), expr(s"array_sort($gramHashSpark)").as("gh"))
     }
     val pairs = cand
@@ -613,6 +628,137 @@ object DedupQueries {
         coalesce(col("best_base"), lit(-1L)).as("index_doc"),
         round(coalesce(col("best_j"), lit(0.0)), 4).as("best_jacc"))
       .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin chain of [[incrementalDedup]] — self-contained (reads
+    * `documents` directly); ends in the per-arrival verdict relation
+    * `d09v(doc_id, digest, is_dup, index_doc)`. Shared verbatim by the
+    * d09 oracle and d23's arrival manifest (the d15/d16 no-drift
+    * rule). CTE names are d09-prefixed so the chain splices next to
+    * the bands/vecs/ivf chains without collisions. */
+  private lazy val d09DuckCtes: String = """
+      d09d AS (SELECT doc_id,
+        md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS digest
+        FROM documents),
+      d09idx AS (SELECT digest, MIN(doc_id) AS index_doc
+                 FROM d09d WHERE doc_id % 10 <> 0 GROUP BY digest),
+      d09b AS (SELECT doc_id, digest FROM d09d WHERE doc_id % 10 = 0),
+      d09v AS (SELECT d09b.doc_id, d09b.digest,
+                 (d09idx.digest IS NOT NULL) AS is_dup,
+                 COALESCE(d09idx.index_doc, -1) AS index_doc
+               FROM d09b LEFT JOIN d09idx ON d09b.digest = d09idx.digest)"""
+
+  /** DuckDB twin chain of [[incrementalLsh]] — splices after
+    * [[bandsDuckCte]] (needs `bands` and `vx`); ends in the
+    * per-arrival routing relation `d22v(doc_id, n_candidates,
+    * n_verified, is_neardup, index_doc, best_jacc)`. Shared verbatim
+    * by the d22 oracle and d23's arrival manifest. */
+  private lazy val d22DuckCtes: String = s"""
+      bbands AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+      ibands AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+      bbsz AS (SELECT b, bkey, COUNT(*) AS c FROM bbands GROUP BY b, bkey),
+      icand AS (SELECT DISTINCT i.doc_id AS in_doc, bb.doc_id AS base_doc
+                FROM ibands i JOIN bbands bb ON bb.b = i.b AND bb.bkey = i.bkey
+                JOIN bbsz s ON s.b = i.b AND s.bkey = i.bkey AND s.c <= $MaxBucket),
+      g AS (SELECT doc_id, list_sort(list_distinct(list(v))) AS gh FROM vx GROUP BY doc_id),
+      ivj AS (SELECT in_doc, base_doc,
+                CAST(len(list_intersect(ga.gh, gb.gh)) AS DOUBLE) /
+                  (len(ga.gh) + len(gb.gh) - len(list_intersect(ga.gh, gb.gh))) AS jacc
+              FROM icand JOIN g ga ON ga.doc_id = icand.in_doc
+                   JOIN g gb ON gb.doc_id = icand.base_doc),
+      iagg AS (SELECT in_doc,
+                 COUNT(*) AS n_candidates,
+                 CAST(SUM(CASE WHEN jacc >= $JaccThreshold THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_verified,
+                 MIN(CASE WHEN jacc >= $JaccThreshold THEN base_doc END) AS best_base,
+                 MAX(CASE WHEN jacc >= $JaccThreshold THEN jacc END) AS best_j
+               FROM ivj GROUP BY in_doc),
+      iing AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+      d22v AS (SELECT iing.doc_id,
+                 COALESCE(n_candidates, 0) AS n_candidates,
+                 COALESCE(n_verified, 0) AS n_verified,
+                 (COALESCE(n_verified, 0) > 0) AS is_neardup,
+                 COALESCE(best_base, -1) AS index_doc,
+                 ROUND(COALESCE(best_j, 0.0), 4) AS best_jacc
+               FROM iing LEFT JOIN iagg ON iagg.in_doc = iing.doc_id)"""
+
+  /** d23: the ARRIVAL MANIFEST — the incremental layer's end artifact
+    * (r15/r16 verdict ask #1): one provenance-carrying verdict per
+    * arriving item across all three id domains, composed from the
+    * audited per-family arrival queries with zero re-derivation:
+    *
+    *  - '''documents''' (doc_id % 10 == 0): d09's exact-digest verdict
+    *    (priority 1 — strongest/cheapest evidence, the d15 discipline)
+    *    merged with d22's LSH near-dup routing (priority 2); verdict
+    *    keep|drop, reason exact_dup|lexical_neardup|novel, keeper from
+    *    the winning family, n_signals = exact hit + verified near-dup
+    *    candidates (how contested the verdict is).
+    *  - '''media''' (media_id % 10 == 0): m14's frame-overlap routing;
+    *    drop on the majority rule, keeper = canonical index media,
+    *    n_signals = frames already in the index.
+    *  - '''embeddings''': the index DELTAS that accompany the content
+    *    verdicts — s23's no-refit ingest assignment (verdict
+    *    index_add, companion column `cell` = the IVF cell the vector
+    *    lands in) and s24's tombstones (verdict index_delete, `cell` =
+    *    the cell vacated under the fitted assignment). A vector in
+    *    both slices routes as delete (a tombstoned arrival is not
+    *    served — the s24 precedence).
+    *
+    * `cell` is -1 for content rows and `keeper_id` is -1 for embedding
+    * rows: the manifest is TOTAL (every arriving item gets exactly one
+    * row) and flat, the file a crawl-ingest pipeline consumes as-is.
+    *
+    * Scale shape: every branch is a family query already audited for
+    * 100 TB (d09's digest index, d22's materialized band index, m14's
+    * frame-digest index, s23/s24's fitted-centroid broadcasts); the
+    * composition adds one union + per-item argmin over DROP SIGNALS
+    * (a fraction of the arrival slice, itself a fraction of the
+    * corpus) and one aggregated signal count per arrival — the d15
+    * merge pattern, never a window. `ArrivalManifestSpec` pins that
+    * the manifest's rows partition each family's routing rows exactly. */
+  private def arrivalManifest(s: SparkSession, dir: String): DataFrame = {
+    val ex = incrementalDedup(s, dir)
+    val lsh = incrementalLsh(s, dir)
+    val exSig = ex.filter(col("is_dup"))
+      .select(col("doc_id").as("item_id"), lit(1).as("priority"),
+        lit("exact_dup").as("reason"), col("index_doc").as("keeper"))
+    val lshSig = lsh.filter(col("is_neardup"))
+      .select(col("doc_id").as("item_id"), lit(2).as("priority"),
+        lit("lexical_neardup").as("reason"), col("index_doc").as("keeper"))
+    val docPick = exSig.unionByName(lshSig)
+      .groupBy(col("item_id"))
+      .agg(min(struct(col("priority"), col("reason"), col("keeper"))).as("m"))
+    val docSignals = ex
+      .select(col("doc_id"), col("is_dup").cast(LongType).as("sg"))
+      .unionByName(lsh.select(col("doc_id"), col("n_verified").as("sg")))
+      .groupBy(col("doc_id")).agg(sum(col("sg")).as("n_signals"))
+    val docRows = docSignals
+      .join(docPick, docSignals("doc_id") === docPick("item_id"), "left")
+      .select(lit("document").as("item_type"), col("doc_id").as("item_id"),
+        when(col("m").isNotNull, lit("drop")).otherwise(lit("keep")).as("verdict"),
+        coalesce(col("m.reason"), lit("novel")).as("reason"),
+        coalesce(col("m.keeper"), lit(-1L)).as("keeper_id"),
+        col("n_signals"), lit(-1L).as("cell"))
+    val media = MultimodalQueries.incrementalFrameDedup(s, dir)
+      .select(lit("media").as("item_type"), col("media_id").as("item_id"),
+        when(col("is_dup"), lit("drop")).otherwise(lit("keep")).as("verdict"),
+        when(col("is_dup"), lit("video_frame_overlap"))
+          .otherwise(lit("novel")).as("reason"),
+        when(col("is_dup"), col("index_media")).otherwise(lit(-1L)).as("keeper_id"),
+        col("n_frames_in_index").as("n_signals"), lit(-1L).as("cell"))
+    val e = SimilarityQueries.vecs(s, dir)
+    val (_, _, iasg, _) = SimilarityQueries.ingestAssignments(s, dir)
+    val tomb = SimilarityQueries.tombstones(e)
+    val dels = tomb.join(SimilarityQueries.ivfAssigned(s, dir), "vec_id")
+      .select(lit("embedding").as("item_type"), col("vec_id").as("item_id"),
+        lit("index_delete").as("verdict"), lit("tombstone").as("reason"),
+        lit(-1L).as("keeper_id"), lit(1L).as("n_signals"), col("cell"))
+    val adds = iasg.join(tomb, Seq("vec_id"), "left_anti")
+      .select(lit("embedding").as("item_type"), col("vec_id").as("item_id"),
+        lit("index_add").as("verdict"), lit("cell_assign").as("reason"),
+        lit(-1L).as("keeper_id"), lit(1L).as("n_signals"), col("cell"))
+    docRows.unionByName(media).unionByName(dels).unionByName(adds)
+      .orderBy(col("item_type"), col("item_id"))
   }
 
   private val ChunkWords = 16
@@ -1428,18 +1574,10 @@ object DedupQueries {
       GROUP BY lang ORDER BY lang"""),
       "surviving corpus after pairwise near-dup dedup, per language"),
 
-    "d09_incremental_dedup" -> QueryDef(incrementalDedup, Some("""
-      WITH d AS (SELECT doc_id,
-        md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS digest
-        FROM documents),
-      idx AS (SELECT digest, MIN(doc_id) AS index_doc
-              FROM d WHERE doc_id % 10 <> 0 GROUP BY digest),
-      b AS (SELECT doc_id, digest FROM d WHERE doc_id % 10 = 0)
-      SELECT b.doc_id, b.digest,
-        (idx.digest IS NOT NULL) AS is_dup,
-        COALESCE(idx.index_doc, -1) AS index_doc
-      FROM b LEFT JOIN idx ON b.digest = idx.digest
-      ORDER BY b.doc_id"""),
+    "d09_incremental_dedup" -> QueryDef(incrementalDedup, Some(s"""
+      WITH $d09DuckCtes
+      SELECT doc_id, digest, is_dup, index_doc
+      FROM d09v ORDER BY doc_id"""),
       "new-batch exact dedup against the existing corpus digest index"),
 
     "d10_chunk_dedup" -> QueryDef(chunkDedup, Some(s"""
@@ -1717,35 +1855,80 @@ object DedupQueries {
       "character-level edit-distance confirmation of the Jaccard-verified near-dup pairs (Levenshtein over candidate pairs only)"),
 
     "d22_incremental_lsh" -> QueryDef(incrementalLsh, Some(s"""$bandsDuckCte,
-      bbands AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
-      ibands AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
-      bbsz AS (SELECT b, bkey, COUNT(*) AS c FROM bbands GROUP BY b, bkey),
-      icand AS (SELECT DISTINCT i.doc_id AS in_doc, bb.doc_id AS base_doc
-                FROM ibands i JOIN bbands bb ON bb.b = i.b AND bb.bkey = i.bkey
-                JOIN bbsz s ON s.b = i.b AND s.bkey = i.bkey AND s.c <= $MaxBucket),
-      g AS (SELECT doc_id, list_sort(list_distinct(list(v))) AS gh FROM vx GROUP BY doc_id),
-      ivj AS (SELECT in_doc, base_doc,
-                CAST(len(list_intersect(ga.gh, gb.gh)) AS DOUBLE) /
-                  (len(ga.gh) + len(gb.gh) - len(list_intersect(ga.gh, gb.gh))) AS jacc
-              FROM icand JOIN g ga ON ga.doc_id = icand.in_doc
-                   JOIN g gb ON gb.doc_id = icand.base_doc),
-      iagg AS (SELECT in_doc,
-                 COUNT(*) AS n_candidates,
-                 CAST(SUM(CASE WHEN jacc >= $JaccThreshold THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_verified,
-                 MIN(CASE WHEN jacc >= $JaccThreshold THEN base_doc END) AS best_base,
-                 MAX(CASE WHEN jacc >= $JaccThreshold THEN jacc END) AS best_j
-               FROM ivj GROUP BY in_doc),
-      iing AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
-      SELECT iing.doc_id,
-        COALESCE(n_candidates, 0) AS n_candidates,
-        COALESCE(n_verified, 0) AS n_verified,
-        (COALESCE(n_verified, 0) > 0) AS is_neardup,
-        COALESCE(best_base, -1) AS index_doc,
-        ROUND(COALESCE(best_j, 0.0), 4) AS best_jacc
-      FROM iing LEFT JOIN iagg ON iagg.in_doc = iing.doc_id
-      ORDER BY iing.doc_id"""),
-      "incremental near-dup dedup: the new batch banded against the MATERIALIZED base LSH bucket index (no base recompute), candidates verified by exact hashed-gram Jaccard, per-doc drop/keep routing row"))
+      $d22DuckCtes
+      SELECT doc_id, n_candidates, n_verified, is_neardup, index_doc,
+        best_jacc
+      FROM d22v ORDER BY doc_id"""),
+      "incremental near-dup dedup: the new batch banded against the MATERIALIZED base LSH bucket index (no base recompute), candidates verified by exact hashed-gram Jaccard, per-doc drop/keep routing row"),
+
+    "d23_arrival_manifest" -> QueryDef(arrivalManifest, Some {
+      // The arrival-layer end artifact's twin SPLICES the incremental
+      // families' oracle chains verbatim (d09v, d22v via bands, m14v
+      // via m05, iasg/tmb/asg via vecs+ivf) — the d15/d16 no-drift
+      // rule: the manifest's verdicts are BY CONSTRUCTION the family
+      // rows, in the oracle exactly as in the engine.
+      val vecsCte = SimilarityQueries.vecsDuckCte.replaceFirst("WITH ", "")
+      s"""$bandsDuckCte,
+      $d09DuckCtes,
+      $d22DuckCtes,
+      ${MultimodalQueries.m05DuckCte},
+      ${MultimodalQueries.m14DuckCtes},
+      $vecsCte,
+      ${SimilarityQueries.ivfAsgDuckCte},
+      ${SimilarityQueries.ingestAsgDuckCtes},
+      ${SimilarityQueries.tombDuckCte},
+      d23sig AS (
+        SELECT doc_id AS item_id, 1 AS priority, 'exact_dup' AS reason,
+               index_doc AS keeper
+        FROM d09v WHERE is_dup
+        UNION ALL
+        SELECT doc_id AS item_id, 2 AS priority, 'lexical_neardup' AS reason,
+               index_doc AS keeper
+        FROM d22v WHERE is_neardup),
+      d23pick AS (SELECT item_id, MIN(priority) AS pr
+                  FROM d23sig GROUP BY item_id),
+      d23win AS (SELECT p.item_id, s.reason, s.keeper
+                 FROM d23pick p JOIN d23sig s
+                   ON s.item_id = p.item_id AND s.priority = p.pr),
+      d23n AS (SELECT item_id, CAST(SUM(sg) AS BIGINT) AS n_signals FROM (
+                 SELECT doc_id AS item_id,
+                        CASE WHEN is_dup THEN 1 ELSE 0 END AS sg FROM d09v
+                 UNION ALL SELECT doc_id, n_verified FROM d22v) u
+               GROUP BY item_id),
+      d23doc AS (
+        SELECT 'document' AS item_type, n.item_id,
+          CASE WHEN w.item_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+          COALESCE(w.reason, 'novel') AS reason,
+          COALESCE(w.keeper, -1) AS keeper_id,
+          n.n_signals, CAST(-1 AS BIGINT) AS cell
+        FROM d23n n LEFT JOIN d23win w ON w.item_id = n.item_id),
+      d23med AS (
+        SELECT 'media' AS item_type, media_id AS item_id,
+          CASE WHEN is_dup THEN 'drop' ELSE 'keep' END AS verdict,
+          CASE WHEN is_dup THEN 'video_frame_overlap' ELSE 'novel' END AS reason,
+          CASE WHEN is_dup THEN index_media ELSE -1 END AS keeper_id,
+          n_frames_in_index AS n_signals, CAST(-1 AS BIGINT) AS cell
+        FROM m14v),
+      d23del AS (
+        SELECT 'embedding' AS item_type, t.vec_id AS item_id,
+          'index_delete' AS verdict, 'tombstone' AS reason,
+          CAST(-1 AS BIGINT) AS keeper_id, CAST(1 AS BIGINT) AS n_signals,
+          a.cell
+        FROM tmb t JOIN asg a ON a.vec_id = t.vec_id),
+      d23add AS (
+        SELECT 'embedding' AS item_type, i.vec_id AS item_id,
+          'index_add' AS verdict, 'cell_assign' AS reason,
+          CAST(-1 AS BIGINT) AS keeper_id, CAST(1 AS BIGINT) AS n_signals,
+          i.cell
+        FROM iasg i LEFT JOIN tmb t ON t.vec_id = i.vec_id
+        WHERE t.vec_id IS NULL)
+      SELECT item_type, CAST(item_id AS BIGINT) AS item_id, verdict, reason,
+        CAST(keeper_id AS BIGINT) AS keeper_id,
+        CAST(n_signals AS BIGINT) AS n_signals, CAST(cell AS BIGINT) AS cell
+      FROM (SELECT * FROM d23doc UNION ALL SELECT * FROM d23med
+            UNION ALL SELECT * FROM d23del UNION ALL SELECT * FROM d23add) u
+      ORDER BY item_type, item_id"""
+    }, "arrival manifest: one provenance-carrying verdict per arriving document/media/vector, priority-merged from d09 (exact) and d22 (near-dup) with m14 media routing and the s23/s24 index deltas as companion rows"))
 
   /** Shared DuckDB CTE computing (doc_id, simhash) — twin of
     * [[simhashBase]] (trigram bit votes from the same polynomial hash). */

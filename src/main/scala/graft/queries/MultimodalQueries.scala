@@ -131,7 +131,7 @@ object MultimodalQueries {
     * routing row (frames hit, majority-overlap drop flag, canonical
     * index media). Decode/hash work at each arrival is O(ingest); the
     * base corpus is touched only through the digest→keeper index. */
-  private def incrementalFrameDedup(s: SparkSession, dir: String): DataFrame =
+  private[queries] def incrementalFrameDedup(s: SparkSession, dir: String): DataFrame =
     // NOT the session memo: the arrival path's O(ingest) contract
     // requires the % 10 slice filter to reach the scan, and a filter
     // cannot prune an InMemoryRelation built over the full corpus — a
@@ -316,6 +316,29 @@ object MultimodalQueries {
       m05d AS (SELECT media_id, COUNT(*) AS n_frames,
               CAST(SUM(CASE WHEN n_media >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_frames
             FROM m05o GROUP BY media_id)"""
+
+  /** DuckDB twin chain of [[incrementalFrameDedup]] — splices after
+    * [[m05DuckCte]] (needs `m05h`); ends in the per-arrival verdict
+    * relation `m14v(media_id, n_frames, n_frames_in_index, hit_ratio,
+    * is_dup, index_media)`. Shared verbatim by the m14 oracle and
+    * d23's arrival manifest (the d15/d16 no-drift rule), so the
+    * manifest's media verdicts are BY CONSTRUCTION the m14 rows. */
+  private[queries] val m14DuckCtes: String = """
+      m14i AS (SELECT fh, MIN(media_id) AS idx_media
+               FROM m05h WHERE media_id % 10 <> 0 GROUP BY fh),
+      m14f AS (SELECT media_id, fh FROM m05h WHERE media_id % 10 = 0),
+      m14j AS (SELECT f.media_id, f.fh, i.idx_media
+               FROM m14f f LEFT JOIN m14i i ON i.fh = f.fh),
+      m14a AS (SELECT media_id, COUNT(*) AS n_frames,
+                 CAST(SUM(CASE WHEN idx_media IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hit,
+                 MIN(idx_media) AS index_media
+               FROM m14j GROUP BY media_id),
+      m14v AS (SELECT media_id, n_frames, n_hit AS n_frames_in_index,
+                 ROUND(CAST(n_hit AS DOUBLE) / n_frames, 4) AS hit_ratio,
+                 (n_hit * 2 >= n_frames) AS is_dup,
+                 COALESCE(index_media, -1) AS index_media
+               FROM m14a)"""
 
   /** DuckDB twin chain of [[audioNearDup]] up to the unfiltered shared-
     * fingerprint pairs `m07p(media_a, kind_a, media_b, kind_b,
@@ -675,21 +698,10 @@ object MultimodalQueries {
 
     "m14_incremental_frame_dedup" -> QueryDef(incrementalFrameDedup, Some(s"""
       WITH $m05DuckCte,
-      m14i AS (SELECT fh, MIN(media_id) AS idx_media
-               FROM m05h WHERE media_id % 10 <> 0 GROUP BY fh),
-      m14f AS (SELECT media_id, fh FROM m05h WHERE media_id % 10 = 0),
-      m14j AS (SELECT f.media_id, f.fh, i.idx_media
-               FROM m14f f LEFT JOIN m14i i ON i.fh = f.fh),
-      m14a AS (SELECT media_id, COUNT(*) AS n_frames,
-                 CAST(SUM(CASE WHEN idx_media IS NOT NULL THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_hit,
-                 MIN(idx_media) AS index_media
-               FROM m14j GROUP BY media_id)
-      SELECT media_id, n_frames, n_hit AS n_frames_in_index,
-        ROUND(CAST(n_hit AS DOUBLE) / n_frames, 4) AS hit_ratio,
-        (n_hit * 2 >= n_frames) AS is_dup,
-        COALESCE(index_media, -1) AS index_media
-      FROM m14a ORDER BY media_id"""),
+      $m14DuckCtes
+      SELECT media_id, n_frames, n_frames_in_index, hit_ratio, is_dup,
+        index_media
+      FROM m14v ORDER BY media_id"""),
       "incremental media dedup: new videos' sampled-frame digests probed against the MATERIALIZED base frame index (no base re-decode), majority-overlap drop rule"))
 
   /** m09: media dedup clusters — the d07 step for the media domain:

@@ -314,6 +314,32 @@ object SimilarityQueries {
     * does, so the fitted centroids are bit-identical across engines. */
   private[queries] val ivfAsgDuckCte: String = ivfFitDuckChainFor("n", "")
 
+  /** DuckDB twin chain of the s23 no-refit ingest assignment — base/
+    * ingest slices, the base-slice fit ([[ivfFitDuckChainFor]] with
+    * prefix `b`), and the arrival assignment `iasg(vec_id, cell)`.
+    * Splices after [[vecsDuckCte]] (needs `n`); shared verbatim by the
+    * s23 oracle and d23's arrival manifest, so the manifest's
+    * index_add cells are BY CONSTRUCTION s23's assignment. */
+  private[queries] lazy val ingestAsgDuckCtes: String = s"""nb AS (SELECT * FROM n WHERE vec_id % $IngestMod <> 0),
+      ni AS (SELECT * FROM n WHERE vec_id % $IngestMod = 0),
+      ${ivfFitDuckChainFor("nb", "b")},
+      isc AS (
+        SELECT ni.vec_id, s_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, len(ni.v)), i -> ni.v[i] * sv[i])), (a, z) -> a + z)
+            / (ni.nrm * sn) AS scos
+        FROM ni, bfitc),
+      iasg AS (SELECT vec_id, s_id AS cell FROM (
+          SELECT vec_id, s_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
+          FROM isc) t WHERE rn = 1)"""
+
+  /** DuckDB twin of [[tombstones]] — `tmb(vec_id)`, the s24 delete
+    * slice. Splices after [[vecsDuckCte]]; shared by the s24 oracle
+    * and d23's arrival manifest. */
+  private[queries] lazy val tombDuckCte: String =
+    s"tmb AS (SELECT vec_id FROM n WHERE vec_id % $DeleteMod = $DeleteRem)"
+
   /** The fit chain above, parameterized by source relation and CTE
     * prefix (the pqFitDuckChain convention) so s23 can regenerate the
     * SAME fit over the pre-ingest base slice (`nb`, prefix `b`)
@@ -2607,19 +2633,7 @@ object SimilarityQueries {
     }, "index-accelerated eval decontamination sweep: IVF-probed neighbor recall + leak counts per nProbe vs the exact s19 pass (its costed escape hatch)"),
 
     "s23_ann_ingest" -> QueryDef((s, d) => annIngestReport(s, d), Some(s"""$vecsDuckCte,
-      nb AS (SELECT * FROM n WHERE vec_id % $IngestMod <> 0),
-      ni AS (SELECT * FROM n WHERE vec_id % $IngestMod = 0),
-      ${ivfFitDuckChainFor("nb", "b")},
-      isc AS (
-        SELECT ni.vec_id, s_id,
-          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(generate_series(1, len(ni.v)), i -> ni.v[i] * sv[i])), (a, z) -> a + z)
-            / (ni.nrm * sn) AS scos
-        FROM ni, bfitc),
-      iasg AS (SELECT vec_id, s_id AS cell FROM (
-          SELECT vec_id, s_id,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
-          FROM isc) t WHERE rn = 1),
+      $ingestAsgDuckCtes,
       masg AS (SELECT * FROM basg UNION ALL SELECT * FROM iasg),
       msc AS (SELECT * FROM bsc UNION ALL SELECT * FROM isc),
       hb AS (SELECT COUNT(*) AS n_base,
@@ -2668,7 +2682,7 @@ object SimilarityQueries {
 
     "s24_ann_delete" -> QueryDef((s, d) => annDeleteReport(s, d), Some(s"""$vecsDuckCte,
       $ivfAsgDuckCte,
-      tmb AS (SELECT vec_id FROM n WHERE vec_id % $DeleteMod = $DeleteRem),
+      $tombDuckCte,
       lasg AS (SELECT a.vec_id, a.cell FROM asg a
                LEFT JOIN tmb t ON t.vec_id = a.vec_id WHERE t.vec_id IS NULL),
       qsc2 AS (
