@@ -340,6 +340,40 @@ object SimilarityQueries {
   private[queries] lazy val tombDuckCte: String =
     s"tmb AS (SELECT vec_id FROM n WHERE vec_id % $DeleteMod = $DeleteRem)"
 
+  /** DuckDB twin of [[liveAssignment]] over the full fitted index —
+    * `lasg(vec_id, cell)`, the tombstone anti-join. Needs `asg` and
+    * `tmb`. Shared by the s24 oracle and s26's compacted serving (for
+    * s26 it is the REFERENCE path the physically-compacted engine
+    * state must serve identically to). */
+  private[queries] lazy val lasgDuckCte: String = """lasg AS (
+      SELECT a.vec_id, a.cell FROM asg a
+      LEFT JOIN tmb t ON t.vec_id = a.vec_id WHERE t.vec_id IS NULL)"""
+
+  /** DuckDB twin of the post-delete serve path — sample-query probes
+    * (`qsc2`/`qpr2`, the s07 rule over the full fit `fitc`) and the
+    * exact top-5 over the live assignment (`poc`/`pot(q_id, c_id)`).
+    * Needs `n`, `fitc`, `lasg`. Shared verbatim by the s24 oracle and
+    * the s26 compacted-serving oracle — the equivalence s26's hash
+    * gate proves is against EXACTLY the relation s24 reports on. */
+  private[queries] lazy val liveServeDuckCtes: String = s"""qsc2 AS (
+        SELECT n.vec_id, s_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, len(n.v)), i -> n.v[i] * sv[i])), (a, z) -> a + z)
+            / (n.nrm * sn) AS scos
+        FROM n, fitc WHERE n.vec_id % $QueryMod = 0),
+      qpr2 AS (SELECT vec_id AS q_id, s_id AS cell FROM (
+          SELECT vec_id, s_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
+          FROM qsc2) t WHERE rn <= $IngestProbes),
+      poc AS (SELECT qpr2.q_id, c.vec_id AS c_id, $cosDuck AS cos
+              FROM qpr2 JOIN n q ON q.vec_id = qpr2.q_id
+                   JOIN lasg m ON m.cell = qpr2.cell
+                   JOIN n c ON c.vec_id = m.vec_id AND c.vec_id <> qpr2.q_id),
+      pot AS (SELECT q_id, c_id FROM (
+          SELECT q_id, c_id,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+          FROM poc) t WHERE rnk <= 5)"""
+
   /** The fit chain above, parameterized by source relation and CTE
     * prefix (the pqFitDuckChain convention) so s23 can regenerate the
     * SAME fit over the pre-ingest base slice (`nb`, prefix `b`)
@@ -2040,6 +2074,56 @@ object SimilarityQueries {
       .select(col("q_id"), col("c_id"))
   }
 
+  /** COMPACTION — the operator that EXECUTES s25's compact_for_garbage
+    * decision (r15/r16 verdict ask #2; until r17 the decision table
+    * only recommended). Materializes the live assignment — tombstones
+    * physically removed by the anti-join, fully-emptied cells gone by
+    * construction (no live row carries them) — as the new on-disk
+    * index state through [[PersistedAggregates.diskMemo]], i.e. the
+    * SAME supersede/retire lifecycle every other materialized index
+    * uses: a source regeneration retires the old compacted copy to
+    * shutdown cleanup while in-flight plans keep reading it, and the
+    * local copy is deleted at JVM exit. Serving over the compacted
+    * state needs NO anti-join — the garbage is gone, which is the
+    * entire point of compacting: the per-query cost stops paying for
+    * deleted vectors. `CompactionSpec` pins bit-equality of served
+    * results against the tombstone-anti-join path and the physical
+    * absence of tombstoned ids and emptied cells. */
+  private[graft] def compactedAssignment(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.diskMemo(s, "ivf_asg_compacted", dir) {
+      liveAssignment(ivfAssigned(s, dir), tombstones(vecs(s, dir)))
+    }
+
+  /** The serving assignment AFTER the s25 lifecycle step runs: when the
+    * decision table says compact, serve from the compacted
+    * materialization; otherwise serve the s24 way (anti-join at query
+    * time — tombstones must be unservable in either branch). The
+    * decision read is ONE row to the driver — a planning action (the
+    * Tables.scala:146 / BpeTrainer argmax class), not a data collect:
+    * it picks which physical state serves, exactly like a production
+    * store's compaction scheduler. */
+  private[graft] def servingAssignment(s: SparkSession, dir: String): DataFrame = {
+    val compact = refitDecision(s, dir)
+      .select(col("compact_for_garbage")).head.getBoolean(0)
+    if (compact) compactedAssignment(s, dir)
+    else liveAssignment(ivfAssigned(s, dir), tombstones(vecs(s, dir)))
+  }
+
+  /** s26: COMPACTED SERVING — the s07-shape serve over the
+    * post-lifecycle index state ([[servingAssignment]]). On the driver
+    * corpus s25's compact_for_garbage is TRUE (tombstone_frac = 1/7 ≥
+    * 1/8), so the engine path reads the compacted PARQUET state, while
+    * the twin serves over the tombstone anti-join — the driver's hash
+    * gate on this query IS the serving-equivalence proof for the
+    * compaction operator, at every SF. Output (q_id, c_id): exact
+    * top-5 per sample query, candidates from the probed cells only. */
+  private def compactedServing(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    serveOverAssignment(probeTopCells(e, ivfCentroids(s, dir), IngestProbes),
+        e, servingAssignment(s, dir))
+      .orderBy(col("q_id"), col("c_id"))
+  }
+
   /** s25 decision thresholds. FAISS folklore treats imbalance > ~1.5
     * as "re-train the coarse quantizer"; drift is the s23 delta of
     * mean assigned cosine (0.05 ≈ a 10% relative degradation on this
@@ -2683,18 +2767,8 @@ object SimilarityQueries {
     "s24_ann_delete" -> QueryDef((s, d) => annDeleteReport(s, d), Some(s"""$vecsDuckCte,
       $ivfAsgDuckCte,
       $tombDuckCte,
-      lasg AS (SELECT a.vec_id, a.cell FROM asg a
-               LEFT JOIN tmb t ON t.vec_id = a.vec_id WHERE t.vec_id IS NULL),
-      qsc2 AS (
-        SELECT n.vec_id, s_id,
-          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(generate_series(1, len(n.v)), i -> n.v[i] * sv[i])), (a, z) -> a + z)
-            / (n.nrm * sn) AS scos
-        FROM n, fitc WHERE n.vec_id % $QueryMod = 0),
-      qpr2 AS (SELECT vec_id AS q_id, s_id AS cell FROM (
-          SELECT vec_id, s_id,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY scos DESC, s_id) AS rn
-          FROM qsc2) t WHERE rn <= $IngestProbes),
+      $lasgDuckCte,
+      $liveServeDuckCtes,
       prec AS (SELECT qpr2.q_id, c.vec_id AS c_id, $cosDuck AS cos
                FROM qpr2 JOIN n q ON q.vec_id = qpr2.q_id
                     JOIN asg m ON m.cell = qpr2.cell
@@ -2707,14 +2781,6 @@ object SimilarityQueries {
                  CAST(SUM(CASE WHEN c_id % $DeleteMod = $DeleteRem THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_stale_served_pre
                FROM pret),
-      poc AS (SELECT qpr2.q_id, c.vec_id AS c_id, $cosDuck AS cos
-              FROM qpr2 JOIN n q ON q.vec_id = qpr2.q_id
-                   JOIN lasg m ON m.cell = qpr2.cell
-                   JOIN n c ON c.vec_id = m.vec_id AND c.vec_id <> qpr2.q_id),
-      pot AS (SELECT q_id, c_id FROM (
-          SELECT q_id, c_id,
-            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
-          FROM poc) t WHERE rnk <= 5),
       pos AS (SELECT COUNT(DISTINCT q_id) AS n_queries,
                 COUNT(*) AS n_results_post,
                 CAST(SUM(CASE WHEN c_id % $DeleteMod = $DeleteRem THEN 1 ELSE 0 END)
@@ -2787,5 +2853,13 @@ object SimilarityQueries {
         (tombstone_frac >= $GarbageTau OR n_cells_emptied > 0) AS compact_for_garbage,
         (drift > $DriftTau OR imbalance > $ImbalanceTau) AS refit_needed
       FROM r25m"""),
-      "index refit decision table: s18 imbalance + s23 ingest drift + s24 tombstone garbage joined into the schedule-a-refit/compaction booleans a production vector store acts on"))
+      "index refit decision table: s18 imbalance + s23 ingest drift + s24 tombstone garbage joined into the schedule-a-refit/compaction booleans a production vector store acts on"),
+
+    "s26_compacted_serving" -> QueryDef((s, d) => compactedServing(s, d), Some(s"""$vecsDuckCte,
+      $ivfAsgDuckCte,
+      $tombDuckCte,
+      $lasgDuckCte,
+      $liveServeDuckCtes
+      SELECT q_id, c_id FROM pot ORDER BY q_id, c_id"""),
+      "s07-shape serving over the COMPACTED index state (s25's compact decision executed: live assignment materialized, tombstones physically gone, emptied cells dropped) — hash-gated equal to the tombstone-anti-join serve path"))
 }
