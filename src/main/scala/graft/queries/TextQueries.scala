@@ -1695,6 +1695,89 @@ object TextQueries {
       .limit(BpeTopPairs)
   }
 
+  /** t35 merge budget: small enough that the DuckDB twin can UNROLL
+    * the fit (the LloydRounds discipline — one source of truth for
+    * the round count, the twin regenerates on a bump), large enough
+    * that several distinct merges land and fertility moves. */
+  private[graft] val BpeFitMerges = 8
+
+  /** t35: FITTED-TOKENIZER FERTILITY — the BPE layer exercised
+    * END-TO-END (r16 verdict ask #8): [[graft.operators.BpeTrainer]]
+    * fits [[BpeFitMerges]] merges on the corpus word-frequency table,
+    * the fitted vocabulary tokenizes the corpus through the
+    * production apply path ([[graft.operators.BpeTrainer.tokenize]] —
+    * the word→segmentation lookup join, vocabulary broadcast,
+    * plan-pinned in BpeTrainerSpec), and the report is per-source
+    * fertility (tokens/word) — the number a tokenizer is actually
+    * judged by, and the per-source comparison a mixture designer
+    * reads (sources whose text the vocabulary fits worse pay more
+    * sequence length per word).
+    *
+    * The DuckDB twin replays the ENTIRE fit — 8 unrolled rounds of
+    * pair-count → (count DESC, a, b) argmax → greedy fold — so the
+    * driver's hash gate pins the merge SEQUENCE and the fitted
+    * segmentations cross-engine, not just the final sums.
+    *
+    * Scale shape: the corpus is scanned twice total (word count,
+    * tokenize explode); every fit round is vocabulary-scale and
+    * map-side combinable; the fitted table is memoized per (session,
+    * dir) so re-invocations (bench iterations) reuse one fit; the
+    * tokenize join broadcasts the vocabulary (fits by construction —
+    * it is the distinct-word table with a few thousand distinct
+    * segmentations at analysis k; a production 100k-merge vocabulary
+    * is still ~MBs). */
+  private def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val vocab = PersistedAggregates.memo(s, "t35_bpe_vocab", dir) {
+      val words = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+      graft.operators.BpeTrainer.fit(words, BpeFitMerges)._2
+        .select(col("word"), col("syms"))
+    }
+    graft.operators.BpeTrainer.tokenize(docs(s, dir), "doc_id", "text", vocab)
+      .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("fertility",
+        round(col("n_tokens").cast(DoubleType) / col("n_words"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** The unrolled DuckDB twin of [[graft.operators.BpeTrainer.fit]]:
+    * round r computes pair counts over vocabulary state v(r-1)
+    * (corpus-weighted, every adjacent position), picks the (count
+    * DESC, a, b) argmax, and applies it as the SAME greedy
+    * left-to-right fold `applyMerge` runs (tail-fuse, list-valued
+    * list_reduce). LEFT JOIN ON TRUE keeps the vocabulary intact if
+    * the pair space exhausts (the fit loop's `exhausted` branch).
+    * Needs `w(word, wcount)`; ends in `v$k(word, wcount, syms)`. */
+  private def bpeFitDuckChain(k: Int): String = {
+    val v0 = """v0 AS (SELECT word, wcount,
+        list_transform(generate_series(1, length(word)),
+          i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
+      FROM w)"""
+    val rounds = (1 to k).map { r =>
+      s"""
+      p$r AS (SELECT a, b, SUM(wcount) AS cnt FROM (
+          SELECT wcount, syms[i] AS a, syms[i + 1] AS b
+          FROM v${r - 1}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+          WHERE len(syms) >= 2) px GROUP BY a, b),
+      m$r AS (SELECT a, b, a || b AS ab FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+      v$r AS (SELECT word, wcount,
+          CASE WHEN m.a IS NULL THEN syms ELSE
+            list_reduce(
+              list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+              (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = m.a AND x[1] = m.b
+                          THEN list_append(acc[1:len(acc) - 1], m.ab)
+                          ELSE list_concat(acc, x) END)
+          END AS syms
+        FROM v${r - 1} LEFT JOIN m$r m ON TRUE)"""
+    }.mkString(",")
+    s"$v0,$rounds"
+  }
+
   /** t33: ZIPF RANK-SLOPE FIT — the corpus-statistics health check a
     * curation pipeline runs per source/snapshot: natural language has
     * log-log rank-frequency slope ≈ −1 (Zipf), and a corpus that
@@ -2451,5 +2534,27 @@ object TextQueries {
         COUNT(DISTINCT word) AS n_words
       FROM p GROUP BY pair
       ORDER BY n_occurrences DESC, pair LIMIT $BpeTopPairs"""),
-      "BPE vocabulary-induction step 1: adjacent character-pair counts over the word-frequency table (corpus-weighted, every position), top merge candidates"))
+      "BPE vocabulary-induction step 1: adjacent character-pair counts over the word-frequency table (corpus-weighted, every position), top merge candidates"),
+
+    "t35_bpe_fertility" -> QueryDef(bpeFertility, Some(s"""
+      WITH w AS (
+        SELECT word, COUNT(*) AS wcount
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word),
+      ${bpeFitDuckChain(BpeFitMerges)},
+      tw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+      tk AS (SELECT tw.doc_id,
+               COUNT(*) AS n_words,
+               SUM(COALESCE(len(v$BpeFitMerges.syms), length(tw.word)))
+                 AS n_tokens
+             FROM tw LEFT JOIN v$BpeFitMerges ON v$BpeFitMerges.word = tw.word
+             GROUP BY tw.doc_id)
+      SELECT d.source, COUNT(*) AS n_docs,
+        CAST(SUM(n_words) AS BIGINT) AS n_words,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        ROUND(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words), 6) AS fertility
+      FROM tk JOIN documents d ON d.doc_id = tk.doc_id
+      GROUP BY d.source ORDER BY d.source"""),
+      "fitted-tokenizer fertility per source: BpeTrainer fit (8 merges, twin replays the full argmax/fold sequence) + the vocabulary-lookup tokenize path, tokens/word by source"))
 }

@@ -156,4 +156,25 @@ class BpeTrainerSpec extends graft.streaming.SparkTestBase {
       assert(top.getAs[Long]("n_occurrences") == gotMerges.head.count)
     } finally vocabDf.unpersist()
   }
+
+  test("tokenize plans a BROADCAST hash join on the vocabulary side") {
+    // The production apply path's scale contract: the corpus word
+    // stream must never shuffle on `word` to meet the vocabulary —
+    // the vocabulary (distinct words, ~MBs even at production merge
+    // counts) broadcasts, and the per-doc rollup is the only
+    // corpus-scale exchange. t35 rides this join at every SF.
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+    val (_, vocab) = BpeTrainer.fit(words, 2)
+    try {
+      val qe = BpeTrainer.tokenize(docs, "doc_id", "text", vocab).queryExecution
+      val text = graft.PlanTestUtils.formatted(qe)
+      assert(text.contains("BroadcastHashJoin"),
+        s"tokenize's vocabulary join is not a broadcast:\n$text")
+      assert(!text.contains("SortMergeJoin"),
+        "tokenize shuffles the corpus word stream to meet the vocabulary")
+    } finally vocab.unpersist()
+  }
 }
