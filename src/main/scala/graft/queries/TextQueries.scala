@@ -711,7 +711,24 @@ object TextQueries {
     * inner-joins vv identically, so the exclusion is cross-engine
     * consistent and deliberate: scoring against an untrained LM would
     * bucket by the smoothing floor alone, i.e. by noise. Buckets:
-    * "head" = highest avg log-prob = lowest perplexity = most LM-like. */
+    * "head" = highest avg log-prob = lowest perplexity = most LM-like.
+    *
+    * STEADY-STATE COST, adjudicated (r17, the s12/s13 rule): t18 is
+    * the registry's slowest query (1.76 s clean at sf0.1, stable three
+    * rounds), and the floor is SCHEDULER, not data. Measured
+    * ([[T18Probe]] + tools/JobCountProbe, warm session, sf0.1): the
+    * memos serve (a memo-miss guard throws — it doesn't), a bare count
+    * of the cached perDoc frame costs ~0.19 s (one job's floor), the
+    * full warm query runs 12 AQE jobs over a 5000-row post-memo frame
+    * — bounds aggregate, range-tag exchange + row_number window,
+    * offsets aggregate + broadcast, final two-level rollup — at
+    * ~150 ms/job of scheduler/broadcast latency (t16's simpler chain:
+    * 11 jobs, ~45 ms/job). Every one of those jobs exists FOR scale:
+    * the hierarchical ntile replaces a per-language single-task sort
+    * that would be the actual bottleneck at 100 TB, where the same 12
+    * jobs amortize over billions of perDoc rows. Collapsing jobs to
+    * win ~1 s at sf0.1 would mean retiring PrefixSum for a plain
+    * window — the wrong trade; the plan stands. */
   private def lmQualityFilter(s: SparkSession, dir: String): DataFrame = {
     // Head stratum from the SAME hierarchical tercile frame t16
     // aggregates (r14: one memoized scored projection + one
