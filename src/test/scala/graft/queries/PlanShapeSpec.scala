@@ -1009,4 +1009,35 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     assert(docScans == 1,
       s"expected 1 documents scan (pair counting is vocabulary-scale), got $docScans")
   }
+
+  test("d23 manifest: the merge layer is a struct-argmin aggregate, window-free") {
+    // The d15 merge discipline carried to the arrival layer: the
+    // priority pick is min(struct(priority, …)) — map-side combinable
+    // — and the manifest composition itself adds NO window on top of
+    // the family subtrees (the only windows in the whole plan are the
+    // s23/s24 serving probes' per-query bounded frames).
+    val qe = queries("d23_arrival_manifest")(spark, sf).queryExecution
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "the manifest merge grew an unpartitioned window")
+    windows.foreach { w =>
+      assert(w.partitionSpec.exists(_.toString.contains("vec_id")),
+        s"a manifest window is not a per-vector ANN frame: ${w.partitionSpec}")
+    }
+    assert(PlanTestUtils.formatted(qe).contains("min(struct("),
+      "the document priority merge is not the struct-argmin aggregate")
+  }
+
+  test("s26 compacted serving: scan-rooted on the materialized state, no anti-join") {
+    // The point of compacting: the tombstone anti-join ran ONCE at
+    // materialization. The serving plan must read the compacted
+    // parquet and contain no LeftAnti — if one reappears, serving
+    // went back to paying for deleted vectors per query.
+    val df = queries("s26_compacted_serving")(spark, sf)
+    val text = PlanTestUtils.formatted(df.queryExecution)
+    assert(!text.contains("LeftAnti"),
+      "s26 serving re-plans the tombstone anti-join per query")
+    assert(df.inputFiles.exists(_.contains("graft_memo/ivf_asg_compacted")),
+      "s26 does not read the compacted materialization")
+  }
 }
