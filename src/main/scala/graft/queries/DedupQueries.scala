@@ -500,8 +500,15 @@ object DedupQueries {
     * planted duplicates are near-dups — full-text md5 would never
     * fire; a production pipeline picks the key per dedup policy). */
   private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"),
-      md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16))).as("digest"))
+    // The SAME (doc_id, digest) projection d11 memoizes — and since
+    // r17 a third/fourth consumer exists (d23 composes d09, and d23's
+    // own run re-invokes this), so the md5-over-text corpus pass runs
+    // once per session instead of once per consumer (the a36/a18
+    // shared-frame rule; key kept as d11's).
+    val d = PersistedAggregates.memo(s, "d11_digests", dir) {
+      docs(s, dir).select(col("doc_id"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16))).as("digest"))
+    }
     val idx = d.filter(col("doc_id") % 10 =!= 0)
       .groupBy(col("digest")).agg(min(col("doc_id")).as("index_doc"))
     d.filter(col("doc_id") % 10 === 0)
