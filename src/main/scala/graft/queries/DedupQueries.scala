@@ -724,8 +724,62 @@ object DedupQueries {
     * merge pattern, never a window. `ArrivalManifestSpec` pins that
     * the manifest's rows partition each family's routing rows exactly. */
   private def arrivalManifest(s: SparkSession, dir: String): DataFrame = {
-    val ex = incrementalDedup(s, dir)
-    val lsh = incrementalLsh(s, dir)
+    val tomb = SimilarityQueries.tombstones(SimilarityQueries.vecs(s, dir))
+    probeArrivalManifest(s, dir,
+      docs(s, dir).filter(col("doc_id") % 10 === 0),
+      graft.multimodal.MediaPipeline.load(s, dir)
+        .filter(col("media_id") % 10 === 0),
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") % SimilarityQueries.IngestMod === 0),
+      deleteIds = tomb, tombstoneState = tomb,
+      memo = true)
+  }
+
+  /** The d09 probe path over an ARBITRARY arrival slice (doc_id, text,
+    * …) — the digest-index analog of [[probeLshIndex]]'s seam: each
+    * arrival doc's 16-word-prefix digest is computed from the slice's
+    * own text and probed against the FIXED base digest index, so
+    * per-doc verdicts depend only on the slice row and the index —
+    * any partition of the arrival set probed batch-by-batch unions to
+    * the one-shot result (batch≡streaming, the a39 property). */
+  private[graft] def probeDigestIndex(s: SparkSession, dir: String,
+      ingestDocs: DataFrame): DataFrame = {
+    def digest(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16))).as("digest"))
+    val idx = PersistedAggregates.memo(s, "d11_digests", dir) {
+      digest(docs(s, dir))
+    }.filter(col("doc_id") % 10 =!= 0)
+      .groupBy(col("digest")).agg(min(col("doc_id")).as("index_doc"))
+    digest(ingestDocs)
+      .join(idx, Seq("digest"), "left")
+      .select(col("doc_id"), col("digest"),
+        col("index_doc").isNotNull.as("is_dup"),
+        coalesce(col("index_doc"), lit(-1L)).as("index_doc"))
+  }
+
+  /** The d23 composition over ARBITRARY arrival slices — the seam
+    * `StreamingArrivalManifestSpec` drives per micro-batch: arriving
+    * documents, media records, and vectors probe their FIXED
+    * materialized indexes ([[probeDigestIndex]], [[probeLshIndex]],
+    * `probeFrameIndex`, the s23 no-refit assignment), so every
+    * manifest row depends only on its own arrival row and index state
+    * — any partition of the arrivals probed batch-by-batch unions to
+    * the one-shot manifest. Deletes are TWO distinct roles that the
+    * one-shot query happens to feed with one frame: `deleteIds` is
+    * this batch's delete ARRIVALS (each emits one index_delete row —
+    * batch them like any arrival stream), while `tombstoneState` is
+    * the store's FULL tombstone set at manifest time (index state,
+    * held fixed across batches — it suppresses index_add rows, and
+    * holding it fixed is what makes the delete-wins precedence
+    * batch-invariant: an add suppressed by a tombstone is suppressed
+    * in every batching, never double-emitted). */
+  private[graft] def probeArrivalManifest(s: SparkSession, dir: String,
+      ingestDocs: DataFrame,
+      ingestMedia: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord],
+      ingestEmb: DataFrame, deleteIds: DataFrame, tombstoneState: DataFrame,
+      memo: Boolean): DataFrame = {
+    val ex = probeDigestIndex(s, dir, ingestDocs)
+    val lsh = probeLshIndex(s, dir, ingestDocs, memo)
     val exSig = ex.filter(col("is_dup"))
       .select(col("doc_id").as("item_id"), lit(1).as("priority"),
         lit("exact_dup").as("reason"), col("index_doc").as("keeper"))
@@ -746,21 +800,22 @@ object DedupQueries {
         coalesce(col("m.reason"), lit("novel")).as("reason"),
         coalesce(col("m.keeper"), lit(-1L)).as("keeper_id"),
         col("n_signals"), lit(-1L).as("cell"))
-    val media = MultimodalQueries.incrementalFrameDedup(s, dir)
+    val media = MultimodalQueries.probeFrameIndex(s, dir, ingestMedia)
       .select(lit("media").as("item_type"), col("media_id").as("item_id"),
         when(col("is_dup"), lit("drop")).otherwise(lit("keep")).as("verdict"),
         when(col("is_dup"), lit("video_frame_overlap"))
           .otherwise(lit("novel")).as("reason"),
         when(col("is_dup"), col("index_media")).otherwise(lit(-1L)).as("keeper_id"),
         col("n_frames_in_index").as("n_signals"), lit(-1L).as("cell"))
-    val e = SimilarityQueries.vecs(s, dir)
-    val (_, _, iasg, _) = SimilarityQueries.ingestAssignments(s, dir)
-    val tomb = SimilarityQueries.tombstones(e)
-    val dels = tomb.join(SimilarityQueries.ivfAssigned(s, dir), "vec_id")
+    val iasg = SimilarityQueries.assignCells(
+      SimilarityQueries.vecsOf(s, ingestEmb),
+      SimilarityQueries.ingestBaseCentroids(s, dir))
+    val dels = deleteIds.select(col("vec_id"))
+      .join(SimilarityQueries.ivfAssigned(s, dir), "vec_id")
       .select(lit("embedding").as("item_type"), col("vec_id").as("item_id"),
         lit("index_delete").as("verdict"), lit("tombstone").as("reason"),
         lit(-1L).as("keeper_id"), lit(1L).as("n_signals"), col("cell"))
-    val adds = iasg.join(tomb, Seq("vec_id"), "left_anti")
+    val adds = iasg.join(tombstoneState.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .select(lit("embedding").as("item_type"), col("vec_id").as("item_id"),
         lit("index_add").as("verdict"), lit("cell_assign").as("reason"),
         lit(-1L).as("keeper_id"), lit(1L).as("n_signals"), col("cell"))

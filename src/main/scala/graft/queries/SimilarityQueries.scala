@@ -2130,6 +2130,97 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("c_id"))
   }
 
+  /** The LIVE population — every vector minus the s24 tombstone slice:
+    * what a refit must fit to (refitting to deleted vectors would bake
+    * garbage into the new centroids). */
+  private[graft] def liveVecs(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    e.join(tombstones(e), Seq("vec_id"), "left_anti")
+  }
+
+  /** REFIT EXECUTION — the lifecycle's last verb (s25 says
+    * refit_needed = TRUE on this corpus at every SF via the imbalance
+    * trigger; until r17 nothing executed it). New centroids are FITTED
+    * over the live population with the same deterministic integerized
+    * Lloyd as the original index, the live vectors are re-assigned,
+    * and both land as new diskMemo state — the supersede/retire
+    * lifecycle the compacted assignment (s26) already rides. The old
+    * state stays readable for in-flight plans; serving switches by
+    * reading the refit keys. */
+  private[graft] def refitState(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cent = PersistedAggregates.diskMemo(s, "ivf_centroids_refit", dir) {
+      fitCentroids(liveVecs(s, dir))
+    }
+    val asg = PersistedAggregates.diskMemo(s, "ivf_asg_refit", dir) {
+      assignCells(liveVecs(s, dir), cent)
+    }
+    (cent, asg)
+  }
+
+  /** The (centroids, assignment) pair serving AFTER the refit decision
+    * runs: refit state when s25 says refit_needed, else the current
+    * fit with the post-compaction assignment. One-row decision memo —
+    * the s26 once-per-epoch discipline. */
+  private[graft] def maybeRefitState(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val refit = PersistedAggregates.memo(s, "s27_decision", dir) {
+      refitDecision(s, dir).select(col("refit_needed"))
+    }.head.getBoolean(0)
+    if (refit) refitState(s, dir)
+    else (ivfCentroids(s, dir), servingAssignment(s, dir))
+  }
+
+  /** s27: the refit execution REPORT — population and cell counts,
+    * the s18 health metric (exact integer sums, end division) and the
+    * FAISS imbalance factor before vs after, and the improvement
+    * booleans a lifecycle audit reads. "Before" is the live
+    * population under the OLD fit (the tombstone-anti-join relation
+    * s24/s26 serve); "after" is the same population under the NEW
+    * fit, so the comparison isolates what the refit changed. Both
+    * health sums run over the same n, so `health_improved` is an
+    * exact integer comparison (no float threshold parity risk).
+    *
+    * The twin replays the refit — [[ivfFitDuckChainFor]] over the
+    * live slice — so the driver's hash gate pins the refit
+    * centroids, assignment, and both improvement booleans
+    * cross-engine. Like s26, the engine branches on the decision and
+    * the twin encodes the decision-fires path; `RefitExecutionSpec`
+    * pins that the decision actually fires on the fixture (if a
+    * future corpus flips it, the gate goes loudly red instead of
+    * silently testing the no-op branch). */
+  private def refitExecution(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val tomb = tombstones(e)
+    val oldCent = ivfCentroids(s, dir)
+    val oldLive = liveAssignment(ivfAssigned(s, dir), tomb)
+    val (newCent, newAsg) = maybeRefitState(s, dir)
+    val oh = assignedCosHealth(e, oldLive, oldCent)
+      .select(col("n").as("n_live"), col("sum_u").as("sum_cos_old_u"))
+    val nh = assignedCosHealth(e, newAsg, newCent)
+      .select(col("n").as("n_new"), col("sum_u").as("sum_cos_new_u"))
+    def imb(a: DataFrame, out: String): DataFrame =
+      a.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+        .agg((max(col("c")) * count(lit(1))).cast(DoubleType)
+          .divide(sum(col("c"))).as(out))
+    def nc(a: DataFrame, out: String): DataFrame =
+      a.agg(countDistinct(col("cell")).as(out))
+    tomb.agg(count(lit(1)).as("n_deleted"))
+      .crossJoin(broadcast(oh)).crossJoin(broadcast(nh))
+      .crossJoin(broadcast(nc(oldLive, "n_cells_old")))
+      .crossJoin(broadcast(nc(newAsg, "n_cells_new")))
+      .crossJoin(broadcast(imb(oldLive, "imbalance_old")))
+      .crossJoin(broadcast(imb(newAsg, "imbalance_new")))
+      .select(col("n_deleted"), col("n_live"),
+        col("n_cells_old"), col("n_cells_new"),
+        col("imbalance_old"), col("imbalance_new"),
+        col("sum_cos_old_u"), col("sum_cos_new_u"),
+        (col("sum_cos_old_u").cast(DoubleType) / col("n_live") / lit(1048576.0))
+          .as("mean_cos_old"),
+        (col("sum_cos_new_u").cast(DoubleType) / col("n_new") / lit(1048576.0))
+          .as("mean_cos_new"),
+        (col("sum_cos_new_u") >= col("sum_cos_old_u")).as("health_improved"),
+        (col("imbalance_new") <= col("imbalance_old")).as("imbalance_improved"))
+  }
+
   /** s25 decision thresholds. FAISS folklore treats imbalance > ~1.5
     * as "re-train the coarse quantizer"; drift is the s23 delta of
     * mean assigned cosine (0.05 ≈ a 10% relative degradation on this
@@ -2867,5 +2958,36 @@ object SimilarityQueries {
       $lasgDuckCte,
       $liveServeDuckCtes
       SELECT q_id, c_id FROM pot ORDER BY q_id, c_id"""),
-      "s07-shape serving over the COMPACTED index state (s25's compact decision executed: live assignment materialized, tombstones physically gone, emptied cells dropped) — hash-gated equal to the tombstone-anti-join serve path"))
+      "s07-shape serving over the COMPACTED index state (s25's compact decision executed: live assignment materialized, tombstones physically gone, emptied cells dropped) — hash-gated equal to the tombstone-anti-join serve path"),
+
+    "s27_refit_execution" -> QueryDef((s, d) => refitExecution(s, d), Some(s"""$vecsDuckCte,
+      $ivfAsgDuckCte,
+      $tombDuckCte,
+      $lasgDuckCte,
+      nl AS (SELECT n.vec_id, n.label, n.v, n.nrm FROM n
+             LEFT JOIN tmb t ON t.vec_id = n.vec_id WHERE t.vec_id IS NULL),
+      ${ivfFitDuckChainFor("nl", "r")},
+      s27oh AS (SELECT COUNT(*) AS n_live,
+                  CAST(SUM(CAST(floor(scos * $IvfScaleSql + 0.5) AS BIGINT)) AS BIGINT)
+                    AS sum_cos_old_u
+                FROM lasg a JOIN sc s ON s.vec_id = a.vec_id AND s.s_id = a.cell),
+      s27nh AS (SELECT COUNT(*) AS n_new,
+                  CAST(SUM(CAST(floor(scos * $IvfScaleSql + 0.5) AS BIGINT)) AS BIGINT)
+                    AS sum_cos_new_u
+                FROM rasg a JOIN rsc s ON s.vec_id = a.vec_id AND s.s_id = a.cell),
+      s27oc AS (SELECT COUNT(DISTINCT cell) AS n_cells_old FROM lasg),
+      s27nc AS (SELECT COUNT(DISTINCT cell) AS n_cells_new FROM rasg),
+      s27oi AS (SELECT CAST(MAX(c) * COUNT(*) AS DOUBLE) / SUM(c) AS imbalance_old
+                FROM (SELECT cell, COUNT(*) AS c FROM lasg GROUP BY cell)),
+      s27ni AS (SELECT CAST(MAX(c) * COUNT(*) AS DOUBLE) / SUM(c) AS imbalance_new
+                FROM (SELECT cell, COUNT(*) AS c FROM rasg GROUP BY cell)),
+      s27dt AS (SELECT COUNT(*) AS n_deleted FROM tmb)
+      SELECT n_deleted, n_live, n_cells_old, n_cells_new,
+        imbalance_old, imbalance_new, sum_cos_old_u, sum_cos_new_u,
+        CAST(sum_cos_old_u AS DOUBLE) / n_live / $IvfScaleSql AS mean_cos_old,
+        CAST(sum_cos_new_u AS DOUBLE) / n_new / $IvfScaleSql AS mean_cos_new,
+        (sum_cos_new_u >= sum_cos_old_u) AS health_improved,
+        (imbalance_new <= imbalance_old) AS imbalance_improved
+      FROM s27dt, s27oh, s27nh, s27oc, s27nc, s27oi, s27ni"""),
+      "refit EXECUTED: new centroids fitted over the live population (same deterministic Lloyd, twin replays it), live set re-assigned, s18 health + imbalance before/after with exact-integer improvement booleans"))
 }
