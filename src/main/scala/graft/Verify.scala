@@ -1,15 +1,30 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{StructField, TimestampType}
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
 
+  /** The portable twin of a dump type: every session-zoned timestamp
+    * — at any nesting depth (struct field, array element, map
+    * key/value) — becomes `timestamp_ntz`; everything else passes
+    * through. Recursion matters: a top-level-only rewrite would let a
+    * future struct/array-of-timestamp column silently reintroduce the
+    * tz-aware-vs-naive oracle mismatch this fix exists to kill. */
+  private def portableType(dt: DataType): DataType = dt match {
+    case TimestampType => TimestampNTZType
+    case StructType(fields) => StructType(fields.map(f =>
+      f.copy(dataType = portableType(f.dataType))))
+    case ArrayType(et, n) => ArrayType(portableType(et), n)
+    case MapType(kt, vt, n) => MapType(portableType(kt), portableType(vt), n)
+    case other => other
+  }
+
   /** Normalize a result frame to the PORTABLE dump encoding: every
-    * top-level session-zoned timestamp column → `timestamp_ntz`, so
-    * the parquet carries INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false).
+    * session-zoned timestamp (top-level or nested) → `timestamp_ntz`,
+    * so the parquet carries INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false).
     * Two reader hazards die here (r16, the a40 red row):
     *  - INT96 (Spark's historical default for TimestampType) wraps
     *    out-of-ns-range values under pyarrow/pandas — the 9999-12-31
@@ -24,8 +39,9 @@ object Verify {
     * footer physical type + sentinel round-trip. */
   def dumpPortable(df: DataFrame): DataFrame =
     df.schema.fields.collect {
-      case StructField(n, TimestampType, _, _) => n
-    }.foldLeft(df)((d, n) => d.withColumn(n, col(n).cast("timestamp_ntz")))
+      case f if portableType(f.dataType) != f.dataType =>
+        f.name -> portableType(f.dataType)
+    }.foldLeft(df) { case (d, (n, t)) => d.withColumn(n, col(n).cast(t)) }
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional trailing name prefixes: dump only matching queries (local

@@ -102,16 +102,21 @@ object BpeTrainer {
     * trainer has not refit over) fall back to character count — the
     * worst-case segmentation, never a drop.
     *
-    * Returns (doc id, n_words, n_tokens): `n_tokens / n_words` is the
-    * FERTILITY a tokenizer is judged by, monotone non-increasing in
-    * the merge count (each merge can only shorten segmentations —
-    * spec-pinned). */
+    * Returns (doc id, carry…, n_words, n_tokens): `n_tokens / n_words`
+    * is the FERTILITY a tokenizer is judged by, monotone
+    * non-increasing in the merge count (each merge can only shorten
+    * segmentations — spec-pinned). `carryCols` are doc-grain columns
+    * (source, lang, …) to ride through the explode and land on the
+    * output — the caller would otherwise re-scan the corpus just to
+    * join them back onto the per-doc rollup (r17 review: t35 paid a
+    * third full documents pass for `source`). */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
-      vocab: DataFrame): DataFrame = {
-    val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      vocab: DataFrame, carryCols: Seq[String] = Nil): DataFrame = {
+    val keys = (idCol +: carryCols).map(col)
+    val words = docs.select(keys :+ explode(split(col(textCol), " ")).as("word"): _*)
     words
       .join(vocab.select(col("word"), size(col("syms")).as("n_syms")), Seq("word"), "left")
-      .groupBy(col(idCol))
+      .groupBy(keys: _*)
       .agg(count(lit(1)).as("n_words"),
         sum(coalesce(col("n_syms").cast("long"), length(col("word")).cast("long")))
           .as("n_tokens"))

@@ -717,12 +717,16 @@ object DedupQueries {
     *
     * Scale shape: every branch is a family query already audited for
     * 100 TB (d09's digest index, d22's materialized band index, m14's
-    * frame-digest index, s23/s24's fitted-centroid broadcasts); the
-    * composition adds one union + per-item argmin over DROP SIGNALS
-    * (a fraction of the arrival slice, itself a fraction of the
-    * corpus) and one aggregated signal count per arrival — the d15
-    * merge pattern, never a window. `ArrivalManifestSpec` pins that
-    * the manifest's rows partition each family's routing rows exactly. */
+    * frame-digest index, s23/s24's fitted-centroid broadcasts); both
+    * document relations are TOTAL over the arrival slice, so the
+    * two-priority merge is ONE arrival-scale equi-join + a when-chain
+    * — each family pipeline evaluates exactly once per invocation
+    * (d15's union+struct-argmin generalizes to N families of sparse
+    * signals; with two total relations the join IS the argmin), and
+    * no window anywhere in the composition. `ArrivalManifestSpec`
+    * pins that the manifest's rows partition each family's routing
+    * rows exactly; `StreamingArrivalManifestSpec` pins
+    * batch-invariance through the seam. */
   private def arrivalManifest(s: SparkSession, dir: String): DataFrame = {
     val tomb = SimilarityQueries.tombstones(SimilarityQueries.vecs(s, dir))
     probeArrivalManifest(s, dir,
@@ -778,43 +782,62 @@ object DedupQueries {
       ingestMedia: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord],
       ingestEmb: DataFrame, deleteIds: DataFrame, tombstoneState: DataFrame,
       memo: Boolean): DataFrame = {
+    // Both family relations are TOTAL over the arrival slice (one row
+    // per doc each), so the two-priority merge is ONE equi-join + a
+    // when-chain — each family pipeline evaluates exactly once per
+    // batch (r17 review: the union+argmin formulation consumed each
+    // un-memoized probe frame twice, re-running the full digest and
+    // LSH chains per micro-batch). Exact wins over near-dup; signal
+    // count is the exact hit plus verified candidates.
     val ex = probeDigestIndex(s, dir, ingestDocs)
+      .select(col("doc_id"), col("is_dup"), col("index_doc").as("ex_keeper"))
     val lsh = probeLshIndex(s, dir, ingestDocs, memo)
-    val exSig = ex.filter(col("is_dup"))
-      .select(col("doc_id").as("item_id"), lit(1).as("priority"),
-        lit("exact_dup").as("reason"), col("index_doc").as("keeper"))
-    val lshSig = lsh.filter(col("is_neardup"))
-      .select(col("doc_id").as("item_id"), lit(2).as("priority"),
-        lit("lexical_neardup").as("reason"), col("index_doc").as("keeper"))
-    val docPick = exSig.unionByName(lshSig)
-      .groupBy(col("item_id"))
-      .agg(min(struct(col("priority"), col("reason"), col("keeper"))).as("m"))
-    val docSignals = ex
-      .select(col("doc_id"), col("is_dup").cast(LongType).as("sg"))
-      .unionByName(lsh.select(col("doc_id"), col("n_verified").as("sg")))
-      .groupBy(col("doc_id")).agg(sum(col("sg")).as("n_signals"))
-    val docRows = docSignals
-      .join(docPick, docSignals("doc_id") === docPick("item_id"), "left")
+      .select(col("doc_id"), col("is_neardup"),
+        col("index_doc").as("lsh_keeper"), col("n_verified"))
+    val docRows = ex.join(lsh, "doc_id")
       .select(lit("document").as("item_type"), col("doc_id").as("item_id"),
-        when(col("m").isNotNull, lit("drop")).otherwise(lit("keep")).as("verdict"),
-        coalesce(col("m.reason"), lit("novel")).as("reason"),
-        coalesce(col("m.keeper"), lit(-1L)).as("keeper_id"),
-        col("n_signals"), lit(-1L).as("cell"))
-    val media = MultimodalQueries.probeFrameIndex(s, dir, ingestMedia)
-      .select(lit("media").as("item_type"), col("media_id").as("item_id"),
-        when(col("is_dup"), lit("drop")).otherwise(lit("keep")).as("verdict"),
-        when(col("is_dup"), lit("video_frame_overlap"))
+        when(col("is_dup") || col("is_neardup"), lit("drop"))
+          .otherwise(lit("keep")).as("verdict"),
+        when(col("is_dup"), lit("exact_dup"))
+          .when(col("is_neardup"), lit("lexical_neardup"))
           .otherwise(lit("novel")).as("reason"),
-        when(col("is_dup"), col("index_media")).otherwise(lit(-1L)).as("keeper_id"),
-        col("n_frames_in_index").as("n_signals"), lit(-1L).as("cell"))
+        when(col("is_dup"), col("ex_keeper"))
+          .when(col("is_neardup"), col("lsh_keeper"))
+          .otherwise(lit(-1L)).as("keeper_id"),
+        (col("is_dup").cast(LongType) + col("n_verified")).as("n_signals"),
+        lit(-1L).as("cell"))
+    // Totality at the seam (r17 review): an arrival VIDEO whose
+    // sampling yields zero frames (empty payload) still gets its row
+    // (keep/novel, zero signals) instead of vanishing from the
+    // per-frame rollup. The id leg filters to the frame-dedup family's
+    // domain with the SAME predicate sampleFrames applies (kind ==
+    // video) — other modalities route through their own families
+    // (m07 audio, m08 image), not the frame manifest.
+    val media = ingestMedia
+      .filter((m: graft.multimodal.MediaRecord) => m.kind == "video")
+      .toDF().select(col("media_id"))
+      .join(MultimodalQueries.probeFrameIndex(s, dir, ingestMedia), Seq("media_id"), "left")
+      .select(lit("media").as("item_type"), col("media_id").as("item_id"),
+        when(coalesce(col("is_dup"), lit(false)), lit("drop"))
+          .otherwise(lit("keep")).as("verdict"),
+        when(coalesce(col("is_dup"), lit(false)), lit("video_frame_overlap"))
+          .otherwise(lit("novel")).as("reason"),
+        when(coalesce(col("is_dup"), lit(false)), col("index_media"))
+          .otherwise(lit(-1L)).as("keeper_id"),
+        coalesce(col("n_frames_in_index"), lit(0L)).as("n_signals"),
+        lit(-1L).as("cell"))
     val iasg = SimilarityQueries.assignCells(
       SimilarityQueries.vecsOf(s, ingestEmb),
       SimilarityQueries.ingestBaseCentroids(s, dir))
+    // Totality: a delete request for a never-indexed vec_id still gets
+    // its index_delete row, with cell -1 (nothing to vacate) — an
+    // inner join would silently drop the arrival.
     val dels = deleteIds.select(col("vec_id"))
-      .join(SimilarityQueries.ivfAssigned(s, dir), "vec_id")
+      .join(SimilarityQueries.ivfAssigned(s, dir), Seq("vec_id"), "left")
       .select(lit("embedding").as("item_type"), col("vec_id").as("item_id"),
         lit("index_delete").as("verdict"), lit("tombstone").as("reason"),
-        lit(-1L).as("keeper_id"), lit(1L).as("n_signals"), col("cell"))
+        lit(-1L).as("keeper_id"), lit(1L).as("n_signals"),
+        coalesce(col("cell"), lit(-1L)).as("cell"))
     val adds = iasg.join(tombstoneState.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .select(lit("embedding").as("item_type"), col("vec_id").as("item_id"),
         lit("index_add").as("verdict"), lit("cell_assign").as("reason"),
@@ -1939,44 +1962,37 @@ object DedupQueries {
       ${SimilarityQueries.ivfAsgDuckCte},
       ${SimilarityQueries.ingestAsgDuckCtes},
       ${SimilarityQueries.tombDuckCte},
-      d23sig AS (
-        SELECT doc_id AS item_id, 1 AS priority, 'exact_dup' AS reason,
-               index_doc AS keeper
-        FROM d09v WHERE is_dup
-        UNION ALL
-        SELECT doc_id AS item_id, 2 AS priority, 'lexical_neardup' AS reason,
-               index_doc AS keeper
-        FROM d22v WHERE is_neardup),
-      d23pick AS (SELECT item_id, MIN(priority) AS pr
-                  FROM d23sig GROUP BY item_id),
-      d23win AS (SELECT p.item_id, s.reason, s.keeper
-                 FROM d23pick p JOIN d23sig s
-                   ON s.item_id = p.item_id AND s.priority = p.pr),
-      d23n AS (SELECT item_id, CAST(SUM(sg) AS BIGINT) AS n_signals FROM (
-                 SELECT doc_id AS item_id,
-                        CASE WHEN is_dup THEN 1 ELSE 0 END AS sg FROM d09v
-                 UNION ALL SELECT doc_id, n_verified FROM d22v) u
-               GROUP BY item_id),
       d23doc AS (
-        SELECT 'document' AS item_type, n.item_id,
-          CASE WHEN w.item_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
-          COALESCE(w.reason, 'novel') AS reason,
-          COALESCE(w.keeper, -1) AS keeper_id,
-          n.n_signals, CAST(-1 AS BIGINT) AS cell
-        FROM d23n n LEFT JOIN d23win w ON w.item_id = n.item_id),
+        SELECT 'document' AS item_type, x.doc_id AS item_id,
+          CASE WHEN x.is_dup OR l.is_neardup THEN 'drop' ELSE 'keep' END AS verdict,
+          CASE WHEN x.is_dup THEN 'exact_dup'
+               WHEN l.is_neardup THEN 'lexical_neardup'
+               ELSE 'novel' END AS reason,
+          CASE WHEN x.is_dup THEN x.index_doc
+               WHEN l.is_neardup THEN l.index_doc
+               ELSE -1 END AS keeper_id,
+          CAST((CASE WHEN x.is_dup THEN 1 ELSE 0 END) + l.n_verified AS BIGINT)
+            AS n_signals,
+          CAST(-1 AS BIGINT) AS cell
+        FROM d09v x JOIN d22v l ON l.doc_id = x.doc_id),
+      d23mi AS (SELECT doc_id AS media_id FROM documents
+                WHERE doc_id % 3 = 2 AND doc_id % 10 = 0),
       d23med AS (
-        SELECT 'media' AS item_type, media_id AS item_id,
-          CASE WHEN is_dup THEN 'drop' ELSE 'keep' END AS verdict,
-          CASE WHEN is_dup THEN 'video_frame_overlap' ELSE 'novel' END AS reason,
-          CASE WHEN is_dup THEN index_media ELSE -1 END AS keeper_id,
-          n_frames_in_index AS n_signals, CAST(-1 AS BIGINT) AS cell
-        FROM m14v),
+        SELECT 'media' AS item_type, i.media_id AS item_id,
+          CASE WHEN COALESCE(v.is_dup, FALSE) THEN 'drop' ELSE 'keep' END AS verdict,
+          CASE WHEN COALESCE(v.is_dup, FALSE) THEN 'video_frame_overlap'
+               ELSE 'novel' END AS reason,
+          CASE WHEN COALESCE(v.is_dup, FALSE) THEN v.index_media
+               ELSE -1 END AS keeper_id,
+          COALESCE(v.n_frames_in_index, 0) AS n_signals,
+          CAST(-1 AS BIGINT) AS cell
+        FROM d23mi i LEFT JOIN m14v v ON v.media_id = i.media_id),
       d23del AS (
         SELECT 'embedding' AS item_type, t.vec_id AS item_id,
           'index_delete' AS verdict, 'tombstone' AS reason,
           CAST(-1 AS BIGINT) AS keeper_id, CAST(1 AS BIGINT) AS n_signals,
-          a.cell
-        FROM tmb t JOIN asg a ON a.vec_id = t.vec_id),
+          COALESCE(a.cell, -1) AS cell
+        FROM tmb t LEFT JOIN asg a ON a.vec_id = t.vec_id),
       d23add AS (
         SELECT 'embedding' AS item_type, i.vec_id AS item_id,
           'index_add' AS verdict, 'cell_assign' AS reason,

@@ -2094,26 +2094,31 @@ object SimilarityQueries {
       liveAssignment(ivfAssigned(s, dir), tombstones(vecs(s, dir)))
     }
 
+  /** The ONE-ROW lifecycle decision, computed once per epoch (session
+    * × source fingerprint) and shared by every consumer — the s26
+    * compaction gate and the s27 refit gate read the SAME memoized
+    * row (r17 review: two single-column memo keys each re-ran the
+    * full corpus-scale decision chain — two extra assignedCosHealth
+    * passes per session). The s25 QUERY still recomputes its full
+    * table per run (its bench row stays honest); only the gate row is
+    * memoized. The `.head` is ONE row to the driver — a planning
+    * action (the Tables.scala:146 / BpeTrainer argmax class), not a
+    * data collect. */
+  private def lifecycleDecision(s: SparkSession, dir: String): (Boolean, Boolean) = {
+    val r = PersistedAggregates.memo(s, "s25_decision_row", dir) {
+      refitDecision(s, dir)
+        .select(col("compact_for_garbage"), col("refit_needed"))
+    }.head
+    (r.getBoolean(0), r.getBoolean(1))
+  }
+
   /** The serving assignment AFTER the s25 lifecycle step runs: when the
     * decision table says compact, serve from the compacted
     * materialization; otherwise serve the s24 way (anti-join at query
-    * time — tombstones must be unservable in either branch). The
-    * decision read is ONE row to the driver — a planning action (the
-    * Tables.scala:146 / BpeTrainer argmax class), not a data collect:
-    * it picks which physical state serves, exactly like a production
-    * store's compaction scheduler. */
-  private[graft] def servingAssignment(s: SparkSession, dir: String): DataFrame = {
-    // The decision is computed once per lifecycle epoch (session ×
-    // source fingerprint), not once per serve — a production store's
-    // compaction scheduler, not a per-query re-evaluation. The s25
-    // QUERY still recomputes its full table per run (its bench row
-    // stays honest); only the one-boolean gate is memoized here.
-    val compact = PersistedAggregates.memo(s, "s26_decision", dir) {
-      refitDecision(s, dir).select(col("compact_for_garbage"))
-    }.head.getBoolean(0)
-    if (compact) compactedAssignment(s, dir)
+    * time — tombstones must be unservable in either branch). */
+  private[graft] def servingAssignment(s: SparkSession, dir: String): DataFrame =
+    if (lifecycleDecision(s, dir)._1) compactedAssignment(s, dir)
     else liveAssignment(ivfAssigned(s, dir), tombstones(vecs(s, dir)))
-  }
 
   /** s26: COMPACTED SERVING — the s07-shape serve over the
     * post-lifecycle index state ([[servingAssignment]]). On the driver
@@ -2159,15 +2164,11 @@ object SimilarityQueries {
 
   /** The (centroids, assignment) pair serving AFTER the refit decision
     * runs: refit state when s25 says refit_needed, else the current
-    * fit with the post-compaction assignment. One-row decision memo —
-    * the s26 once-per-epoch discipline. */
-  private[graft] def maybeRefitState(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val refit = PersistedAggregates.memo(s, "s27_decision", dir) {
-      refitDecision(s, dir).select(col("refit_needed"))
-    }.head.getBoolean(0)
-    if (refit) refitState(s, dir)
+    * fit with the post-compaction assignment. Shares the s26 gate's
+    * memoized decision row ([[lifecycleDecision]]). */
+  private[graft] def maybeRefitState(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    if (lifecycleDecision(s, dir)._2) refitState(s, dir)
     else (ivfCentroids(s, dir), servingAssignment(s, dir))
-  }
 
   /** s27: the refit execution REPORT — population and cell counts,
     * the s18 health metric (exact integer sums, end division) and the

@@ -1735,8 +1735,10 @@ object TextQueries {
     * driver's hash gate pins the merge SEQUENCE and the fitted
     * segmentations cross-engine, not just the final sums.
     *
-    * Scale shape: the corpus is scanned twice total (word count,
-    * tokenize explode); every fit round is vocabulary-scale and
+    * Scale shape: the corpus is scanned twice total — word count and
+    * the tokenize explode, which carries `source` through (carryCols)
+    * instead of a third scan + doc_id join; every fit round is
+    * vocabulary-scale and
     * map-side combinable; the fitted table is memoized per (session,
     * dir) so re-invocations (bench iterations) reuse one fit; the
     * tokenize join broadcasts the vocabulary (fits by construction —
@@ -1744,15 +1746,27 @@ object TextQueries {
     * segmentations at analysis k; a production 100k-merge vocabulary
     * is still ~MBs). */
   private def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    // Track whether THIS invocation ran the fit (memo miss): fit's
+    // contract hands its persisted symbol table to the caller, so the
+    // miss path must release it once the memo's own persist is
+    // materialized — otherwise every fitting session pins a second
+    // vocabulary copy in executor storage until JVM exit (r17 review).
+    var fitted: DataFrame = null
     val vocab = PersistedAggregates.memo(s, "t35_bpe_vocab", dir) {
       val words = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
-      graft.operators.BpeTrainer.fit(words, BpeFitMerges)._2
-        .select(col("word"), col("syms"))
+      fitted = graft.operators.BpeTrainer.fit(words, BpeFitMerges)._2
+      fitted.select(col("word"), col("syms"))
     }
-    graft.operators.BpeTrainer.tokenize(docs(s, dir), "doc_id", "text", vocab)
-      .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+    if (fitted != null) {
+      vocab.count() // materialize the memo before dropping its parent
+      fitted.unpersist()
+    }
+    // `source` rides through the tokenize explode (carryCols) — no
+    // third corpus scan + doc_id shuffle join for one column.
+    graft.operators.BpeTrainer
+      .tokenize(docs(s, dir), "doc_id", "text", vocab, carryCols = Seq("source"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("n_words"),

@@ -8,10 +8,21 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   * completed stage's duration, task count, and the first line of its
   * name (the call site).
   *
+  * Attribution caveat: SparkListener events arrive asynchronously;
+  * the sleeps around the buffer clear/print bound the lag but do not
+  * eliminate it — on a heavily loaded box a warm-up stage can land in
+  * the measured list (or a measured straggler drop out). Treat a
+  * single anomalous stage row as suspect and re-run; the probe is a
+  * diagnosis aid, not an artifact generator.
+  *
   * Usage: runMain graft.tools.StageTimeProbe <sfDir> <query>
   */
 object StageTimeProbe {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: StageTimeProbe <sfDir> <query>")
+      sys.exit(2)
+    }
     val Array(sf, name) = args.take(2)
     val spark = graft.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-stagetime")

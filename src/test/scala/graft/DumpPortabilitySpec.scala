@@ -88,6 +88,25 @@ class DumpPortabilitySpec extends AnyFunSuite {
     }
   }
 
+  test("dumpPortable rewrites NESTED timestamps too (struct fields, array elements)") {
+    // The recursion pin: a struct/array-of-timestamp column must not
+    // slip through with isAdjustedToUTC=true (the a11/p06 failure
+    // class would recur nested, uncovered by the top-level test).
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("9999-12-31 00:00:00")
+    val df = Seq((1L, (ts, "x"), Seq(ts))).toDF("id", "iv", "arr")
+    val out = Verify.dumpPortable(df).schema
+    val ivFields = out("iv").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(ivFields.fields(0).dataType == org.apache.spark.sql.types.TimestampNTZType,
+      "struct-nested timestamp not normalized")
+    assert(out("arr").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.TimestampNTZType, true),
+      "array-nested timestamp not normalized")
+    val r = Verify.dumpPortable(df).head
+    assert(r.getStruct(1).getAs[java.time.LocalDateTime](0) ==
+      java.time.LocalDateTime.of(9999, 12, 31, 0, 0, 0))
+  }
+
   test("dumpPortable touches only timestamp columns and preserves values") {
     import spark.implicits._
     val df = Seq((1L, "x", 2.5, java.sql.Timestamp.valueOf("2024-01-02 03:04:05")))

@@ -1010,12 +1010,14 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
       s"expected 1 documents scan (pair counting is vocabulary-scale), got $docScans")
   }
 
-  test("d23 manifest: the merge layer is a struct-argmin aggregate, window-free") {
-    // The d15 merge discipline carried to the arrival layer: the
-    // priority pick is min(struct(priority, …)) — map-side combinable
-    // — and the manifest composition itself adds NO window on top of
-    // the family subtrees (the only windows in the whole plan are the
-    // s23/s24 serving probes' per-query bounded frames).
+  test("d23 manifest: the merge layer is a single equi-join when-chain, window-free") {
+    // Both document relations are total over the arrival slice, so
+    // the two-priority merge must stay ONE join + when-chain (each
+    // family pipeline evaluated once — the r17 review retired a
+    // union+argmin that consumed every un-memoized probe frame
+    // twice). The manifest composition itself adds NO window on top
+    // of the family subtrees (the only windows in the whole plan are
+    // the s23/s24 serving probes' per-query bounded frames).
     val qe = queries("d23_arrival_manifest")(spark, sf).queryExecution
     val windows = qe.optimizedPlan.collect { case w: LWindow => w }
     assert(windows.forall(_.partitionSpec.nonEmpty),
@@ -1024,8 +1026,10 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
       assert(w.partitionSpec.exists(_.toString.contains("vec_id")),
         s"a manifest window is not a per-vector ANN frame: ${w.partitionSpec}")
     }
-    assert(PlanTestUtils.formatted(qe).contains("min(struct("),
-      "the document priority merge is not the struct-argmin aggregate")
+    // the retired shape's signature: a struct-argmin over a signal
+    // union would reappear here first
+    assert(!PlanTestUtils.formatted(qe).contains("min(struct("),
+      "the document merge regressed to the double-evaluating union+argmin")
   }
 
   test("s26 compacted serving: scan-rooted on the materialized state, no anti-join") {

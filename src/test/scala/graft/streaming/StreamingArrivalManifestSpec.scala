@@ -66,4 +66,35 @@ class StreamingArrivalManifestSpec extends SparkTestBase {
       s"batched manifest diverges from one-shot " +
         s"(${streamed.size} vs ${oneShot.length} rows)")
   }
+
+  test("the seam is TOTAL: zero-frame media and never-indexed delete ids still get rows") {
+    // r17 review: a media arrival whose sampling yields no frames
+    // vanished from the per-frame rollup, and a delete request for a
+    // vec_id absent from the fitted assignment was dropped by an
+    // inner join — a downstream consumer treating the manifest as
+    // total never learned either item arrived. Construct both.
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    import s.implicits._
+    val emptyMedia = Seq(graft.multimodal.MediaRecord(
+      900000001L, "video", Array.emptyByteArray,
+      graft.multimodal.MediaMeta("video/mp4", 0, 0, 0L))).toDS()
+    val ghostDelete = Seq(900000002L).toDF("vec_id")
+    val emptyDocs = graft.Tables.documents(s, sf).filter(lit(false))
+    val emptyEmb = graft.Tables.embeddings(s, sf).filter(lit(false))
+    val rows = graft.queries.DedupQueries
+      .probeArrivalManifest(s, sf, emptyDocs, emptyMedia, emptyEmb,
+        deleteIds = ghostDelete, tombstoneState = ghostDelete, memo = false)
+      .collect()
+    assert(rows.length == 2, s"manifest not total: ${rows.mkString("; ")}")
+    val media = rows.find(_.getAs[String]("item_type") == "media").get
+    assert(media.getAs[Long]("item_id") == 900000001L &&
+      media.getAs[String]("verdict") == "keep" &&
+      media.getAs[String]("reason") == "novel" &&
+      media.getAs[Long]("n_signals") == 0L)
+    val del = rows.find(_.getAs[String]("item_type") == "embedding").get
+    assert(del.getAs[Long]("item_id") == 900000002L &&
+      del.getAs[String]("verdict") == "index_delete" &&
+      del.getAs[Long]("cell") == -1L)
+  }
 }
