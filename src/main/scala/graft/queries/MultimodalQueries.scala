@@ -169,6 +169,134 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** The materialized audio-fingerprint index m15 probes: base-slice
+    * (media_id, subfp) posting rows, disk-materialized per source
+    * fingerprint — the d22/m14 lifecycle applied to the audio
+    * modality (arriving audio is fingerprinted fresh; the base corpus
+    * is never re-decoded). */
+  private[graft] def audioFpIndexBase(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.diskMemo(s, "m15_subfp_index", dir) {
+      audioFps(s, dir).filter(col("media_id") % 10 =!= 0)
+        .select(col("media_id"), col("subfp"))
+    }
+
+  /** m15: INCREMENTAL audio dedup — m14's arrival pattern on the audio
+    * track: the new batch (media_id % 10 == 0) is sub-fingerprinted
+    * fresh, its prints probed against [[audioFpIndexBase]], and each
+    * arriving audio-bearing media gets the m07 routing verdict: a base
+    * partner sharing ≥ [[AudioMinShared]] sub-fingerprints makes it a
+    * re-upload (drop), keeper = the min-id qualifying base media.
+    * Rows cover the FINGERPRINTED arrival slice (the m14 convention:
+    * media too short to fingerprint route as novel by absence).
+    *
+    * Scale shape: decode/fingerprint work per arrival is O(ingest);
+    * the base corpus is touched only through the posting index, and
+    * base sub-fingerprint buckets over [[DedupQueries.MaxBucket]]
+    * emit no candidates (the d03/d22 cap discipline, mirrored in the
+    * twin) — a degenerate print shared by the whole corpus cannot
+    * funnel arrivals into a quadratic join. */
+  private[queries] def incrementalAudioDedup(s: SparkSession, dir: String): DataFrame =
+    probeAudioIndex(s, dir,
+      MediaPipeline.load(s, dir).filter(col("media_id") % 10 === 0))
+
+  /** The m15 probe path over an ARBITRARY arrival slice of media
+    * records — per-media verdicts depend only on the slice's own
+    * prints and the fixed posting index, so batched probes union to
+    * the one-shot result (the a39/d22/m14 batch≡streaming property,
+    * audio modality). */
+  private[graft] def probeAudioIndex(s: SparkSession, dir: String,
+      ingestMedia: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord]): DataFrame = {
+    val ing = MediaPipeline.audioSubFingerprints(ingestMedia).toDF()
+      .select(col("media_id"), col("kind"), col("subfp")).distinct()
+    val base = audioFpIndexBase(s, dir)
+    val okSubfp = base.groupBy(col("subfp")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= DedupQueries.MaxBucket).select(col("subfp"))
+    val shared = ing.select(col("media_id"), col("subfp"))
+      .join(okSubfp, "subfp")
+      .join(base.select(col("subfp"), col("media_id").as("base_media")), "subfp")
+      .groupBy(col("media_id"), col("base_media"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= AudioMinShared)
+    val agg = shared.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_partners"),
+        min(col("base_media")).as("index_media"),
+        max(col("n_shared")).as("best_shared"))
+    ing.groupBy(col("media_id"), col("kind")).agg(count(lit(1)).as("n_fps"))
+      .join(agg, Seq("media_id"), "left")
+      .select(col("media_id"), col("kind"), col("n_fps"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+        (coalesce(col("n_partners"), lit(0L)) > 0).as("is_dup"),
+        coalesce(col("index_media"), lit(-1L)).as("index_media"),
+        coalesce(col("best_shared"), lit(0L)).as("best_shared"))
+      .orderBy(col("media_id"))
+  }
+
+  /** The materialized perceptual-hash index m16 probes: base-slice
+    * (media_id, bands) aHash rows, disk-materialized — the same
+    * lifecycle on the image modality. */
+  private[graft] def imageAHashIndexBase(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.diskMemo(s, "m16_ahash_index", dir) {
+      MediaPipeline.imageAHash(MediaPipeline.load(s, dir)).toDF()
+        .filter(col("media_id") % 10 =!= 0)
+        .select(col("media_id"), col("bands"))
+    }
+
+  /** m16: INCREMENTAL image dedup — the arrival pattern on the image
+    * modality, completing the incremental triptych (m14 video frames,
+    * m15 audio prints, m16 image aHashes): arriving images are
+    * aHashed fresh, candidates come from the m08 pigeonhole band
+    * equality against [[imageAHashIndexBase]] (guaranteed recall at
+    * hamming ≤ 7; base buckets capped), survivors verify the full
+    * 64-bit hamming row-locally, and each arriving image gets the
+    * routing row — match count, best (min-hamming, min-id) keeper.
+    *
+    * Scale shape: payloads die at the aHash projection on BOTH sides;
+    * only (media_id, 8 bands) rows move; the candidate join is
+    * band-equality with capped base buckets; hamming is a row-local
+    * fold over the carried band arrays (no second fetch). */
+  private[queries] def incrementalImageDedup(s: SparkSession, dir: String): DataFrame =
+    probeImageIndex(s, dir,
+      MediaPipeline.load(s, dir).filter(col("media_id") % 10 === 0))
+
+  /** The m16 probe path over an ARBITRARY arrival slice — same
+    * batch≡streaming contract as [[probeAudioIndex]]. */
+  private[graft] def probeImageIndex(s: SparkSession, dir: String,
+      ingestMedia: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord]): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val ing = MediaPipeline.imageAHash(ingestMedia).toDF()
+      .select(col("media_id"), col("bands"))
+    val baseBands = imageAHashIndexBase(s, dir)
+      .select(col("media_id").as("base_media"), col("bands").as("bb"))
+      .select(col("base_media"), col("bb"), posexplode(col("bb")).as(Seq("band", "bv")))
+    val okBuckets = baseBands.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") <= DedupQueries.MaxBucket).select(col("band"), col("bv"))
+    val ingBands = ing.select(col("media_id"), col("bands").as("ba"))
+      .select(col("media_id"), col("ba"), posexplode(col("ba")).as(Seq("band", "bv")))
+    val cand = ingBands.join(okBuckets, Seq("band", "bv"))
+      .join(baseBands, Seq("band", "bv"))
+      .select(col("media_id"), col("ba"), col("base_media"), col("bb"))
+      .distinct()
+    val ham = cand.withColumn("hamming",
+      expr("""aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)),
+              0, (acc, h) -> acc + h)""").cast(LongType))
+    val agg = ham
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("hamming") <= MaxImageHamming, 1L).otherwise(0L)).as("n_matches"),
+        min(when(col("hamming") <= MaxImageHamming,
+          struct(col("hamming"), col("base_media")))).as("best"))
+    ing.select(col("media_id"))
+      .join(agg, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("is_neardup"),
+        coalesce(col("best.base_media"), lit(-1L)).as("index_media"),
+        coalesce(col("best.hamming"), lit(64L)).as("best_hamming"))
+      .orderBy(col("media_id"))
+  }
+
   /** m06: the modality mix manifest — the artifact a multimodal
     * training run actually signs off: per source, how many tokens each
     * modality contributes (text by whitespace tokenization; image/
@@ -225,16 +353,20 @@ object MultimodalQueries {
     * materializing one giant pair array), the d03 shape on a subfp
     * key. The per-media fingerprint counts join back only onto the
     * few surviving pairs. */
-  private[queries] def audioNearDup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
-    // read twice (per-media counts, bucket expansion) — persisted
-    // once so the fingerprint flatMap runs a single pass (a36/a18
-    // pattern); recompute lineage is the scan-rooted pipeline, safe
-    // for the memo contract
-    val fps = PersistedAggregates.memo(s, "m07_fps", dir) {
+  /** The memoized full-corpus sub-fingerprint pass — read twice by m07
+    * (per-media counts, bucket expansion) and once by m15's index
+    * build; persisted once so the fingerprint flatMap runs a single
+    * pass (a36/a18 pattern); recompute lineage is the scan-rooted
+    * pipeline, safe for the memo contract. */
+  private def audioFps(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.memo(s, "m07_fps", dir) {
       MediaPipeline.audioSubFingerprints(MediaPipeline.load(s, dir)).toDF()
         .select(col("media_id"), col("kind"), col("subfp")).distinct()
     }
+
+  private[queries] def audioNearDup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val fps = audioFps(s, dir)
     val counts = fps.groupBy(col("media_id")).agg(count(lit(1)).as("nfp"))
     val pairs = DedupQueries.collectCappedBuckets(
         fps.select(col("subfp"), struct(col("media_id"), col("kind")).as("m")),
@@ -695,6 +827,72 @@ object MultimodalQueries {
       FROM sg GROUP BY media_id, seg_idx
       ORDER BY media_id, seg_idx"""),
       "energy (VAD-style) segmentation: active/quiet segment manifest per audio-bearing media, mean-relative integer threshold"),
+
+    "m15_incremental_audio_dedup" -> QueryDef(incrementalAudioDedup, Some(s"""
+      WITH $m07DuckCte,
+      m15sz AS (SELECT subfp, COUNT(*) AS c FROM m07ds
+                WHERE media_id % 10 <> 0 GROUP BY subfp),
+      m15f AS (SELECT media_id, kind, subfp FROM m07ds WHERE media_id % 10 = 0),
+      m15j AS (SELECT f.media_id, b.media_id AS base_media, COUNT(*) AS n_shared
+               FROM m15f f
+               JOIN m15sz s ON s.subfp = f.subfp AND s.c <= ${DedupQueries.MaxBucket}
+               JOIN (SELECT media_id, subfp FROM m07ds WHERE media_id % 10 <> 0) b
+                 ON b.subfp = f.subfp
+               GROUP BY 1, 2),
+      m15q AS (SELECT * FROM m15j WHERE n_shared >= $AudioMinShared),
+      m15agg AS (SELECT media_id, COUNT(*) AS n_partners,
+                   MIN(base_media) AS index_media,
+                   CAST(MAX(n_shared) AS BIGINT) AS best_shared
+                 FROM m15q GROUP BY media_id),
+      m15cnt AS (SELECT media_id, kind, COUNT(*) AS n_fps
+                 FROM m07ds WHERE media_id % 10 = 0 GROUP BY 1, 2)
+      SELECT c.media_id, c.kind, c.n_fps,
+        COALESCE(a.n_partners, 0) AS n_partners,
+        (COALESCE(a.n_partners, 0) > 0) AS is_dup,
+        COALESCE(a.index_media, -1) AS index_media,
+        COALESCE(a.best_shared, 0) AS best_shared
+      FROM m15cnt c LEFT JOIN m15agg a ON a.media_id = c.media_id
+      ORDER BY c.media_id"""),
+      "incremental audio dedup: new media sub-fingerprinted fresh and probed against the MATERIALIZED base posting index (no base re-decode), m07's >= 2-shared-print re-upload rule, per-arrival routing row"),
+
+    "m16_incremental_image_dedup" -> QueryDef(incrementalImageDedup, Some(s"""
+      WITH $m08DuckCte,
+      m16sz AS (SELECT band, bv, COUNT(*) AS c FROM m08bands
+                WHERE media_id % 10 <> 0 GROUP BY 1, 2),
+      m16c AS (SELECT DISTINCT f.media_id, b.media_id AS base_media
+               FROM m08bands f
+               JOIN m16sz s ON s.band = f.band AND s.bv = f.bv
+                 AND s.c <= ${DedupQueries.MaxBucket}
+               JOIN m08bands b ON b.band = f.band AND b.bv = f.bv
+                 AND b.media_id % 10 <> 0
+               WHERE f.media_id % 10 = 0),
+      m16h AS (SELECT c.media_id, c.base_media,
+                 CAST(SUM(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+               FROM m16c c
+               JOIN m08bands x ON x.media_id = c.media_id
+               JOIN m08bands y ON y.media_id = c.base_media AND y.band = x.band
+               GROUP BY 1, 2),
+      m16agg AS (SELECT media_id, COUNT(*) AS n_candidates,
+                   CAST(SUM(CASE WHEN hamming <= $MaxImageHamming THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_matches
+                 FROM m16h GROUP BY media_id),
+      m16best AS (SELECT media_id, base_media, hamming FROM (
+                    SELECT media_id, base_media, hamming,
+                      ROW_NUMBER() OVER (PARTITION BY media_id
+                                         ORDER BY hamming, base_media) AS rn
+                    FROM m16h WHERE hamming <= $MaxImageHamming) t
+                  WHERE rn = 1),
+      m16i AS (SELECT DISTINCT media_id FROM m08bands WHERE media_id % 10 = 0)
+      SELECT i.media_id,
+        COALESCE(a.n_candidates, 0) AS n_candidates,
+        COALESCE(a.n_matches, 0) AS n_matches,
+        (COALESCE(a.n_matches, 0) > 0) AS is_neardup,
+        COALESCE(b.base_media, -1) AS index_media,
+        COALESCE(b.hamming, 64) AS best_hamming
+      FROM m16i i LEFT JOIN m16agg a ON a.media_id = i.media_id
+                  LEFT JOIN m16best b ON b.media_id = i.media_id
+      ORDER BY i.media_id"""),
+      "incremental image dedup: new images aHashed fresh, m08 pigeonhole band candidates against the MATERIALIZED base index (capped buckets), exact 64-bit hamming verify, per-arrival routing row with (min-hamming, min-id) keeper"),
 
     "m14_incremental_frame_dedup" -> QueryDef(incrementalFrameDedup, Some(s"""
       WITH $m05DuckCte,
