@@ -109,7 +109,15 @@ object BpeTrainer {
     * (source, lang, …) to ride through the explode and land on the
     * output — the caller would otherwise re-scan the corpus just to
     * join them back onto the per-doc rollup (r17 review: t35 paid a
-    * third full documents pass for `source`). */
+    * third full documents pass for `source`).
+    *
+    * PRECONDITION: every `carryCols` column must be functionally
+    * determined by `idCol` (constant per document). Carry columns join
+    * the groupBy KEY, so a column that varies within a doc silently
+    * changes the output grain from per-doc to per-(doc, value) and
+    * inflates n_docs/fertility downstream — there is no runtime guard
+    * because checking would cost a corpus-scale aggregate per call
+    * (r17 ADVICE). */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, carryCols: Seq[String] = Nil): DataFrame = {
     val keys = (idCol +: carryCols).map(col)

@@ -700,9 +700,14 @@ object DedupQueries {
     *    keep|drop, reason exact_dup|lexical_neardup|novel, keeper from
     *    the winning family, n_signals = exact hit + verified near-dup
     *    candidates (how contested the verdict is).
-    *  - '''media''' (media_id % 10 == 0): m14's frame-overlap routing;
-    *    drop on the majority rule, keeper = canonical index media,
-    *    n_signals = frames already in the index.
+    *  - '''media''' (media_id % 10 == 0): routed BY KIND through the
+    *    matching incremental family — video via m14's frame-overlap
+    *    majority rule, audio via m15's shared-sub-fingerprint re-upload
+    *    rule, image via m16's aHash-band near-dup rule (r17 ask #1:
+    *    all three modalities get their manifest row). Keeper = the
+    *    family's canonical index media; n_signals = the family's
+    *    evidence count (frames hit / qualifying print partners /
+    *    hamming-verified matches); reason names the family.
     *  - '''embeddings''': the index DELTAS that accompany the content
     *    verdicts — s23's no-refit ingest assignment (verdict
     *    index_add, companion column `cell` = the IVF cell the vector
@@ -765,7 +770,8 @@ object DedupQueries {
     * `StreamingArrivalManifestSpec` drives per micro-batch: arriving
     * documents, media records, and vectors probe their FIXED
     * materialized indexes ([[probeDigestIndex]], [[probeLshIndex]],
-    * `probeFrameIndex`, the s23 no-refit assignment), so every
+    * `probeFrameIndex`/`probeAudioIndex`/`probeImageIndex` by media
+    * kind, the s23 no-refit assignment), so every
     * manifest row depends only on its own arrival row and index state
     * — any partition of the arrivals probed batch-by-batch unions to
     * the one-shot manifest. Deletes are TWO distinct roles that the
@@ -776,7 +782,16 @@ object DedupQueries {
     * held fixed across batches — it suppresses index_add rows, and
     * holding it fixed is what makes the delete-wins precedence
     * batch-invariant: an add suppressed by a tombstone is suppressed
-    * in every batching, never double-emitted). */
+    * in every batching, never double-emitted).
+    *
+    * PRECONDITION: ids are unique WITHIN each arrival slice (`doc_id`
+    * in `ingestDocs`, `media_id` in `ingestMedia`, `vec_id` in
+    * `ingestEmb`/`deleteIds`). The document merge is an equi-join of
+    * two relations each total over the slice, so a duplicated doc_id
+    * multiplies verdict rows quadratically instead of failing loudly
+    * (r17 ADVICE); a crawl feed retrying an item must dedupe at the
+    * seam. `StreamingArrivalManifestSpec` checks multiplicity for its
+    * own batching only — it cannot see a caller's duplicate ids. */
   private[graft] def probeArrivalManifest(s: SparkSession, dir: String,
       ingestDocs: DataFrame,
       ingestMedia: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord],
@@ -806,26 +821,42 @@ object DedupQueries {
           .otherwise(lit(-1L)).as("keeper_id"),
         (col("is_dup").cast(LongType) + col("n_verified")).as("n_signals"),
         lit(-1L).as("cell"))
-    // Totality at the seam (r17 review): an arrival VIDEO whose
-    // sampling yields zero frames (empty payload) still gets its row
-    // (keep/novel, zero signals) instead of vanishing from the
-    // per-frame rollup. The id leg filters to the frame-dedup family's
-    // domain with the SAME predicate sampleFrames applies (kind ==
-    // video) — other modalities route through their own families
-    // (m07 audio, m08 image), not the frame manifest.
-    val media = ingestMedia
-      .filter((m: graft.multimodal.MediaRecord) => m.kind == "video")
-      .toDF().select(col("media_id"))
-      .join(MultimodalQueries.probeFrameIndex(s, dir, ingestMedia), Seq("media_id"), "left")
-      .select(lit("media").as("item_type"), col("media_id").as("item_id"),
-        when(coalesce(col("is_dup"), lit(false)), lit("drop"))
-          .otherwise(lit("keep")).as("verdict"),
-        when(coalesce(col("is_dup"), lit(false)), lit("video_frame_overlap"))
-          .otherwise(lit("novel")).as("reason"),
-        when(coalesce(col("is_dup"), lit(false)), col("index_media"))
-          .otherwise(lit(-1L)).as("keeper_id"),
-        coalesce(col("n_frames_in_index"), lit(0L)).as("n_signals"),
-        lit(-1L).as("cell"))
+    // Media route by KIND through the matching incremental family
+    // (r17 verdict ask #1): video → m14 frame digests, audio → m15
+    // sub-fingerprints, image → m16 aHash bands — so the manifest's
+    // one-row-per-arriving-item contract covers all three modalities.
+    // Each leg's probe receives only its kind's records (the typed
+    // filter sits BELOW the flatMap boundary, so only that kind's
+    // payloads decode — the m14 pushdown discipline), and each id leg
+    // left-joins the probe for totality (r17 review): an arrival whose
+    // payload yields zero frames / prints / aHash (too short to
+    // feature) still gets its keep/novel row instead of vanishing
+    // from the feature-grain rollup.
+    def mediaLeg(kindName: String, probe: DataFrame, dupFlag: String,
+        dropReason: String, signals: String): DataFrame =
+      ingestMedia.filter((m: graft.multimodal.MediaRecord) => m.kind == kindName)
+        .toDF().select(col("media_id"))
+        .join(probe, Seq("media_id"), "left")
+        .select(lit("media").as("item_type"), col("media_id").as("item_id"),
+          when(coalesce(col(dupFlag), lit(false)), lit("drop"))
+            .otherwise(lit("keep")).as("verdict"),
+          when(coalesce(col(dupFlag), lit(false)), lit(dropReason))
+            .otherwise(lit("novel")).as("reason"),
+          when(coalesce(col(dupFlag), lit(false)), col("index_media"))
+            .otherwise(lit(-1L)).as("keeper_id"),
+          coalesce(col(signals), lit(0L)).as("n_signals"),
+          lit(-1L).as("cell"))
+    def kindSlice(kindName: String) =
+      ingestMedia.filter((m: graft.multimodal.MediaRecord) => m.kind == kindName)
+    val media = mediaLeg("video",
+        MultimodalQueries.probeFrameIndex(s, dir, kindSlice("video")),
+        "is_dup", "video_frame_overlap", "n_frames_in_index")
+      .unionByName(mediaLeg("audio",
+        MultimodalQueries.probeAudioIndex(s, dir, kindSlice("audio")),
+        "is_dup", "audio_print_overlap", "n_partners"))
+      .unionByName(mediaLeg("image",
+        MultimodalQueries.probeImageIndex(s, dir, kindSlice("image")),
+        "is_neardup", "image_ahash_neardup", "n_matches"))
     val iasg = SimilarityQueries.assignCells(
       SimilarityQueries.vecsOf(s, ingestEmb),
       SimilarityQueries.ingestBaseCentroids(s, dir))
@@ -1949,15 +1980,20 @@ object DedupQueries {
     "d23_arrival_manifest" -> QueryDef(arrivalManifest, Some {
       // The arrival-layer end artifact's twin SPLICES the incremental
       // families' oracle chains verbatim (d09v, d22v via bands, m14v
-      // via m05, iasg/tmb/asg via vecs+ivf) — the d15/d16 no-drift
-      // rule: the manifest's verdicts are BY CONSTRUCTION the family
-      // rows, in the oracle exactly as in the engine.
+      // via m05, m15v via m07, m16v via m08, iasg/tmb/asg via
+      // vecs+ivf) — the d15/d16 no-drift rule: the manifest's verdicts
+      // are BY CONSTRUCTION the family rows, in the oracle exactly as
+      // in the engine.
       val vecsCte = SimilarityQueries.vecsDuckCte.replaceFirst("WITH ", "")
       s"""$bandsDuckCte,
       $d09DuckCtes,
       $d22DuckCtes,
       ${MultimodalQueries.m05DuckCte},
       ${MultimodalQueries.m14DuckCtes},
+      ${MultimodalQueries.m07DuckCte},
+      ${MultimodalQueries.m15DuckCtes},
+      ${MultimodalQueries.m08DuckCte},
+      ${MultimodalQueries.m16DuckCtes},
       $vecsCte,
       ${SimilarityQueries.ivfAsgDuckCte},
       ${SimilarityQueries.ingestAsgDuckCtes},
@@ -1975,8 +2011,8 @@ object DedupQueries {
             AS n_signals,
           CAST(-1 AS BIGINT) AS cell
         FROM d09v x JOIN d22v l ON l.doc_id = x.doc_id),
-      d23mi AS (SELECT doc_id AS media_id FROM documents
-                WHERE doc_id % 3 = 2 AND doc_id % 10 = 0),
+      d23mi AS (SELECT doc_id AS media_id, doc_id % 3 AS k FROM documents
+                WHERE doc_id % 10 = 0),
       d23med AS (
         SELECT 'media' AS item_type, i.media_id AS item_id,
           CASE WHEN COALESCE(v.is_dup, FALSE) THEN 'drop' ELSE 'keep' END AS verdict,
@@ -1986,7 +2022,30 @@ object DedupQueries {
                ELSE -1 END AS keeper_id,
           COALESCE(v.n_frames_in_index, 0) AS n_signals,
           CAST(-1 AS BIGINT) AS cell
-        FROM d23mi i LEFT JOIN m14v v ON v.media_id = i.media_id),
+        FROM (SELECT media_id FROM d23mi WHERE k = 2) i
+        LEFT JOIN m14v v ON v.media_id = i.media_id
+        UNION ALL
+        SELECT 'media' AS item_type, i.media_id AS item_id,
+          CASE WHEN COALESCE(v.is_dup, FALSE) THEN 'drop' ELSE 'keep' END AS verdict,
+          CASE WHEN COALESCE(v.is_dup, FALSE) THEN 'audio_print_overlap'
+               ELSE 'novel' END AS reason,
+          CASE WHEN COALESCE(v.is_dup, FALSE) THEN v.index_media
+               ELSE -1 END AS keeper_id,
+          CAST(COALESCE(v.n_partners, 0) AS BIGINT) AS n_signals,
+          CAST(-1 AS BIGINT) AS cell
+        FROM (SELECT media_id FROM d23mi WHERE k = 1) i
+        LEFT JOIN m15v v ON v.media_id = i.media_id
+        UNION ALL
+        SELECT 'media' AS item_type, i.media_id AS item_id,
+          CASE WHEN COALESCE(v.is_neardup, FALSE) THEN 'drop' ELSE 'keep' END AS verdict,
+          CASE WHEN COALESCE(v.is_neardup, FALSE) THEN 'image_ahash_neardup'
+               ELSE 'novel' END AS reason,
+          CASE WHEN COALESCE(v.is_neardup, FALSE) THEN v.index_media
+               ELSE -1 END AS keeper_id,
+          CAST(COALESCE(v.n_matches, 0) AS BIGINT) AS n_signals,
+          CAST(-1 AS BIGINT) AS cell
+        FROM (SELECT media_id FROM d23mi WHERE k = 0) i
+        LEFT JOIN m16v v ON v.media_id = i.media_id),
       d23del AS (
         SELECT 'embedding' AS item_type, t.vec_id AS item_id,
           'index_delete' AS verdict, 'tombstone' AS reason,
@@ -2006,7 +2065,7 @@ object DedupQueries {
       FROM (SELECT * FROM d23doc UNION ALL SELECT * FROM d23med
             UNION ALL SELECT * FROM d23del UNION ALL SELECT * FROM d23add) u
       ORDER BY item_type, item_id"""
-    }, "arrival manifest: one provenance-carrying verdict per arriving document/media/vector, priority-merged from d09 (exact) and d22 (near-dup) with m14 media routing and the s23/s24 index deltas as companion rows"))
+    }, "arrival manifest: one provenance-carrying verdict per arriving document/media/vector, priority-merged from d09 (exact) and d22 (near-dup) with media routed by kind through m14 (video frames), m15 (audio prints), m16 (image aHash) and the s23/s24 index deltas as companion rows"))
 
   /** Shared DuckDB CTE computing (doc_id, simhash) — twin of
     * [[simhashBase]] (trigram bit votes from the same polynomial hash). */

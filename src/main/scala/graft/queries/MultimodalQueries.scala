@@ -472,6 +472,78 @@ object MultimodalQueries {
                  COALESCE(index_media, -1) AS index_media
                FROM m14a)"""
 
+  /** DuckDB twin chain of [[incrementalAudioDedup]] — splices after
+    * [[m07DuckCte]] (needs `m07ds`); ends in the per-arrival verdict
+    * relation `m15v(media_id, kind, n_fps, n_partners, is_dup,
+    * index_media, best_shared)` over the FINGERPRINTED arrival slice.
+    * Shared verbatim by the m15 oracle and d23's arrival manifest
+    * (the d15/d16 no-drift rule). */
+  private[queries] val m15DuckCtes: String = s"""
+      m15sz AS (SELECT subfp, COUNT(*) AS c FROM m07ds
+                WHERE media_id % 10 <> 0 GROUP BY subfp),
+      m15f AS (SELECT media_id, kind, subfp FROM m07ds WHERE media_id % 10 = 0),
+      m15j AS (SELECT f.media_id, b.media_id AS base_media, COUNT(*) AS n_shared
+               FROM m15f f
+               JOIN m15sz s ON s.subfp = f.subfp AND s.c <= ${DedupQueries.MaxBucket}
+               JOIN (SELECT media_id, subfp FROM m07ds WHERE media_id % 10 <> 0) b
+                 ON b.subfp = f.subfp
+               GROUP BY 1, 2),
+      m15q AS (SELECT * FROM m15j WHERE n_shared >= $AudioMinShared),
+      m15agg AS (SELECT media_id, COUNT(*) AS n_partners,
+                   MIN(base_media) AS index_media,
+                   CAST(MAX(n_shared) AS BIGINT) AS best_shared
+                 FROM m15q GROUP BY media_id),
+      m15cnt AS (SELECT media_id, kind, COUNT(*) AS n_fps
+                 FROM m07ds WHERE media_id % 10 = 0 GROUP BY 1, 2),
+      m15v AS (SELECT c.media_id, c.kind, c.n_fps,
+                 COALESCE(a.n_partners, 0) AS n_partners,
+                 (COALESCE(a.n_partners, 0) > 0) AS is_dup,
+                 COALESCE(a.index_media, -1) AS index_media,
+                 COALESCE(a.best_shared, 0) AS best_shared
+               FROM m15cnt c LEFT JOIN m15agg a ON a.media_id = c.media_id)"""
+
+  /** DuckDB twin chain of [[incrementalImageDedup]] — splices after
+    * [[m08DuckCte]] (needs `m08bands`); ends in the per-arrival
+    * verdict relation `m16v(media_id, n_candidates, n_matches,
+    * is_neardup, index_media, best_hamming)` over the aHashED arrival
+    * slice. Shared verbatim by the m16 oracle and d23's arrival
+    * manifest. */
+  private[queries] val m16DuckCtes: String = s"""
+      m16sz AS (SELECT band, bv, COUNT(*) AS c FROM m08bands
+                WHERE media_id % 10 <> 0 GROUP BY 1, 2),
+      m16c AS (SELECT DISTINCT f.media_id, b.media_id AS base_media
+               FROM m08bands f
+               JOIN m16sz s ON s.band = f.band AND s.bv = f.bv
+                 AND s.c <= ${DedupQueries.MaxBucket}
+               JOIN m08bands b ON b.band = f.band AND b.bv = f.bv
+                 AND b.media_id % 10 <> 0
+               WHERE f.media_id % 10 = 0),
+      m16h AS (SELECT c.media_id, c.base_media,
+                 CAST(SUM(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+               FROM m16c c
+               JOIN m08bands x ON x.media_id = c.media_id
+               JOIN m08bands y ON y.media_id = c.base_media AND y.band = x.band
+               GROUP BY 1, 2),
+      m16agg AS (SELECT media_id, COUNT(*) AS n_candidates,
+                   CAST(SUM(CASE WHEN hamming <= $MaxImageHamming THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_matches
+                 FROM m16h GROUP BY media_id),
+      m16best AS (SELECT media_id, base_media, hamming FROM (
+                    SELECT media_id, base_media, hamming,
+                      ROW_NUMBER() OVER (PARTITION BY media_id
+                                         ORDER BY hamming, base_media) AS rn
+                    FROM m16h WHERE hamming <= $MaxImageHamming) t
+                  WHERE rn = 1),
+      m16i AS (SELECT DISTINCT media_id FROM m08bands WHERE media_id % 10 = 0),
+      m16v AS (SELECT i.media_id,
+                 COALESCE(a.n_candidates, 0) AS n_candidates,
+                 COALESCE(a.n_matches, 0) AS n_matches,
+                 (COALESCE(a.n_matches, 0) > 0) AS is_neardup,
+                 COALESCE(b.base_media, -1) AS index_media,
+                 COALESCE(b.hamming, 64) AS best_hamming
+               FROM m16i i LEFT JOIN m16agg a ON a.media_id = i.media_id
+                           LEFT JOIN m16best b ON b.media_id = i.media_id)"""
+
   /** DuckDB twin chain of [[audioNearDup]] up to the unfiltered shared-
     * fingerprint pairs `m07p(media_a, kind_a, media_b, kind_b,
     * n_shared)` plus per-media counts `m07cnt(media_id, nfp)`. */
@@ -830,68 +902,18 @@ object MultimodalQueries {
 
     "m15_incremental_audio_dedup" -> QueryDef(incrementalAudioDedup, Some(s"""
       WITH $m07DuckCte,
-      m15sz AS (SELECT subfp, COUNT(*) AS c FROM m07ds
-                WHERE media_id % 10 <> 0 GROUP BY subfp),
-      m15f AS (SELECT media_id, kind, subfp FROM m07ds WHERE media_id % 10 = 0),
-      m15j AS (SELECT f.media_id, b.media_id AS base_media, COUNT(*) AS n_shared
-               FROM m15f f
-               JOIN m15sz s ON s.subfp = f.subfp AND s.c <= ${DedupQueries.MaxBucket}
-               JOIN (SELECT media_id, subfp FROM m07ds WHERE media_id % 10 <> 0) b
-                 ON b.subfp = f.subfp
-               GROUP BY 1, 2),
-      m15q AS (SELECT * FROM m15j WHERE n_shared >= $AudioMinShared),
-      m15agg AS (SELECT media_id, COUNT(*) AS n_partners,
-                   MIN(base_media) AS index_media,
-                   CAST(MAX(n_shared) AS BIGINT) AS best_shared
-                 FROM m15q GROUP BY media_id),
-      m15cnt AS (SELECT media_id, kind, COUNT(*) AS n_fps
-                 FROM m07ds WHERE media_id % 10 = 0 GROUP BY 1, 2)
-      SELECT c.media_id, c.kind, c.n_fps,
-        COALESCE(a.n_partners, 0) AS n_partners,
-        (COALESCE(a.n_partners, 0) > 0) AS is_dup,
-        COALESCE(a.index_media, -1) AS index_media,
-        COALESCE(a.best_shared, 0) AS best_shared
-      FROM m15cnt c LEFT JOIN m15agg a ON a.media_id = c.media_id
-      ORDER BY c.media_id"""),
+      $m15DuckCtes
+      SELECT media_id, kind, n_fps, n_partners, is_dup, index_media,
+        best_shared
+      FROM m15v ORDER BY media_id"""),
       "incremental audio dedup: new media sub-fingerprinted fresh and probed against the MATERIALIZED base posting index (no base re-decode), m07's >= 2-shared-print re-upload rule, per-arrival routing row"),
 
     "m16_incremental_image_dedup" -> QueryDef(incrementalImageDedup, Some(s"""
       WITH $m08DuckCte,
-      m16sz AS (SELECT band, bv, COUNT(*) AS c FROM m08bands
-                WHERE media_id % 10 <> 0 GROUP BY 1, 2),
-      m16c AS (SELECT DISTINCT f.media_id, b.media_id AS base_media
-               FROM m08bands f
-               JOIN m16sz s ON s.band = f.band AND s.bv = f.bv
-                 AND s.c <= ${DedupQueries.MaxBucket}
-               JOIN m08bands b ON b.band = f.band AND b.bv = f.bv
-                 AND b.media_id % 10 <> 0
-               WHERE f.media_id % 10 = 0),
-      m16h AS (SELECT c.media_id, c.base_media,
-                 CAST(SUM(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
-               FROM m16c c
-               JOIN m08bands x ON x.media_id = c.media_id
-               JOIN m08bands y ON y.media_id = c.base_media AND y.band = x.band
-               GROUP BY 1, 2),
-      m16agg AS (SELECT media_id, COUNT(*) AS n_candidates,
-                   CAST(SUM(CASE WHEN hamming <= $MaxImageHamming THEN 1 ELSE 0 END)
-                     AS BIGINT) AS n_matches
-                 FROM m16h GROUP BY media_id),
-      m16best AS (SELECT media_id, base_media, hamming FROM (
-                    SELECT media_id, base_media, hamming,
-                      ROW_NUMBER() OVER (PARTITION BY media_id
-                                         ORDER BY hamming, base_media) AS rn
-                    FROM m16h WHERE hamming <= $MaxImageHamming) t
-                  WHERE rn = 1),
-      m16i AS (SELECT DISTINCT media_id FROM m08bands WHERE media_id % 10 = 0)
-      SELECT i.media_id,
-        COALESCE(a.n_candidates, 0) AS n_candidates,
-        COALESCE(a.n_matches, 0) AS n_matches,
-        (COALESCE(a.n_matches, 0) > 0) AS is_neardup,
-        COALESCE(b.base_media, -1) AS index_media,
-        COALESCE(b.hamming, 64) AS best_hamming
-      FROM m16i i LEFT JOIN m16agg a ON a.media_id = i.media_id
-                  LEFT JOIN m16best b ON b.media_id = i.media_id
-      ORDER BY i.media_id"""),
+      $m16DuckCtes
+      SELECT media_id, n_candidates, n_matches, is_neardup, index_media,
+        best_hamming
+      FROM m16v ORDER BY media_id"""),
       "incremental image dedup: new images aHashed fresh, m08 pigeonhole band candidates against the MATERIALIZED base index (capped buckets), exact 64-bit hamming verify, per-arrival routing row with (min-hamming, min-id) keeper"),
 
     "m14_incremental_frame_dedup" -> QueryDef(incrementalFrameDedup, Some(s"""

@@ -61,9 +61,20 @@ class RefitExecutionSpec extends SparkTestBase {
       (r.getAs[Double]("imbalance_new") <= r.getAs[Double]("imbalance_old")))
     // both healths run over the same live population
     assert(r.getAs[Long]("n_live") > 0)
-    // the firing trigger must actually be addressed on the fixture
+    // the TRIGGER is asserted separately from the improvement (r17
+    // ADVICE): a broken refit shows up as the trigger not firing or
+    // the self-consistency above breaking, independent of whether
+    // Lloyd happened to help.
+    assert(r.getAs[Double]("imbalance_old") > SimilarityQueries.ImbalanceTau,
+      "the imbalance trigger s25 fired on is not visible in the report")
+    // FIXTURE PIN, not a refit invariant: a Lloyd refit over the live
+    // population does not guarantee the FAISS imbalance factor
+    // decreases. On the driver corpus it does at every SF (r17); a
+    // regenerated fixture failing HERE (with the two assertions above
+    // green) means a benign non-improvement, not a broken refit.
     assert(r.getAs[Boolean]("imbalance_improved"),
-      "the refit did not improve the imbalance that triggered it")
+      "fixture pin: the refit no longer improves the imbalance on this corpus " +
+        "(benign if the trigger + self-consistency assertions above still hold)")
   }
 
   test("serving over the refit state answers every query, tombstone-free") {

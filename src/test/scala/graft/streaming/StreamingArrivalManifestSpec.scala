@@ -67,31 +67,44 @@ class StreamingArrivalManifestSpec extends SparkTestBase {
         s"(${streamed.size} vs ${oneShot.length} rows)")
   }
 
-  test("the seam is TOTAL: zero-frame media and never-indexed delete ids still get rows") {
+  test("the seam is TOTAL: featureless media of every kind and " +
+      "never-indexed delete ids still get rows") {
     // r17 review: a media arrival whose sampling yields no frames
     // vanished from the per-frame rollup, and a delete request for a
     // vec_id absent from the fitted assignment was dropped by an
     // inner join — a downstream consumer treating the manifest as
-    // total never learned either item arrived. Construct both.
+    // total never learned either item arrived. r18: all three media
+    // kinds route through their own family now (video frames / audio
+    // prints / image aHash), so totality must hold per kind — a
+    // zero-frame video, an audio clip too short to fingerprint
+    // (< 384 bytes), and an image too small to aHash (< 64 bytes)
+    // each get their keep/novel row by absence.
     val s = spark
     val sf = "/root/testdata/sf0.001"
     import s.implicits._
-    val emptyMedia = Seq(graft.multimodal.MediaRecord(
-      900000001L, "video", Array.emptyByteArray,
-      graft.multimodal.MediaMeta("video/mp4", 0, 0, 0L))).toDS()
+    def rec(id: Long, kind: String, n: Int) = graft.multimodal.MediaRecord(
+      id, kind, Array.fill[Byte](n)('x'.toByte),
+      graft.multimodal.MediaMeta(s"application/x-graft-$kind", 16, 16, n * 10L))
+    val featureless = Seq(
+      rec(900000001L, "video", 0),
+      rec(900000003L, "audio", 100),
+      rec(900000004L, "image", 10)).toDS()
     val ghostDelete = Seq(900000002L).toDF("vec_id")
     val emptyDocs = graft.Tables.documents(s, sf).filter(lit(false))
     val emptyEmb = graft.Tables.embeddings(s, sf).filter(lit(false))
     val rows = graft.queries.DedupQueries
-      .probeArrivalManifest(s, sf, emptyDocs, emptyMedia, emptyEmb,
+      .probeArrivalManifest(s, sf, emptyDocs, featureless, emptyEmb,
         deleteIds = ghostDelete, tombstoneState = ghostDelete, memo = false)
       .collect()
-    assert(rows.length == 2, s"manifest not total: ${rows.mkString("; ")}")
-    val media = rows.find(_.getAs[String]("item_type") == "media").get
-    assert(media.getAs[Long]("item_id") == 900000001L &&
-      media.getAs[String]("verdict") == "keep" &&
-      media.getAs[String]("reason") == "novel" &&
-      media.getAs[Long]("n_signals") == 0L)
+    assert(rows.length == 4, s"manifest not total: ${rows.mkString("; ")}")
+    Seq(900000001L, 900000003L, 900000004L).foreach { id =>
+      val m = rows.find(r => r.getAs[String]("item_type") == "media" &&
+        r.getAs[Long]("item_id") == id).get
+      assert(m.getAs[String]("verdict") == "keep" &&
+        m.getAs[String]("reason") == "novel" &&
+        m.getAs[Long]("keeper_id") == -1L &&
+        m.getAs[Long]("n_signals") == 0L, s"media $id: $m")
+    }
     val del = rows.find(_.getAs[String]("item_type") == "embedding").get
     assert(del.getAs[Long]("item_id") == 900000002L &&
       del.getAs[String]("verdict") == "index_delete" &&
