@@ -524,10 +524,25 @@ object DedupQueries {
     * on-storage bucket index a production dedup service keeps between
     * crawl batches (signatures are NOT recomputed for the corpus at
     * each arrival; the [[PersistedAggregates.diskMemo]] lifecycle
-    * refits it only when the source regenerates). */
+    * refits it only when the source regenerates).
+    *
+    * The [[MaxBucket]] cap is applied AT MATERIALIZATION (r17 verdict
+    * ask #5): postings in over-cap buckets emit no candidates by the
+    * d03 discipline, so keeping them in the index only forced every
+    * probe invocation to recompute the per-bucket count — an
+    * index-scale aggregate per arrival batch at 100 TB. Filtering them
+    * out here makes a probe ONE equi-join against the materialized
+    * frame with zero index-side aggregation; the cap refreshes exactly
+    * when the index refits (source regeneration), which is when bucket
+    * sizes can change. Measured (JobCountProbe, sf0.01 warm): 7→5
+    * jobs, 0.52→0.36 s. */
   private[graft] def lshBandsBase(s: SparkSession, dir: String): DataFrame =
     PersistedAggregates.diskMemo(s, "lsh_bands_base", dir) {
-      bands(s, dir).filter(col("doc_id") % 10 =!= 0)
+      val b = bands(s, dir).filter(col("doc_id") % 10 =!= 0)
+      val ok = b.groupBy(col("b"), col("bkey"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") <= MaxBucket).select(col("b"), col("bkey"))
+      b.join(ok, Seq("b", "bkey"))
     }
 
   /** d22: INCREMENTAL MinHash-LSH dedup — d09's exact-digest pattern
@@ -539,9 +554,10 @@ object DedupQueries {
     * Jaccard — the row a crawl pipeline routes on (drop vs keep).
     *
     * Scale shape: the base corpus is touched ONLY through the band
-    * index (narrow (doc_id, b, bkey) rows) and its per-bucket counts —
-    * base buckets over [[MaxBucket]] emit no candidates (the d03 cap
-    * discipline, mirrored in the twin). Signature work is O(ingest);
+    * index (narrow (doc_id, b, bkey) rows) — base buckets over
+    * [[MaxBucket]] emit no candidates (the d03 cap discipline,
+    * mirrored in the twin; applied when the index MATERIALIZES, so
+    * probes never aggregate over it). Signature work is O(ingest);
     * gram sets for verification are computed AFTER the candidate ids
     * join back to `documents` (the d21 adjudication: the pair side is
     * bounded and broadcasts, text never crosses a shuffle, the gram
@@ -568,9 +584,6 @@ object DedupQueries {
       if (memo) PersistedAggregates.diskMemo(s, key, dir)(b) else b
     val base = lshBandsBase(s, dir)
     val ing = bandsOf(s, ingestDocs)
-    val okBuckets = base.groupBy(col("b"), col("bkey"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") <= MaxBucket).select(col("b"), col("bkey"))
     // Materialized, not session-persisted (r15 ADVICE): three
     // consumers (the two gram-set fetches + the pair join) would
     // otherwise each re-band the ingest slice and re-read the index,
@@ -580,9 +593,12 @@ object DedupQueries {
     // with zero block-manager residency — consumers root at a scan of
     // the bounded candidate parquet, and the materialization is
     // superseded (and locally cleaned) when the source regenerates.
+    // The bucket cap lives IN the materialized index (r17 ask #5:
+    // [[lshBandsBase]] drops over-cap postings at build), so the
+    // candidate step is one equi-join — no index-scale aggregate per
+    // arrival batch.
     val cand = share("d22_cand") {
-      ing.join(okBuckets, Seq("b", "bkey"))
-        .select(col("doc_id").as("in_doc"), col("b"), col("bkey"))
+      ing.select(col("doc_id").as("in_doc"), col("b"), col("bkey"))
         .join(base.select(col("doc_id").as("base_doc"), col("b"), col("bkey")),
           Seq("b", "bkey"))
         .select(col("in_doc"), col("base_doc")).distinct()

@@ -173,11 +173,18 @@ object MultimodalQueries {
     * (media_id, subfp) posting rows, disk-materialized per source
     * fingerprint — the d22/m14 lifecycle applied to the audio
     * modality (arriving audio is fingerprinted fresh; the base corpus
-    * is never re-decoded). */
+    * is never re-decoded). Postings in sub-fingerprint buckets over
+    * [[DedupQueries.MaxBucket]] are dropped AT MATERIALIZATION (r17
+    * ask #5) — they can never produce a candidate, and carrying them
+    * forced each probe to recompute the per-bucket count, an
+    * index-scale aggregate per arrival batch. */
   private[graft] def audioFpIndexBase(s: SparkSession, dir: String): DataFrame =
     PersistedAggregates.diskMemo(s, "m15_subfp_index", dir) {
-      audioFps(s, dir).filter(col("media_id") % 10 =!= 0)
+      val b = audioFps(s, dir).filter(col("media_id") % 10 =!= 0)
         .select(col("media_id"), col("subfp"))
+      val ok = b.groupBy(col("subfp")).agg(count(lit(1)).as("c"))
+        .filter(col("c") <= DedupQueries.MaxBucket).select(col("subfp"))
+      b.join(ok, "subfp")
     }
 
   /** m15: INCREMENTAL audio dedup — m14's arrival pattern on the audio
@@ -208,11 +215,10 @@ object MultimodalQueries {
       ingestMedia: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord]): DataFrame = {
     val ing = MediaPipeline.audioSubFingerprints(ingestMedia).toDF()
       .select(col("media_id"), col("kind"), col("subfp")).distinct()
+    // the MaxBucket cap is pre-applied in [[audioFpIndexBase]]'s
+    // materialization — the probe is one equi-join, no index aggregate
     val base = audioFpIndexBase(s, dir)
-    val okSubfp = base.groupBy(col("subfp")).agg(count(lit(1)).as("c"))
-      .filter(col("c") <= DedupQueries.MaxBucket).select(col("subfp"))
     val shared = ing.select(col("media_id"), col("subfp"))
-      .join(okSubfp, "subfp")
       .join(base.select(col("subfp"), col("media_id").as("base_media")), "subfp")
       .groupBy(col("media_id"), col("base_media"))
       .agg(count(lit(1)).as("n_shared"))
@@ -232,13 +238,26 @@ object MultimodalQueries {
   }
 
   /** The materialized perceptual-hash index m16 probes: base-slice
-    * (media_id, bands) aHash rows, disk-materialized — the same
-    * lifecycle on the image modality. */
+    * aHash postings EXPLODED to (base_media, bb, band, bv) — one row
+    * per pigeonhole band — with over-cap (band, bv) buckets dropped at
+    * materialization (r17 ask #5: the cap aggregate runs once per
+    * index refit, never per probe). `bb` carries the full 8-band array
+    * so the hamming verify needs no second fetch; at 8 rows × 8 longs
+    * per image the index is still a sliver of the payload bytes it
+    * replaces. */
   private[graft] def imageAHashIndexBase(s: SparkSession, dir: String): DataFrame =
     PersistedAggregates.diskMemo(s, "m16_ahash_index", dir) {
-      MediaPipeline.imageAHash(MediaPipeline.load(s, dir)).toDF()
+      val b = MediaPipeline.imageAHash(MediaPipeline.load(s, dir)).toDF()
         .filter(col("media_id") % 10 =!= 0)
-        .select(col("media_id"), col("bands"))
+        .select(col("media_id").as("base_media"), col("bands").as("bb"))
+        .select(col("base_media"), col("bb"),
+          posexplode(col("bb")).as(Seq("band", "bv")))
+      val ok = b.groupBy(col("band"), col("bv"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") <= DedupQueries.MaxBucket)
+        .select(col("band"), col("bv"))
+      b.join(ok, Seq("band", "bv"))
+        .select(col("base_media"), col("bb"), col("band"), col("bv"))
     }
 
   /** m16: INCREMENTAL image dedup — the arrival pattern on the image
@@ -265,16 +284,12 @@ object MultimodalQueries {
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val ing = MediaPipeline.imageAHash(ingestMedia).toDF()
       .select(col("media_id"), col("bands"))
+    // the index is already exploded to capped (band, bv) postings —
+    // the candidate step is one equi-join, no index-side aggregate
     val baseBands = imageAHashIndexBase(s, dir)
-      .select(col("media_id").as("base_media"), col("bands").as("bb"))
-      .select(col("base_media"), col("bb"), posexplode(col("bb")).as(Seq("band", "bv")))
-    val okBuckets = baseBands.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") <= DedupQueries.MaxBucket).select(col("band"), col("bv"))
     val ingBands = ing.select(col("media_id"), col("bands").as("ba"))
       .select(col("media_id"), col("ba"), posexplode(col("ba")).as(Seq("band", "bv")))
-    val cand = ingBands.join(okBuckets, Seq("band", "bv"))
-      .join(baseBands, Seq("band", "bv"))
+    val cand = ingBands.join(baseBands, Seq("band", "bv"))
       .select(col("media_id"), col("ba"), col("base_media"), col("bb"))
       .distinct()
     val ham = cand.withColumn("hamming",
