@@ -2100,9 +2100,21 @@ object SimilarityQueries {
     * results against the tombstone-anti-join path and the physical
     * absence of tombstoned ids and emptied cells. */
   private[graft] def compactedAssignment(s: SparkSession, dir: String): DataFrame =
-    PersistedAggregates.diskMemo(s, "ivf_asg_compacted", dir) {
-      liveAssignment(ivfAssigned(s, dir), tombstones(vecs(s, dir)))
-    }
+    compactAssignmentFor(s, dir, "ivf_asg_compacted",
+      ivfAssigned(s, dir), tombstones(vecs(s, dir)))
+
+  /** Compaction EXECUTION over ARBITRARY state — the per-epoch verb
+    * the streaming lifecycle drive runs when the decision fires: the
+    * live assignment (tombstones anti-joined out) lands as physical
+    * diskMemo parquet under `key` and is served scan-rooted. The batch
+    * s26 path is this with the convention slices and the canonical
+    * key; a streaming drive keys per compaction epoch (each compaction
+    * writes NEW state — exactly what a production store does), and
+    * every copy rides the same supersede/retire + shutdown-cleanup
+    * lifecycle. */
+  private[graft] def compactAssignmentFor(s: SparkSession, dir: String,
+      key: String, asg: DataFrame, tomb: DataFrame): DataFrame =
+    PersistedAggregates.diskMemo(s, key, dir) { liveAssignment(asg, tomb) }
 
   /** The ONE-ROW lifecycle decision, computed once per epoch (session
     * × source fingerprint) and shared by every consumer — the s26
@@ -2162,12 +2174,23 @@ object SimilarityQueries {
     * lifecycle the compacted assignment (s26) already rides. The old
     * state stays readable for in-flight plans; serving switches by
     * reading the refit keys. */
-  private[graft] def refitState(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val cent = PersistedAggregates.diskMemo(s, "ivf_centroids_refit", dir) {
-      fitCentroids(liveVecs(s, dir))
+  private[graft] def refitState(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    refitStateFor(s, dir, "ivf_centroids_refit", "ivf_asg_refit",
+      liveVecs(s, dir))
+
+  /** Refit EXECUTION over an ARBITRARY live population — the per-epoch
+    * verb the streaming drive runs when the refit decision fires: the
+    * same deterministic integerized Lloyd as the original index,
+    * fitted to `live`, re-assigned, both landed as diskMemo state
+    * under the given keys. The batch s27 path is this with the
+    * convention live slice and the canonical keys. */
+  private[graft] def refitStateFor(s: SparkSession, dir: String,
+      centKey: String, asgKey: String, live: DataFrame): (DataFrame, DataFrame) = {
+    val cent = PersistedAggregates.diskMemo(s, centKey, dir) {
+      fitCentroids(live)
     }
-    val asg = PersistedAggregates.diskMemo(s, "ivf_asg_refit", dir) {
-      assignCells(liveVecs(s, dir), cent)
+    val asg = PersistedAggregates.diskMemo(s, asgKey, dir) {
+      assignCells(live, cent)
     }
     (cent, asg)
   }
@@ -2255,7 +2278,23 @@ object SimilarityQueries {
     * hash-checked against the twin. One row; everything broadcasts. */
   private def refitDecision(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val asg = ivfAssigned(s, dir)
+    val (bcent, basg, _, masg) = ingestAssignments(s, dir)
+    decisionFor(e, ivfAssigned(s, dir), bcent, basg, masg, tombstones(e))
+  }
+
+  /** The s25 decision TABLE over ARBITRARY index state — the seam
+    * `StreamingLifecycleSpec` re-evaluates per arrival epoch (the
+    * a39/d22/m14 discipline applied to the lifecycle verbs): the s25
+    * query is exactly this over the convention slices, so the rules
+    * exist once and cannot drift between the batch decision and the
+    * streaming drive. Inputs: `e` the vector population reached so far,
+    * `asg` its full assignment under the serving fit (tombstones
+    * included — the s25 convention), `(bcent, basg, masg)` the drift
+    * legs (pre-ingest fit + pre/post assignments), `tomb` the
+    * tombstone state. One row; everything broadcasts. */
+  private[graft] def decisionFor(e: DataFrame, asg: DataFrame,
+      bcent: DataFrame, basg: DataFrame, masg: DataFrame,
+      tomb: DataFrame): DataFrame = {
     // production-index health (s18): imbalance + dead seeds
     val sz = asg.groupBy(col("cell")).agg(count(lit(1)).as("c"))
     val ss = sz.agg(count(lit(1)).as("n_cells"),
@@ -2263,13 +2302,11 @@ object SimilarityQueries {
     val nv = e.agg(count(lit(1)).as("n_vecs"))
     val sd = ivfSeeds(e).agg(count(lit(1)).as("n_seeds"))
     // ingest drift — the SAME seams the s23 report is built from
-    val (bcent, basg, _, masg) = ingestAssignments(s, dir)
     val bh = assignedCosHealth(e, basg, bcent)
       .select(col("n").as("n_base"), col("sum_u").as("sum_pre_u"))
     val ph = assignedCosHealth(e, masg, bcent)
       .select(col("n").as("n_post"), col("sum_u").as("sum_post_u"))
     // deletion garbage — the SAME seams the s24 report is built from
-    val tomb = tombstones(e)
     val liveAsg = liveAssignment(asg, tomb)
     val emptied = emptiedCells(asg, liveAsg)
     val nt = tomb.agg(count(lit(1)).as("n_deleted"))
