@@ -1776,6 +1776,107 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** t36 drift threshold, an exact rational (Num/Den = 1/64): a source
+    * whose arrival fertility exceeds its fit-time fertility by more
+    * than this triggers a tokenizer refit. The comparison
+    * cross-multiplies integer token/word sums in DECIMAL(38,0) /
+    * HUGEINT — the d10 flag-arithmetic discipline, no float threshold
+    * parity risk. Calibrated non-degenerate on the driver corpus:
+    * per-source deltas span roughly −0.24..+0.27 at sf0.001/0.01 and
+    * −0.06..+0.04 at sf0.1, so 1/64 = 0.015625 lands sources on BOTH
+    * sides at every SF (spec-pinned at sf0.001). */
+  private[graft] val BpeDriftNum = 1L
+  private[graft] val BpeDriftDen = 64L
+
+  /** The t36 arrival convention: `(doc_id DIV 20) % 10 == 0` — one
+    * full block of 20 consecutive ids in ten. NOT the d09 `% 10`
+    * convention, deliberately: the driver corpus assigns `source =
+    * src(doc_id % 20)`, so a residue-based arrival slice selects
+    * ENTIRE sources (src0/src10) that then have zero fit-time history
+    * — per-source drift would be undefined for exactly the rows being
+    * judged. The block convention arrives one full source-cycle at a
+    * time, stratifying every source across both slices, which is what
+    * a real crawl batch looks like (a time-slice of all feeds, not
+    * two whole feeds). */
+  private val t36ArrSpark = "(doc_id DIV 20) % 10"
+  private val t36ArrDuck  = "(doc_id // 20) % 10"
+
+  /** t36: TOKENIZER FERTILITY DRIFT — the s25 decision-table shape for
+    * the BPE layer (r17 verdict ask #4): production tokenizers re-fit
+    * when arrival fertility drifts, because new domains segment worse —
+    * every arrival word absent from the fitted vocabulary pays the
+    * character-fallback worst case ([[graft.operators.BpeTrainer
+    * .tokenize]]'s miss path), which is where out-of-domain drift
+    * shows (on the driver corpus the global vocabulary is tiny, so
+    * the drift the fixture exercises is word-MIX drift — same
+    * mechanism, milder cause).
+    *
+    * The vocabulary is fitted on the BASE slice only (the tokenizer
+    * trained before this batch existed); both slices then tokenize
+    * through the SAME production lookup path, and the report is
+    * per-source fit-time fertility, arrival fertility, their delta,
+    * and `refit_needed` on the exact integerized
+    * [[BpeDriftNum]]/[[BpeDriftDen]] threshold.
+    *
+    * The twin replays the base fit unrolled (the t35 discipline), so
+    * the driver's hash gate pins the merge sequence, both
+    * tokenizations, and the decision boolean cross-engine.
+    *
+    * Scale shape: the fit is vocabulary-scale over the base slice and
+    * memoized per (session, dir); each tokenize is one slice scan +
+    * explode + broadcast vocabulary join with `source` carried through
+    * (no doc_id re-join); the per-source merge is an equi-join of two
+    * source-grain aggregates; the decision is row-local integer
+    * arithmetic on the joined row. */
+  private def bpeFertilityDrift(s: SparkSession, dir: String): DataFrame = {
+    // base-slice fit, the t35 miss-path discipline: release the fit's
+    // own persisted table once the memo materializes
+    var fitted: DataFrame = null
+    val vocab = PersistedAggregates.memo(s, "t36_bpe_vocab_base", dir) {
+      val words = docs(s, dir).filter(expr(t36ArrSpark) =!= 0)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+      fitted = graft.operators.BpeTrainer.fit(words, BpeFitMerges)._2
+      fitted.select(col("word"), col("syms"))
+    }
+    if (fitted != null) {
+      vocab.count() // materialize the memo before dropping its parent
+      fitted.unpersist()
+    }
+    def bySource(slice: DataFrame, suffix: String): DataFrame =
+      graft.operators.BpeTrainer
+        .tokenize(slice, "doc_id", "text", vocab, carryCols = Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as(s"n_docs_$suffix"),
+          sum(col("n_words")).as(s"n_words_$suffix"),
+          sum(col("n_tokens")).as(s"n_tokens_$suffix"))
+    val fit = bySource(docs(s, dir).filter(expr(t36ArrSpark) =!= 0), "fit")
+    val arr = bySource(docs(s, dir).filter(expr(t36ArrSpark) === 0), "arr")
+    val d38 = DecimalType(38, 0)
+    def dc(c: Column) = c.cast(d38)
+    // delta > Num/Den, cross-multiplied: Den·(ta·wf − tf·wa) > Num·wa·wf
+    val trips = dc(lit(BpeDriftDen)) *
+      (dc(col("n_tokens_arr")) * dc(col("n_words_fit")) -
+        dc(col("n_tokens_fit")) * dc(col("n_words_arr"))) >
+      dc(lit(BpeDriftNum)) * dc(col("n_words_arr")) * dc(col("n_words_fit"))
+    // inner join: the decision only exists for sources with BOTH a
+    // fitted history and an arrival batch (on the driver corpus that
+    // is every source at every SF — spec-pinned non-degenerate)
+    fit.join(arr, "source")
+      .select(col("source"), col("n_docs_fit"), col("n_docs_arr"),
+        col("n_words_fit"), col("n_tokens_fit"),
+        col("n_words_arr"), col("n_tokens_arr"),
+        round(col("n_tokens_fit").cast(DoubleType) / col("n_words_fit"), 6)
+          .as("fertility_fit"),
+        round(col("n_tokens_arr").cast(DoubleType) / col("n_words_arr"), 6)
+          .as("fertility_arr"),
+        round(col("n_tokens_arr").cast(DoubleType) / col("n_words_arr") -
+          col("n_tokens_fit").cast(DoubleType) / col("n_words_fit"), 6)
+          .as("fertility_delta"),
+        trips.as("refit_needed"))
+      .orderBy(col("source"))
+  }
+
   /** The unrolled DuckDB twin of [[graft.operators.BpeTrainer.fit]]:
     * round r computes pair counts over vocabulary state v(r-1)
     * (corpus-weighted, every adjacent position), picks the (count
@@ -2587,5 +2688,45 @@ object TextQueries {
         ROUND(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words), 6) AS fertility
       FROM tk JOIN documents d ON d.doc_id = tk.doc_id
       GROUP BY d.source ORDER BY d.source"""),
-      "fitted-tokenizer fertility per source: BpeTrainer fit (8 merges, twin replays the full argmax/fold sequence) + the vocabulary-lookup tokenize path, tokens/word by source"))
+      "fitted-tokenizer fertility per source: BpeTrainer fit (8 merges, twin replays the full argmax/fold sequence) + the vocabulary-lookup tokenize path, tokens/word by source"),
+
+    "t36_bpe_fertility_drift" -> QueryDef(bpeFertilityDrift, Some(s"""
+      WITH w AS (
+        SELECT word, COUNT(*) AS wcount
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents
+              WHERE $t36ArrDuck <> 0)
+        GROUP BY word),
+      ${bpeFitDuckChain(BpeFitMerges)},
+      tw AS (SELECT doc_id, source, $t36ArrDuck = 0 AS is_arr,
+               unnest(string_split(text, ' ')) AS word
+             FROM documents),
+      tk AS (SELECT tw.doc_id, tw.source, tw.is_arr,
+               COUNT(*) AS n_words,
+               SUM(COALESCE(len(v$BpeFitMerges.syms), length(tw.word)))
+                 AS n_tokens
+             FROM tw LEFT JOIN v$BpeFitMerges ON v$BpeFitMerges.word = tw.word
+             GROUP BY 1, 2, 3),
+      fg AS (SELECT source, COUNT(*) AS n_docs_fit,
+               CAST(SUM(n_words) AS BIGINT) AS n_words_fit,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_fit
+             FROM tk WHERE NOT is_arr GROUP BY source),
+      ag AS (SELECT source, COUNT(*) AS n_docs_arr,
+               CAST(SUM(n_words) AS BIGINT) AS n_words_arr,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_arr
+             FROM tk WHERE is_arr GROUP BY source)
+      SELECT f.source, n_docs_fit, n_docs_arr,
+        n_words_fit, n_tokens_fit, n_words_arr, n_tokens_arr,
+        ROUND(CAST(n_tokens_fit AS DOUBLE) / n_words_fit, 6) AS fertility_fit,
+        ROUND(CAST(n_tokens_arr AS DOUBLE) / n_words_arr, 6) AS fertility_arr,
+        ROUND(CAST(n_tokens_arr AS DOUBLE) / n_words_arr -
+              CAST(n_tokens_fit AS DOUBLE) / n_words_fit, 6) AS fertility_delta,
+        (CAST($BpeDriftDen AS HUGEINT) *
+           (CAST(n_tokens_arr AS HUGEINT) * CAST(n_words_fit AS HUGEINT) -
+            CAST(n_tokens_fit AS HUGEINT) * CAST(n_words_arr AS HUGEINT)) >
+         CAST($BpeDriftNum AS HUGEINT) *
+           CAST(n_words_arr AS HUGEINT) * CAST(n_words_fit AS HUGEINT))
+          AS refit_needed
+      FROM fg f JOIN ag a ON a.source = f.source
+      ORDER BY f.source"""),
+      "tokenizer fertility drift: base-slice-fitted vocabulary (twin replays the fit unrolled) tokenizes fit and arrival slices through the production lookup path, per-source fertility delta + exact integerized refit_needed decision"))
 }
