@@ -226,7 +226,11 @@ object MediaPipeline {
     * fingerprint each. flatMap ⇒ one output row per sampled frame. */
   def sampleFrames(media: Dataset[MediaRecord]): Dataset[SampledFrame] = {
     import media.sparkSession.implicits._
-    media.filter(_.kind == "video").flatMap { m =>
+    // Column filter, not a typed lambda: Catalyst pushes it below the
+    // record projection, so non-video rows never encode their payload
+    // or deserialize into MediaRecord objects (the kind predicate folds
+    // to a doc_id expression at the scan).
+    media.filter(col("kind") === "video").flatMap { m =>
       // One digest instance per RECORD, reset per frame: getInstance
       // inside the frame loop would pay a JCA provider lookup +
       // allocation per 32-byte slice (~8k lookups per MB of video),
@@ -269,7 +273,8 @@ object MediaPipeline {
     * shuffle (the d10/m05 property). */
   def audioSubFingerprints(media: Dataset[MediaRecord]): Dataset[AudioSubFp] = {
     import media.sparkSession.implicits._
-    media.filter(m => m.kind == "audio" || m.kind == "video").flatMap { m =>
+    // Column filter (see sampleFrames): image rows never decode.
+    media.filter(col("kind").isin("audio", "video")).flatMap { m =>
       val n = m.bytes.length
       if (n < MinAudioBytes) Iterator.empty
       else {
@@ -315,7 +320,8 @@ object MediaPipeline {
     * arithmetic; payloads die at this projection. */
   def audioFrameEnergies(media: Dataset[MediaRecord]): Dataset[AudioFrame] = {
     import media.sparkSession.implicits._
-    media.filter(m => m.kind == "audio" || m.kind == "video").flatMap { m =>
+    // Column filter (see sampleFrames): image rows never decode.
+    media.filter(col("kind").isin("audio", "video")).flatMap { m =>
       val nFrames = m.bytes.length / AudioFrameBytes
       (0 until nFrames).iterator.map { f =>
         var s = 0L
@@ -344,7 +350,10 @@ object MediaPipeline {
     * only (media_id, 8×8-byte bands) rows ever leave the projection. */
   def imageAHash(media: Dataset[MediaRecord]): Dataset[ImageAHash] = {
     import media.sparkSession.implicits._
-    media.filter(m => m.kind == "image" && m.bytes.length >= AHashBlocks).map { m =>
+    // Column filter (see sampleFrames); length(binary) is the byte
+    // count, identical to the lambda's m.bytes.length test.
+    media.filter(col("kind") === "image" &&
+        length(col("bytes")) >= AHashBlocks).map { m =>
       val n = m.bytes.length.toLong
       var tsum = 0L
       var i = 0

@@ -841,17 +841,21 @@ object DedupQueries {
     // (r17 verdict ask #1): video → m14 frame digests, audio → m15
     // sub-fingerprints, image → m16 aHash bands — so the manifest's
     // one-row-per-arriving-item contract covers all three modalities.
-    // Each leg's probe receives only its kind's records (the typed
-    // filter sits BELOW the flatMap boundary, so only that kind's
-    // payloads decode — the m14 pushdown discipline), and each id leg
+    // Each leg's probe receives only its kind's records (the columnar
+    // kind filter pushes below the record projection, so only that
+    // kind's payloads decode — the m14 pushdown discipline), and each id leg
     // left-joins the probe for totality (r17 review): an arrival whose
     // payload yields zero frames / prints / aHash (too short to
     // feature) still gets its keep/novel row instead of vanishing
     // from the feature-grain rollup.
     def mediaLeg(kindName: String, probe: DataFrame, dupFlag: String,
         dropReason: String, signals: String): DataFrame =
-      ingestMedia.filter((m: graft.multimodal.MediaRecord) => m.kind == kindName)
-        .toDF().select(col("media_id"))
+      // Columnar kind filter + id projection: the totality leg needs
+      // only (media_id); a typed lambda here forced every arrival row
+      // through payload encode + MediaRecord deserialization just to
+      // read two fields (r18 optimization).
+      ingestMedia.toDF().filter(col("kind") === kindName)
+        .select(col("media_id"))
         .join(probe, Seq("media_id"), "left")
         .select(lit("media").as("item_type"), col("media_id").as("item_id"),
           when(coalesce(col(dupFlag), lit(false)), lit("drop"))
@@ -863,7 +867,9 @@ object DedupQueries {
           coalesce(col(signals), lit(0L)).as("n_signals"),
           lit(-1L).as("cell"))
     def kindSlice(kindName: String) =
-      ingestMedia.filter((m: graft.multimodal.MediaRecord) => m.kind == kindName)
+      // Columnar, not typed (r18 optimization): the probe's typed
+      // boundary then deserializes only this kind's records.
+      ingestMedia.filter(col("kind") === kindName)
     val media = mediaLeg("video",
         MultimodalQueries.probeFrameIndex(s, dir, kindSlice("video")),
         "is_dup", "video_frame_overlap", "n_frames_in_index")
@@ -1018,13 +1024,18 @@ object DedupQueries {
         .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("i"), col("wh"))
     }
 
-  private def substringDedup(s: SparkSession, dir: String): DataFrame = {
-    // Memoized on top of the memoized occurrence frame: the shared-set
-    // aggregate and the flag join both read the distinct projection —
-    // one DISTINCT shuffle serves both.
-    val wins = PersistedAggregates.memo(s, "d14_wins", dir) {
+  /** Distinct (doc_id, wh) window membership, memoized on top of the
+    * memoized occurrence frame — ONE distinct shuffle serves d14's
+    * shared-set aggregate + flag join AND d20's digest stats (r18:
+    * d20 previously re-ran the distinct over the n·W occurrence frame
+    * per invocation). */
+  private def windowWins(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.memo(s, "d14_wins", dir) {
       windowOcc(s, dir).select(col("doc_id"), col("wh")).distinct()
     }
+
+  private def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    val wins = windowWins(s, dir)
     // Shared-window membership via the shared KeyedCounts shape (r14,
     // the d10 conversion): rows are distinct per (doc, wh), so the
     // digest occurrence count IS the doc count, and the viral-window
@@ -1062,14 +1073,23 @@ object DedupQueries {
     * floats anywhere. */
   private def spanRemoval(s: SparkSession, dir: String): DataFrame = {
     val occ = windowOcc(s, dir)
-    val stats = occ.select(col("doc_id"), col("wh")).distinct()
+    // Digest stats read the SHARED memoized distinct ([[windowWins]])
+    // instead of re-running the distinct over the n·W occurrence frame
+    // (r18: one aggregation pass saved per invocation).
+    val stats = windowWins(s, dir)
       .groupBy(col("wh"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
       .filter(col("n_docs") >= 2)
+    // No distinct on the cut set (r18): occ rows are unique per
+    // (doc_id, i) by construction (one posexplode per doc) and stats
+    // is unique per wh (groupBy output), so the join cannot duplicate
+    // — the old .distinct() paid a full exchange + two hash
+    // aggregations over the cut set for nothing (guide §2.4: distinct
+    // on already-unique data). The twin's SELECT DISTINCT stays, and
+    // the hash gate proves equality.
     val cut = occ.join(stats, Seq("wh"))
       .filter(col("doc_id") > col("keeper"))
       .select(col("doc_id"), col("i"), (col("i") + (ChunkWords - 1)).as("j"))
-      .distinct()
     mergeSpans(cut)
   }
 

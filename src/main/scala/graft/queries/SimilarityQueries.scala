@@ -1974,14 +1974,33 @@ object SimilarityQueries {
       .select(col("q_id"), col("s_id").as("cell"), col("qv"), col("qn"))
   }
 
+  /** The PRE-INGEST posting-list side: base-slice assignment under the
+    * base-fit centroids, disk-materialized like [[ivfAssigned]] — this
+    * is the no-refit index state s23's contract serves from, and a
+    * production store keeps it on disk between ingest batches. Before
+    * r18 it was an inline `assignCells` subtree that s23/s25 each
+    * evaluated under EVERY crossJoin branch (health ×2, imbalance ×2,
+    * serving) — five broadcast-argmax passes over the base corpus per
+    * query run, with zero exchange reuse (48 parquet scans in the s23
+    * plan). Scan-rooted, the branches read narrow (vec_id, cell)
+    * parquet instead. */
+  private[graft] def ingestBaseAssigned(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.diskMemo(s, "ivf_asg_ingest_base", dir) {
+      assignCells(vecs(s, dir).filter(col("vec_id") % IngestMod =!= 0),
+        ingestBaseCentroids(s, dir))
+    }
+
   /** The s23 arrival frames — (base centroids, base assignment, ingest
     * assignment, merged assignment) — shared with s25 so the drift the
-    * decision table acts on is STRUCTURALLY the drift s23 reports. */
+    * decision table acts on is STRUCTURALLY the drift s23 reports.
+    * The base assignment reads the materialized index state
+    * ([[ingestBaseAssigned]]); only the O(arrival) ingest assignment
+    * is computed fresh. */
   private[graft] def ingestAssignments(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = vecs(s, dir)
     val cent = ingestBaseCentroids(s, dir)
-    val basg = assignCells(e.filter(col("vec_id") % IngestMod =!= 0), cent)
+    val basg = ingestBaseAssigned(s, dir)
     val iasg = assignCells(e.filter(col("vec_id") % IngestMod === 0), cent)
     (cent, basg, iasg, basg.union(iasg))
   }
@@ -2003,11 +2022,20 @@ object SimilarityQueries {
   private def annIngestReport(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val ing = e.filter(col("vec_id") % IngestMod === 0)
-    val (cent, basg, _, merged) = ingestAssignments(s, dir)
+    val (cent, basg, iasg, merged) = ingestAssignments(s, dir)
     val bh = assignedCosHealth(e, basg, cent)
       .select(col("n").as("n_base"), col("sum_u").as("sum_cos_base_u"))
-    val ph = assignedCosHealth(e, merged, cent)
-      .select(col("n").as("n_post"), col("sum_u").as("sum_cos_post_u"))
+    // Post-ingest health DECOMPOSED (r18, guide §1.2): the merged
+    // assignment is basg ⊎ iasg (disjoint id slices), and the health
+    // metric is an exact integer (count, sum) — so the post pass over
+    // the merged set equals the base pass plus an O(arrival) ingest
+    // pass, component-wise. The old formulation re-scanned the base
+    // corpus a second time inside assignedCosHealth(e, merged, cent);
+    // at 100 TB that is a redundant full-corpus join+dot-product pass
+    // per report. Null semantics reproduced exactly: sum over an empty
+    // merged set is NULL, otherwise absent legs contribute 0.
+    val ih = assignedCosHealth(e, iasg, cent)
+      .select(col("n").as("n_ing_h"), col("sum_u").as("sum_cos_ing_u"))
     def imbalance(asgd: DataFrame, out: String): DataFrame =
       asgd.groupBy(col("cell")).agg(count(lit(1)).as("c"))
         .agg((max(col("c")) * count(lit(1))).cast(DoubleType)
@@ -2022,10 +2050,16 @@ object SimilarityQueries {
         sum(when(col("c_id") % IngestMod === 0, 1L).otherwise(0L))
           .as("n_ingest_hits"))
     ing.agg(count(lit(1)).as("n_ingest"))
-      .crossJoin(broadcast(bh)).crossJoin(broadcast(ph))
+      .crossJoin(broadcast(bh)).crossJoin(broadcast(ih))
       .crossJoin(broadcast(imbalance(basg, "imbalance_base")))
       .crossJoin(broadcast(imbalance(merged, "imbalance_post")))
       .crossJoin(broadcast(served))
+      // post = pre ⊎ ingest, reassembled column-wise (see the ih note)
+      .withColumn("n_post", col("n_base") + col("n_ing_h"))
+      .withColumn("sum_cos_post_u",
+        when(col("n_post") === 0, lit(null).cast(LongType))
+          .otherwise(coalesce(col("sum_cos_base_u"), lit(0L)) +
+            coalesce(col("sum_cos_ing_u"), lit(0L))))
       .select(col("n_base"), col("n_ingest"),
         col("sum_cos_base_u"), col("sum_cos_post_u"),
         (col("sum_cos_base_u").cast(DoubleType) / col("n_base") / lit(1048576.0))
@@ -2278,8 +2312,8 @@ object SimilarityQueries {
     * hash-checked against the twin. One row; everything broadcasts. */
   private def refitDecision(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val (bcent, basg, _, masg) = ingestAssignments(s, dir)
-    decisionFor(e, ivfAssigned(s, dir), bcent, basg, masg, tombstones(e))
+    val (bcent, basg, iasg, _) = ingestAssignments(s, dir)
+    decisionFor(e, ivfAssigned(s, dir), bcent, basg, iasg, tombstones(e))
   }
 
   /** The s25 decision TABLE over ARBITRARY index state — the seam
@@ -2289,11 +2323,13 @@ object SimilarityQueries {
     * exist once and cannot drift between the batch decision and the
     * streaming drive. Inputs: `e` the vector population reached so far,
     * `asg` its full assignment under the serving fit (tombstones
-    * included — the s25 convention), `(bcent, basg, masg)` the drift
-    * legs (pre-ingest fit + pre/post assignments), `tomb` the
-    * tombstone state. One row; everything broadcasts. */
+    * included — the s25 convention), `(bcent, basg, iasg)` the drift
+    * legs (pre-ingest fit + pre-ingest assignment + ARRIVAL
+    * assignment; the post-ingest health is reassembled as pre ⊎
+    * arrival — r18, see the in-body note), `tomb` the tombstone
+    * state. One row; everything broadcasts. */
   private[graft] def decisionFor(e: DataFrame, asg: DataFrame,
-      bcent: DataFrame, basg: DataFrame, masg: DataFrame,
+      bcent: DataFrame, basg: DataFrame, iasg: DataFrame,
       tomb: DataFrame): DataFrame = {
     // production-index health (s18): imbalance + dead seeds
     val sz = asg.groupBy(col("cell")).agg(count(lit(1)).as("c"))
@@ -2301,18 +2337,30 @@ object SimilarityQueries {
       max(col("c")).cast(LongType).as("max_cell"))
     val nv = e.agg(count(lit(1)).as("n_vecs"))
     val sd = ivfSeeds(e).agg(count(lit(1)).as("n_seeds"))
-    // ingest drift — the SAME seams the s23 report is built from
+    // ingest drift — the SAME seams the s23 report is built from. The
+    // post-ingest leg is reassembled as pre ⊎ arrival (r18, guide
+    // §1.2): the merged assignment is basg ⊎ iasg over disjoint id
+    // slices and the health metric is an exact integer (count, sum),
+    // so summing the two legs is bit-identical to scanning the merged
+    // set — without the second full-corpus join+dot-product pass the
+    // old assignedCosHealth(e, masg, bcent) paid. NULL reproduced
+    // exactly: sum over an empty merged set stays NULL.
     val bh = assignedCosHealth(e, basg, bcent)
       .select(col("n").as("n_base"), col("sum_u").as("sum_pre_u"))
-    val ph = assignedCosHealth(e, masg, bcent)
-      .select(col("n").as("n_post"), col("sum_u").as("sum_post_u"))
+    val ih = assignedCosHealth(e, iasg, bcent)
+      .select(col("n").as("n_ing_h"), col("sum_u").as("sum_ing_u"))
     // deletion garbage — the SAME seams the s24 report is built from
     val liveAsg = liveAssignment(asg, tomb)
     val emptied = emptiedCells(asg, liveAsg)
     val nt = tomb.agg(count(lit(1)).as("n_deleted"))
     nv.crossJoin(broadcast(ss)).crossJoin(broadcast(sd))
-      .crossJoin(broadcast(bh)).crossJoin(broadcast(ph))
+      .crossJoin(broadcast(bh)).crossJoin(broadcast(ih))
       .crossJoin(broadcast(nt)).crossJoin(broadcast(emptied))
+      .withColumn("n_post", col("n_base") + col("n_ing_h"))
+      .withColumn("sum_post_u",
+        when(col("n_post") === 0, lit(null).cast(LongType))
+          .otherwise(coalesce(col("sum_pre_u"), lit(0L)) +
+            coalesce(col("sum_ing_u"), lit(0L))))
       .withColumn("imbalance",
         (col("max_cell") * col("n_cells")).cast(DoubleType) / col("n_vecs"))
       .withColumn("drift",

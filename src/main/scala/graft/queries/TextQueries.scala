@@ -263,10 +263,15 @@ object TextQueries {
       .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("i"), col("wh"))
     val probes = occ.filter(col("doc_id") % 20 === 7)
       .select(col("wh").as("pw")).distinct()
+    // No distinct on the cut set (r18, the d20 argument): occ rows are
+    // unique per (doc_id, i) by construction and the probe side is
+    // distinct, so the broadcast join cannot duplicate — the old
+    // .distinct() paid a full exchange over the matched set for
+    // nothing. The twin keeps its DISTINCT; the hash gate proves
+    // equality.
     val cut = occ.filter(col("doc_id") % 20 =!= 7)
       .join(broadcast(probes), col("wh") === col("pw"))
       .select(col("doc_id"), col("i"), (col("i") + (DecontamWindow - 1)).as("j"))
-      .distinct()
     DedupQueries.mergeSpans(cut)
   }
 
@@ -936,29 +941,40 @@ object TextQueries {
   private[graft] def dsirLut(s: SparkSession, dir: String): DataFrame = {
     val gx = dsirGramBuckets(s, dir)
     PersistedAggregates.memo(s, "t20_lut", dir) {
-      gx.groupBy(col("b")).agg(count(lit(1)).as("nr"))
-        .join(gx.filter(col("lang") === "en")
-          .groupBy(col("b")).agg(count(lit(1)).as("nt0")), Seq("b"), "left")
-        .withColumn("nt", coalesce(col("nt0"), lit(0L)))
+      // ONE gram pass (r18): the raw and target counts come from the
+      // same conditional aggregation — the old raw-agg LEFT JOIN
+      // en-filtered-agg formulation scanned the corpus-scale gram
+      // stream twice to build the same 256-row table (a bucket with no
+      // target grams gets nt = 0 either way; buckets exist iff they
+      // have raw rows, identical to the left join's keyset).
+      gx.groupBy(col("b")).agg(count(lit(1)).as("nr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
         .withColumn("lw", expr(ilogSql("nt + 1")) - expr(ilogSql("nr + 1")))
         .select(col("b"), col("nt"), col("nr"), col("lw"))
     }
   }
 
-  /** Per-doc exact integer importance weight `u` (spec seam). */
-  private[graft] def dsirPerDoc(s: SparkSession, dir: String): DataFrame = {
-    val gx = dsirGramBuckets(s, dir)
-    val lut = dsirLut(s, dir)
-    val norm = lut.agg((expr(ilogSql(s"sum(nt) + $DsirBuckets")) -
-      expr(ilogSql(s"sum(nr) + $DsirBuckets"))).as("lnorm"))
-    // score: broadcast-LUT join, exact integer weight per doc (lang
-    // rides along for the spec; it is functionally dependent on doc_id)
-    gx.join(broadcast(lut.select(col("b"), col("lw"))), Seq("b"))
-      .groupBy(col("doc_id"), col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("lw")).as("sum_lw"))
-      .crossJoin(broadcast(norm))
-      .withColumn("u", col("sum_lw") - col("n_grams") * col("lnorm"))
-  }
+  /** Per-doc exact integer importance weight `u` (spec seam).
+    * Session-memoized (r18, the t18 perdoc precedent): the doc-grain
+    * weight frame is multi-consumer — t20's source rollup and t21's
+    * (u, tokens) build both read it — and without the memo each
+    * consumer re-ran the corpus-scale gram explode + hash + LUT fold.
+    * Narrow rows (ids + exact integers); recompute path bottoms at
+    * scans (the d11 memo rule). */
+  private[graft] def dsirPerDoc(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.memo(s, "t20_perdoc", dir) {
+      val gx = dsirGramBuckets(s, dir)
+      val lut = dsirLut(s, dir)
+      val norm = lut.agg((expr(ilogSql(s"sum(nt) + $DsirBuckets")) -
+        expr(ilogSql(s"sum(nr) + $DsirBuckets"))).as("lnorm"))
+      // score: broadcast-LUT join, exact integer weight per doc (lang
+      // rides along for the spec; it is functionally dependent on doc_id)
+      gx.join(broadcast(lut.select(col("b"), col("lw"))), Seq("b"))
+        .groupBy(col("doc_id"), col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_grams"), sum(col("lw")).as("sum_lw"))
+        .crossJoin(broadcast(norm))
+        .withColumn("u", col("sum_lw") - col("n_grams") * col("lnorm"))
+    }
 
   /** The t20/t21-shared DuckDB chain ending in `ud(doc_id, source, u)`
     * — spliced under WITH by both oracles (the d15/d16 rule: the

@@ -40,7 +40,7 @@ class StreamingLifecycleSpec extends SparkTestBase {
     val e = SimilarityQueries.vecs(s, sf)
     val cent = SimilarityQueries.ivfCentroids(s, sf)
     val asg = SimilarityQueries.ivfAssigned(s, sf)
-    val (bcent, basg, _, masg) = SimilarityQueries.ingestAssignments(s, sf)
+    val (bcent, basg, iasg, _) = SimilarityQueries.ingestAssignments(s, sf)
     val probes = SimilarityQueries.probeTopCells(e, cent, SimilarityQueries.IngestProbes)
     def serveRows(a: DataFrame): Seq[(Long, Long)] =
       SimilarityQueries.serveOverAssignment(probes, e, a)
@@ -70,7 +70,7 @@ class StreamingLifecycleSpec extends SparkTestBase {
             }
             val tombState = arrived.toSeq.sorted.toDF("vec_id")
             val dec = SimilarityQueries
-              .decisionFor(e, asg, bcent, basg, masg, tombState).head
+              .decisionFor(e, asg, bcent, basg, iasg, tombState).head
             val compact = dec.getAs[Boolean]("compact_for_garbage")
             // the serve path the lifecycle picks at this epoch: the
             // query-time anti-join until compaction fires, a physical
@@ -158,7 +158,7 @@ class StreamingLifecycleSpec extends SparkTestBase {
         bcent)
       val masg = basg.union(iasg)
       val dec = SimilarityQueries
-        .decisionFor(eEpoch, masg, bcent, basg, masg, noTomb).head
+        .decisionFor(eEpoch, masg, bcent, basg, iasg, noTomb).head
       (epoch, dec.getAs[Boolean]("refit_needed"),
         dec.getAs[Double]("imbalance"), dec.getAs[Double]("drift"), eEpoch, masg)
     }
