@@ -499,20 +499,30 @@ object DedupQueries {
     * The digest is the d02 16-word-prefix fingerprint (this corpus's
     * planted duplicates are near-dups — full-text md5 would never
     * fire; a production pipeline picks the key per dedup policy). */
-  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    // The SAME (doc_id, digest) projection d11 memoizes — and since
-    // r17 a third/fourth consumer exists (d23 composes d09, and d23's
-    // own run re-invokes this), so the md5-over-text corpus pass runs
-    // once per session instead of once per consumer (the a36/a18
-    // shared-frame rule; key kept as d11's).
-    val d = PersistedAggregates.memo(s, "d11_digests", dir) {
+  /** The memoized (doc_id, digest) projection d11/d09/d23 share — the
+    * md5-over-text corpus pass runs once per session instead of once
+    * per consumer (the a36/a18 shared-frame rule; key kept as d11's). */
+  private[graft] def docDigests(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.memo(s, "d11_digests", dir) {
       docs(s, dir).select(col("doc_id"),
         md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16))).as("digest"))
     }
-    val idx = d.filter(col("doc_id") % 10 =!= 0)
-      .groupBy(col("digest")).agg(min(col("doc_id")).as("index_doc"))
-    d.filter(col("doc_id") % 10 === 0)
-      .join(idx, Seq("digest"), "left")
+
+  /** The materialized exact-digest index d09/d23 probe: base-slice
+    * (digest → min doc), disk-materialized per source fingerprint —
+    * the same index-state discipline as [[lshBandsBase]] /
+    * `m14_frame_index` (r18: before this, every d09/d23 invocation
+    * re-ran the corpus-scale groupBy(digest) aggregate that a
+    * production dedup service keeps on disk between crawl batches). */
+  private[graft] def digestIndexBase(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.diskMemo(s, "d09_digest_index", dir) {
+      docDigests(s, dir).filter(col("doc_id") % 10 =!= 0)
+        .groupBy(col("digest")).agg(min(col("doc_id")).as("index_doc"))
+    }
+
+  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    docDigests(s, dir).filter(col("doc_id") % 10 === 0)
+      .join(digestIndexBase(s, dir), Seq("digest"), "left")
       .select(col("doc_id"), col("digest"),
         col("index_doc").isNotNull.as("is_dup"),
         coalesce(col("index_doc"), lit(-1L)).as("index_doc"))
@@ -771,12 +781,11 @@ object DedupQueries {
       ingestDocs: DataFrame): DataFrame = {
     def digest(d: DataFrame): DataFrame = d.select(col("doc_id"),
       md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16))).as("digest"))
-    val idx = PersistedAggregates.memo(s, "d11_digests", dir) {
-      digest(docs(s, dir))
-    }.filter(col("doc_id") % 10 =!= 0)
-      .groupBy(col("digest")).agg(min(col("doc_id")).as("index_doc"))
+    // The probe reads the MATERIALIZED digest index (r18) — one
+    // equi-join, no corpus-scale aggregate per arrival batch (the
+    // lshBandsBase discipline applied to the exact-digest family).
     digest(ingestDocs)
-      .join(idx, Seq("digest"), "left")
+      .join(digestIndexBase(s, dir), Seq("digest"), "left")
       .select(col("doc_id"), col("digest"),
         col("index_doc").isNotNull.as("is_dup"),
         coalesce(col("index_doc"), lit(-1L)).as("index_doc"))
@@ -1213,13 +1222,9 @@ object DedupQueries {
   private def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // The (doc_id, digest) projection feeds the sizing estimate AND
-    // three query legs (idx, batch, exact) — memoized-persisted so the
-    // md5-over-text pass runs once per session (a36/a18 pattern).
-    PersistedAggregates.memo(s, "d11_digests", dir) {
-      docs(s, dir)
-        .select(col("doc_id"),
-          md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16))).as("digest"))
-    }.createOrReplaceTempView("graft_d11_digests")
+    // three query legs (idx, batch, exact) — the shared memoized
+    // [[docDigests]] frame (a36/a18 pattern; one build definition).
+    docDigests(s, dir).createOrReplaceTempView("graft_d11_digests")
     val nIdx = math.max(1L,
       s.sql("SELECT approx_count_distinct(digest) FROM graft_d11_digests WHERE doc_id % 10 != 0")
         .head().getLong(0))

@@ -247,7 +247,10 @@ object MultimodalQueries {
     * replaces. */
   private[graft] def imageAHashIndexBase(s: SparkSession, dir: String): DataFrame =
     PersistedAggregates.diskMemo(s, "m16_ahash_index", dir) {
-      val b = MediaPipeline.imageAHash(MediaPipeline.load(s, dir)).toDF()
+      // builds from the SHARED memoized aHash pass (r18): the old
+      // inline imageAHash(load) re-hashed the full corpus for the
+      // index build even though m08 had already computed it
+      val b = corpusAHashes(s, dir)
         .filter(col("media_id") % 10 =!= 0)
         .select(col("media_id").as("base_media"), col("bands").as("bb"))
         .select(col("base_media"), col("bb"),
@@ -420,9 +423,19 @@ object MultimodalQueries {
     * [[MaxImageHamming]] — 4σ below the ~32 a random pair scores.
     * Payloads die at the aHash projection: only (media_id, 8 bands)
     * rows shuffle. */
+  /** The memoized full-corpus aHash pass — read by m08's band
+    * expansion and m16's index build; persisted once so the per-image
+    * block-mean fold runs a single pass per session (the m07 audioFps
+    * pattern, r18; recompute lineage is scan-rooted, memo-safe). */
+  private def corpusAHashes(s: SparkSession, dir: String): DataFrame =
+    PersistedAggregates.memo(s, "m08_ahash", dir) {
+      MediaPipeline.imageAHash(MediaPipeline.load(s, dir)).toDF()
+        .select(col("media_id"), col("bands"))
+    }
+
   private[queries] def imageNearDup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType}
-    val ah = MediaPipeline.imageAHash(MediaPipeline.load(s, dir)).toDF()
+    val ah = corpusAHashes(s, dir)
     DedupQueries.collectCappedBuckets(
         ah.select(posexplode(col("bands")).as(Seq("band", "bv")),
           struct(col("media_id"), col("bands")).as("m")),
