@@ -1495,6 +1495,30 @@ object SimilarityQueries {
         ivfPqCodebooks(s, dir))
     }
 
+  /** The ADC distance per candidate group: sum of the [[PqM]]
+    * per-subspace partials in FIXED subspace order — THE single
+    * aggregation s11/s12/s13 score candidates with (one definition,
+    * three call sites). Each group holds exactly one `pd` per `sub`
+    * (codes are unique per (vec, sub); the LUT is unique per
+    * (…, sub, code)), so `min(when(sub = i, pd))` extracts subspace
+    * i's partial, and the left-associated add p0+p1+…+p_{m-1} is
+    * bit-identical to the twin's 0.0-seeded ordered list fold
+    * (partials are squared-L2 ≥ 0, so 0.0 + p0 ≡ p0 in IEEE).
+    *
+    * r18 (guide §4): this replaces a `sort_array(collect_list(struct))`
+    * + lambda-fold — an object-buffer aggregate that fell out of
+    * whole-stage codegen and shipped m-element arrays through the
+    * (q, c)-keyed exchange. The min columns are flat doubles:
+    * hash-aggregable, map-side partial-combined, codegen-friendly. */
+  private def adcSum(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val parts = (0 until PqM).map(i =>
+      min(when(col("sub") === i, col("pd"))).as(s"__p$i"))
+    df.groupBy(keys.map(col): _*)
+      .agg(parts.head, parts.tail: _*)
+      .withColumn("adc", (0 until PqM).map(i => col(s"__p$i")).reduce(_ + _))
+      .drop((0 until PqM).map(i => s"__p$i"): _*)
+  }
+
   /** Exact top-5 rerank of an ADC candidate set `cand(q_id, carry…,
     * c_id, adc)`: raw vectors joined back on both roles, true cosine
     * order restored per query, ADC distance carried beside the exact
@@ -1544,13 +1568,11 @@ object SimilarityQueries {
   /** s11's ADC candidate frame: at most Q·[[QuantCand]] rows. */
   private[graft] def pqAdcCand(s: SparkSession, dir: String,
       qr: QueryRel = SampleQueries): DataFrame = {
-    val scores = pqCodes(s, dir)
+    val scores = adcSum(pqCodes(s, dir)
       .select(col("vec_id").as("c_id"), col("sub"), col("code"))
       .join(broadcast(pqLut(s, dir, qr)), Seq("sub", "code"))
-      .filter(col("q_id") =!= col("c_id"))
-      .groupBy(col("q_id"), col("c_id"))
-      .agg(sort_array(collect_list(struct(col("sub"), col("pd")))).as("ps"))
-      .withColumn("adc", expr("aggregate(ps, CAST(0.0 AS DOUBLE), (a, p) -> a + p.pd)"))
+      .filter(col("q_id") =!= col("c_id")),
+      Seq("q_id", "c_id"))
     val wq = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("c_id"))
     scores.withColumn("cand_rnk", row_number().over(wq))
       .filter(col("cand_rnk") <= QuantCand)
@@ -1595,15 +1617,13 @@ object SimilarityQueries {
         expr(l2Spark("sv", "cw")).as("pd"))
     val qcell = qr(res)
       .select(col("vec_id").as("q_id"), col("cell"))
-    val scores = ivfPqCodes(s, dir)
+    val scores = adcSum(ivfPqCodes(s, dir)
       .join(res.select(col("vec_id"), col("cell")), "vec_id")
       .select(col("vec_id").as("c_id"), col("cell"), col("sub"), col("code"))
       .join(broadcast(qcell), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
-      .join(broadcast(lut), Seq("q_id", "sub", "code"))
-      .groupBy(col("q_id"), col("cell"), col("c_id"))
-      .agg(sort_array(collect_list(struct(col("sub"), col("pd")))).as("ps"))
-      .withColumn("adc", expr("aggregate(ps, CAST(0.0 AS DOUBLE), (a, p) -> a + p.pd)"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code")),
+      Seq("q_id", "cell", "c_id"))
     val wq = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("c_id"))
     val cand = scores.withColumn("cand_rnk", row_number().over(wq))
       .filter(col("cand_rnk") <= QuantCand)
@@ -1656,14 +1676,12 @@ object SimilarityQueries {
     * global per-query top spans both probed cells). */
   private[graft] def ivfPqMpCand(s: SparkSession, dir: String,
       qr: QueryRel = SampleQueries): DataFrame = {
-    val scores = ivfPqCodes(s, dir)
+    val scores = adcSum(ivfPqCodes(s, dir)
       .join(ivfResiduals(s, dir).select(col("vec_id"), col("cell")), "vec_id")
       .select(col("vec_id").as("c_id"), col("cell"), col("sub"), col("code"))
       .join(broadcast(ivfPqMpLut(s, dir, qr)), Seq("cell", "sub", "code"))
-      .filter(col("q_id") =!= col("c_id"))
-      .groupBy(col("q_id"), col("cell"), col("probe_rank"), col("c_id"))
-      .agg(sort_array(collect_list(struct(col("sub"), col("pd")))).as("ps"))
-      .withColumn("adc", expr("aggregate(ps, CAST(0.0 AS DOUBLE), (a, p) -> a + p.pd)"))
+      .filter(col("q_id") =!= col("c_id")),
+      Seq("q_id", "cell", "probe_rank", "c_id"))
     val wq = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("c_id"))
     scores.withColumn("cand_rnk", row_number().over(wq))
       .filter(col("cand_rnk") <= QuantCand)
