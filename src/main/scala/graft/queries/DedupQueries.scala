@@ -746,6 +746,19 @@ object DedupQueries {
     * rows: the manifest is TOTAL (every arriving item gets exactly one
     * row) and flat, the file a crawl-ingest pipeline consumes as-is.
     *
+    * STEADY-STATE COST, adjudicated (r18, the t18/s12 rule): d23 is
+    * the registry's second-slowest query (~1.2-1.4 s clean at sf0.1),
+    * and the floor is SCHEDULER, not data. Measured (StageTimeProbe,
+    * warm, sf0.1, local[32]): 25 stages of 20-60 ms each with ≤65 ms
+    * executor CPU TOTAL — materialized-index parquet reads, broadcast
+    * builds, and the six family probes' AQE stages; no stage reads
+    * more than 22k records. Every stage exists FOR scale: the
+    * composition probes six per-family indexes O(arrival) instead of
+    * re-deriving any of them, which is exactly the plan that amortizes
+    * at 100 TB arrival volumes. Collapsing legs to shave sub-second
+    * scheduler latency at sf0.1 would re-couple the family pipelines
+    * the manifest exists to compose; the plan stands.
+    *
     * Scale shape: every branch is a family query already audited for
     * 100 TB (d09's digest index, d22's materialized band index, m14's
     * frame-digest index, s23/s24's fitted-centroid broadcasts); both
