@@ -59,6 +59,20 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", math.max(parallelism, 1).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Let AQE size CACHED plans too (off by default): without this a
+      // persisted frame materializes at the raw shuffle.partitions
+      // ceiling — every session memo pinned `parallelism` near-empty
+      // cache blocks, and EVERY downstream stage over it paid a
+      // `parallelism`-task dispatch regardless of data volume
+      // (measured r19, sf0.1 local[32]: t29 spent 3 stages × ~600 ms
+      // wall on 32-task scans of ≤189 KiB cached memos at ~55 ms CPU
+      // each). With it on, cached partitioning tracks bytes exactly
+      // like any other AQE stage — same plans, scale-adaptive sizing.
+      // Trade-off: a consumer can no longer reuse the cache's output
+      // partitioning to skip its own exchange; the memoized frames
+      // here are aggregate-grain (orders of magnitude smaller than
+      // their sources), so re-exchanging them is the cheap side.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       // Streaming state at scale: the default HDFS-backed provider

@@ -16,7 +16,37 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") readEvents(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else readParquet(spark, s"$sfDir/$name.parquet")
+
+  /** Inferred parquet schemas, keyed on (path, length:mtime):
+    * `spark.read.parquet(path)` runs a footer schema-INFERENCE JOB on
+    * every call, and each query invocation constructs its scans fresh
+    * — measured (r19, StageTimeProbe, warm d23 at sf0.1): 13 such
+    * ~25-30 ms single-task inference stages inside ONE warm run, pure
+    * fixed cost. Passing the schema explicitly skips inference; the
+    * stat in the key keeps the r11 mid-session-regeneration hazard
+    * closed (a regenerated file gets a fresh inference — the same
+    * staleness discipline as PersistedAggregates.fingerprint). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
+
+  private def statKey(spark: SparkSession, path: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+      s"${st.getLen}:${st.getModificationTime}"
+    } catch { case _: Throwable => "na" }
+
+  /** `spark.read.parquet(path)` with the one-inference-per-(JVM, file
+    * state) schema cache. An unreachable stat ("na") degrades to plain
+    * inference rather than serving a possibly stale schema. */
+  private[graft] def readParquet(spark: SparkSession, path: String): DataFrame = {
+    val k = statKey(spark, path)
+    if (k == "na") spark.read.parquet(path)
+    else spark.read.schema(
+      schemaCache.computeIfAbsent((path, k), _ => spark.read.parquet(path).schema))
+      .parquet(path)
+  }
 
   /** Raw parquet schema of `events` at `sfDir`, as Spark reads it with
     * the legacy nanos-as-long mode on: TIMESTAMP(NANOS) data arrives as
@@ -57,7 +87,10 @@ object Tables {
     * encodings the driver has shipped load, then normalize. */
   private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    eventsFromRaw(spark.read.parquet(s"$sfDir/events.parquet"))
+    // readParquet is safe here: the legacy conf is set before EVERY
+    // events read (this is the only entry point), so the cached
+    // inferred schema is always the one produced under it.
+    eventsFromRaw(readParquet(spark, s"$sfDir/events.parquet"))
   }
 
   /** Expected LOGICAL schema per table, post-normalization — column
@@ -169,6 +202,29 @@ object Tables {
   def assertExpectedSchemas(spark: SparkSession, sfDir: String): Unit = {
     val drift = schemaDrift(spark, sfDir)
     if (drift.nonEmpty) throw new IllegalStateException(drift.mkString("; "))
+  }
+
+  /** Scale-adaptive scan-parallelism floor (optimization guide §2.5:
+    * "one huge unsplittable file … repartition immediately after the
+    * read"). The driver testdata ships each table as ONE
+    * single-row-group parquet file, so a bare scan is ONE task no
+    * matter how many cores the session has — and any heavy row-local
+    * projection downstream (the n·W window-digest passes, the gram
+    * explodes) runs serially on it (measured r19, sf0.1 local[32]:
+    * t24's md5 window pass = one 890 ms task while 31 cores idle).
+    * When the scan's natural split count already meets the session's
+    * default parallelism — the production case: a 100 TB table is
+    * thousands of splits — this is the IDENTITY; the repartition fires
+    * only when the source cannot feed the cluster, which is exactly
+    * when one narrow exchange of the input rows is cheaper than idling
+    * every core but one. Hash partitioning on a caller-named unique
+    * key keeps row placement deterministic under task retry (§2.5's
+    * round-robin/rand() re-run hazard does not apply). */
+  def parallelScan(s: SparkSession, df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")

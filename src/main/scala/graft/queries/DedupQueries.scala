@@ -1036,7 +1036,9 @@ object DedupQueries {
     * projection, so the memo contract holds (the d11 rule). */
   private def windowOcc(s: SparkSession, dir: String): DataFrame =
     PersistedAggregates.memo(s, "d14_occ", dir) {
-      docs(s, dir)
+      // Parallelism floor before the n·W md5 pass (guide §2.5; r19):
+      // identity once the scan has cluster-scale splits.
+      Tables.parallelScan(s, docs(s, dir), col("doc_id"))
         .withColumn("words", split(col("text"), " "))
         .filter(size(col("words")) >= ChunkWords)
         .select(col("doc_id"), posexplode(expr(

@@ -1952,6 +1952,33 @@ object SimilarityQueries {
       .withColumn("u", floor(col("scos") * lit(1048576.0) + lit(0.5)).cast(LongType))
       .agg(count(lit(1)).as("n"), sum(col("u")).as("sum_u"))
 
+  /** Both drift-health legs of the ingest reports in ONE corpus pass
+    * (r19, guide §2.3 "aggregate before you shuffle"): the pre-ingest
+    * and arrival assignments are tagged and unioned, the union joins
+    * `e` ONCE, and the two (count, integer-sum) pairs fall out as
+    * conditional aggregates — bit-identical to two
+    * [[assignedCosHealth]] rows (a row contributes to exactly the leg
+    * it was tagged with, even if a vec_id appears in BOTH legs — each
+    * occurrence joins independently, as in two passes), without the
+    * second full scan+join of `e` the two-pass form paid. NULL
+    * semantics preserved: an empty leg yields count 0 / sum NULL
+    * (a conditional sum over no rows is NULL, like sum over an empty
+    * relation). Output one row (n_base, sum_pre_u, n_ing_h,
+    * sum_ing_u). */
+  private[graft] def assignedCosHealthLegs(e: DataFrame, basg: DataFrame,
+      iasg: DataFrame, cent: DataFrame): DataFrame =
+    e.join(
+        basg.select(col("vec_id"), col("cell")).withColumn("__leg", lit(0))
+          .union(iasg.select(col("vec_id"), col("cell")).withColumn("__leg", lit(1))),
+        "vec_id")
+      .join(broadcast(cent), col("cell") === col("s_id"))
+      .withColumn("scos", expr(dotSpark("v", "sv")) / (col("nrm") * col("sn")))
+      .withColumn("u", floor(col("scos") * lit(1048576.0) + lit(0.5)).cast(LongType))
+      .agg(count(when(col("__leg") === 0, lit(1))).as("n_base"),
+        sum(when(col("__leg") === 0, col("u"))).as("sum_pre_u"),
+        count(when(col("__leg") === 1, lit(1))).as("n_ing_h"),
+        sum(when(col("__leg") === 1, col("u"))).as("sum_ing_u"))
+
   /** s23: INCREMENTAL ANN INGEST — the d09 analog for the vector index
     * (r14 verdict ask #3). A production IVF index is fitted once and
     * then absorbs new vectors between re-fits: the ingest slice is
@@ -2023,26 +2050,25 @@ object SimilarityQueries {
     (cent, basg, iasg, basg.union(iasg))
   }
 
-  /** s24's tombstone slice / live assignment / vacated-cell count —
-    * shared seams (s24 report + s25 decision), so the spec-pinned
-    * metric identity between the two is structural, not copy-kept. */
+  /** s24's tombstone slice / live assignment — shared seams (s24
+    * report + s25 decision), so the spec-pinned metric identity
+    * between the two is structural, not copy-kept. The vacated-cell
+    * count (formerly `emptiedCells`) now lives inside each report's
+    * merged per-cell aggregate (r19, guide §2.3): a cell is emptied
+    * exactly when no live row carries it, expressed as a conditional
+    * count over the one groupBy(cell) pass that also feeds the cell
+    * totals — the standalone anti-join paid a second corpus-scale
+    * aggregate per report for the same number. */
   private[graft] def tombstones(e: DataFrame): DataFrame =
     e.filter(col("vec_id") % DeleteMod === DeleteRem).select(col("vec_id"))
 
   private[graft] def liveAssignment(asg: DataFrame, tomb: DataFrame): DataFrame =
     asg.join(tomb, Seq("vec_id"), "left_anti")
 
-  private[graft] def emptiedCells(asg: DataFrame, liveAsg: DataFrame): DataFrame =
-    asg.groupBy(col("cell")).agg(count(lit(1)).as("c"))
-      .join(liveAsg.select(col("cell")).distinct(), Seq("cell"), "left_anti")
-      .agg(count(lit(1)).as("n_cells_emptied"))
-
   private def annIngestReport(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val ing = e.filter(col("vec_id") % IngestMod === 0)
     val (cent, basg, iasg, merged) = ingestAssignments(s, dir)
-    val bh = assignedCosHealth(e, basg, cent)
-      .select(col("n").as("n_base"), col("sum_u").as("sum_cos_base_u"))
     // Post-ingest health DECOMPOSED (r18, guide §1.2): the merged
     // assignment is basg ⊎ iasg (disjoint id slices), and the health
     // metric is an exact integer (count, sum) — so the post pass over
@@ -2051,13 +2077,28 @@ object SimilarityQueries {
     // corpus a second time inside assignedCosHealth(e, merged, cent);
     // at 100 TB that is a redundant full-corpus join+dot-product pass
     // per report. Null semantics reproduced exactly: sum over an empty
-    // merged set is NULL, otherwise absent legs contribute 0.
-    val ih = assignedCosHealth(e, iasg, cent)
-      .select(col("n").as("n_ing_h"), col("sum_u").as("sum_cos_ing_u"))
-    def imbalance(asgd: DataFrame, out: String): DataFrame =
-      asgd.groupBy(col("cell")).agg(count(lit(1)).as("c"))
-        .agg((max(col("c")) * count(lit(1))).cast(DoubleType)
-          .divide(sum(col("c"))).as(out))
+    // merged set is NULL, otherwise absent legs contribute 0. r19:
+    // both legs run in ONE pass over e ([[assignedCosHealthLegs]] —
+    // one scan+join of the corpus instead of two).
+    val hh = assignedCosHealthLegs(e, basg, iasg, cent)
+      .select(col("n_base"), col("sum_pre_u").as("sum_cos_base_u"),
+        col("n_ing_h"), col("sum_ing_u").as("sum_cos_ing_u"))
+    // Both imbalance factors from ONE tagged per-cell aggregate (r19,
+    // guide §2.3): merged = basg ⊎ iasg, so the merged per-cell count
+    // is the unconditional count and the base count is the leg-0
+    // conditional. The base factor's count/max/sum see exactly the
+    // cells with base rows (cb > 0 for the cell count; cb = 0 rows
+    // can win neither max nor add to sum), matching the standalone
+    // groupBy over basg bit-for-bit.
+    val imbs = basg.select(col("cell")).withColumn("__leg", lit(0))
+      .union(iasg.select(col("cell")).withColumn("__leg", lit(1)))
+      .groupBy(col("cell"))
+      .agg(count(when(col("__leg") === 0, lit(1))).as("cb"),
+        count(lit(1)).as("cp"))
+      .agg((max(col("cb")) * count(when(col("cb") > 0, lit(1))))
+          .cast(DoubleType).divide(sum(col("cb"))).as("imbalance_base"),
+        (max(col("cp")) * count(lit(1))).cast(DoubleType)
+          .divide(sum(col("cp"))).as("imbalance_post"))
     // serving: the s07 shape over the merged index — queries probe
     // their top-IngestProbes base cells, candidates come from BOTH
     // populations, exact top-5 by cosine
@@ -2068,9 +2109,8 @@ object SimilarityQueries {
         sum(when(col("c_id") % IngestMod === 0, 1L).otherwise(0L))
           .as("n_ingest_hits"))
     ing.agg(count(lit(1)).as("n_ingest"))
-      .crossJoin(broadcast(bh)).crossJoin(broadcast(ih))
-      .crossJoin(broadcast(imbalance(basg, "imbalance_base")))
-      .crossJoin(broadcast(imbalance(merged, "imbalance_post")))
+      .crossJoin(broadcast(hh))
+      .crossJoin(broadcast(imbs))
       .crossJoin(broadcast(served))
       // post = pre ⊎ ingest, reassembled column-wise (see the ih note)
       .withColumn("n_post", col("n_base") + col("n_ing_h"))
@@ -2279,22 +2319,44 @@ object SimilarityQueries {
     val oldCent = ivfCentroids(s, dir)
     val oldLive = liveAssignment(ivfAssigned(s, dir), tomb)
     val (newCent, newAsg) = maybeRefitState(s, dir)
-    val oh = assignedCosHealth(e, oldLive, oldCent)
-      .select(col("n").as("n_live"), col("sum_u").as("sum_cos_old_u"))
-    val nh = assignedCosHealth(e, newAsg, newCent)
-      .select(col("n").as("n_new"), col("sum_u").as("sum_cos_new_u"))
-    def imb(a: DataFrame, out: String): DataFrame =
-      a.groupBy(col("cell")).agg(count(lit(1)).as("c"))
-        .agg((max(col("c")) * count(lit(1))).cast(DoubleType)
-          .divide(sum(col("c"))).as(out))
-    def nc(a: DataFrame, out: String): DataFrame =
-      a.agg(countDistinct(col("cell")).as(out))
+    // Old-fit and new-fit health in ONE corpus pass (r19, guide §2.3
+    // — the assignedCosHealthLegs shape, with the CENTROID table
+    // tagged too because each leg scores against its own fit): the
+    // leg-matched broadcast join reproduces the two standalone passes
+    // row-for-row, minus one full scan+join of e.
+    val legs = oldLive.select(col("vec_id"), col("cell")).withColumn("__leg", lit(0))
+      .union(newAsg.select(col("vec_id"), col("cell")).withColumn("__leg", lit(1)))
+    val cents = oldCent.select(col("s_id"), col("sv"), col("sn"))
+        .withColumn("__legc", lit(0))
+      .union(newCent.select(col("s_id"), col("sv"), col("sn"))
+        .withColumn("__legc", lit(1)))
+    val hh = e.join(legs, "vec_id")
+      .join(broadcast(cents),
+        col("cell") === col("s_id") && col("__leg") === col("__legc"))
+      .withColumn("scos", expr(dotSpark("v", "sv")) / (col("nrm") * col("sn")))
+      .withColumn("u", floor(col("scos") * lit(1048576.0) + lit(0.5)).cast(LongType))
+      .agg(count(when(col("__leg") === 0, lit(1))).as("n_live"),
+        sum(when(col("__leg") === 0, col("u"))).as("sum_cos_old_u"),
+        count(when(col("__leg") === 1, lit(1))).as("n_new"),
+        sum(when(col("__leg") === 1, col("u"))).as("sum_cos_new_u"))
+    // Both cell counts AND both imbalance factors from ONE tagged
+    // per-cell aggregate (r19, guide §2.3 — was four separate
+    // corpus-scale groupBy/countDistinct jobs): a leg's factor reads
+    // exactly the cells that leg populates (a zero conditional count
+    // can win neither max nor add to sum, and the cell-count
+    // conditional matches countDistinct over the leg's relation).
+    val cellStats = legs.groupBy(col("cell"))
+      .agg(count(when(col("__leg") === 0, lit(1))).as("co"),
+        count(when(col("__leg") === 1, lit(1))).as("cn"))
+      .agg(count(when(col("co") > 0, lit(1))).as("n_cells_old"),
+        count(when(col("cn") > 0, lit(1))).as("n_cells_new"),
+        (max(col("co")) * count(when(col("co") > 0, lit(1))))
+          .cast(DoubleType).divide(sum(col("co"))).as("imbalance_old"),
+        (max(col("cn")) * count(when(col("cn") > 0, lit(1))))
+          .cast(DoubleType).divide(sum(col("cn"))).as("imbalance_new"))
     tomb.agg(count(lit(1)).as("n_deleted"))
-      .crossJoin(broadcast(oh)).crossJoin(broadcast(nh))
-      .crossJoin(broadcast(nc(oldLive, "n_cells_old")))
-      .crossJoin(broadcast(nc(newAsg, "n_cells_new")))
-      .crossJoin(broadcast(imb(oldLive, "imbalance_old")))
-      .crossJoin(broadcast(imb(newAsg, "imbalance_new")))
+      .crossJoin(broadcast(hh))
+      .crossJoin(broadcast(cellStats))
       .select(col("n_deleted"), col("n_live"),
         col("n_cells_old"), col("n_cells_new"),
         col("imbalance_old"), col("imbalance_new"),
@@ -2349,10 +2411,22 @@ object SimilarityQueries {
   private[graft] def decisionFor(e: DataFrame, asg: DataFrame,
       bcent: DataFrame, basg: DataFrame, iasg: DataFrame,
       tomb: DataFrame): DataFrame = {
-    // production-index health (s18): imbalance + dead seeds
-    val sz = asg.groupBy(col("cell")).agg(count(lit(1)).as("c"))
-    val ss = sz.agg(count(lit(1)).as("n_cells"),
-      max(col("c")).cast(LongType).as("max_cell"))
+    // production-index health (s18): imbalance + dead seeds + the
+    // deletion-garbage cell count, all from ONE per-cell aggregate
+    // (r19, guide §2.3): before this, `asg` was groupBy(cell)'d twice
+    // — once for (n_cells, max_cell), once for the emptied count —
+    // and each one-row result rode its own broadcast job. The left
+    // join against the live cells cannot duplicate (distinct output is
+    // unique per cell), and a cell is "emptied" exactly when no live
+    // row carries it — the emptiedCells anti-join, as a conditional
+    // count.
+    val liveAsg = liveAssignment(asg, tomb)
+    val cellStats = asg.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .join(liveAsg.select(col("cell")).distinct().withColumn("__live", lit(1)),
+        Seq("cell"), "left")
+      .agg(count(lit(1)).as("n_cells"),
+        max(col("c")).cast(LongType).as("max_cell"),
+        count(when(col("__live").isNull, lit(1))).as("n_cells_emptied"))
     val nv = e.agg(count(lit(1)).as("n_vecs"))
     val sd = ivfSeeds(e).agg(count(lit(1)).as("n_seeds"))
     // ingest drift — the SAME seams the s23 report is built from. The
@@ -2362,18 +2436,13 @@ object SimilarityQueries {
     // so summing the two legs is bit-identical to scanning the merged
     // set — without the second full-corpus join+dot-product pass the
     // old assignedCosHealth(e, masg, bcent) paid. NULL reproduced
-    // exactly: sum over an empty merged set stays NULL.
-    val bh = assignedCosHealth(e, basg, bcent)
-      .select(col("n").as("n_base"), col("sum_u").as("sum_pre_u"))
-    val ih = assignedCosHealth(e, iasg, bcent)
-      .select(col("n").as("n_ing_h"), col("sum_u").as("sum_ing_u"))
-    // deletion garbage — the SAME seams the s24 report is built from
-    val liveAsg = liveAssignment(asg, tomb)
-    val emptied = emptiedCells(asg, liveAsg)
+    // exactly: sum over an empty merged set stays NULL. Both legs run
+    // in ONE pass over e ([[assignedCosHealthLegs]], r19).
+    val hh = assignedCosHealthLegs(e, basg, iasg, bcent)
     val nt = tomb.agg(count(lit(1)).as("n_deleted"))
-    nv.crossJoin(broadcast(ss)).crossJoin(broadcast(sd))
-      .crossJoin(broadcast(bh)).crossJoin(broadcast(ih))
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(emptied))
+    nv.crossJoin(broadcast(cellStats)).crossJoin(broadcast(sd))
+      .crossJoin(broadcast(hh))
+      .crossJoin(broadcast(nt))
       .withColumn("n_post", col("n_base") + col("n_ing_h"))
       .withColumn("sum_post_u",
         when(col("n_post") === 0, lit(null).cast(LongType))
@@ -2405,25 +2474,54 @@ object SimilarityQueries {
     val tomb = tombstones(e)
     val liveAsg = liveAssignment(asg, tomb)
     val probes = probeTopCells(e, cent, IngestProbes)
-    def topServe(a: DataFrame): DataFrame = serveOverAssignment(probes, e, a)
-    val pre = topServe(asg)
-      .agg(count(lit(1)).as("n_results_pre"),
-        sum(when(col("c_id") % DeleteMod === DeleteRem, 1L).otherwise(0L))
-          .as("n_stale_served_pre"))
-    val post = topServe(liveAsg)
-      .agg(countDistinct(col("q_id")).as("n_queries"),
-        count(lit(1)).as("n_results_post"),
-        sum(when(col("c_id") % DeleteMod === DeleteRem, 1L).otherwise(0L))
-          .as("n_tombstone_hits"))
+    // ONE serve pass for BOTH the pre- and post-delete views (r19,
+    // guide §2.3/§2.4; was two serveOverAssignment runs — two
+    // candidate joins + two windows over the same scored pairs).
+    // Candidates come from the FULL assignment with the tombstone
+    // predicate riding along; the pre rank is the plain row_number and
+    // the post rank is the running count of LIVE rows in the SAME
+    // strict total order (cos desc, c_id) — removing tombstoned rows
+    // from a strict total order leaves the survivors' relative order
+    // unchanged, so `live ∧ rnk_live ≤ 5` selects exactly the rows
+    // serving over the anti-joined assignment selects. The tombstone
+    // membership test is the s24 residue convention itself
+    // ([[tombstones]]: vec_id ≡ DeleteRem mod DeleteMod over e), and
+    // every candidate is an e-row, so the predicate equals the
+    // anti-join.
+    val c = e.join(asg, "vec_id").select(col("vec_id").as("c_id"),
+      col("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    val wt = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    val ranked = probes.join(c, Seq("cell")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
+      .withColumn("__stale", col("c_id") % DeleteMod === DeleteRem)
+      .withColumn("rnk", row_number().over(wt))
+      .withColumn("rnk_live",
+        sum(when(col("__stale"), 0L).otherwise(1L))
+          .over(wt.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__post", !col("__stale") && col("rnk_live") <= 5)
+      .filter(col("rnk") <= 5 || col("__post"))
+    val served = ranked.agg(
+      sum(when(col("rnk") <= 5, 1L).otherwise(0L)).as("n_results_pre"),
+      sum(when(col("rnk") <= 5 && col("__stale"), 1L).otherwise(0L))
+        .as("n_stale_served_pre"),
+      countDistinct(when(col("__post"), col("q_id"))).as("n_queries"),
+      sum(when(col("__post"), 1L).otherwise(0L)).as("n_results_post"),
+      sum(when(col("__post") && col("__stale"), 1L).otherwise(0L))
+        .as("n_tombstone_hits"))
     val lh = assignedCosHealth(e, liveAsg, cent)
       .select(col("n").as("n_live"), col("sum_u").as("sum_cos_live_u"))
-    val emptied = emptiedCells(asg, liveAsg)
-    val nc = asg.groupBy(col("cell")).agg(count(lit(1)).as("c"))
-      .agg(count(lit(1)).as("n_cells"))
+    // n_cells + n_cells_emptied from ONE per-cell aggregate (r19,
+    // guide §2.3 — the decisionFor cellStats shape): emptied = a cell
+    // of asg with no live row, as a conditional count over the left
+    // join against the distinct live cells.
+    val cellStats = asg.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .join(liveAsg.select(col("cell")).distinct().withColumn("__live", lit(1)),
+        Seq("cell"), "left")
+      .agg(count(lit(1)).as("n_cells"),
+        count(when(col("__live").isNull, lit(1))).as("n_cells_emptied"))
     tomb.agg(count(lit(1)).as("n_deleted"))
-      .crossJoin(broadcast(lh)).crossJoin(broadcast(nc))
-      .crossJoin(broadcast(emptied)).crossJoin(broadcast(pre))
-      .crossJoin(broadcast(post))
+      .crossJoin(broadcast(lh)).crossJoin(broadcast(cellStats))
+      .crossJoin(broadcast(served))
       .select(col("n_deleted"), col("n_live"), col("n_cells"),
         col("n_cells_emptied"), col("n_queries"),
         col("n_results_pre"), col("n_stale_served_pre"),

@@ -253,7 +253,11 @@ object TextQueries {
     * joined map-side, so only matched (doc, offset) pairs reach the
     * per-doc merge windows. */
   private def decontamSpans(s: SparkSession, dir: String): DataFrame = {
-    val occ = docs(s, dir)
+    // Parallelism floor before the n·W md5 pass (guide §2.5; r19):
+    // the single-file scan ran the whole window-digest projection as
+    // ONE 890 ms task at sf0.1 — the repartition is identity once the
+    // scan has cluster-scale splits.
+    val occ = Tables.parallelScan(s, docs(s, dir), col("doc_id"))
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= DecontamWindow)
       .select(col("doc_id"), posexplode(expr(
@@ -924,7 +928,9 @@ object TextQueries {
   /** One row per (doc gram instance): bucket id only, hashed scan-side. */
   private def dsirGramBuckets(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    docs(s, dir)
+    // Parallelism floor before the gram explode + hash (guide §2.5;
+    // r19): identity once the scan has cluster-scale splits.
+    Tables.parallelScan(s, docs(s, dir), col("doc_id"))
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), col("lang"), col("source"),
         explode(expr("""concat(words, CASE WHEN size(words) >= 2

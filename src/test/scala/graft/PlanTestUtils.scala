@@ -62,6 +62,30 @@ object PlanTestUtils {
     }
   }
 
+  /** [[exchangeInputs]] minus explicit caller repartitions
+    * (`REPARTITION_BY_NUM` / `REPARTITION_BY_COL` shuffle origins).
+    * The no-text-in-shuffles assertions guard the UNBOUNDED case — a
+    * data-dependent exchange (join/aggregate/window) whose volume
+    * grows with the corpus. `Tables.parallelScan`'s parallelism-floor
+    * repartition is the one deliberate exception: it fires only when
+    * the source scan has fewer splits than the session has cores, so
+    * the bytes it can ever move are bounded by cores ×
+    * `spark.sql.files.maxPartitionBytes` — by construction it is gone
+    * at production scale, where these assertions matter. */
+  def dataExchangeInputs(qe: QueryExecution): Seq[String] = {
+    val all = formatted(qe).linesIterator.toVector
+    val cut = outerInitialPlanCut(all)
+    val lines = if (cut >= 0) all.take(cut) else all
+    lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange\s*""") =>
+        val block = lines.drop(i + 1).take(4)
+        val input = block.find(_.trim.startsWith("Input"))
+          .getOrElse(sys.error(s"no Input line after detail block '$l'"))
+        val args = block.find(_.trim.startsWith("Arguments")).getOrElse("")
+        (input, args)
+    }.collect { case (input, args) if !args.contains("REPARTITION_BY_") => input }
+  }
+
   /** Count of shuffle exchanges in the FINAL adaptive plan tree.
     *
     * Two rendering traps this helper absorbs: formatted mode prints the

@@ -102,7 +102,11 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     // d10's grid — all of it row-local. The scale contract is that
     // ONLY 16-byte digests shuffle; an Exchange input carrying text or
     // words means window strings (16x the corpus!) went over the wire.
-    val inputs = PlanTestUtils.exchangeInputs(
+    // dataExchangeInputs (r19): the parallelism-floor repartition
+    // (Tables.parallelScan) is exempt — bounded by cores*maxPartitionBytes
+    // and absent at production split counts; the assertion guards
+    // DATA-DEPENDENT shuffles.
+    val inputs = PlanTestUtils.dataExchangeInputs(
       queries("d14_substring_dedup")(spark, sf).queryExecution)
     assert(inputs.nonEmpty, "expected shuffles in d14")
     val leaky = inputs.filter(l => l.contains("text#") || l.contains("words#"))
@@ -294,7 +298,11 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     // moves (doc, bucket) ints or (bucket, count) aggregates. An input
     // carrying `text`, `words`, or the gram string `x` means the
     // corpus rode the shuffle the scan projection exists to prevent.
-    val inputs = PlanTestUtils.exchangeInputs(
+    // dataExchangeInputs (r19): the parallelism-floor repartition
+    // (Tables.parallelScan) is exempt — bounded by cores*maxPartitionBytes
+    // and absent at production split counts; the assertion guards
+    // DATA-DEPENDENT shuffles.
+    val inputs = PlanTestUtils.dataExchangeInputs(
       queries("t20_dsir_weights")(spark, sf).queryExecution)
     assert(inputs.nonEmpty, "expected the fit/score shuffles in t20")
     val leaky = inputs.filter(l =>
@@ -319,7 +327,11 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     assert(partKeys.contains(Set("source", "__rng")) && partKeys.contains(Set("source")),
       s"t21 window partition keys drifted: $partKeys")
     // and it inherits t20's no-text-in-shuffle contract
-    val inputs = PlanTestUtils.exchangeInputs(
+    // dataExchangeInputs (r19): the parallelism-floor repartition
+    // (Tables.parallelScan) is exempt — bounded by cores*maxPartitionBytes
+    // and absent at production split counts; the assertion guards
+    // DATA-DEPENDENT shuffles.
+    val inputs = PlanTestUtils.dataExchangeInputs(
       queries("t21_dsir_select")(spark, sf).queryExecution)
     // bare `x#` only (the gram-string column): min#/max# from the
     // bounds scalar are 8-byte partial-agg longs, fine to shuffle.
@@ -536,7 +548,11 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
   }
 
   test("t23 domain distance inherits t20's contract: bucket ids only in every shuffle") {
-    val inputs = PlanTestUtils.exchangeInputs(
+    // dataExchangeInputs (r19): the parallelism-floor repartition
+    // (Tables.parallelScan) is exempt — bounded by cores*maxPartitionBytes
+    // and absent at production split counts; the assertion guards
+    // DATA-DEPENDENT shuffles.
+    val inputs = PlanTestUtils.dataExchangeInputs(
       queries("t23_domain_distance")(spark, sf).queryExecution)
     assert(inputs.nonEmpty, "expected the (source, bucket) shuffle in t23")
     val leaky = inputs.filter(l =>
@@ -549,7 +565,11 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     // may carry text or the words array, and the interval-merge
     // windows must partition by doc_id (a span never crosses docs).
     val qe = queries("d20_span_removal")(spark, sf).queryExecution
-    val inputs = PlanTestUtils.exchangeInputs(qe)
+    // dataExchangeInputs (r19): the parallelism-floor repartition
+    // (Tables.parallelScan) is exempt — bounded by cores*maxPartitionBytes
+    // and absent at production split counts; the assertion guards
+    // DATA-DEPENDENT shuffles.
+    val inputs = PlanTestUtils.dataExchangeInputs(qe)
     assert(inputs.nonEmpty, "expected the digest shuffle in d20")
     // boundary-anchored: the bare substring "words#" would false-match
     // d20's own n_cut_words# output column
@@ -575,7 +595,11 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     assert(!text.contains("SortMergeJoin"),
       "t24 shuffle-joins the probe set; expected broadcast")
     val wordsAttr = raw"(^|[\[,\s])words#".r
-    val inputs = PlanTestUtils.exchangeInputs(qe)
+    // dataExchangeInputs (r19): the parallelism-floor repartition
+    // (Tables.parallelScan) is exempt — bounded by cores*maxPartitionBytes
+    // and absent at production split counts; the assertion guards
+    // DATA-DEPENDENT shuffles.
+    val inputs = PlanTestUtils.dataExchangeInputs(qe)
     val leaky = inputs.filter(l => l.contains("text#") || wordsAttr.findFirstIn(l).isDefined)
     assert(leaky.isEmpty, s"t24 shuffles raw text:\n${leaky.mkString("\n")}")
     val windows = qe.optimizedPlan.collect { case w: LWindow => w }
