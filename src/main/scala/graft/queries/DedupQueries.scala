@@ -1032,10 +1032,11 @@ object DedupQueries {
   /** All stride-1 window-digest occurrences (doc_id, i, wh) — the
     * shared upstream of d14 (detection) and d20 (removal), memoized:
     * the n·W md5 pass is the families' dominant cost and d20 alone
-    * reads it twice (digest stats + cut occurrences). Scan-rooted
-    * projection, so the memo contract holds (the d11 rule). */
+    * reads it twice (digest stats + cut occurrences).
+    * Disk-materialized since r19 (plan-size + recompute safety):
+    * consumers root at a scan of the narrow (doc_id, i, wh) parquet. */
   private def windowOcc(s: SparkSession, dir: String): DataFrame =
-    PersistedAggregates.memo(s, "d14_occ", dir) {
+    PersistedAggregates.diskMemo(s, "d14_occ", dir) {
       // Parallelism floor before the n·W md5 pass (guide §2.5; r19):
       // identity once the scan has cluster-scale splits.
       Tables.parallelScan(s, docs(s, dir), col("doc_id"))
@@ -1048,13 +1049,13 @@ object DedupQueries {
         .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("i"), col("wh"))
     }
 
-  /** Distinct (doc_id, wh) window membership, memoized on top of the
-    * memoized occurrence frame — ONE distinct shuffle serves d14's
-    * shared-set aggregate + flag join AND d20's digest stats (r18:
-    * d20 previously re-ran the distinct over the n·W occurrence frame
-    * per invocation). */
+  /** Distinct (doc_id, wh) window membership, materialized on top of
+    * the materialized occurrence frame — ONE distinct shuffle serves
+    * d14's shared-set aggregate + flag join AND d20's digest stats
+    * (r18: d20 previously re-ran the distinct over the n·W occurrence
+    * frame per invocation; r19: disk-materialized, scan-rooted). */
   private def windowWins(s: SparkSession, dir: String): DataFrame =
-    PersistedAggregates.memo(s, "d14_wins", dir) {
+    PersistedAggregates.diskMemo(s, "d14_wins", dir) {
       windowOcc(s, dir).select(col("doc_id"), col("wh")).distinct()
     }
 
@@ -1319,14 +1320,16 @@ object DedupQueries {
     * two consumers, zero drift. Returns (item_id, m{priority, reason,
     * keeper}, n_signals) for every doc with ≥1 drop signal.
     *
-    * Session-memoized like the Jaccard pairs it rides on: the frame is
-    * small (one row per drop CANDIDATE, a corpus fraction) and both
-    * d15 and d16 consume it verbatim, so the six family pipelines run
-    * once per session instead of once per consumer — measured at
-    * sf0.1: d16 1.14 s → 0.16 s, d15 1.79 s → 0.75 s warm (d15 still
-    * adds the embedding-domain branch on top). */
+    * Memoized since r11 (the frame is small — one row per drop
+    * CANDIDATE — and d15/d16/d18/t29 consume it verbatim, so the six
+    * family pipelines run once per session instead of once per
+    * consumer; measured then: d16 1.14 s → 0.16 s, d15 1.79 s →
+    * 0.75 s warm). Disk-materialized since r19: the six-family
+    * lineage made every consumer's ANALYSIS and each AQE stage
+    * re-optimization walk the whole tree (t29 construct alone was
+    * 380 ms warm); scan-rooted consumers pay neither. */
   private[queries] def docDecisions(s: SparkSession, dir: String): DataFrame =
-    PersistedAggregates.memo(s, "doc_decisions", dir) { docDecisionsPlan(s, dir) }
+    PersistedAggregates.diskMemo(s, "doc_decisions", dir) { docDecisionsPlan(s, dir) }
 
   private def docDecisionsPlan(s: SparkSession, dir: String): DataFrame = {
     val vp = jaccardPairs(s, dir).filter(col("jacc") >= JaccThreshold)

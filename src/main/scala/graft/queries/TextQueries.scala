@@ -523,7 +523,7 @@ object TextQueries {
     * hierarchical shape, to save one aggregate-grain pass plus a
     * single ranked shuffle per session. */
   private def scoredTerciles(s: SparkSession, dir: String): DataFrame = {
-    val scored = PersistedAggregates.memo(s, "txt_scored", dir) {
+    val scored = PersistedAggregates.diskMemo(s, "txt_scored", dir) {
       withStats(docs(s, dir))
         .withColumn("quality_score", qualityScoreCol)
         .select(col("doc_id"), col("lang"), col("quality_score"))
@@ -752,7 +752,7 @@ object TextQueries {
         explode(expr("""transform(sequence(1, size(ws) - 1),
           i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))""")).as("g"))
       .select(col("doc_id"), col("lang"), col("g.w1").as("w1"), col("g.w2").as("w2"))
-    val c2 = PersistedAggregates.memo(s, "t18_c2", dir) {
+    val c2 = PersistedAggregates.diskMemo(s, "t18_c2", dir) {
       grams.join(headIds, "doc_id")
         .groupBy(col("lang"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("n2"))
@@ -765,7 +765,7 @@ object TextQueries {
     // Memoized: the perplexity-tercile below needs a bounds pass plus
     // the ntile pass over this doc-grain frame — one gram-join build
     // serves both reads (narrow rows: ids + exact integers).
-    val perDoc = PersistedAggregates.memo(s, "t18_perdoc", dir) {
+    val perDoc = PersistedAggregates.diskMemo(s, "t18_perdoc", dir) {
       grams
         .join(c2, Seq("lang", "w1", "w2"), "left")
         .join(c1, Seq("lang", "w1"), "left")
@@ -961,14 +961,16 @@ object TextQueries {
   }
 
   /** Per-doc exact integer importance weight `u` (spec seam).
-    * Session-memoized (r18, the t18 perdoc precedent): the doc-grain
+    * Memoized since r18 (the t18 perdoc precedent): the doc-grain
     * weight frame is multi-consumer — t20's source rollup and t21's
     * (u, tokens) build both read it — and without the memo each
     * consumer re-ran the corpus-scale gram explode + hash + LUT fold.
-    * Narrow rows (ids + exact integers); recompute path bottoms at
-    * scans (the d11 memo rule). */
+    * Disk-materialized since r19 (the r15 plan-size discipline):
+    * consumers root at a scan of the narrow (ids + exact integers)
+    * parquet instead of re-analyzing — and AQE re-optimizing, once
+    * per stage — the full gram lineage on every invocation. */
   private[graft] def dsirPerDoc(s: SparkSession, dir: String): DataFrame =
-    PersistedAggregates.memo(s, "t20_perdoc", dir) {
+    PersistedAggregates.diskMemo(s, "t20_perdoc", dir) {
       val gx = dsirGramBuckets(s, dir)
       val lut = dsirLut(s, dir)
       val norm = lut.agg((expr(ilogSql(s"sum(nt) + $DsirBuckets")) -
@@ -1034,7 +1036,7 @@ object TextQueries {
     * per-doc (u, tokens) frame is session-memoized so the bounds
     * scalar, the budgets, and the prefix all read one build. */
   private def dsirSelect(s: SparkSession, dir: String): DataFrame = {
-    val j = PersistedAggregates.memo(s, "t21_ud", dir) {
+    val j = PersistedAggregates.diskMemo(s, "t21_ud", dir) {
       val toks = docs(s, dir)
         .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
       dsirPerDoc(s, dir).select(col("doc_id"), col("source"), col("u"))
