@@ -74,6 +74,19 @@ object GraftSession {
       // their sources), so re-exchanging them is the cheap side.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Measured and REJECTED for this deployment (r19 A/B, paired
+      // benches benchruns/r19_runE_batch2.jsonl vs r19_runF_cfgAB.jsonl):
+      // spark.io.compression.codec=zstd +
+      // spark.sql.parquet.compression.codec=zstd +
+      // spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=64m
+      // moved the full-registry bench 40.3 s -> 68.0 s, with the
+      // inflation concentrated on the parquet-scan/shuffle-heavy
+      // queries (s24 6.7x, d23 3.4x, d10 3.2x) while scan-light
+      // queries were flat — at KB-scale local shuffles and MB-scale
+      // memo parquet, zstd's CPU costs more than its bytes save. A
+      // 100 TB deployment (GB-scale shuffle blocks, network-bound)
+      // should re-run exactly this A/B; the defaults here are the
+      // measured local optimum, not a universal verdict.
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       // Streaming state at scale: the default HDFS-backed provider
       // keeps every key on-heap per executor; RocksDB checkpoints

@@ -518,6 +518,11 @@ object DedupQueries {
     PersistedAggregates.diskMemo(s, "d09_digest_index", dir) {
       docDigests(s, dir).filter(col("doc_id") % 10 =!= 0)
         .groupBy(col("digest")).agg(min(col("doc_id")).as("index_doc"))
+        // guide §6: cluster the index file by its probe key at write —
+        // row-group min/max stats become effective for digest probes
+        // and a bucketed/range reader sees sorted runs; one local sort
+        // per index refit, never per probe (r19).
+        .sortWithinPartitions(col("digest"))
     }
 
   private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
@@ -552,7 +557,8 @@ object DedupQueries {
       val ok = b.groupBy(col("b"), col("bkey"))
         .agg(count(lit(1)).as("c"))
         .filter(col("c") <= MaxBucket).select(col("b"), col("bkey"))
-      b.join(ok, Seq("b", "bkey"))
+      // §6 write layout: cluster postings by bucket key (r19)
+      b.join(ok, Seq("b", "bkey")).sortWithinPartitions(col("b"), col("bkey"))
     }
 
   /** d22: INCREMENTAL MinHash-LSH dedup — d09's exact-digest pattern
@@ -746,18 +752,18 @@ object DedupQueries {
     * rows: the manifest is TOTAL (every arriving item gets exactly one
     * row) and flat, the file a crawl-ingest pipeline consumes as-is.
     *
-    * STEADY-STATE COST, adjudicated (r18, the t18/s12 rule): d23 is
-    * the registry's second-slowest query (~1.2-1.4 s clean at sf0.1),
-    * and the floor is SCHEDULER, not data. Measured (StageTimeProbe,
-    * warm, sf0.1, local[32]): 25 stages of 20-60 ms each with ≤65 ms
-    * executor CPU TOTAL — materialized-index parquet reads, broadcast
-    * builds, and the six family probes' AQE stages; no stage reads
-    * more than 22k records. Every stage exists FOR scale: the
-    * composition probes six per-family indexes O(arrival) instead of
-    * re-deriving any of them, which is exactly the plan that amortizes
-    * at 100 TB arrival volumes. Collapsing legs to shave sub-second
-    * scheduler latency at sf0.1 would re-couple the family pipelines
-    * the manifest exists to compose; the plan stands.
+    * STEADY-STATE COST, adjudicated (r18, the t18/s12 rule; revised
+    * r19): the floor is SCHEDULER, not data. r18 measured 25 stages of
+    * 20-60 ms with ≤65 ms executor CPU TOTAL; r19 found 13 of those
+    * were parquet schema-INFERENCE jobs (one per diskMemo/table read
+    * per invocation) and removed them with the Tables.readParquet
+    * schema cache — d23 now runs 11 jobs (~0.6-0.9 s warm at sf0.1),
+    * all of them real family probes over ≤22k-record index reads.
+    * Every remaining stage exists FOR scale: the composition probes
+    * six per-family indexes O(arrival) instead of re-deriving any of
+    * them, which is exactly the plan that amortizes at 100 TB arrival
+    * volumes. Collapsing legs further would re-couple the family
+    * pipelines the manifest exists to compose; the plan stands.
     *
     * Scale shape: every branch is a family query already audited for
     * 100 TB (d09's digest index, d22's materialized band index, m14's

@@ -122,6 +122,7 @@ object MultimodalQueries {
       distinctFrames(s, dir)
         .filter(col("media_id") % 10 =!= 0)
         .groupBy(col("frame_md5")).agg(min(col("media_id")).as("idx_media"))
+        .sortWithinPartitions(col("frame_md5")) // §6 write layout (r19)
     }
 
   /** m14: INCREMENTAL media dedup — d22's arrival pattern on the video
@@ -184,7 +185,8 @@ object MultimodalQueries {
         .select(col("media_id"), col("subfp"))
       val ok = b.groupBy(col("subfp")).agg(count(lit(1)).as("c"))
         .filter(col("c") <= DedupQueries.MaxBucket).select(col("subfp"))
-      b.join(ok, "subfp")
+      // §6 write layout: cluster postings by print key (r19)
+      b.join(ok, "subfp").sortWithinPartitions(col("subfp"))
     }
 
   /** m15: INCREMENTAL audio dedup — m14's arrival pattern on the audio
@@ -261,6 +263,7 @@ object MultimodalQueries {
         .select(col("band"), col("bv"))
       b.join(ok, Seq("band", "bv"))
         .select(col("base_media"), col("bb"), col("band"), col("bv"))
+        .sortWithinPartitions(col("band"), col("bv")) // §6 write layout (r19)
     }
 
   /** m16: INCREMENTAL image dedup — the arrival pattern on the image

@@ -2033,6 +2033,8 @@ object SimilarityQueries {
     PersistedAggregates.diskMemo(s, "ivf_asg_ingest_base", dir) {
       assignCells(vecs(s, dir).filter(col("vec_id") % IngestMod =!= 0),
         ingestBaseCentroids(s, dir))
+        // §6 write layout: a posting list clusters by cell (r19)
+        .sortWithinPartitions(col("cell"))
     }
 
   /** The s23 arrival frames — (base centroids, base assignment, ingest
