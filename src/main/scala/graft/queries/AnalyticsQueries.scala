@@ -490,7 +490,17 @@ object AnalyticsQueries {
     * orderkey) aggregates BEFORE joining; the qualifying-order set is
     * then a small broadcast side against orders⋈customer. */
   private def largeVolumeCustomers(s: SparkSession, dir: String): DataFrame = {
-    val bigOrders = Tables.lineitem(s, dir)
+    // Parallelism floor before the high-cardinality groupBy (guide
+    // §2.5; r19): the single-file scan ran the 600k-row orderkey
+    // partial aggregate in its handful of scan tasks (measured 631 ms
+    // CPU over 3 tasks at sf0.1) — and at |orders| groups the partial
+    // agg only shrinks the shuffle ~4x, so redistributing the narrow
+    // (orderkey, quantity) projection first costs little and
+    // parallelizes the hash aggregate. Identity once the scan has
+    // cluster-scale splits.
+    val bigOrders = Tables.parallelScan(s,
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity")),
+        col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(P.dsum2(col("l_quantity")).as("sum_qty"))
       .filter(col("sum_qty") > 300.0)
