@@ -1513,10 +1513,29 @@ object SimilarityQueries {
   private def adcSum(df: DataFrame, keys: Seq[String]): DataFrame = {
     val parts = (0 until PqM).map(i =>
       min(when(col("sub") === i, col("pd"))).as(s"__p$i"))
+    // Completeness ENFORCED, not narrated (r19 ADVICE; the ilog-guard
+    // rule): the flat-min extraction is only the twin's list fold when
+    // every group carries exactly one partial per subspace. Today's
+    // construction guarantees it (codes are total per (vec, sub), the
+    // LUTs cover all k codes per sub) — but a future pruned LUT or
+    // filtered code set would yield NULL partials, a NULL adc, and
+    // NULL-first asc ranking would silently corrupt the candidate set
+    // where the old fold merely degraded to a partial sum. A group
+    // with ≠ PqM rows now fails loudly instead of ranking first. The
+    // guard is a codegen branch on the group's row count — never taken
+    // in a correct build, and the count aggregate is one extra long per
+    // group in the same hash aggregate.
     df.groupBy(keys.map(col): _*)
-      .agg(parts.head, parts.tail: _*)
-      .withColumn("adc", (0 until PqM).map(i => col(s"__p$i")).reduce(_ + _))
-      .drop((0 until PqM).map(i => s"__p$i"): _*)
+      .agg(parts.head, (parts.tail :+ count(col("sub")).as("__np")): _*)
+      .withColumn("adc",
+        when(col("__np") === PqM,
+          (0 until PqM).map(i => col(s"__p$i")).reduce(_ + _))
+          .otherwise(expr(
+            "raise_error('graft.adcSum: incomplete ADC group - expected " +
+              s"one partial per subspace (PqM = $PqM); a pruned LUT or " +
+              "filtered code set would otherwise rank NULL-adc rows first')")
+            .cast("double")))
+      .drop((0 until PqM).map(i => s"__p$i") :+ "__np": _*)
   }
 
   /** Exact top-5 rerank of an ADC candidate set `cand(q_id, carry…,
@@ -2409,7 +2428,14 @@ object SimilarityQueries {
     * legs (pre-ingest fit + pre-ingest assignment + ARRIVAL
     * assignment; the post-ingest health is reassembled as pre ⊎
     * arrival — r18, see the in-body note), `tomb` the tombstone
-    * state. One row; everything broadcasts. */
+    * state. PRECONDITION (r19 ADVICE, stated explicitly): `basg` and
+    * `iasg` must be DISJOINT in vec_id — the ⊎ reassembly counts each
+    * leg once, so a vec_id present in both slices would double-count
+    * into (n_post, sum_post_u) where a merged-relation scan would
+    * count it once. Every current caller passes disjoint mod/id
+    * slices (refitDecision's % IngestMod residues;
+    * StreamingLifecycleSpec's constructed epochs). One row; everything
+    * broadcasts. */
   private[graft] def decisionFor(e: DataFrame, asg: DataFrame,
       bcent: DataFrame, basg: DataFrame, iasg: DataFrame,
       tomb: DataFrame): DataFrame = {
