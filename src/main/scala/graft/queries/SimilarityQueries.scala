@@ -997,35 +997,47 @@ object SimilarityQueries {
     // recall-1.0-at-full-probe pin evaluates ONE level instead of
     // planning IvfKCap union branches); empty = the full 1..maxProbe.
     val rowLevels = if (levels.isEmpty) (1 to maxProbe).toSeq else levels
-    val split = splitBuckets(s, dir)
-    val e = vecs(s, dir).join(split, col("vec_id") === col("doc_id"))
-    val q = e.filter(col("bucket") >= EvalBucket)
-      .select(col("vec_id").as("e_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val train = e.filter(col("bucket") < EvalBucket)
-      .join(ivfAssigned(s, dir), "vec_id")
-      .select(col("vec_id").as("t_id"), col("cell"),
-        col("v").as("cv"), col("nrm").as("cn"))
-    val wp = Window.partitionBy(col("e_id")).orderBy(col("scos").desc, col("s_id"))
-    val probes = q.join(broadcast(ivfCentroids(s, dir)))
-      .withColumn("scos", expr(dotSpark("qv", "sv")) / (col("qn") * col("sn")))
-      .withColumn("probe_rank", row_number().over(wp).cast(LongType))
-      .filter(col("probe_rank") <= maxProbe)
-      .select(col("e_id"), col("s_id").as("cell"), col("probe_rank"),
-        col("qv"), col("qn"))
-    // probes are Q·nProbe rows (bounded by the serving contract) —
-    // broadcast explicitly so the train side NEVER shuffles by cell
-    // for this query (the s19 broadcast-eval discipline)
-    val candPlan = broadcast(probes).join(train, Seq("cell"))
-      .filter(col("e_id") =!= col("t_id"))
-      .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
-      .select(col("e_id"), col("probe_rank"), col("t_id"), col("cos"))
+    // The whole candidate chain is a DEF (r19, the plan-size rule's
+    // lazy half): diskMemo's build runs once per JVM, so constructing
+    // — and Catalyst-ANALYZING — the eval/train/probe frames on every
+    // invocation was pure waste (s22's DataFrame construction alone
+    // measured 324 ms warm); a by-name build defers it to the one
+    // call that writes the parquet.
+    def candPlan = {
+      val split = splitBuckets(s, dir)
+      val e = vecs(s, dir).join(split, col("vec_id") === col("doc_id"))
+      val q = e.filter(col("bucket") >= EvalBucket)
+        .select(col("vec_id").as("e_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val train = e.filter(col("bucket") < EvalBucket)
+        .join(ivfAssigned(s, dir), "vec_id")
+        .select(col("vec_id").as("t_id"), col("cell"),
+          col("v").as("cv"), col("nrm").as("cn"))
+      val wp = Window.partitionBy(col("e_id")).orderBy(col("scos").desc, col("s_id"))
+      // probes are Q·nProbe rows (bounded by the serving contract) —
+      // broadcast explicitly so the train side NEVER shuffles by cell
+      // for this query (the s19 broadcast-eval discipline)
+      val probes = q.join(broadcast(ivfCentroids(s, dir)))
+        .withColumn("scos", expr(dotSpark("qv", "sv")) / (col("qn") * col("sn")))
+        .withColumn("probe_rank", row_number().over(wp).cast(LongType))
+        .filter(col("probe_rank") <= maxProbe)
+        .select(col("e_id"), col("s_id").as("cell"), col("probe_rank"),
+          col("qv"), col("qn"))
+      broadcast(probes).join(train, Seq("cell"))
+        .filter(col("e_id") =!= col("t_id"))
+        .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
+        .select(col("e_id"), col("probe_rank"), col("t_id"), col("cos"))
+    }
     // memo only the registered sweep — spec calls with other maxProbe
     // values must not poison the session cache
     val cand =
       if (maxProbe == DeconMaxProbe)
-        PersistedAggregates.memo(s, "s22_cand", dir)(candPlan)
+        PersistedAggregates.diskMemo(s, "s22_cand", dir)(candPlan)
       else candPlan
-    val truth = PersistedAggregates.memo(s, "s22_truth", dir) {
+    // diskMemo (r19, the plan-size rule): the sweep plans a per-level
+    // UNION whose every branch re-embedded the candidate/truth build
+    // lineage — s22's DataFrame construction alone measured 324 ms
+    // warm; scan-rooted branches analyze leaf trees.
+    val truth = PersistedAggregates.diskMemo(s, "s22_truth", dir) {
       evalDecontamination(s, dir)
         .select(col("e_id"), col("t_id"), col("leaked"))
     }
@@ -1227,25 +1239,29 @@ object SimilarityQueries {
     * joined as broadcast 1-row frames. Recall ships as n_hits/n_truth,
     * one division per row over exact counts. */
   private def probeSweep(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
-    val cent = ivfCentroids(s, dir)
-    val c = e.join(ivfAssigned(s, dir), "vec_id")
-      .select(col("vec_id").as("c_id"), col("cell"),
-        col("v").as("cv"), col("nrm").as("cn"))
-    val wp = Window.partitionBy(col("vec_id")).orderBy(col("scos").desc, col("s_id"))
-    val probes = SampleQueries(e)
-      .join(broadcast(cent))
-      .withColumn("scos", expr(dotSpark("v", "sv")) / (col("nrm") * col("sn")))
-      .withColumn("probe_rank", row_number().over(wp).cast(LongType))
-      .filter(col("probe_rank") <= MaxSweepProbes)
-      .select(col("vec_id").as("q_id"), col("s_id").as("cell"), col("probe_rank"),
-        col("v").as("qv"), col("nrm").as("qn"))
-    val cand = PersistedAggregates.memo(s, "s17_cand", dir) {
+    // diskMemo with the chain INSIDE the by-name build (r19, the s22
+    // lazy rule): constructing the probe/candidate frames per
+    // invocation paid their Catalyst analysis even when the
+    // materialization already existed.
+    val cand = PersistedAggregates.diskMemo(s, "s17_cand", dir) {
+      val e = vecs(s, dir)
+      val cent = ivfCentroids(s, dir)
+      val c = e.join(ivfAssigned(s, dir), "vec_id")
+        .select(col("vec_id").as("c_id"), col("cell"),
+          col("v").as("cv"), col("nrm").as("cn"))
+      val wp = Window.partitionBy(col("vec_id")).orderBy(col("scos").desc, col("s_id"))
+      val probes = SampleQueries(e)
+        .join(broadcast(cent))
+        .withColumn("scos", expr(dotSpark("v", "sv")) / (col("nrm") * col("sn")))
+        .withColumn("probe_rank", row_number().over(wp).cast(LongType))
+        .filter(col("probe_rank") <= MaxSweepProbes)
+        .select(col("vec_id").as("q_id"), col("s_id").as("cell"), col("probe_rank"),
+          col("v").as("qv"), col("nrm").as("qn"))
       probes.join(c, Seq("cell")).filter(col("q_id") =!= col("c_id"))
         .withColumn("cos", expr(dotSpark("qv", "cv")) / (col("qn") * col("cn")))
         .select(col("q_id"), col("probe_rank"), col("c_id"), col("cos"))
     }
-    val truth = PersistedAggregates.memo(s, "s17_truth", dir) {
+    val truth = PersistedAggregates.diskMemo(s, "s17_truth", dir) {
       exactTop5(s, dir).select(col("q_id"), col("c_id"))
     }
     val w5 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))

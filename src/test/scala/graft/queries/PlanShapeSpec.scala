@@ -534,17 +534,16 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
       "s18 lost its broadcast joins")
   }
 
-  test("s17 probe sweep: one memoized candidate frame serves every sweep level") {
-    // The sweep's design: candidates build ONCE (memoized) and each
-    // probe level re-filters the cached frame — the plan must read
-    // InMemoryTableScan (several times), never rebuild the probe/cell
-    // join per level. The corpus-side argmax stays shuffle-free, so
-    // no exchange input may carry the vector arrays' source text.
+  test("s17 probe sweep: one materialized candidate frame serves every sweep level") {
+    // The sweep's design: candidates build ONCE (disk-materialized
+    // since r19 — the plan-size rule) and each probe level re-filters
+    // the scan-rooted frame — the plan must read the s17_cand parquet
+    // per level, never rebuild the probe/cell join.
     val qe = queries("s17_probe_sweep")(spark, sf).queryExecution
     val text = PlanTestUtils.formatted(qe)
-    val scans = "InMemoryTableScan".r.findAllIn(text).size
+    val scans = "s17_cand".r.findAllIn(text).size
     assert(scans >= 3,
-      s"s17 must serve all sweep levels from the memoized candidates, saw $scans cached scans")
+      s"s17 must serve all sweep levels from the materialized candidates, saw $scans cand scans")
   }
 
   test("t23 domain distance inherits t20's contract: bucket ids only in every shuffle") {
@@ -679,8 +678,18 @@ class PlanShapeSpec extends graft.streaming.SparkTestBase {
     val inputs = PlanTestUtils.exchangeInputs(qe)
     val leaky = inputs.filter(_.contains("cv#"))
     assert(leaky.isEmpty, s"s22 shuffles train vectors by cell:\n${leaky.mkString("\n")}")
-    assert(PlanTestUtils.formatted(qe).contains("InMemoryTableScan"),
-      "s22 lost the memoized candidate/truth frames")
+    assert(PlanTestUtils.formatted(qe).contains("s22_cand"),
+      "s22 lost the materialized candidate frame")
+    // The broadcast-onto-train property now lives in the candidate
+    // BUILD (disk-materialized since r19); pin it on the raw seam plan
+    // (a non-default maxProbe returns the unmemoized candidate chain).
+    val raw = SimilarityQueries.deconIvfSweep(spark, sf, maxProbe = 2)
+      .queryExecution
+    val rawLeaky = PlanTestUtils.exchangeInputs(raw).filter(_.contains("cv#"))
+    assert(rawLeaky.isEmpty,
+      s"s22's candidate build shuffles train vectors by cell:\n${rawLeaky.mkString("\n")}")
+    assert(PlanTestUtils.formatted(raw).contains("BroadcastHashJoin"),
+      "s22's candidate build lost the probes broadcast join")
   }
 
   test("t31 extended PII: detection, checksum and redaction fuse into the scan — counters only shuffle") {
